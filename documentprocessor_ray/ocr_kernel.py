@@ -1,0 +1,126 @@
+"""Deterministic template-matching OCR kernel (pure numpy).
+
+Replaces the reference's PaddleOCR/Tesseract engines (Ocr/src/ocr/ocr_engine.py,
+A1-A3 in SURVEY.md section 2.3) with a fully deterministic kernel so that
+span-sequence conformance can be byte-exact and N=8 vs N=32 parallelism runs
+produce identical output (the scaling benchmark doubles as a determinism test).
+
+Algorithm (classic projection-profile OCR):
+1. binarize (ink = pixel < 128)
+2. despeckle: drop ink pixels with no ink 8-neighbor (noise robustness)
+3. line segmentation: row projection profile -> maximal ink-row bands
+4. word segmentation within a band: column projection; a blank gap wider than
+   WORD_GAP columns splits words (intra-word char gaps are CHAR_GAP=2 px;
+   inter-word gaps are >= 14 px with the fonts.py metrics)
+5. char classification: fixed-pitch cells template-matched against the
+   deterministic glyph set (argmax pixel agreement); per-char score ->
+   word confidence = mean char score
+6. emit words in reading order (top band to bottom, left to right) with
+   pixel boxes [x0, y0, x1, y1] — same word schema as the reference engines
+   (ocr_engine.py:89-97: {'text', 'box', 'confidence'}).
+
+The kernel is stateless math, but the template stack + charset are loaded once
+per OCR actor (__init__) in the Ray stage — mirroring the reference's
+lazy-singleton engine (receipt_processor.py:50-54).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+from .fonts import CHAR_GAP, CHAR_H, CHAR_PITCH, CHAR_W, CHARS, TEMPLATES
+
+WORD_GAP = 6  # blank columns ending a word (strictly greater than)
+INK_THRESHOLD = 128
+
+
+def binarize(img: np.ndarray) -> np.ndarray:
+    """uint8 grayscale -> bool ink mask."""
+    return img < INK_THRESHOLD
+
+
+def despeckle(ink: np.ndarray) -> np.ndarray:
+    """Remove ink pixels with zero ink 8-neighbors (isolated noise)."""
+    p = np.pad(ink, 1, mode="constant")
+    neighbors = (
+        p[:-2, :-2].astype(np.uint8) + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    )
+    return ink & (neighbors > 0)
+
+
+def _runs(mask: np.ndarray) -> List[tuple]:
+    """Maximal runs of True in a 1-D bool array as (start, stop) half-open."""
+    if not mask.any():
+        return []
+    m = mask.astype(np.int8)
+    diff = np.diff(np.concatenate(([0], m, [0])))
+    starts = np.flatnonzero(diff == 1)
+    stops = np.flatnonzero(diff == -1)
+    return list(zip(starts.tolist(), stops.tolist()))
+
+
+def detect_words(image: np.ndarray) -> List[Dict[str, Any]]:
+    """Full detect+recognize on one grayscale uint8 page."""
+    ink = despeckle(binarize(image))
+    words: List[Dict[str, Any]] = []
+    for y0, y1 in _runs(ink.any(axis=1)):
+        band = ink[y0:y1]
+        col_has_ink = band.any(axis=0)
+        ink_runs = _runs(col_has_ink)
+        if not ink_runs:
+            continue
+        # merge char runs into words: gap <= WORD_GAP stays in the word
+        word_spans = [[ink_runs[0][0], ink_runs[0][1]]]
+        for s, e in ink_runs[1:]:
+            if s - word_spans[-1][1] <= WORD_GAP:
+                word_spans[-1][1] = e
+            else:
+                word_spans.append([s, e])
+        for x0, x1 in word_spans:
+            text, conf = _classify_word(band[:, x0:x1])
+            if not text.strip():
+                continue
+            words.append({
+                "text": text,
+                "box": [int(x0), int(y0), int(x1), int(y1)],
+                "confidence": float(conf),
+            })
+    return words
+
+
+def _classify_word(cellblock: np.ndarray) -> tuple:
+    """Classify a word's ink block (band_h x word_w) into text + confidence."""
+    h, w = cellblock.shape
+    n_chars = max(1, int(round((w + CHAR_GAP) / CHAR_PITCH)))
+    cells = np.zeros((n_chars, CHAR_H, CHAR_W), dtype=np.float32)
+    for k in range(n_chars):
+        xs = k * CHAR_PITCH
+        cell = cellblock[:CHAR_H, xs : xs + CHAR_W]
+        cells[k, : cell.shape[0], : cell.shape[1]] = cell
+    # pixel agreement against every template: (n_chars, n_templates)
+    agree = (cells[:, None, :, :] == TEMPLATES[None, :, :, :]).mean(axis=(2, 3))
+    best = agree.argmax(axis=1)
+    scores = agree[np.arange(n_chars), best]
+    text = "".join(CHARS[b] for b in best)
+    return text, float(scores.mean())
+
+
+class OcrKernel:
+    """Engine-protocol object (reference OcrEngine ABC, ocr_engine.py:14-28).
+
+    Holds the template stack; constructed once per Ray actor. detect_and_
+    recognize matches the reference engine signature.
+    """
+
+    def __init__(self):
+        self.templates = TEMPLATES
+        self.chars = CHARS
+
+    def detect_and_recognize(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        if image.ndim == 3:  # RGB -> gray via exact mean (deterministic ints)
+            image = (image.astype(np.uint16).sum(axis=2) // image.shape[2]).astype(np.uint8)
+        return detect_words(image)

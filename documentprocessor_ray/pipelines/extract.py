@@ -1,0 +1,311 @@
+"""Flagship Ray-Data extraction pipeline.
+
+Physical plan (SURVEY.md section 4.3):
+
+    read_parquet(documents)                      # (doc_id, spans) per input_hint
+      -> map_batches(explode_spans)              # row per span + cost proxy
+      -> repartition(target_blocks)              # spread spans for parallelism;
+                                                 #   a 50-media-span doc becomes 50
+                                                 #   independent rows, so heavy docs
+                                                 #   cannot straggle one worker (skew
+                                                 #   handled by per-span parallelism +
+                                                 #   batch-granular actor scheduling)
+      -> map_batches(SpanProcessor, concurrency=N, batch_size=B)
+                                                 # stateful actor pool: OCR kernel
+                                                 #   templates + preprocess config
+                                                 #   loaded once per actor (A1-A3);
+                                                 #   text spans take the normalize path
+      -> groupby(doc_id).map_groups(assemble)    # the only all-to-all shuffle: hash
+                                                 #   on doc_id to rebuild documents
+      -> result rows (spans_out invariant + heuristic fields)
+
+Every stage is Arrow-native (batch_format="pyarrow"); per-page OCR is numpy
+inside the actor. The `order` invariant is carried as data (an explicit
+column derived from span offset + reading-order line index), never as block
+order, so shuffles cannot break it (SURVEY.md section 7.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..corpus import MediaStore
+from ..ocr_kernel import OcrKernel
+from ..oracle import fields as F
+from ..oracle.boxes import normalize_boxes, raw_ocr_text
+from ..oracle.document import media_span_lines
+from ..oracle.textnorm import normalize_text
+from ..stages.preprocess import PreprocessConfig, preprocess
+
+# --- intermediate + output Arrow schemas (explicit so empty blocks stay typed) ---
+
+WORD_STRUCT = pa.struct([
+    ("text", pa.string()),
+    ("x0", pa.int32()), ("y0", pa.int32()), ("x1", pa.int32()), ("y1", pa.int32()),
+    ("confidence", pa.float64()),
+])
+SPAN_ROW_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("offset", pa.int32()),
+    ("kind", pa.string()),
+    ("media_ref", pa.string()),
+    ("norm_text", pa.string()),
+    ("line_texts", pa.list_(pa.string())),
+    ("words", pa.list_(WORD_STRUCT)),
+    ("error", pa.string()),
+])
+
+BOX_STRUCT = pa.struct([
+    ("x0", pa.int32()), ("y0", pa.int32()), ("x1", pa.int32()), ("y1", pa.int32()),
+])
+FIELD_STRUCT = pa.struct([
+    ("value", pa.string()),
+    ("confidence", pa.float64()),
+    ("box", BOX_STRUCT),
+])
+SPAN_OUT_STRUCT = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("order", pa.int32()),
+])
+LINE_ITEM_STRUCT = pa.struct([
+    ("description", pa.string()),
+    ("quantity", pa.int64()),
+    ("unit_price", pa.float64()),
+    ("line_total", pa.float64()),
+    ("box", BOX_STRUCT),
+    ("confidence", pa.float64()),
+])
+RESULT_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("status", pa.string()),
+    ("error", pa.string()),
+    ("spans_out", pa.list_(SPAN_OUT_STRUCT)),
+    ("vendor_name", FIELD_STRUCT),
+    ("date", FIELD_STRUCT),
+    ("total_amount", FIELD_STRUCT),
+    ("subtotal", FIELD_STRUCT),
+    ("tax_amount", FIELD_STRUCT),
+    ("currency", FIELD_STRUCT),
+    ("merchant_address", FIELD_STRUCT),
+    ("line_items", pa.list_(LINE_ITEM_STRUCT)),
+    ("n_words", pa.int32()),
+])
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans) -> one row per span; empty-span docs get a sentinel row
+    (kind='empty', offset=-1) so reassembly preserves them."""
+    doc_ids: List[str] = []
+    offsets: List[int] = []
+    kinds: List[str] = []
+    texts: List[str] = []
+    refs: List[str] = []
+    for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+        if not spans:
+            doc_ids.append(doc_id); offsets.append(-1); kinds.append("empty")
+            texts.append(""); refs.append("")
+            continue
+        for s in spans:
+            doc_ids.append(doc_id)
+            offsets.append(s["offset"])
+            kinds.append(s["kind"])
+            texts.append(s["text"] or "")
+            refs.append(s["media_ref"] or "")
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "offset": pa.array(offsets, pa.int32()),
+        "kind": pa.array(kinds, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "media_ref": pa.array(refs, pa.string()),
+    })
+
+
+class SpanProcessor:
+    """Unified span stage: text spans -> normalize path; media spans ->
+    preprocess + OCR + box-normalize. Actor pool so the OCR templates and
+    preprocess config load once per worker (reference lazy singletons,
+    receipt_processor.py:50-54, become __init__ state)."""
+
+    def __init__(self, media_dir: str, cfg: Optional[PreprocessConfig] = None):
+        self.store = MediaStore(media_dir)
+        self.kernel = OcrKernel()
+        self.cfg = cfg or PreprocessConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out: Dict[str, List[Any]] = {
+            "doc_id": batch["doc_id"].to_pylist(),
+            "offset": batch["offset"].to_pylist(),
+            "kind": batch["kind"].to_pylist(),
+            "media_ref": batch["media_ref"].to_pylist(),
+            "norm_text": [""] * n,
+            "line_texts": [[] for _ in range(n)],
+            "words": [[] for _ in range(n)],
+            "error": [None] * n,
+        }
+        texts = batch["text"].to_pylist()
+        for i in range(n):
+            kind = out["kind"][i]
+            try:
+                if kind == "text":
+                    out["norm_text"][i] = normalize_text(texts[i])
+                elif kind == "media":
+                    ref = out["media_ref"][i]
+                    image = self.store.load(ref)
+                    if image is None:
+                        raise FileNotFoundError(f"media not found: {ref}")
+                    h, w = image.shape[:2]
+                    pre = preprocess(image, self.cfg)
+                    words = self.kernel.detect_and_recognize(pre)
+                    norm = normalize_boxes(words, w, h)
+                    out["words"][i] = [
+                        {"text": wd["text"], "x0": wd["box"][0], "y0": wd["box"][1],
+                         "x1": wd["box"][2], "y1": wd["box"][3],
+                         "confidence": wd["confidence"]}
+                        for wd in norm
+                    ]
+                    out["line_texts"][i] = media_span_lines(norm)
+            except Exception as e:  # in-band error channel (M31)
+                out["error"][i] = str(e)
+        return pa.table(
+            {k: pa.array(v, SPAN_ROW_SCHEMA.field(k).type) for k, v in out.items()},
+            schema=SPAN_ROW_SCHEMA,
+        )
+
+
+def _field_to_struct(f: Optional[Dict[str, Any]]) -> Optional[Dict[str, Any]]:
+    if f is None:
+        return None
+    box = f.get("box")
+    return {
+        "value": f["value"],
+        "confidence": float(f["confidence"]),
+        "box": {k: int(box[k]) for k in ("x0", "y0", "x1", "y1")} if box else None,
+    }
+
+
+def assemble_document(group: pa.Table) -> pa.Table:
+    """Per-doc reassembly: sort fragments by offset, rebuild spans_out with the
+    running `order` index, run heuristic field extraction over the accumulated
+    normalized words (receipt_processor.py:153,196 word accumulation +
+    :404-416 heuristics)."""
+    rows = group.to_pylist()
+    rows.sort(key=lambda r: r["offset"])
+    doc_id = rows[0]["doc_id"]
+
+    err = next((r["error"] for r in rows if r["error"]), None)
+    if err is not None:
+        return pa.Table.from_pylist([_failed_row(doc_id, err)], schema=RESULT_SCHEMA)
+
+    spans_out: List[Dict[str, Any]] = []
+    all_words: List[Dict[str, Any]] = []
+    order = 0
+    for r in rows:
+        if r["kind"] == "text":
+            spans_out.append({"kind": "text", "text": r["norm_text"],
+                              "media_ref": "", "order": order})
+            order += 1
+        elif r["kind"] == "media":
+            for wd in r["words"]:
+                all_words.append({"text": wd["text"],
+                                  "box": [wd["x0"], wd["y0"], wd["x1"], wd["y1"]],
+                                  "confidence": wd["confidence"]})
+            for line_text in r["line_texts"]:
+                spans_out.append({"kind": "media", "text": line_text,
+                                  "media_ref": r["media_ref"], "order": order})
+                order += 1
+
+    fields = F.extract_fields_heuristic(all_words) if all_words else {}
+    li = []
+    for item in fields.get("line_items", []) or []:
+        li.append({
+            "description": item["description"],
+            "quantity": int(item["quantity"]),
+            "unit_price": float(item["unit_price"]),
+            "line_total": float(item["line_total"]),
+            "box": item["box"],
+            "confidence": float(item["confidence"]),
+        })
+    row = {
+        "doc_id": doc_id,
+        "status": "done",
+        "error": None,
+        "spans_out": spans_out,
+        "vendor_name": _field_to_struct(fields.get("vendor_name")),
+        "date": _field_to_struct(fields.get("date")),
+        "total_amount": _field_to_struct(fields.get("total_amount")),
+        "subtotal": _field_to_struct(fields.get("subtotal")),
+        "tax_amount": _field_to_struct(fields.get("tax_amount")),
+        "currency": _field_to_struct(fields.get("currency")),
+        "merchant_address": _field_to_struct(fields.get("merchant_address")),
+        "line_items": li,
+        "n_words": len(all_words),
+    }
+    return pa.Table.from_pylist([row], schema=RESULT_SCHEMA)
+
+
+def _failed_row(doc_id: str, err: str) -> Dict[str, Any]:
+    return {
+        "doc_id": doc_id, "status": "failed", "error": err, "spans_out": [],
+        "vendor_name": None, "date": None, "total_amount": None, "subtotal": None,
+        "tax_amount": None, "currency": None, "merchant_address": None,
+        "line_items": [], "n_words": 0,
+    }
+
+
+def build_pipeline(
+    docs: "ray.data.Dataset",
+    media_dir: str,
+    cfg: Optional[PreprocessConfig] = None,
+    concurrency: Optional[int] = None,
+    batch_size: int = 16,
+    target_blocks: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Compose the lazy pipeline over an already-loaded documents Dataset.
+
+    Default actor-pool size leaves one CPU of headroom: a pool that reserves
+    every cluster CPU starves the read and groupby stages and the streaming
+    pipeline deadlocks into timeout (observed at num_cpus=2, concurrency=2).
+    """
+    if concurrency is None:
+        try:
+            import ray as _ray
+
+            total = int(_ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            total = 4
+        concurrency = max(1, total - 1)
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
+    if target_blocks:
+        spans = spans.repartition(target_blocks)
+    processed = spans.map_batches(
+        SpanProcessor,
+        fn_constructor_kwargs={"media_dir": media_dir, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return processed.groupby("doc_id").map_groups(assemble_document, batch_format="pyarrow")
+
+
+def run_extraction(
+    documents_dir: str,
+    media_dir: str,
+    output_dir: Optional[str] = None,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Read the hash-partitioned documents table and build the pipeline;
+    optionally write partitioned parquet output."""
+    docs = ray.data.read_parquet(documents_dir)
+    ds = build_pipeline(docs.select_columns(["doc_id", "spans"]), media_dir, **kwargs)
+    if output_dir:
+        ds.write_parquet(output_dir)
+    return ds

@@ -1,0 +1,191 @@
+"""Image preprocessing kernels (M1-M9) as pure numpy functions.
+
+The reference shells out to ImageMagick per image per step
+(Ocr/src/preprocessing/image_preprocessor.py:186-220 — one `magick`
+subprocess each). We re-derive each step as a deterministic, vectorized numpy
+kernel so the whole chain runs subprocess-free inside one fused map_batches
+UDF (SURVEY.md section 2.2, M1-M9). Default order mirrors the reference
+composer (image_preprocessor.py:336-478): deskew -> grayscale -> background
+removal -> contrast -> [threshold] -> denoise; resample is deliberately a
+separate, last step (image_preprocessor.py:510-553).
+
+All kernels take/return uint8 arrays; grayscale images are (H, W), RGB
+(H, W, 3). Everything is integer/LUT math -> bit-exact across runs and
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+# Safety caps from the reference (image_preprocessor.py:40-43)
+MAX_DIM = 32767              # Tesseract per-dimension cap
+MAX_PIXELS = 178_956_970     # Pillow decompression-bomb cap
+DPI_STEP = 50
+MIN_DPI = 100
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """M2: colorspace Gray via integer luma (ITU-R 601 weights, /1000)."""
+    if img.ndim == 2:
+        return img
+    r = img[..., 0].astype(np.uint32)
+    g = img[..., 1].astype(np.uint32)
+    b = img[..., 2].astype(np.uint32)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def auto_level(img: np.ndarray) -> np.ndarray:
+    """Linear histogram stretch to full [0, 255] (ImageMagick -auto-level)."""
+    lo = int(img.min())
+    hi = int(img.max())
+    if hi <= lo:
+        return img.copy()
+    lut = np.clip((np.arange(256, dtype=np.int64) - lo) * 255 // (hi - lo), 0, 255).astype(np.uint8)
+    return lut[img]
+
+
+def remove_background(img: np.ndarray, fuzz_percent: float = 30.0) -> np.ndarray:
+    """M3: pixels within fuzz% of white forced to pure white, then auto-level."""
+    thresh = 255 - int(round(255 * fuzz_percent / 100.0))
+    out = img.copy()
+    out[out >= thresh] = 255
+    return auto_level(out)
+
+
+def sigmoidal_contrast(img: np.ndarray, strength: float = 3.0, midpoint_percent: float = 120.0) -> np.ndarray:
+    """M4: -auto-level then sigmoidal contrast LUT (strength x midpoint%)."""
+    img = auto_level(img)
+    mid = 255.0 * midpoint_percent / 100.0 / 2.0  # ImageMagick midpoint is % of range
+    x = np.arange(256, dtype=np.float64)
+    s = 1.0 / (1.0 + np.exp(strength * (mid - x) / 255.0 * 10.0 / 3.0))
+    s0 = 1.0 / (1.0 + np.exp(strength * mid / 255.0 * 10.0 / 3.0))
+    s1 = 1.0 / (1.0 + np.exp(strength * (mid - 255.0) / 255.0 * 10.0 / 3.0))
+    lut = np.clip(np.round((s - s0) / (s1 - s0) * 255.0), 0, 255).astype(np.uint8)
+    return lut[img]
+
+
+def threshold(img: np.ndarray, percent: float = 50.0) -> np.ndarray:
+    """M5: global binarize at percent of full scale (off by default upstream)."""
+    t = int(round(255 * percent / 100.0))
+    return np.where(img >= t, np.uint8(255), np.uint8(0))
+
+
+def denoise(img: np.ndarray) -> np.ndarray:
+    """M6: despeckle — isolated dark pixels on light ground are lifted to the
+    max of their 8-neighborhood (a one-pixel morphological open, integer-exact)."""
+    p = np.pad(img, 1, mode="edge")
+    stacks = np.stack([
+        p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:],
+        p[1:-1, :-2], p[1:-1, 2:],
+        p[2:, :-2], p[2:, 1:-1], p[2:, 2:],
+    ])
+    nmax = stacks.max(axis=0)
+    nmin = stacks.min(axis=0)
+    isolated_dark = (img < 128) & (nmin >= 128)
+    out = img.copy()
+    out[isolated_dark] = nmax[isolated_dark]
+    return out
+
+
+def estimate_skew_angle(img: np.ndarray, max_angle: int = 3) -> int:
+    """M1 (estimate): integer-degree angle maximizing row-profile variance
+    under horizontal shear; 0 for clean axis-aligned pages."""
+    ink = (img < 128)
+    if not ink.any():
+        return 0
+    h, w = ink.shape
+    ys, xs = np.nonzero(ink)
+    best_angle, best_var = 0, -1.0
+    for ang in range(-max_angle, max_angle + 1):
+        shear = np.tan(np.deg2rad(ang))
+        yy = ys - np.round(xs * shear).astype(np.int64)
+        yy = np.clip(yy, 0, h - 1)
+        prof = np.bincount(yy, minlength=h).astype(np.float64)
+        var = prof.var()
+        if var > best_var + 1e-9:
+            best_var, best_angle = var, ang
+    return best_angle
+
+
+def deskew(img: np.ndarray, max_angle: int = 3) -> np.ndarray:
+    """M1: undo the estimated shear by integer row-shifts (nearest-neighbor,
+    deterministic); white background fill."""
+    ang = estimate_skew_angle(img, max_angle)
+    if ang == 0:
+        return img
+    h, w = img.shape[:2]
+    shear = np.tan(np.deg2rad(ang))
+    out = np.full_like(img, 255)
+    shifts = np.round(np.arange(w) * shear).astype(np.int64)
+    for x in range(w):
+        s = shifts[x]
+        if s == 0:
+            out[:, x] = img[:, x]
+        elif s > 0:
+            out[: h - s, x] = img[s:, x]
+        else:
+            out[-s:, x] = img[: h + s, x]
+    return out
+
+
+def resample(img: np.ndarray, scale_num: int, scale_den: int) -> np.ndarray:
+    """M8 core: nearest-neighbor resample by a rational factor (deterministic)."""
+    h, w = img.shape[:2]
+    nh = max(1, h * scale_num // scale_den)
+    nw = max(1, w * scale_num // scale_den)
+    ri = (np.arange(nh) * scale_den // scale_num).clip(0, h - 1)
+    ci = (np.arange(nw) * scale_den // scale_num).clip(0, w - 1)
+    return img[np.ix_(ri, ci)]
+
+
+def find_safe_dpi(width: int, height: int, current_dpi: int, target_dpi: int) -> Optional[int]:
+    """M8 guard: step target DPI down by 50 until the resampled image fits the
+    Tesseract/Pillow caps; None when even MIN_DPI would not fit
+    (image_preprocessor.py:283-334)."""
+    dpi = target_dpi
+    while dpi >= MIN_DPI:
+        nw = width * dpi // current_dpi
+        nh = height * dpi // current_dpi
+        if nw <= MAX_DIM and nh <= MAX_DIM and nw * nh <= MAX_PIXELS:
+            return dpi
+        dpi -= DPI_STEP
+    return None
+
+
+@dataclass
+class PreprocessConfig:
+    deskew: bool = True
+    grayscale: bool = True
+    remove_background: bool = True
+    bg_fuzz_percent: float = 30.0
+    contrast: str = "sigmoidal"  # 'sigmoidal' | 'linear' | 'none'
+    contrast_strength: float = 3.0
+    contrast_midpoint: float = 120.0
+    apply_threshold: bool = False
+    threshold_percent: float = 50.0
+    denoise: bool = True
+
+
+def preprocess(img: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()) -> np.ndarray:
+    """M9: fused chain in the reference composer's order (grayscale hoisted
+    before deskew — deskew estimation needs single-channel; output-equivalent
+    because the reference's deskew precedes any color-dependent step)."""
+    if cfg.grayscale:
+        img = to_grayscale(img)
+    if cfg.deskew:
+        img = deskew(img)
+    if cfg.remove_background:
+        img = remove_background(img, cfg.bg_fuzz_percent)
+    if cfg.contrast == "sigmoidal":
+        img = sigmoidal_contrast(img, cfg.contrast_strength, cfg.contrast_midpoint)
+    elif cfg.contrast == "linear":
+        img = auto_level(img)
+    if cfg.apply_threshold:
+        img = threshold(img, cfg.threshold_percent)
+    if cfg.denoise:
+        img = denoise(img)
+    return img

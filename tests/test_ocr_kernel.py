@@ -1,0 +1,126 @@
+"""OCR kernel + renderer + preprocessing kernel tests."""
+
+import numpy as np
+
+from documentprocessor_ray.fonts import CHARSET, FONT, TEMPLATES
+from documentprocessor_ray.ocr_kernel import OcrKernel, detect_words
+from documentprocessor_ray.render import expected_words, render_page
+from documentprocessor_ray.stages import preprocess as P
+
+RECEIPT = [
+    "GROCERY STORE", "123 Main Street", "City, State 12345", "Date: 01/15/2024",
+    "Milk 2% $3.99", "Bread $2.50", "Eggs $4.99", "Subtotal $11.48",
+    "Tax 8% $0.92", "TOTAL $12.40", "Thank you!",
+]
+
+
+class TestFont:
+    def test_glyphs_distinct_and_cornered(self):
+        assert len(FONT) == len(CHARSET)
+        for ch, g in FONT.items():
+            assert g.shape == (7, 5)
+            assert g[0, 0] and g[0, -1] and g[-1, 0] and g[-1, -1]
+
+    def test_deterministic(self):
+        from documentprocessor_ray.fonts import _glyph_for
+        assert np.array_equal(_glyph_for("A"), FONT["A"])
+
+
+class TestOcrRoundTrip:
+    def test_clean_page_exact(self):
+        img = render_page(RECEIPT)
+        got = detect_words(img)
+        exp = expected_words(RECEIPT)
+        assert [(w["text"], w["box"]) for w in got] == [(w["text"], w["box"]) for w in exp]
+        assert all(w["confidence"] == 1.0 for w in got)
+
+    def test_noisy_page_text_recovered(self):
+        img = render_page(RECEIPT, noise_seed=7, noise_density=0.002)
+        got = detect_words(P.denoise(img))
+        assert [w["text"] for w in got] == [w["text"] for w in expected_words(RECEIPT)]
+
+    def test_empty_page(self):
+        assert detect_words(np.full((100, 100), 255, dtype=np.uint8)) == []
+
+    def test_rgb_input(self):
+        img = render_page(["TOTAL $5.00"])
+        rgb = np.stack([img, img, img], axis=2)
+        words = OcrKernel().detect_and_recognize(rgb)
+        assert [w["text"] for w in words] == ["TOTAL", "$5.00"]
+
+    def test_determinism_across_calls(self):
+        img = render_page(RECEIPT, noise_seed=3, noise_density=0.001)
+        a = detect_words(img)
+        b = detect_words(img)
+        assert a == b
+
+
+class TestPreprocessKernels:
+    def test_grayscale_luma(self):
+        rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+        rgb[0, 0] = [255, 0, 0]
+        g = P.to_grayscale(rgb)
+        assert g[0, 0] == 255 * 299 // 1000
+        assert g.shape == (2, 2)
+
+    def test_auto_level_stretches(self):
+        img = np.array([[100, 150], [100, 200]], dtype=np.uint8)
+        out = P.auto_level(img)
+        assert out.min() == 0 and out.max() == 255
+
+    def test_remove_background(self):
+        img = np.array([[250, 100, 255]], dtype=np.uint8)
+        out = P.remove_background(img, fuzz_percent=30.0)
+        assert out[0, 0] == 255 and out[0, 2] == 255
+        assert out[0, 1] == 0  # auto-level stretches the remaining dark pixel
+
+    def test_threshold(self):
+        img = np.array([[10, 200]], dtype=np.uint8)
+        out = P.threshold(img, 50.0)
+        assert list(out[0]) == [0, 255]
+
+    def test_denoise_removes_speck_keeps_text(self):
+        img = render_page(["TOTAL"])
+        img[5, 350] = 0  # isolated speck in blank area
+        out = P.denoise(img)
+        assert out[5, 350] == 255
+        assert [w["text"] for w in detect_words(out)] == ["TOTAL"]
+
+    def test_deskew_identity_on_clean(self):
+        img = render_page(RECEIPT)
+        assert P.estimate_skew_angle(img) == 0
+        assert np.array_equal(P.deskew(img), img)
+
+    def test_deskew_recovers_sheared_page(self):
+        img = render_page(["TOTAL $12.40", "Thank you!"])
+        h, w = img.shape
+        # apply a +2 degree shear (column y-shifts), then deskew should undo it
+        shear = np.tan(np.deg2rad(2))
+        sheared = np.full_like(img, 255)
+        for x in range(w):
+            s = int(round(x * shear))
+            if s == 0:
+                sheared[:, x] = img[:, x]
+            else:
+                sheared[s:, x] = img[: h - s, x]
+        fixed = P.deskew(sheared)
+        texts = [w_["text"] for w_ in detect_words(fixed)]
+        assert texts == ["TOTAL", "$12.40", "Thank", "you!"]
+
+    def test_find_safe_dpi_backoff(self):
+        # 5000x5000 at 300 dpi from 72 dpi exceeds the Pillow pixel cap ->
+        # steps down 300 -> 250 -> 200 -> 150 (first level that fits)
+        assert P.find_safe_dpi(5000, 5000, 72, 300) == 150
+
+    def test_find_safe_dpi_none_when_impossible(self):
+        assert P.find_safe_dpi(40000, 40000, 100, 300) is None
+
+    def test_resample(self):
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+        up = P.resample(img, 2, 1)
+        assert up.shape == (8, 8)
+        down = P.resample(up, 1, 2)
+        assert np.array_equal(down, img)
+
+    def test_templates_shape(self):
+        assert TEMPLATES.shape == (len(CHARSET), 14, 10)

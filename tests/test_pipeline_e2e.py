@@ -1,0 +1,128 @@
+"""End-to-end conformance: Ray pipeline output == single-process oracle.
+
+The north-rule invariant (BASELINE.json / FIXTURES.md F4): per-document
+span-sequence equality on (kind, text, media_ref, order), plus field-level
+equality, over the seeded synthetic corpus. Pass rate must be 100%.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from documentprocessor_ray.corpus import MediaStore
+from documentprocessor_ray.oracle.document import process_document
+from documentprocessor_ray.pipelines.extract import run_extraction
+
+
+def _oracle_results(docs_dir, media_dir):
+    import pyarrow.dataset as pads
+
+    table = pads.dataset(docs_dir, partitioning="hive").to_table()
+    store = MediaStore(media_dir)
+    out = {}
+    for row in table.to_pylist():
+        out[row["doc_id"]] = process_document(row["doc_id"], row["spans"], store.load)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pipeline_and_oracle(ray_session, small_corpus):
+    docs_dir, media_dir = small_corpus
+    ds = run_extraction(docs_dir, media_dir, concurrency=2, batch_size=8)
+    ray_rows = {r["doc_id"]: r for r in ds.take_all()}
+    oracle = _oracle_results(docs_dir, media_dir)
+    return ray_rows, oracle
+
+
+class TestSpanEquality:
+    def test_all_docs_present(self, pipeline_and_oracle):
+        ray_rows, oracle = pipeline_and_oracle
+        assert set(ray_rows) == set(oracle)
+        assert len(ray_rows) == 60
+
+    def test_span_sequence_equality_100pct(self, pipeline_and_oracle):
+        ray_rows, oracle = pipeline_and_oracle
+        mismatches = []
+        for doc_id, o in oracle.items():
+            r = ray_rows[doc_id]
+            got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans_out"]]
+            want = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in o["spans_out"]]
+            if got != want:
+                mismatches.append(doc_id)
+        assert mismatches == [], f"span mismatch in {len(mismatches)} docs: {mismatches[:5]}"
+
+    def test_status_and_fields_equal(self, pipeline_and_oracle):
+        ray_rows, oracle = pipeline_and_oracle
+        for doc_id, o in oracle.items():
+            r = ray_rows[doc_id]
+            assert r["status"] == o["status"], doc_id
+            assert r["n_words"] == o["n_words"], doc_id
+            for f in ["vendor_name", "date", "total_amount", "subtotal",
+                      "tax_amount", "currency"]:
+                ov = o[f]
+                rv = r[f]
+                if ov is None:
+                    assert rv is None, (doc_id, f, rv)
+                else:
+                    assert rv is not None, (doc_id, f)
+                    assert rv["value"] == ov["value"], (doc_id, f)
+                    assert abs(rv["confidence"] - ov["confidence"]) < 1e-12, (doc_id, f)
+                    if ov.get("box") is None:
+                        assert rv["box"] is None
+                    else:
+                        assert rv["box"] == ov["box"], (doc_id, f)
+
+    def test_line_items_equal(self, pipeline_and_oracle):
+        ray_rows, oracle = pipeline_and_oracle
+        for doc_id, o in oracle.items():
+            r = ray_rows[doc_id]
+            assert len(r["line_items"]) == len(o["line_items"]), doc_id
+            for ri, oi in zip(r["line_items"], o["line_items"]):
+                assert ri["description"] == oi["description"], doc_id
+                assert ri["quantity"] == oi["quantity"], doc_id
+                assert abs(ri["unit_price"] - oi["unit_price"]) < 1e-9, doc_id
+                assert abs(ri["line_total"] - oi["line_total"]) < 1e-9, doc_id
+
+    def test_some_docs_have_media_and_fields(self, pipeline_and_oracle):
+        ray_rows, _ = pipeline_and_oracle
+        with_media = [r for r in ray_rows.values() if r["n_words"] > 0]
+        assert len(with_media) > 10
+        assert any(r["total_amount"] is not None for r in with_media)
+        assert any(r["currency"] is not None and r["currency"]["value"] == "USD"
+                   for r in with_media)
+
+    def test_heavy_doc_handled(self, pipeline_and_oracle):
+        # skew fixture: heavy docs (20-50 media spans) process correctly
+        ray_rows, oracle = pipeline_and_oracle
+        heavy = [d for d, o in oracle.items()
+                 if sum(1 for s in o["spans_out"] if s["kind"] == "media") > 40]
+        assert heavy, "corpus should contain at least one heavy doc"
+
+
+class TestErrorChannel:
+    def test_missing_media_fails_in_band(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pqw
+        from documentprocessor_ray.corpus import DOCUMENTS_SCHEMA
+
+        docs_dir = str(tmp_path / "documents")
+        media_dir = str(tmp_path / "media")
+        import os
+        os.makedirs(docs_dir); os.makedirs(media_dir)
+        rows = [
+            {"doc_id": "doc-bad", "spans": [
+                {"kind": "media", "text": "", "media_ref": "nope", "offset": 0}]},
+            {"doc_id": "doc-ok", "spans": [
+                {"kind": "text", "text": "hello <b>world</b>", "media_ref": "", "offset": 0}]},
+            {"doc_id": "doc-empty", "spans": []},
+        ]
+        pqw.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA),
+                        os.path.join(docs_dir, "data.parquet"))
+        ds = run_extraction(docs_dir, media_dir, concurrency=1, batch_size=4)
+        out = {r["doc_id"]: r for r in ds.take_all()}
+        assert out["doc-bad"]["status"] == "failed"
+        assert "media not found: nope" in out["doc-bad"]["error"]
+        assert out["doc-bad"]["spans_out"] == []
+        assert out["doc-ok"]["status"] == "done"
+        assert out["doc-ok"]["spans_out"][0]["text"] == "hello world"
+        assert out["doc-empty"]["status"] == "done"
+        assert out["doc-empty"]["spans_out"] == []
