@@ -1,44 +1,91 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship interleaved text+media extraction pipeline
+(pipelines/extract.py) on a deterministic corpus derived from sf0.001.
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 plus the training-data operators (dedup / similarity / text
+analysis) over the driver's parquet tables; SQL-expressible ones carry an
+exact DuckDB twin (see pipelines/analysis.py for the exactness discipline).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+_CORPUS_ROOT = "/tmp/dpray_corpus"
+
+
+def _corpus_for(n_docs: int, seed: int = 42):
+    """Deterministic interleaved corpus under /tmp (generated once per size).
+
+    The generator is fully seeded (documentprocessor_ray/corpus.py) so every
+    process/agent sees byte-identical inputs; re-generation is idempotent.
+    """
+    from documentprocessor_ray.corpus import generate_corpus
+
+    out = os.path.join(_CORPUS_ROOT, f"n{n_docs}_s{seed}")
+    docs_dir = os.path.join(out, "documents")
+    media_dir = os.path.join(out, "media")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate_corpus(out, n_docs=n_docs, seed=seed)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return docs_dir, media_dir
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def _run_extract(sf_dir: str) -> Any:
+    """Flagship pipeline: corpus size scales with sf; slim projection out."""
+    from documentprocessor_ray.pipelines.extract import run_extraction
+
+    n_docs = max(40, int(4000 * _sf_of(sf_dir)))
+    docs_dir, media_dir = _corpus_for(n_docs)
+    ds = run_extraction(docs_dir, media_dir)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "status": batch["status"],
+            "n_words": pa.compute.cast(batch["n_words"], pa.int64()),
+            "n_spans_out": pa.compute.cast(
+                pa.compute.list_value_length(batch["spans_out"]), pa.int64()),
+        })
+
+    return ds.map_batches(slim, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship interleaved extraction on a 40-doc corpus (sf0.001 scale)."""
+    return _run_extract("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from documentprocessor_ray.pipelines.analysis import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {"extract_receipts": _run_extract}
+    out.update(QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from documentprocessor_ray.pipelines.analysis import ORACLE_SQL
+
+    # extract_receipts / langid / winnow_fingerprint / minhash_pairs /
+    # simhash_pairs / knn_ivf are genuinely non-SQL-expressible (stateful
+    # kernels, LSH banding, iterative k-means) -> rows-only checks.
+    return dict(ORACLE_SQL)

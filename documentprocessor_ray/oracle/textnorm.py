@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import re
 
-_SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+# Two separate element patterns (no backreference) so the exact same chain is
+# expressible in RE2 engines too (pyarrow.compute and DuckDB regexp_replace),
+# keeping Python oracle == Arrow pipeline == SQL oracle by construction.
+_SCRIPT_RE = re.compile(r"<script\b[^>]*>.*?</script\s*>", re.IGNORECASE | re.DOTALL)
+_STYLE_RE = re.compile(r"<style\b[^>]*>.*?</style\s*>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
 
@@ -33,7 +37,8 @@ _ENTITIES = [
 def normalize_text(text: str) -> str:
     if not text:
         return ""
-    t = _SCRIPT_STYLE_RE.sub(" ", text)
+    t = _SCRIPT_RE.sub(" ", text)
+    t = _STYLE_RE.sub(" ", t)
     t = _TAG_RE.sub(" ", t)
     for ent, rep in _ENTITIES:
         t = t.replace(ent, rep)

@@ -1,0 +1,548 @@
+"""Query layer: every implemented operator bound to the driver testdata
+tables, each with (where expressible) an exact DuckDB SQL twin.
+
+Exactness discipline: any column that feeds the driver's value-hash compare
+is an integer, string, or boolean — monetary values are integerized to cents
+(``rint(x*100)``) BEFORE summing so distributed partial aggregation is exact
+and associative (float sums are not), and ratio metrics are emitted as
+numerator/denominator integer pairs instead of rounded floats (np.round is
+half-even, DuckDB round is half-away — a real mismatch class). The only float
+column kept is cosine ``sim`` rounded to 6 places where the 7th digit is
+never exactly 5 for accumulated dot products.
+
+Aggregation pattern (pricing_summary, top_customers): vectorized per-batch
+partial aggregation with ``pyarrow.Table.group_by`` inside ``map_batches``,
+then ONE small ``groupby().aggregate(Sum)`` shuffle over the partials — the
+combiner pattern that keeps the all-to-all exchange proportional to
+distinct-key count, not row count.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import textstats as T
+
+# ---------------------------------------------------------------- helpers
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
+
+
+# ---------------------------------------------------------------- text ops
+
+def q_normalize_text(sf_dir: str) -> "ray.data.Dataset":
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.normalize_batch, batch_format="pyarrow")
+
+
+def q_token_count(sf_dir: str) -> "ray.data.Dataset":
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.token_count_batch, batch_format="pyarrow")
+
+
+def q_quality_stats(sf_dir: str) -> "ray.data.Dataset":
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.quality_stats_batch, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.fingerprint_md5_batch, batch_format="pyarrow")
+
+
+def q_langid(sf_dir: str) -> "ray.data.Dataset":
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.LangIdModel, batch_format="pyarrow", concurrency=2)
+
+
+def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.winnow_fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- dedup ops
+
+def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    return D.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
+    return D.jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           threshold_num=3, threshold_den=5)
+
+
+def q_minhash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    return D.minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    return D.simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_embedding_neardup(sf_dir: str) -> "ray.data.Dataset":
+    # threshold picked for the synthetic corpus (random 64-dim vectors: max
+    # pairwise cosine ~0.48) so the result is non-empty at every sf
+    return D.embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
+
+
+# ---------------------------------------------------------------- similarity
+
+def q_knn_bruteforce(sf_dir: str) -> "ray.data.Dataset":
+    return S.knn_bruteforce(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                            n_queries=4, k=10)
+
+
+def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
+    return S.knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                     n_queries=4, k=10)
+
+
+# ------------------------------------------------------- relational / agg ops
+
+def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q1-style rollup with exact integer partial aggregation."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep_cents = _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc_pct = _cents(batch["l_discount"].to_numpy(zero_copy_only=False))
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pa.array(qty, pa.int64()),
+            "base_cents": pa.array(ep_cents, pa.int64()),
+            "disc_micro": pa.array(ep_cents * (100 - disc_pct), pa.int64()),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_micro", "sum"),
+             ("qty", "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_sum"), Sum("base_cents_sum"),
+                   Sum("disc_micro_sum"), Sum("qty_count"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pc.cast(b["sum(qty_sum)"], pa.int64()),
+            "sum_base_cents": pc.cast(b["sum(base_cents_sum)"], pa.int64()),
+            "sum_disc_micro": pc.cast(b["sum(disc_micro_sum)"], pa.int64()),
+            "count_order": pc.cast(b["sum(qty_count)"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_top_customers(sf_dir: str) -> pa.Table:
+    """Top-10 customers by revenue: broadcast hash join (customer is the
+    small side, shipped once via ray.put) + partial agg + tiny global sort."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch["o_custkey"],
+            "rev": pa.array(_cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                            pa.int64()),
+        })
+        return t.group_by("o_custkey").aggregate([("rev", "sum"), ("rev", "count")])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("rev_sum"), Sum("rev_count"))
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        names = ray.get(lookup_ref)
+        keys = b["o_custkey"].to_pylist()
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "c_name": pa.array([names.get(k) for k in keys], pa.string()),
+            "revenue_cents": pc.cast(b["sum(rev_sum)"], pa.int64()),
+            "n_orders": pc.cast(b["sum(rev_count)"], pa.int64()),
+        })
+
+    joined = agg.map_batches(attach, batch_format="pyarrow")
+    top = joined.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(10)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+def q_events_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Per-event-type rollup incl. a distinct count. The distinct-user count
+    is computed per group (groups = few event types); at 10^12 rows swap the
+    exact nunique for a per-batch partial HLL sketch merged in the same
+    groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_events": np.array([len(g)], dtype=np.int64),
+            "sum_value_cents": np.array([int(_cents(g["value"].to_numpy()).sum())],
+                                        dtype=np.int64),
+            "n_users": np.array([g["user_id"].nunique()], dtype=np.int64),
+        })
+
+    return ds.groupby("event_type").map_groups(per_group, batch_format="pandas")
+
+
+def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Windowed/stateful streaming analog: 30-minute-gap sessionization per
+    user via groupby(user_id).map_groups with an in-group (ts, event_id)
+    sort — the partitioning assumption is that one user's events fit one
+    group (true for web-scale user histories)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap = np.timedelta64(30 * 60 * 1000000, "us")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]")
+        new_s = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_s[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sess = np.cumsum(new_s)
+        df = pd.DataFrame({"session_id": sess, "ts": ts})
+        out = df.groupby("session_id").agg(
+            n_events=("ts", "size"), start=("ts", "min"), end=("ts", "max"))
+        out = out.reset_index()
+        return pd.DataFrame({
+            "user_id": np.full(len(out), g["user_id"].iloc[0], dtype=np.int64),
+            "session_id": out["session_id"].astype(np.int64),
+            "n_events": out["n_events"].astype(np.int64),
+            "duration_us": (out["end"].to_numpy(dtype="datetime64[us]")
+                            - out["start"].to_numpy(dtype="datetime64[us]")
+                            ).astype("timedelta64[us]").astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --------------------------------------- extraction pure-operator parity ops
+
+def q_normalize_boxes(sf_dir: str) -> "ray.data.Dataset":
+    """M12 box normalization (x*1000/dim, trunc, clamp) over synthetic pixel
+    boxes derived from lineitem columns; 400x600 page like the reference
+    fixtures (receipt_processor.py:262-299)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = pk % 300
+        y0 = sk % 500
+        x1 = x0 + 1 + (ln * 37) % 100
+        y1 = y0 + 20
+
+        def n(v, dim):
+            return np.clip(np.trunc(v.astype(np.float64) * 1000 / dim), 0, 1000).astype(np.int64)
+
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": pa.array(ln, pa.int64()),
+            "nx0": pa.array(n(x0, 400), pa.int64()),
+            "ny0": pa.array(n(y0, 600), pa.int64()),
+            "nx1": pa.array(n(x1, 400), pa.int64()),
+            "ny1": pa.array(n(y1, 600), pa.int64()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def q_extract_amount(sf_dir: str) -> "ray.data.Dataset":
+    """M14 amount regex over formatted money strings built from orders."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def ex(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents(df["o_totalprice"].to_numpy())
+        s = pd.Series(
+            [f"Total: ${c // 100:,}.{c % 100:02d}" for c in cents], index=df.index)
+        amt = s.str.extract(r"\$?\s*(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)", expand=False)
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "amount_str": amt.str.replace(",", "", regex=False),
+        })
+
+    return ds.map_batches(ex, batch_format="pandas")
+
+
+def q_extract_date(sf_dir: str) -> "ray.data.Dataset":
+    """M15 strptime-chain date normalization; odd orderkeys get d/m/Y strings
+    so the chain's m/d-before-d/m ordering quirk is exercised both ways."""
+    from ..oracle.fields import extract_date_iso
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def ex(df: pd.DataFrame) -> pd.DataFrame:
+        even = df["o_orderkey"] % 2 == 0
+        dt = pd.to_datetime(df["o_orderdate"])
+        s = np.where(even, dt.dt.strftime("%m/%d/%Y"), dt.dt.strftime("%d/%m/%Y"))
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "date_iso": [extract_date_iso(x) for x in s],
+        })
+
+    return ds.map_batches(ex, batch_format="pandas")
+
+
+def q_detect_currency(sf_dir: str) -> "ray.data.Dataset":
+    """M19 currency detection over constructed customer strings."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def ex(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        names = batch["c_name"].to_pylist()
+        suffix = np.select(
+            [keys % 4 == 0, keys % 4 == 1, keys % 4 == 2],
+            [" paid $10", " paid €10", " paid £10"], " paid 10")
+        s = pa.array([n + x for n, x in zip(names, suffix)], pa.string())
+        cur = pc.if_else(
+            pc.match_substring(s, "$"), pa.scalar("USD"),
+            pc.if_else(pc.match_substring(s, "€"), pa.scalar("EUR"),
+                       pc.if_else(pc.match_substring(s, "£"), pa.scalar("GBP"),
+                                  pa.scalar(None, pa.string()))))
+        return pa.table({
+            "c_custkey": pa.array(keys.astype(np.int64), pa.int64()),
+            "currency": cur,
+        })
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def q_verify_totals(sf_dir: str) -> "ray.data.Dataset":
+    """M24 totals verification with cent-integer arithmetic over lineitem."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_tax"])
+
+    def ver(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)
+        sub_c = _cents(ep)
+        tax_c = _cents(ep * tax)
+        tot_c = _cents(ep * (1 + tax))
+        ok = np.abs(sub_c + tax_c - tot_c) <= 2
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": pc.cast(batch["l_linenumber"], pa.int64()),
+            "verified": pa.array(ok, pa.bool_()),
+        })
+
+    return ds.map_batches(ver, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+_NORM_SQL = r"""
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace({col},
+        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        '<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '\s+', ' ', 'g'))
+"""
+
+_STOPLIST_SQL = "[" + ",".join(f"'{w}'" for w in T.STOPWORDS) + "]"
+
+ORACLE_SQL: Dict[str, str] = {
+    "normalize_text": f"SELECT doc_id, {_NORM_SQL.format(col='text')} AS norm_text FROM documents",
+    "token_count": r"""
+        SELECT doc_id,
+          CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+               ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+          END::BIGINT AS n_tokens
+        FROM documents""",
+    "quality_stats": rf"""
+        WITH t AS (
+          SELECT doc_id, text, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents
+        ), tok AS (
+          SELECT doc_id, text,
+            CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+                 ELSE regexp_split_to_array(tt, '\s+') END AS toks
+          FROM t)
+        SELECT doc_id,
+          length(text)::BIGINT AS n_chars,
+          len(toks)::BIGINT AS n_tokens,
+          length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+          len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, lower(x))))::BIGINT AS n_stop
+        FROM tok""",
+    "fingerprint": f"SELECT doc_id, md5({_NORM_SQL.format(col='text')}) AS fingerprint FROM documents",
+    "exact_dedup": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+        FROM documents GROUP BY text""",
+    "jaccard_pairs": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
+            lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))) AS w
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, c::BIGINT AS n_inter, (sa.n + sb.n - c)::BIGINT AS n_union
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 5 * c >= 3 * (sa.n + sb.n - c)""",
+    "embedding_neardup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+    "knn_bruteforce": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 4),
+        sims AS (
+          SELECT q.qid, e.vec_id,
+            round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+        ranked AS (
+          SELECT qid, vec_id, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+          FROM sims)
+        SELECT qid, vec_id, rank::BIGINT AS rank, sim FROM ranked WHERE rank <= 10""",
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro,
+          count(*)::BIGINT AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "top_customers": """
+        SELECT c.c_custkey, c.c_name,
+          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+          count(*)::BIGINT AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
+    "events_rollup": """
+        SELECT event_type, count(*)::BIGINT AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+          count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY event_type""",
+    "sessionize": """
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o)
+        SELECT user_id, session_id::BIGINT AS session_id,
+          count(*)::BIGINT AS n_events,
+          CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+        FROM s GROUP BY user_id, session_id""",
+    "normalize_boxes": """
+        SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+          LEAST(1000, GREATEST(0, CAST(floor(((l_partkey % 300) * 1000.0) / 400.0) AS BIGINT))) AS nx0,
+          LEAST(1000, GREATEST(0, CAST(floor(((l_suppkey % 500) * 1000.0) / 600.0) AS BIGINT))) AS ny0,
+          LEAST(1000, GREATEST(0, CAST(floor(((l_partkey % 300 + 1 + (l_linenumber * 37) % 100) * 1000.0) / 400.0) AS BIGINT))) AS nx1,
+          LEAST(1000, GREATEST(0, CAST(floor(((l_suppkey % 500 + 20) * 1000.0) / 600.0) AS BIGINT))) AS ny1
+        FROM lineitem""",
+    "extract_amount": r"""
+        WITH c AS (
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        s AS (
+          SELECT o_orderkey,
+            'Total: $' || format('{:,}', cents // 100) || '.' ||
+            format('{:02d}', cents % 100) AS txt
+          FROM c)
+        SELECT o_orderkey,
+          replace(NULLIF(regexp_extract(txt,
+            '\$?\s*(\d{1,3}(?:,\d{3})*(?:\.\d{2})?)', 1), ''), ',', '') AS amount_str
+        FROM s""",
+    "extract_date": """
+        WITH d AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+                 ELSE strftime(o_orderdate, '%d/%m/%Y') END AS s
+          FROM orders)
+        SELECT o_orderkey,
+          strftime(COALESCE(try_strptime(s, '%m/%d/%Y'), try_strptime(s, '%d/%m/%Y')),
+                   '%Y-%m-%d') AS date_iso
+        FROM d""",
+    "detect_currency": """
+        WITH s AS (
+          SELECT c_custkey, c_name ||
+            CASE WHEN c_custkey % 4 = 0 THEN ' paid $10'
+                 WHEN c_custkey % 4 = 1 THEN ' paid €10'
+                 WHEN c_custkey % 4 = 2 THEN ' paid £10'
+                 ELSE ' paid 10' END AS txt
+          FROM customer)
+        SELECT c_custkey,
+          CASE WHEN contains(txt, '$') OR contains(txt, 'USD') THEN 'USD'
+               WHEN contains(txt, '€') OR contains(txt, 'EUR') THEN 'EUR'
+               WHEN contains(txt, '£') OR contains(txt, 'GBP') THEN 'GBP'
+          END AS currency
+        FROM s""",
+    "verify_totals": """
+        SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+          abs(CAST(round(l_extendedprice * 100) AS BIGINT)
+              + CAST(round(l_extendedprice * l_tax * 100) AS BIGINT)
+              - CAST(round(l_extendedprice * (1 + l_tax) * 100) AS BIGINT)) <= 2 AS verified
+        FROM lineitem""",
+}
+
+
+QUERIES: Dict[str, Callable[[str], Any]] = {
+    "normalize_text": q_normalize_text,
+    "token_count": q_token_count,
+    "quality_stats": q_quality_stats,
+    "fingerprint": q_fingerprint,
+    "langid": q_langid,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf": q_knn_ivf,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_rollup": q_events_rollup,
+    "sessionize": q_sessionize,
+    "normalize_boxes": q_normalize_boxes,
+    "extract_amount": q_extract_amount,
+    "extract_date": q_extract_date,
+    "detect_currency": q_detect_currency,
+    "verify_totals": q_verify_totals,
+}

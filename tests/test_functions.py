@@ -1,0 +1,166 @@
+"""Unit tests for the training-data operators (textstats / dedup /
+similarity) — small deterministic inputs, exact expectations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from documentprocessor_ray.functions import dedup as D
+from documentprocessor_ray.functions import similarity as S
+from documentprocessor_ray.functions import textstats as T
+
+
+def _docs_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+class TestTextStats:
+    def test_normalize_matches_oracle(self):
+        from documentprocessor_ray.oracle.textnorm import normalize_text
+        texts = [
+            "<html><b>Hello</b>   world &amp; friends</html>",
+            "<script>var x=1;</script>keep &lt;this&gt;",
+            "<style type='x'>b{}</style>plain",
+            "", "   spaced   out   ",
+        ]
+        out = T.normalize_batch(_docs_table(texts))
+        assert out["norm_text"].to_pylist() == [normalize_text(t) for t in texts]
+
+    def test_token_count(self):
+        out = T.token_count_batch(_docs_table(["a b  c", "", "  ", "one"]))
+        assert out["n_tokens"].to_pylist() == [3, 0, 0, 1]
+
+    def test_quality_stats(self):
+        out = T.quality_stats_batch(_docs_table(["The cat and a hat!", ""]))
+        row = {c: out[c][0].as_py() for c in out.column_names}
+        assert row["n_tokens"] == 5
+        assert row["n_stop"] == 3  # the, and, a
+        assert row["n_alpha"] == 13
+        assert row["n_chars"] == 18
+        assert out["n_tokens"][1].as_py() == 0
+
+    def test_fingerprint_is_md5_of_normalized(self):
+        import hashlib
+        from documentprocessor_ray.oracle.textnorm import normalize_text
+        texts = ["<p>x</p>", "plain"]
+        out = T.fingerprint_md5_batch(_docs_table(texts))
+        exp = [hashlib.md5(normalize_text(t).encode()).hexdigest() for t in texts]
+        assert out["fingerprint"].to_pylist() == exp
+
+    def test_langid_stateful_batch(self):
+        model = T.LangIdModel()
+        out = model(_docs_table(["the thing and the other thing", ""]))
+        assert out["pred_lang"].to_pylist()[0] == "en"
+        assert out["pred_lang"].to_pylist()[1] == "und"
+
+    def test_winnow_deterministic(self):
+        t = _docs_table(["the quick brown fox jumps over the lazy dog again and again"])
+        a = T.winnow_fingerprint_batch(t)
+        b = T.winnow_fingerprint_batch(t)
+        assert a["sketch_hash"].to_pylist() == b["sketch_hash"].to_pylist()
+        assert a["n_sketch"][0].as_py() >= 1
+
+
+class TestDedup:
+    def test_exact_dedup(self, ray_session):
+        ds = ray.data.from_arrow(_docs_table(["same", "same", "other"], [5, 2, 9]))
+        out = D.exact_dedup(ds).to_pandas().sort_values("keep_id").reset_index(drop=True)
+        assert list(out["keep_id"]) == [2, 9]
+        assert list(out["n_dups"]) == [2, 1]
+
+    def test_jaccard_pairs_exact(self, ray_session):
+        # doc0 vs doc1: tokens {a b c d} vs {a b c e} -> J = 3/5 = 0.6 >= 3/5
+        # doc2 disjoint
+        ds = ray.data.from_arrow(_docs_table(["a b c d", "a b c e", "x y z w"]))
+        out = D.jaccard_pairs(ds, 3, 5).to_pandas()
+        assert len(out) == 1
+        assert (out.iloc[0]["doc_a"], out.iloc[0]["doc_b"]) == (0, 1)
+        assert (out.iloc[0]["n_inter"], out.iloc[0]["n_union"]) == (3, 5)
+
+    def test_minhash_detects_near_dup(self, ray_session):
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        near = base.replace("lazy", "sleepy", 1)
+        other = "completely different words entirely unrelated content here now " * 5
+        ds = ray.data.from_arrow(_docs_table([base, near, other]))
+        out = D.minhash_lsh_pairs(ds, threshold=0.3).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    def test_simhash_hamming(self, ray_session):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+        near = base.replace("zeta", "zetaa", 1)
+        other = "one two three four five six seven eight nine ten " * 4
+        ds = ray.data.from_arrow(_docs_table([base, near, other]))
+        out = D.simhash_pairs(ds, max_hamming=6).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (0, 1) in pairs
+
+    def test_simhash64_pure(self):
+        assert D.simhash64("") == 0
+        a = D.simhash64("hello world hello")
+        assert a == D.simhash64("hello world hello")  # deterministic
+        assert 0 < a < 2 ** 64
+
+    def test_embedding_neardup(self, ray_session):
+        vecs = [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]]
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }))
+        out = D.embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+        assert set(zip(out["vec_a"], out["vec_b"])) == {(0, 1)}
+
+
+class TestSimilarity:
+    @pytest.fixture()
+    def emb_ds(self, ray_session):
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(60, 8)).astype(np.float32)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+        })), m
+
+    def test_bruteforce_matches_numpy(self, emb_ds):
+        ds, m = emb_ds
+        out = S.knn_bruteforce(ds, n_queries=2, k=5).to_pandas()
+        mm = m.astype(np.float64)
+        mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+        sims = np.round(mm[:2] @ mm.T, 6)
+        for q in range(2):
+            s = sims[q].copy()
+            s[q] = -np.inf
+            order = np.lexsort((np.arange(60), -s))[:5]
+            got = out[out["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            assert got == [int(x) for x in order]
+
+    def test_ivf_shape_and_rank(self, emb_ds):
+        ds, _ = emb_ds
+        out = S.knn_ivf(ds, n_queries=2, k=5, n_lists=4, nprobe=2,
+                        sample_size=60).to_pandas()
+        assert set(out.columns) == {"qid", "vec_id", "rank", "sim"}
+        for q in (0, 1):
+            ranks = out[out["qid"] == q]["rank"].tolist()
+            assert ranks == sorted(ranks)
+            assert q not in out[out["qid"] == q]["vec_id"].tolist()
+
+    def test_ivf_recall_vs_bruteforce(self, emb_ds):
+        ds, _ = emb_ds
+        bf = S.knn_bruteforce(ds, n_queries=2, k=5).to_pandas()
+        ivf = S.knn_ivf(ds, n_queries=2, k=5, n_lists=2, nprobe=2,
+                        sample_size=60).to_pandas()
+        # nprobe == n_lists -> exhaustive -> identical to brute force
+        for q in (0, 1):
+            a = bf[bf["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            b = ivf[ivf["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            assert a == b
