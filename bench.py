@@ -1,0 +1,135 @@
+"""Benchmark harness: headline extraction pipeline + operator suite.
+
+Prints ONE JSON line:
+  {"metric": "e2e_wall_sec", "value": <headline wall sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "docs_per_sec": <headline throughput>, ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+
+--scaling runs the headline extraction job twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same corpus and reports both throughputs
+plus scaling efficiency = (docs_per_sec_32 / docs_per_sec_8) / 4 — the
+sandbox stand-in for the N- vs 4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# queries cheap enough to run per-round at sf0.1 (jaccard_pairs is excluded:
+# its sf0.1 output is quadratic in near-identical word-soup docs, which is a
+# property of the synthetic corpus, not the operator)
+BENCH_QUERIES = [
+    "normalize_text", "token_count", "quality_stats", "fingerprint",
+    "langid", "winnow_fingerprint", "exact_dedup", "minhash_pairs",
+    "simhash_pairs", "embedding_neardup", "knn_bruteforce", "knn_ivf",
+    "pricing_summary", "top_customers", "events_rollup", "sessionize",
+    "normalize_boxes", "extract_amount", "extract_date", "detect_currency",
+    "verify_totals",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a lazy result; return row count."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    out_queries = {}
+
+    # headline: flagship interleaved extraction, docs/sec
+    n_docs = max(40, int(4000 * E._sf_of(sf_dir)))
+    E._corpus_for(n_docs)  # generate outside the timed region
+    t0 = time.time()
+    n_rows = _consume(qs["extract_receipts"](sf_dir))
+    headline = time.time() - t0
+    out_queries["extract_receipts"] = round(headline, 3)
+
+    if not headline_only:
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _consume(qs[name](sf_dir))
+            out_queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    sf = E._sf_of(sf_dir)
+    return {
+        "metric": "e2e_wall_sec",
+        "value": round(sum(out_queries.values()), 3),
+        "unit": "sec",
+        "queries": out_queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "headline_docs": n_docs,
+        "headline_rows": n_rows,
+        "docs_per_sec": round(n_docs / headline, 3),
+    }
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Same headline job in fresh processes at two parallelism levels."""
+    results = {}
+    for cpus in (low, high):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+             "--headline-only"],
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir, "RAY_GRAFT_CPUS": str(cpus)},
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tput_low = results[low]["docs_per_sec"]
+    tput_high = results[high]["docs_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "value": round((tput_high / tput_low) / (high / low), 3),
+        "unit": "ratio",
+        "sf": results[high]["sf"],
+        "low_cpus": low, "high_cpus": high,
+        "docs_per_sec_low": tput_low,
+        "docs_per_sec_high": tput_high,
+        "headline_docs": results[high]["headline_docs"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--scaling-low", type=int, default=8)
+    ap.add_argument("--scaling-high", type=int, default=32)
+    args = ap.parse_args()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if args.scaling:
+        print(json.dumps(run_scaling(sf_dir, args.scaling_low, args.scaling_high)))
+    else:
+        print(json.dumps(run_suite(sf_dir, args.cpus, args.headline_only)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Partitioned, resumable run driver with per-partition lineage + metrics.
+
+Ray Data restarts a killed pipeline from scratch, so the checkpoint unit is
+made explicit here (SURVEY.md §4.2): the input corpus is hash-partitioned on
+doc_id (corpus.py writes ``documents/part={i}/``); each partition runs as its
+own streaming job and commits
+
+    output_dir/part={i}/*.parquet          (the result rows)
+    output_dir/_manifest/part-{i}.json     (lineage + counters, atomic rename)
+
+A resumed run lists manifests first and SKIPS every partition whose manifest
+exists with a matching config hash — completed work is never recomputed, and
+a partition is only considered complete after its manifest rename (writes
+happen before the manifest, so a crash mid-partition re-runs just that
+partition; output overwrite makes the retry idempotent).
+
+The manifest replaces the reference's in-memory C# job dict
+(Api/ServiceSideDocumentProcessor.cs:20,659-778) — progress/counters live in
+durable per-partition records instead of mutable process state.
+
+At cluster scale the partition loop becomes "submit one job per incomplete
+partition"; partition count P is chosen so one partition's working set fits
+a node's object store (P = total_bytes / (nodes * store_budget)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..pipelines.extract import build_pipeline
+from ..stages.preprocess import PreprocessConfig
+
+
+def _config_hash(cfg: Optional[PreprocessConfig], batch_size: int) -> str:
+    payload = json.dumps({
+        "cfg": vars(cfg) if cfg else vars(PreprocessConfig()),
+        "batch_size": batch_size,
+    }, sort_keys=True, default=str)
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def _manifest_path(output_dir: str, part: str) -> str:
+    return os.path.join(output_dir, "_manifest", f"{part}.json")
+
+
+def list_partitions(documents_dir: str) -> List[str]:
+    return sorted(
+        d for d in os.listdir(documents_dir)
+        if d.startswith("part=") and os.path.isdir(os.path.join(documents_dir, d))
+    )
+
+
+def completed_partitions(output_dir: str, config_hash: str) -> List[str]:
+    mdir = os.path.join(output_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return []
+    done = []
+    for f in sorted(os.listdir(mdir)):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue  # torn manifest = incomplete partition
+        if m.get("config_hash") == config_hash:
+            done.append(m["partition"])
+    return done
+
+
+def run_partitioned(
+    documents_dir: str,
+    media_dir: str,
+    output_dir: str,
+    cfg: Optional[PreprocessConfig] = None,
+    batch_size: int = 16,
+    max_partitions: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Run (or resume) the extraction over all input partitions.
+
+    ``max_partitions`` limits how many incomplete partitions this invocation
+    processes (used by the kill-and-resume test to simulate a dying run).
+    Returns a summary with per-partition status + aggregate counters.
+    """
+    chash = _config_hash(cfg, batch_size)
+    parts = list_partitions(documents_dir)
+    done = set(completed_partitions(output_dir, chash))
+    summary: Dict[str, Any] = {"config_hash": chash, "partitions": {}, "skipped": sorted(done)}
+    processed = 0
+
+    for part in parts:
+        if part in done:
+            summary["partitions"][part] = "skipped"
+            continue
+        if max_partitions is not None and processed >= max_partitions:
+            summary["partitions"][part] = "deferred"
+            continue
+        t0 = time.time()
+        in_path = os.path.join(documents_dir, part)
+        docs = ray.data.read_parquet(in_path).select_columns(["doc_id", "spans"])
+        ds = build_pipeline(docs, media_dir, cfg=cfg, batch_size=batch_size)
+
+        part_out = os.path.join(output_dir, part)
+        counters = {"docs_in": 0, "docs_ok": 0, "docs_failed": 0,
+                    "words": 0, "spans_out": 0}
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            # stream to the partition sink while accumulating metrics
+            os.makedirs(part_out, exist_ok=True)
+            import pyarrow.parquet as pq
+            pq.write_table(b, os.path.join(
+                part_out, f"chunk-{counters['docs_in']:08d}.parquet"))
+            counters["docs_in"] += b.num_rows
+            ok = pc.sum(pc.cast(pc.equal(b["status"], "done"), "int64")).as_py() or 0
+            counters["docs_ok"] += int(ok)
+            counters["docs_failed"] += b.num_rows - int(ok)
+            counters["words"] += int(pc.sum(b["n_words"]).as_py() or 0)
+            counters["spans_out"] += int(
+                pc.sum(pc.list_value_length(b["spans_out"])).as_py() or 0)
+        os.makedirs(part_out, exist_ok=True)
+
+        manifest = {
+            "partition": part,
+            "config_hash": chash,
+            "lineage": {
+                "input_dir": in_path,
+                "input_files": sorted(os.listdir(in_path)),
+                "media_dir": media_dir,
+            },
+            "counters": counters,
+            "wall_ms": int((time.time() - t0) * 1000),
+            "committed_at": time.time(),
+        }
+        mpath = _manifest_path(output_dir, part)
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, mpath)  # atomic commit point
+        summary["partitions"][part] = "done"
+        processed += 1
+
+    return summary
