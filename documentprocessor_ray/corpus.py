@@ -160,7 +160,12 @@ def generate_corpus(
                     noise_seed=int(rng.integers(0, 2**31)) if noise_density > 0 else None,
                     noise_density=noise_density,
                 )
-                np.save(os.path.join(media_dir, s["media_ref"] + ".npy"), img)
+                # zlib-compressed pages: mostly-white renders shrink ~100x,
+                # which is what makes 10k-page scaling corpora fit on disk
+                payload = zlib.compress(img.tobytes(), level=1)
+                header = np.asarray([img.ndim, *img.shape], dtype=np.int32).tobytes()
+                with open(os.path.join(media_dir, s["media_ref"] + ".npz8"), "wb") as f:
+                    f.write(header + payload)
         parts[doc_part(doc_id, num_partitions)].append({"doc_id": doc_id, "spans": spans})
 
     for p, rows in parts.items():
@@ -172,13 +177,22 @@ def generate_corpus(
 
 
 class MediaStore:
-    """Pluggable page store: dir of {media_ref}.npy files (object-store stand-in)."""
+    """Pluggable page store: dir of {media_ref}.npz8 (zlib + shape header) or
+    legacy .npy files — the object-store/blob-bucket stand-in."""
 
     def __init__(self, media_dir: str):
         self.media_dir = media_dir
 
     def load(self, media_ref: str) -> Optional[np.ndarray]:
+        path = os.path.join(self.media_dir, media_ref + ".npz8")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                raw = f.read()
+            ndim = int(np.frombuffer(raw[:4], dtype=np.int32)[0])
+            shape = tuple(np.frombuffer(raw[4:4 + 4 * ndim], dtype=np.int32))
+            return np.frombuffer(
+                zlib.decompress(raw[4 + 4 * ndim:]), dtype=np.uint8).reshape(shape)
         path = os.path.join(self.media_dir, media_ref + ".npy")
-        if not os.path.exists(path):
-            return None
-        return np.load(path, allow_pickle=False)
+        if os.path.exists(path):
+            return np.load(path, allow_pickle=False)
+        return None

@@ -29,8 +29,8 @@ is the small-corpus oracle; at 10^9+ rows switch to the LSH/IVF variants
 from __future__ import annotations
 
 import hashlib
-import math
-from typing import Dict, List, Optional, Tuple
+import zlib
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -38,11 +38,24 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min
 
 _WS = r"\s+"
 
 _MERSENNE = (1 << 61) - 1
+
+# Shuffle discipline: Ray's groupby pays a fixed per-GROUP cost in
+# aggregate/map_groups, so fine-grained keys (a band hash, a (doc_a, doc_b)
+# pair) are first folded into N_BUCKETS coarse buckets (pkey = crc32 % N);
+# the shuffle moves bucket-sized blocks and the per-key grouping happens
+# VECTORIZED inside each bucket (pyarrow group_by / dict grouping). This is
+# the same hash-partition exchange a warehouse engine performs — the bucket
+# count is the shuffle width, sized to the cluster, independent of key
+# cardinality.
+N_BUCKETS = 64
+
+
+def _str_buckets(keys: List[str], n: int = N_BUCKETS) -> List[int]:
+    return [zlib.crc32(k.encode()) % n for k in keys]
 
 
 def _md5_arr(texts: List[Optional[str]]) -> List[Optional[str]]:
@@ -50,32 +63,71 @@ def _md5_arr(texts: List[Optional[str]]) -> List[Optional[str]]:
             for t in texts]
 
 
+def _distinct_pairs(pairs: "ray.data.Dataset", extra_cols: List[str]) -> "ray.data.Dataset":
+    """Deduplicate (doc_a, doc_b) pairs found under several blocking keys.
+    Duplicate rows are identical, so min-per-column is exact."""
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        pk = ((a * np.int64(1000003)) ^ bb) % N_BUCKETS
+        return b.append_column("pkey", pa.array(pk, pa.int64()))
+
+    def local(g: pa.Table) -> pa.Table:
+        t = g.group_by(["doc_a", "doc_b"]).aggregate([(c, "min") for c in extra_cols])
+        cols = {"doc_a": t["doc_a"], "doc_b": t["doc_b"]}
+        for c in extra_cols:
+            cols[c] = pc.cast(t[f"{c}_min"], g.schema.field(c).type)
+        return pa.table(cols)
+
+    return pairs.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(local, batch_format="pyarrow")
+
+
+def _pairs_by_key(local_fn):
+    """Wrap a per-blocking-key pair emitter into a per-BUCKET UDF: rows are
+    grouped by their exact `key` inside the bucket (python dict — bucket rows
+    are small), then local_fn(ids, payloads) emits pairs per key group."""
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        keys = g["key"].to_pylist()
+        groups: Dict[Any, List[int]] = {}
+        for i, k in enumerate(keys):
+            groups.setdefault(k, []).append(i)
+        tables = [local_fn(g, idxs) for idxs in groups.values() if len(idxs) > 1]
+        tables = [t for t in tables if t is not None and t.num_rows]
+        if not tables:
+            return local_fn(g, [])  # typed empty table
+        return pa.concat_tables(tables)
+
+    return per_bucket
+
+
 def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """(text_hash, keep_id, n_dups) — one row per distinct content.
 
-    Groupby key is the md5 of the raw text, NOT the text itself, so the
-    shuffle moves 32-byte keys instead of document bodies.
+    The shuffle key is the md5 of the text (32-byte keys move, not bodies),
+    bucketed to N_BUCKETS; the per-hash groupby runs vectorized
+    (pyarrow group_by) inside each bucket.
     """
     def hash_batch(batch: pa.Table) -> pa.Table:
+        hs = _md5_arr(batch["text"].to_pylist())
         return pa.table({
             "doc_id": batch["doc_id"],
-            "text_hash": pa.array(_md5_arr(batch["text"].to_pylist()), pa.string()),
+            "text_hash": pa.array(hs, pa.string()),
+            "pkey": pa.array(_str_buckets(hs), pa.int64()),
         })
 
-    agg = (
-        ds.map_batches(hash_batch, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id"), Count())
-    )
-
-    def rename(batch: pa.Table) -> pa.Table:
+    def local_group(g: pa.Table) -> pa.Table:
+        t = g.group_by("text_hash").aggregate([("doc_id", "min"), ("doc_id", "count")])
         return pa.table({
-            "text_hash": batch["text_hash"],
-            "keep_id": pc.cast(batch["min(doc_id)"], pa.int64()),
-            "n_dups": pc.cast(batch["count()"], pa.int64()),
+            "text_hash": t["text_hash"],
+            "keep_id": pc.cast(t["doc_id_min"], pa.int64()),
+            "n_dups": pc.cast(t["doc_id_count"], pa.int64()),
         })
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return ds.map_batches(hash_batch, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(local_group, batch_format="pyarrow")
 
 
 def _distinct_tokens(text: str) -> List[str]:
@@ -92,17 +144,29 @@ def _distinct_tokens(text: str) -> List[str]:
 
 
 def _token_freqs(ds: "ray.data.Dataset") -> Dict[str, int]:
-    """Global document frequency per token (the small side; broadcast)."""
+    """Global document frequency per token (the small side; broadcast).
+    Pre-aggregated per batch, then one bucketed count merge."""
     def emit(batch: pa.Table) -> pa.Table:
-        toks: List[str] = []
+        counts: Dict[str, int] = {}
         for t in batch["text"].to_pylist():
-            toks.extend(_distinct_tokens(t))
-        return pa.table({"token": pa.array(toks, pa.string())})
+            for tok in _distinct_tokens(t):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "cnt": pa.array([counts[t] for t in toks], pa.int64()),
+            "pkey": pa.array(_str_buckets(toks), pa.int64()),
+        })
 
-    freq_ds = ds.map_batches(emit, batch_format="pyarrow").groupby("token").aggregate(Count())
+    def local(g: pa.Table) -> pa.Table:
+        t = g.group_by("token").aggregate([("cnt", "sum")])
+        return pa.table({"token": t["token"], "cnt": pc.cast(t["cnt_sum"], pa.int64())})
+
+    freq_ds = ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(local, batch_format="pyarrow")
     out: Dict[str, int] = {}
     for b in freq_ds.iter_batches(batch_format="pyarrow"):
-        for tok, cnt in zip(b["token"].to_pylist(), b["count()"].to_pylist()):
+        for tok, cnt in zip(b["token"].to_pylist(), b["cnt"].to_pylist()):
             out[tok] = int(cnt)
     return out
 
@@ -140,16 +204,15 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
             "key": pa.array(keys, pa.string()),
             "doc_id": pa.array(ids, pa.int64()),
             "tokens": pa.array(toksets, pa.list_(pa.string())),
+            "pkey": pa.array(_str_buckets(keys), pa.int64()),
         })
 
-    def pairs_in_group(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        toks = group["tokens"].to_pylist()
+    def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
+        ids = [g["doc_id"][i].as_py() for i in idxs]
+        sets = [frozenset(g["tokens"][i].as_py()) for i in idxs]
         a_out, b_out, i_out, u_out = [], [], [], []
-        n = len(ids)
-        sets = [frozenset(t) for t in toks]
-        for i in range(n):
-            for j in range(i + 1, n):
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
                 if ids[i] == ids[j]:
                     continue
                 a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
@@ -166,20 +229,10 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
         })
 
     cand = ds.map_batches(emit_prefix, batch_format="pyarrow")
-    pairs = cand.groupby("key").map_groups(pairs_in_group, batch_format="pyarrow")
+    pairs = cand.groupby("pkey").map_groups(
+        _pairs_by_key(pairs_for_key), batch_format="pyarrow")
     # a pair can be found under several shared prefix tokens -> dedup
-    return (
-        pairs.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("n_inter"), Min("n_union"))
-        .map_batches(
-            lambda b: pa.table({
-                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                "n_inter": pc.cast(b["min(n_inter)"], pa.int64()),
-                "n_union": pc.cast(b["min(n_union)"], pa.int64()),
-            }),
-            batch_format="pyarrow",
-        )
-    )
+    return _distinct_pairs(pairs, ["n_inter", "n_union"])
 
 
 # --- MinHash + LSH ---
@@ -257,11 +310,12 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
             "key": pa.array(keys, pa.string()),
             "doc_id": pa.array(ids, pa.int64()),
             "sig": pa.array(sigs, pa.list_(pa.uint64())),
+            "pkey": pa.array(_str_buckets(keys), pa.int64()),
         })
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        sigs = [np.asarray(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
+    def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
+        ids = [g["doc_id"][i].as_py() for i in idxs]
+        sigs = [np.asarray(g["sig"][i].as_py(), dtype=np.uint64) for i in idxs]
         a_out, b_out, j_out = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -279,18 +333,9 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
 
     pairs = (
         sig_ds.map_batches(emit_bands, batch_format="pyarrow")
-        .groupby("key").map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby("pkey").map_groups(_pairs_by_key(pairs_for_key), batch_format="pyarrow")
     )
-    return (
-        pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("est_jaccard"))
-        .map_batches(
-            lambda b: pa.table({
-                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                "est_jaccard": b["min(est_jaccard)"],
-            }),
-            batch_format="pyarrow",
-        )
-    )
+    return _distinct_pairs(pairs, ["est_jaccard"])
 
 
 # --- SimHash ---
@@ -330,15 +375,17 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dat
             for b in range(4):
                 chunk = (h >> (16 * b)) & 0xFFFF
                 keys.append(b * 65536 + chunk); ids.append(doc_id); hs.append(h)
+        pk = (np.asarray(keys, dtype=np.int64) * np.int64(2654435761)) % N_BUCKETS
         return pa.table({
             "key": pa.array(keys, pa.int64()),
             "doc_id": pa.array(ids, pa.int64()),
             "simhash": pa.array(hs, pa.uint64()),
+            "pkey": pa.array(pk, pa.int64()),
         })
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        hs = group["simhash"].to_pylist()
+    def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
+        ids = [g["doc_id"][i].as_py() for i in idxs]
+        hs = [g["simhash"][i].as_py() for i in idxs]
         a_out, b_out, d_out = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -357,18 +404,9 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dat
     pairs = (
         ds.map_batches(sig_batch, batch_format="pyarrow")
         .map_batches(emit_bands, batch_format="pyarrow")
-        .groupby("key").map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby("pkey").map_groups(_pairs_by_key(pairs_for_key), batch_format="pyarrow")
     )
-    return (
-        pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming"))
-        .map_batches(
-            lambda b: pa.table({
-                "doc_a": b["doc_a"], "doc_b": b["doc_b"],
-                "hamming": pc.cast(b["min(hamming)"], pa.int64()),
-            }),
-            batch_format="pyarrow",
-        )
-    )
+    return _distinct_pairs(pairs, ["hamming"])
 
 
 # --- embedding cosine near-dup (exact; oracle-checkable) ---

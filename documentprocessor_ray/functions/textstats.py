@@ -16,7 +16,7 @@ prunes at the read so only ``doc_id`` + ``text`` leave storage.
 from __future__ import annotations
 
 import hashlib
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -217,23 +217,41 @@ class LangIdModel:
                 mat[r, vocab[tri]] = cnt
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         self.profiles = mat / np.where(norms == 0, 1, norms)
+        # integer trigram keys for vectorized lookup: ((c0*U)+c1)*U+c2 with
+        # U = 0x110000 (max codepoint + 1); fits int64
+        U = np.int64(0x110000)
+        keys = np.array(
+            [((np.int64(ord(t[0])) * U + ord(t[1])) * U + ord(t[2]))
+             for t in vocab], dtype=np.int64)
+        idxs = np.array([vocab[t] for t in vocab], dtype=np.int64)
+        order = np.argsort(keys)
+        self._vkeys = keys[order]
+        self._vidx = idxs[order]
+        self._U = U
+
+    def _vec(self, t: str) -> Optional[np.ndarray]:
+        """Vectorized trigram count vector for one doc."""
+        if len(t) < 3:
+            return None
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        keys = (codes[:-2] * self._U + codes[1:-1]) * self._U + codes[2:]
+        pos = np.searchsorted(self._vkeys, keys)
+        pos = np.clip(pos, 0, len(self._vkeys) - 1)
+        hit = self._vkeys[pos] == keys
+        if not hit.any():
+            return None
+        vec = np.bincount(self._vidx[pos[hit]], minlength=len(self.vocab)).astype(np.float64)
+        return vec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pc.utf8_lower(batch["text"].combine_chunks()).to_pylist()
         preds = []
-        V = len(self.vocab)
         for t in texts:
-            vec = np.zeros(V, dtype=np.float64)
-            if t:
-                for i in range(len(t) - 2):
-                    j = self.vocab.get(t[i:i + 3])
-                    if j is not None:
-                        vec[j] += 1.0
-            n = np.linalg.norm(vec)
-            if n == 0:
+            vec = self._vec(t) if t else None
+            if vec is None:
                 preds.append("und")
                 continue
-            sims = self.profiles @ (vec / n)
+            sims = self.profiles @ (vec / np.linalg.norm(vec))
             preds.append(self.langs[int(np.argmax(sims))])
         return pa.table({
             "doc_id": batch["doc_id"],

