@@ -244,32 +244,44 @@ def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _shingle_set(text: str, k: int) -> np.ndarray:
-    """Hashes of the k-token shingles (distinct), stable across processes."""
-    toks = (text or "").strip().lower().split()
-    if len(toks) < k:
-        toks = toks + [""] * (k - len(toks)) if toks else []
-    if not toks:
-        return np.array([], dtype=np.uint64)
-    out = set()
-    for i in range(len(toks) - k + 1):
-        h = hashlib.blake2b(" ".join(toks[i:i + k]).encode("utf-8"), digest_size=8).digest()
-        out.add(int.from_bytes(h, "little"))
-    return np.array(sorted(out), dtype=np.uint64)
-
-
 class MinHasher:
-    """Stateful signature stage: permutation params built once per actor."""
+    """Stateful signature stage: permutation params + a token-hash cache
+    built/accumulated once per actor (Zipfian vocabularies make the cache hit
+    rate high, so token hashing amortizes to O(1) dict lookups; shingle
+    hashing is a vectorized rolling polynomial over the token-hash array)."""
+
+    _B = np.uint64(1000003)
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3):
         self.a, self.b = _minhash_params(num_perm)
         self.num_perm = num_perm
         self.k = shingle_k
+        self._tok_cache: Dict[str, int] = {}
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._tok_cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
+            self._tok_cache[tok] = h
+        return h
+
+    def _shingles(self, text: str) -> np.ndarray:
+        toks = (text or "").strip().lower().split()
+        if not toks:
+            return np.array([], dtype=np.uint64)
+        th = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
+        k = min(self.k, len(th))
+        n = len(th) - k + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(k):  # k is tiny; the inner op is vectorized
+            acc = acc * self._B + th[j: n + j]
+        return np.unique(acc)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = []
         for text in batch["text"].to_pylist():
-            sh = _shingle_set(text, self.k)
+            sh = self._shingles(text)
             if len(sh) == 0:
                 sigs.append([int(_MERSENNE)] * self.num_perm)
                 continue
@@ -294,7 +306,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
     rows = num_perm // bands
     sig_ds = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency or 4,
+        batch_format="pyarrow", concurrency=concurrency or (1, 8),
     )
 
     def emit_bands(batch: pa.Table) -> pa.Table:

@@ -144,10 +144,13 @@ class SpanProcessor:
     preprocess config load once per worker (reference lazy singletons,
     receipt_processor.py:50-54, become __init__ state)."""
 
-    def __init__(self, media_dir: str, cfg: Optional[PreprocessConfig] = None):
+    def __init__(self, media_dir: str, cfg: Optional[PreprocessConfig] = None,
+                 debug_dir: Optional[str] = None, log_dir: Optional[str] = None):
         self.store = MediaStore(media_dir)
         self.kernel = OcrKernel()
         self.cfg = cfg or PreprocessConfig()
+        self.debug_dir = debug_dir  # S7 tee sink, off by default
+        self.log_dir = log_dir      # S8 telemetry, off by default
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -177,6 +180,9 @@ class SpanProcessor:
                     pre = preprocess(image, self.cfg)
                     words = self.kernel.detect_and_recognize(pre)
                     norm = normalize_boxes(words, w, h)
+                    if self.debug_dir:
+                        from ..stages.debug import save_page
+                        save_page(self.debug_dir, ref, pre, norm)
                     out["words"][i] = [
                         {"text": wd["text"], "x0": wd["box"][0], "y0": wd["box"][1],
                          "x1": wd["box"][2], "y1": wd["box"][3],
@@ -186,6 +192,11 @@ class SpanProcessor:
                     out["line_texts"][i] = media_span_lines(norm)
             except Exception as e:  # in-band error channel (M31)
                 out["error"][i] = str(e)
+        if self.log_dir:
+            from ..stages.debug import log_event
+            log_event(self.log_dir, "batch_done", rows=n,
+                      media=sum(1 for k in out["kind"] if k == "media"),
+                      errors=sum(1 for e in out["error"] if e))
         return pa.table(
             {k: pa.array(v, SPAN_ROW_SCHEMA.field(k).type) for k, v in out.items()},
             schema=SPAN_ROW_SCHEMA,
@@ -201,11 +212,13 @@ class SpanProcessor:
 _PROCESSOR_CACHE: Dict[tuple, "SpanProcessor"] = {}
 
 
-def _cached_processor(media_dir: str, cfg: Optional["PreprocessConfig"]) -> "SpanProcessor":
-    key = (media_dir, repr(cfg))
+def _cached_processor(media_dir: str, cfg: Optional["PreprocessConfig"],
+                      debug_dir: Optional[str] = None,
+                      log_dir: Optional[str] = None) -> "SpanProcessor":
+    key = (media_dir, repr(cfg), debug_dir, log_dir)
     proc = _PROCESSOR_CACHE.get(key)
     if proc is None:
-        proc = _PROCESSOR_CACHE[key] = SpanProcessor(media_dir, cfg)
+        proc = _PROCESSOR_CACHE[key] = SpanProcessor(media_dir, cfg, debug_dir, log_dir)
     return proc
 
 
@@ -317,6 +330,8 @@ def build_pipeline(
     target_blocks: Optional[int] = None,
     use_actors: bool = False,
     keep_words: bool = False,
+    debug_dir: Optional[str] = None,
+    log_dir: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Compose the lazy pipeline over an already-loaded documents Dataset.
 
@@ -345,15 +360,17 @@ def build_pipeline(
             concurrency = (1, max(1, total - 1))
         processed = spans.map_batches(
             SpanProcessor,
-            fn_constructor_kwargs={"media_dir": media_dir, "cfg": cfg},
+            fn_constructor_kwargs={"media_dir": media_dir, "cfg": cfg,
+                                   "debug_dir": debug_dir, "log_dir": log_dir},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
             num_cpus=1,
         )
     else:
-        def span_task(batch: pa.Table, _m=media_dir, _c=cfg) -> pa.Table:
-            return _cached_processor(_m, _c)(batch)
+        def span_task(batch: pa.Table, _m=media_dir, _c=cfg,
+                      _d=debug_dir, _l=log_dir) -> pa.Table:
+            return _cached_processor(_m, _c, _d, _l)(batch)
 
         processed = spans.map_batches(
             span_task, batch_format="pyarrow", batch_size=batch_size)
