@@ -332,6 +332,7 @@ def build_pipeline(
     keep_words: bool = False,
     debug_dir: Optional[str] = None,
     log_dir: Optional[str] = None,
+    split_heavy_cost: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Compose the lazy pipeline over an already-loaded documents Dataset.
 
@@ -349,6 +350,32 @@ def build_pipeline(
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
     if target_blocks:
         spans = spans.repartition(target_blocks)
+    if split_heavy_cost is not None:
+        # Skew-aware two-path routing (SURVEY.md §4.2): per-span cost proxy =
+        # stored media bytes (compressed size tracks pixel complexity; text
+        # spans cost their length). Spans above the threshold take a
+        # batch_size=1 path so one giant page never rides in a batch with 15
+        # others — the batch, not the document, is the unit of work, and this
+        # caps its worst case. Both paths share the same UDF and re-unite
+        # before the reassembly shuffle, so output is invariant.
+        import os as _os
+
+        def add_cost(batch: pa.Table, _m=media_dir) -> pa.Table:
+            costs = []
+            for kind, text, ref in zip(batch["kind"].to_pylist(),
+                                       batch["text"].to_pylist(),
+                                       batch["media_ref"].to_pylist()):
+                if kind == "media":
+                    p = _os.path.join(_m, ref + ".npz8")
+                    try:
+                        costs.append(_os.path.getsize(p))
+                    except OSError:
+                        costs.append(0)  # missing ref -> error channel later
+                else:
+                    costs.append(len(text or ""))
+            return batch.append_column("cost", pa.array(costs, pa.int64()))
+
+        spans = spans.map_batches(add_cost, batch_format="pyarrow")
     if use_actors:
         if concurrency is None:
             try:
@@ -372,8 +399,16 @@ def build_pipeline(
                       _d=debug_dir, _l=log_dir) -> pa.Table:
             return _cached_processor(_m, _c, _d, _l)(batch)
 
-        processed = spans.map_batches(
-            span_task, batch_format="pyarrow", batch_size=batch_size)
+        if split_heavy_cost is not None:
+            light = spans.filter(expr=f"cost <= {int(split_heavy_cost)}")
+            heavy = spans.filter(expr=f"cost > {int(split_heavy_cost)}")
+            processed = light.map_batches(
+                span_task, batch_format="pyarrow", batch_size=batch_size,
+            ).union(heavy.map_batches(
+                span_task, batch_format="pyarrow", batch_size=1))
+        else:
+            processed = spans.map_batches(
+                span_task, batch_format="pyarrow", batch_size=batch_size)
     return processed.groupby("pkey").map_groups(
         lambda g: assemble_bucket(g, keep_words=keep_words), batch_format="pyarrow")
 
