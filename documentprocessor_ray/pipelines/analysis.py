@@ -298,7 +298,116 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def q_token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-ish subword chunk count: RE2 pattern (letter runs / digit runs /
+    punct runs, optional leading space) applied identically by pyarrow and
+    DuckDB — both are RE2, so parity is exact."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pattern = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"].combine_chunks(), pattern)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pc.cast(n, pa.int64()),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 # --------------------------------------- extraction pure-operator parity ops
+
+def _lineitem_words(sf_dir: str) -> "ray.data.Dataset":
+    """Synthetic per-"document" word stream derived from lineitem: one word
+    per line item, grouped by order — the F2 words-table contract over
+    driver data (doc = l_orderkey, reading position = l_linenumber)."""
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                  "l_returnflag"])
+
+
+def q_raw_text_join(sf_dir: str) -> "ray.data.Dataset":
+    """M13/G1 parity: per-document ' '-join of word texts in order.
+    Bucketed shuffle + vectorized in-bucket grouping (pandas)."""
+    ds = _lineitem_words(sf_dir)
+
+    def add_word(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        text = [f"{rf}{int(p) % 97}" for rf, p in
+                zip(batch["l_returnflag"].to_pylist(), pk)]
+        return pa.table({
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_linenumber": pa.array(ln, pa.int64()),
+            "word": pa.array(text, pa.string()),
+            "pkey": pa.array((ok * np.int64(2654435761)) % 64, pa.int64()),
+        })
+
+    def join_in_bucket(g: pa.Table) -> pa.Table:
+        # (orderkey, linenumber) is NOT unique in the corpus: tie-break on the
+        # word text so both engines produce one deterministic total order
+        df = g.to_pandas().sort_values(["l_orderkey", "l_linenumber", "word"])
+        out = df.groupby("l_orderkey", sort=True)["word"].agg(" ".join)
+        return pa.table({
+            "l_orderkey": pa.array(out.index.to_numpy(), pa.int64()),
+            "raw_text": pa.array(out.to_numpy(), pa.string()),
+        })
+
+    return ds.map_batches(add_word, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(join_in_bucket, batch_format="pyarrow")
+
+
+def q_vendor_topk(sf_dir: str) -> "ray.data.Dataset":
+    """M20/G2/G3/O1 parity: per-document vendor = join of the top-3 words by
+    (y0, position); integerized avg confidence (sum_milli + n) and union box."""
+    ds = _lineitem_words(sf_dir)
+
+    def add_geom(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_linenumber": pa.array(ln, pa.int64()),
+            "word": pa.array([f"{rf}{int(p) % 97}" for rf, p in
+                              zip(batch["l_returnflag"].to_pylist(), pk)],
+                             pa.string()),
+            "y0": pa.array((sk * 13) % 600, pa.int64()),
+            "x0": pa.array(pk % 400, pa.int64()),
+            "conf_milli": pa.array(500 + (pk % 500), pa.int64()),
+            "pkey": pa.array((ok * np.int64(2654435761)) % 64, pa.int64()),
+        })
+
+    def topk_in_bucket(g: pa.Table) -> pa.Table:
+        # full deterministic total order: duplicate (orderkey, linenumber)
+        # rows exist, so break ties on word/conf/x0 (identical rows commute)
+        df = g.to_pandas().sort_values(
+            ["l_orderkey", "y0", "l_linenumber", "word", "conf_milli", "x0"],
+            kind="mergesort")
+        top = df.groupby("l_orderkey", sort=True).head(3)
+        agg = top.groupby("l_orderkey", sort=True).agg(
+            vendor=("word", " ".join),
+            sum_conf_milli=("conf_milli", "sum"),
+            n_words=("word", "size"),
+            x0=("x0", "min"),
+            y0=("y0", "min"),
+        )
+        return pa.table({
+            "l_orderkey": pa.array(agg.index.to_numpy(), pa.int64()),
+            "vendor": pa.array(agg["vendor"].to_numpy(), pa.string()),
+            "sum_conf_milli": pa.array(agg["sum_conf_milli"].to_numpy(), pa.int64()),
+            "n_words": pa.array(agg["n_words"].to_numpy(), pa.int64()),
+            "x0": pa.array(agg["x0"].to_numpy(), pa.int64()),
+            "y0": pa.array(agg["y0"].to_numpy(), pa.int64()),
+        })
+
+    return ds.map_batches(add_geom, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(topk_in_bucket, batch_format="pyarrow")
+
+
+
 
 def q_normalize_boxes(sf_dir: str) -> "ray.data.Dataset":
     """M12 box normalization (x*1000/dim, trunc, clamp) over synthetic pixel
@@ -520,6 +629,39 @@ ORACLE_SQL: Dict[str, str] = {
           count(*)::BIGINT AS n_events,
           CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
         FROM s GROUP BY user_id, session_id""",
+    "token_count_bpe": r"""
+        SELECT doc_id,
+          len(regexp_extract_all(text, ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT
+            AS n_bpe_tokens
+        FROM documents""",
+    "raw_text_join": """
+        SELECT l_orderkey,
+          string_agg(l_returnflag || CAST(l_partkey % 97 AS VARCHAR), ' '
+                     ORDER BY l_linenumber,
+                              l_returnflag || CAST(l_partkey % 97 AS VARCHAR))
+            AS raw_text
+        FROM lineitem GROUP BY l_orderkey""",
+    "vendor_topk": """
+        WITH w AS (
+          SELECT l_orderkey, l_linenumber,
+            l_returnflag || CAST(l_partkey % 97 AS VARCHAR) AS word,
+            (l_suppkey * 13) % 600 AS y0,
+            l_partkey % 400 AS x0,
+            500 + (l_partkey % 500) AS conf_milli,
+            row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY (l_suppkey * 13) % 600, l_linenumber,
+                                        l_returnflag || CAST(l_partkey % 97 AS VARCHAR),
+                                        500 + (l_partkey % 500),
+                                        l_partkey % 400) AS rn
+          FROM lineitem)
+        SELECT l_orderkey,
+          string_agg(word, ' '
+                     ORDER BY y0, l_linenumber, word, conf_milli, x0) AS vendor,
+          CAST(sum(conf_milli) AS BIGINT) AS sum_conf_milli,
+          count(*)::BIGINT AS n_words,
+          CAST(min(x0) AS BIGINT) AS x0,
+          CAST(min(y0) AS BIGINT) AS y0
+        FROM w WHERE rn <= 3 GROUP BY l_orderkey""",
     "normalize_boxes": """
         SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
           LEAST(1000, GREATEST(0, CAST(floor(((l_partkey % 300) * 1000.0) / 400.0) AS BIGINT))) AS nx0,
@@ -594,6 +736,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "top_customers": q_top_customers,
     "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
+    "token_count_bpe": q_token_count_bpe,
+    "raw_text_join": q_raw_text_join,
+    "vendor_topk": q_vendor_topk,
     "normalize_boxes": q_normalize_boxes,
     "extract_amount": q_extract_amount,
     "extract_date": q_extract_date,
