@@ -22,29 +22,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Chain shared verbatim (as RE2 patterns) with oracle/textnorm.py and the SQL
-# oracle: script/style elements, remaining tags, 6 entities, whitespace runs.
-_RE_SCRIPT = r"(?is)<script\b[^>]*>.*?</script\s*>"
-_RE_STYLE = r"(?is)<style\b[^>]*>.*?</style\s*>"
-_RE_TAG = r"<[^>]+>"
+# ONE normalize implementation lives in oracle/textnorm.py (RE2 chain);
+# re-exported here for the batch UDFs.
+from ..oracle.textnorm import normalize_text_arrow  # noqa: F401
+
 _RE_WS = r"\s+"
-_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
 
 # Fixed stopword list (shared with the SQL oracle literal list).
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
              "for", "on", "with", "as", "at", "by", "be", "this", "that"]
-
-
-def normalize_text_arrow(arr: pa.Array) -> pa.Array:
-    """Vectorized normalize_text (oracle/textnorm.py) via RE2 kernels."""
-    t = pc.replace_substring_regex(arr, _RE_SCRIPT, " ")
-    t = pc.replace_substring_regex(t, _RE_STYLE, " ")
-    t = pc.replace_substring_regex(t, _RE_TAG, " ")
-    for ent, rep in _ENTITIES:
-        t = pc.replace_substring(t, ent, rep)
-    t = pc.replace_substring_regex(t, _RE_WS, " ")
-    return pc.utf8_trim_whitespace(t)
 
 
 def normalize_batch(batch: pa.Table) -> pa.Table:

@@ -5,6 +5,16 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# first-call kernel/regex compilation can exceed hypothesis's 200ms deadline
+# and read as a flaky falsification — wall-clock is not a property under test
+try:
+    from hypothesis import settings as _hs
+
+    _hs.register_profile("no-deadline", deadline=None)
+    _hs.load_profile("no-deadline")
+except ImportError:
+    pass
+
 
 @pytest.fixture(scope="session")
 def ray_session():

@@ -53,13 +53,17 @@ class TestTextnormProps:
     def test_no_tags_and_collapsed(self, t):
         out = normalize_text(t)
         assert "  " not in out
-        assert out == out.strip()
+        assert out == out.strip(" ")
 
     @given(st.text(alphabet=st.characters(blacklist_characters="<>&"),
                    max_size=200))
     def test_plain_text_only_whitespace_normalized(self, t):
+        # normalize semantics are RE2 \s = ASCII whitespace (shared verbatim
+        # with the Arrow kernel and the SQL oracle) — NOT Python str.split()
+        import re
         out = normalize_text(t)
-        assert out == " ".join(t.split())
+        collapsed = re.sub(r"[ \t\n\r\f]+", " ", t).strip(" ")
+        assert out == collapsed
 
 
 class TestLineGroupingProps:
