@@ -143,13 +143,30 @@ def _distinct_tokens(text: str) -> List[str]:
     return list(seen)
 
 
-def _token_freqs(ds: "ray.data.Dataset") -> Dict[str, int]:
+def _distinct_shingles(text: str, k: int) -> List[str]:
+    """Distinct k-token shingles (' '-joined), first-occurrence order —
+    mirrors the DuckDB list_transform(range(...)) construction exactly.
+    NOTE: tokens here are the raw split (duplicates kept) since shingles are
+    positional; only the shingle SET is deduplicated."""
+    t = text.strip().lower() if text else ""
+    toks = t.split() if t else []
+    if len(toks) < k:
+        return []
+    seen = {}
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i:i + k])
+        if s not in seen:
+            seen[s] = None
+    return list(seen)
+
+
+def _token_freqs(ds: "ray.data.Dataset", token_fn=_distinct_tokens) -> Dict[str, int]:
     """Global document frequency per token (the small side; broadcast).
     Pre-aggregated per batch, then one bucketed count merge."""
     def emit(batch: pa.Table) -> pa.Table:
         counts: Dict[str, int] = {}
         for t in batch["text"].to_pylist():
-            for tok in _distinct_tokens(t):
+            for tok in token_fn(t):
                 counts[tok] = counts.get(tok, 0) + 1
         toks = list(counts)
         return pa.table({
@@ -172,7 +189,8 @@ def _token_freqs(ds: "ray.data.Dataset") -> Dict[str, int]:
 
 
 def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
-                  threshold_den: int = 5) -> "ray.data.Dataset":
+                  threshold_den: int = 5,
+                  shingle_k: Optional[int] = None) -> "ray.data.Dataset":
     """All pairs (doc_a < doc_b) with token-set Jaccard >= num/den; EXACT.
 
     Prefix filter (PPJoin): tokens sorted by (global df, token) ascending; a
@@ -181,15 +199,23 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
     100%; the in-bucket verify makes precision exact. The threshold is an
     exact rational and the output is (n_inter, n_union) integer counts, so
     the result is bit-identical to the SQL oracle (no float Jaccard).
+
+    shingle_k=None compares distinct-unigram sets; shingle_k=k compares
+    distinct k-token shingle sets (n-gram Jaccard — much sharper near-dup
+    signal on natural text).
     """
     t_num, t_den = threshold_num, threshold_den
-    freqs_ref = ray.put(_token_freqs(ds))  # broadcast small side once
+    if shingle_k is None:
+        token_fn = _distinct_tokens
+    else:
+        token_fn = lambda t, _k=shingle_k: _distinct_shingles(t, _k)  # noqa: E731
+    freqs_ref = ray.put(_token_freqs(ds, token_fn))  # broadcast small side once
 
     def emit_prefix(batch: pa.Table) -> pa.Table:
         freqs = ray.get(freqs_ref)
         keys, ids, toksets = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            toks = _distinct_tokens(text)
+            toks = token_fn(text)
             if not toks:
                 continue
             ordered = sorted(toks, key=lambda t: (freqs.get(t, 0), t))

@@ -90,6 +90,12 @@ def q_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
                            threshold_num=3, threshold_den=5)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """3-gram shingle Jaccard >= 1/2, exact via prefix filter."""
+    return D.jaccard_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           threshold_num=1, threshold_den=2, shingle_k=3)
+
+
 def q_minhash_pairs(sf_dir: str) -> "ray.data.Dataset":
     return D.minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -576,6 +582,26 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 5 * c >= 3 * (sa.n + sb.n - c)""",
+    "ngram_jaccard_pairs": r"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(
+            lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS w
+          FROM tok WHERE len(toks) >= 3
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, c::BIGINT AS n_inter, (sa.n + sb.n - c)::BIGINT AS n_union
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
     "embedding_neardup": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -724,6 +750,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,

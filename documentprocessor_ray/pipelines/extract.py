@@ -39,7 +39,7 @@ from ..ocr_kernel import OcrKernel
 from ..oracle import fields as F
 from ..oracle.boxes import normalize_boxes, raw_ocr_text
 from ..oracle.document import media_span_lines
-from ..oracle.textnorm import normalize_text, normalize_text_arrow
+from ..oracle.textnorm import normalize_text_arrow
 from ..stages.preprocess import PreprocessConfig, preprocess
 
 # --- intermediate + output Arrow schemas (explicit so empty blocks stay typed) ---
@@ -165,12 +165,16 @@ class SpanProcessor:
             "error": [None] * n,
             "pkey": batch["pkey"].to_pylist(),
         }
-        texts = batch["text"].to_pylist()
+        # text rows: ONE vectorized RE2 normalize over the batch's text
+        # column (the main-content-extraction hot path); media rows below
+        # pay the per-image OCR. Single operator — no dataset-level branch,
+        # so the plan stays one fused pass with no union barrier.
+        norm_all = normalize_text_arrow(batch["text"].combine_chunks()).to_pylist()
         for i in range(n):
             kind = out["kind"][i]
             try:
                 if kind == "text":
-                    out["norm_text"][i] = normalize_text(texts[i])
+                    out["norm_text"][i] = norm_all[i]
                 elif kind == "media":
                     ref = out["media_ref"][i]
                     image = self.store.load(ref)
@@ -350,15 +354,6 @@ def build_pipeline(
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
     if target_blocks:
         spans = spans.repartition(target_blocks)
-    # kind split: pure-text (and empty-sentinel) spans take a fully
-    # VECTORIZED normalize path in large batches (RE2 kernels over the whole
-    # column — the main-content-extraction hot path for text-heavy corpora);
-    # only media spans pay the per-image OCR stage with small batches.
-    text_spans = spans.filter(expr="kind != 'media'")
-    media_spans = spans.filter(expr="kind == 'media'")
-    text_done = text_spans.map_batches(
-        text_span_batch, batch_format="pyarrow", batch_size=4096)
-    spans = media_spans
     if split_heavy_cost is not None:
         # Skew-aware two-path routing (SURVEY.md §4.2): per-span cost proxy =
         # stored media bytes (compressed size tracks pixel complexity; text
@@ -418,28 +413,8 @@ def build_pipeline(
         else:
             processed = spans.map_batches(
                 span_task, batch_format="pyarrow", batch_size=batch_size)
-    return processed.union(text_done).groupby("pkey").map_groups(
+    return processed.groupby("pkey").map_groups(
         lambda g: assemble_bucket(g, keep_words=keep_words), batch_format="pyarrow")
-
-
-def text_span_batch(batch: pa.Table) -> pa.Table:
-    """Vectorized text-span path: one RE2 normalize over the whole column;
-    emits the same SPAN_ROW_SCHEMA as the media path (empty words/lines)."""
-    n = batch.num_rows
-    kinds = batch["kind"]
-    norm = normalize_text_arrow(batch["text"].combine_chunks())
-    # empty-sentinel rows keep norm_text "" (normalize of "" is "" anyway)
-    return pa.table({
-        "doc_id": batch["doc_id"],
-        "offset": batch["offset"],
-        "kind": kinds,
-        "media_ref": batch["media_ref"],
-        "norm_text": norm,
-        "line_texts": pa.array([[]] * n, pa.list_(pa.string())),
-        "words": pa.array([[]] * n, SPAN_ROW_SCHEMA.field("words").type),
-        "error": pa.array([None] * n, pa.string()),
-        "pkey": batch["pkey"],
-    }, schema=SPAN_ROW_SCHEMA)
 
 
 def run_extraction(

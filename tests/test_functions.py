@@ -85,6 +85,19 @@ class TestDedup:
         assert (out.iloc[0]["doc_a"], out.iloc[0]["doc_b"]) == (0, 1)
         assert (out.iloc[0]["n_inter"], out.iloc[0]["n_union"]) == (3, 5)
 
+    def test_ngram_jaccard_exact(self, ray_session):
+        # shingles of "a b c d": {a b c, b c d}; "a b c e": {a b c, b c e}
+        # J = 1/3 >= 1/3; third doc disjoint
+        ds = ray.data.from_arrow(_docs_table(["a b c d", "a b c e", "x y z w"]))
+        out = D.jaccard_pairs(ds, 1, 3, shingle_k=3).to_pandas()
+        assert len(out) == 1
+        assert (out.iloc[0]["n_inter"], out.iloc[0]["n_union"]) == (1, 3)
+
+    def test_shingle_helper_matches_sql_model(self):
+        assert D._distinct_shingles("A b a b a", 2) == ["a b", "b a"]
+        assert D._distinct_shingles("one two", 3) == []
+        assert D._distinct_shingles("", 3) == []
+
     def test_minhash_detects_near_dup(self, ray_session):
         base = "the quick brown fox jumps over the lazy dog " * 5
         near = base.replace("lazy", "sleepy", 1)
