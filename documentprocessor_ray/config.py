@@ -23,7 +23,7 @@ class JobConfig:
     documents_dir: str = ""
     media_dir: str = ""
     output_dir: str = ""
-    batch_size: int = 16
+    batch_size: int = 64
     use_actors: bool = False
     target_blocks: Optional[int] = None
     model: Optional[str] = None          # None = heuristics only; "rule"/"null"

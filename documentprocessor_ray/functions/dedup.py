@@ -447,6 +447,33 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dat
     return _distinct_pairs(pairs, ["hamming"])
 
 
+def pair_clusters(pairs: "ray.data.Dataset") -> Dict[int, int]:
+    """Union-find over a (doc_a, doc_b) pair dataset -> {doc_id: cluster_rep}
+    with rep = min doc_id of the component.
+
+    The pair set is orders of magnitude smaller than the corpus (only
+    near-dups appear), so collecting it to the driver is the right
+    single-node call; at 10^12-doc scale swap for iterative
+    large-star/small-star label propagation over the same pair dataset.
+    """
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        for a, c in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(c, c)
+            ra, rc = find(a), find(c)
+            if ra != rc:
+                parent[max(ra, rc)] = min(ra, rc)
+    return {x: find(x) for x in parent}
+
+
 # --- embedding cosine near-dup (exact; oracle-checkable) ---
 
 def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9) -> "ray.data.Dataset":

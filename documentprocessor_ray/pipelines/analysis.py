@@ -111,6 +111,51 @@ def q_embedding_neardup(sf_dir: str) -> "ray.data.Dataset":
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
 
 
+def q_dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup clusters: union-find over the 3-gram Jaccard pairs.
+    Output (doc_id, cluster_rep) for every doc that belongs to a cluster."""
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    mapping = D.pair_clusters(pairs.select_columns(["doc_a", "doc_b"]))
+    ids = sorted(mapping)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "cluster_rep": pa.array([mapping[i] for i in ids], pa.int64()),
+    })
+
+
+def q_corpus_clean(sf_dir: str) -> "ray.data.Dataset":
+    """The canonical training-data cleaning flow as ONE composed pipeline:
+    quality gate (length / token / alpha-ratio thresholds) + exact-dedup
+    keep-list (only the min-doc_id copy of duplicated content survives).
+    Output: the surviving doc_ids with their quality signals — fully
+    SQL-expressible, so the whole composition is oracle-checked."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    stats = docs.map_batches(T.quality_stats_batch, batch_format="pyarrow")
+
+    # keep-list from exact dedup: tiny (distinct contents), broadcast once
+    keep = D.exact_dedup(docs)
+    keep_ids = set()
+    for b in keep.iter_batches(batch_format="pyarrow"):
+        keep_ids.update(b["keep_id"].to_pylist())
+    keep_ref = ray.put(keep_ids)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        kept = ray.get(keep_ref)
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        n_tokens = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        n_alpha = batch["n_alpha"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (
+            (n_chars >= 100) & (n_tokens >= 20)
+            # alpha_ratio >= 0.6 as an exact integer comparison
+            & (5 * n_alpha >= 3 * n_chars)
+            & np.isin(ids, np.fromiter(kept, dtype=np.int64, count=len(kept)))
+        )
+        return batch.filter(pa.array(mask))
+
+    return stats.map_batches(gate, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- similarity
 
 def q_knn_bruteforce(sf_dir: str) -> "ray.data.Dataset":
@@ -582,6 +627,24 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 5 * c >= 3 * (sa.n + sb.n - c)""",
+    "corpus_clean": rf"""
+        WITH t AS (
+          SELECT doc_id, text, regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt FROM documents
+        ), tok AS (
+          SELECT doc_id, text,
+            CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+                 ELSE regexp_split_to_array(tt, '\s+') END AS toks
+          FROM t
+        ), q AS (
+          SELECT doc_id,
+            length(text)::BIGINT AS n_chars,
+            len(toks)::BIGINT AS n_tokens,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+            len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, lower(x))))::BIGINT AS n_stop
+          FROM tok
+        ), keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
+        SELECT q.* FROM q JOIN keep ON q.doc_id = keep.keep_id
+        WHERE n_chars >= 100 AND n_tokens >= 20 AND 5 * n_alpha >= 3 * n_chars""",
     "ngram_jaccard_pairs": r"""
         WITH tok AS (
           SELECT doc_id, regexp_split_to_array(
@@ -751,6 +814,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "corpus_clean": q_corpus_clean,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,

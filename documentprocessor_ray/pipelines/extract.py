@@ -330,7 +330,7 @@ def build_pipeline(
     media_dir: str,
     cfg: Optional[PreprocessConfig] = None,
     concurrency: Optional[int] = None,
-    batch_size: int = 16,
+    batch_size: int = 64,
     target_blocks: Optional[int] = None,
     use_actors: bool = False,
     keep_words: bool = False,

@@ -81,7 +81,7 @@ def run_partitioned(
     media_dir: str,
     output_dir: str,
     cfg: Optional[PreprocessConfig] = None,
-    batch_size: int = 16,
+    batch_size: int = 64,
     max_partitions: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Run (or resume) the extraction over all input partitions.

@@ -83,7 +83,7 @@ class TestCheckpointResume:
         mpath = os.path.join(out, "_manifest", f"{victim}.json")
         with open(mpath, "w") as f:
             f.write('{"partition": "part=')  # torn write
-        chash = _config_hash(None, 16)
+        chash = _config_hash(None, 64)
         assert victim not in completed_partitions(out, chash)
         s = run_partitioned(docs_dir, media_dir, out)
         assert s["partitions"][victim] == "done"

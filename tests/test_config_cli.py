@@ -15,7 +15,7 @@ from documentprocessor_ray.stages.debug import log_event, read_events, save_page
 class TestConfig:
     def test_defaults(self):
         cfg = load_config()
-        assert cfg.batch_size == 16
+        assert cfg.batch_size == 64
         assert cfg.preprocess.deskew is True
 
     def test_yaml_recursive_merge(self, tmp_path):

@@ -123,6 +123,16 @@ class TestDedup:
         assert a == D.simhash64("hello world hello")  # deterministic
         assert 0 < a < 2 ** 64
 
+    def test_pair_clusters_union_find(self, ray_session):
+        pairs = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([1, 2, 7], pa.int64()),
+            "doc_b": pa.array([2, 3, 9], pa.int64()),
+        }))
+        m = D.pair_clusters(pairs)
+        assert m[1] == m[2] == m[3] == 1
+        assert m[7] == m[9] == 7
+        assert 5 not in m
+
     def test_embedding_neardup(self, ray_session):
         vecs = [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]]
         ds = ray.data.from_arrow(pa.table({
