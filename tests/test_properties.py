@@ -55,9 +55,12 @@ class TestTextnormProps:
         assert "  " not in out
         assert out == out.strip(" ")
 
-    @given(st.text(alphabet=st.characters(blacklist_characters="<>&"),
+    @given(st.text(alphabet=st.characters(blacklist_characters="<>&",
+                                          blacklist_categories=("Cs",)),
                    max_size=200))
     def test_plain_text_only_whitespace_normalized(self, t):
+        # surrogates excluded: Arrow strings are UTF-8 (parquet input can
+        # never contain them), so they are outside the operator's domain
         # normalize semantics are RE2 \s = ASCII whitespace (shared verbatim
         # with the Arrow kernel and the SQL oracle) — NOT Python str.split()
         import re
