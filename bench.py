@@ -28,12 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # its sf0.1 output is quadratic in near-identical word-soup docs, which is a
 # property of the synthetic corpus, not the operator)
 BENCH_QUERIES = [
-    "normalize_text", "token_count", "quality_stats", "fingerprint",
-    "langid", "winnow_fingerprint", "exact_dedup", "minhash_pairs",
+    "normalize_text", "token_count", "token_count_bpe", "quality_stats",
+    "fingerprint", "langid", "winnow_fingerprint", "exact_dedup",
+    "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean", "minhash_pairs",
     "simhash_pairs", "embedding_neardup", "knn_bruteforce", "knn_ivf",
+    "image_features", "audio_features", "video_framesample",
     "pricing_summary", "top_customers", "events_rollup", "sessionize",
-    "normalize_boxes", "extract_amount", "extract_date", "detect_currency",
-    "verify_totals",
+    "normalize_boxes", "raw_text_join", "vendor_topk", "extract_amount",
+    "extract_date", "detect_currency", "verify_totals", "extract_scored",
 ]
 
 
