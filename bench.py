@@ -33,7 +33,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean", "minhash_pairs",
     "simhash_pairs", "embedding_neardup", "knn_bruteforce", "knn_ivf",
     "image_features", "audio_features", "video_framesample",
-    "pricing_summary", "top_customers", "events_rollup", "sessionize",
+    "pricing_summary", "top_customers", "order_revenue_join",
+    "events_rollup", "sessionize",
     "normalize_boxes", "raw_text_join", "vendor_topk", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",
 ]

@@ -299,6 +299,36 @@ def q_top_customers(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
 
 
+def q_order_revenue_join(sf_dir: str) -> "ray.data.Dataset":
+    """Large-x-large co-bucketed hash join: lineitem pre-aggregated per order
+    (combiner before the shuffle), then joined to orders on o_orderkey.
+    Output: (o_orderkey, o_custkey, lineitem_cents, n_lines)."""
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "cents": pa.array(_cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                              pa.int64()),
+        })
+        return t.group_by("o_orderkey").aggregate([("cents", "sum"), ("cents", "count")])
+
+    li_agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("cents_sum"), Sum("cents_count"))
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "lineitem_cents": pc.cast(b["sum(cents_sum)"], pa.int64()),
+            "n_lines": pc.cast(b["sum(cents_count)"], pa.int64()),
+        }), batch_format="pyarrow")
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return hash_join(orders, li_agg, on="o_orderkey", how="inner")
+
+
 def q_events_rollup(sf_dir: str) -> "ray.data.Dataset":
     """Per-event-type rollup incl. a distinct count. The distinct-user count
     is computed per group (groups = few event types); at 10^12 rows swap the
@@ -697,6 +727,13 @@ ORACLE_SQL: Dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey, c.c_name
         ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
+    "order_revenue_join": """
+        SELECT o.o_orderkey, o.o_custkey,
+          CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS lineitem_cents,
+          count(*)::BIGINT AS n_lines
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_custkey""",
     "events_rollup": """
         SELECT event_type, count(*)::BIGINT AS n_events,
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
@@ -826,6 +863,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "video_framesample": q_video_framesample,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
+    "order_revenue_join": q_order_revenue_join,
     "events_rollup": q_events_rollup,
     "sessionize": q_sessionize,
     "token_count_bpe": q_token_count_bpe,

@@ -1,0 +1,65 @@
+"""Co-bucketed hash join: correctness vs pandas merge, left join nulls,
+overlap rejection, bucket stability."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from documentprocessor_ray.functions.joins import _bucket_of, hash_join
+
+
+def _ds(df):
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+@pytest.fixture()
+def sides(ray_session):
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, size=200).astype("int64"),
+        "lv": np.arange(200, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 50, size=120).astype("int64"),
+        "rv": np.arange(1000, 1120, dtype="int64"),
+    })
+    return left, right
+
+
+class TestHashJoin:
+    def test_inner_matches_pandas(self, sides):
+        left, right = sides
+        got = hash_join(_ds(left), _ds(right), on="k").to_pandas()
+        exp = left.merge(right, on="k", how="inner")
+        key = ["k", "lv", "rv"]
+        got = got[key].sort_values(key).reset_index(drop=True)
+        exp = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_left_join_keeps_unmatched(self, sides):
+        left, right = sides
+        # restrict right so some left keys have no match
+        right = right[right["k"] < 10]
+        got = hash_join(_ds(left), _ds(right), on="k", how="left").to_pandas()
+        exp = left.merge(right, on="k", how="left")
+        assert len(got) == len(exp)
+        assert int(got["rv"].isna().sum()) == int(exp["rv"].isna().sum())
+
+    def test_overlapping_columns_rejected(self, sides):
+        left, right = sides
+        right2 = right.rename(columns={"rv": "lv"})
+        with pytest.raises(ValueError, match="rename overlapping"):
+            hash_join(_ds(left), _ds(right2), on="k")
+
+    def test_bucket_stability_and_spread(self):
+        keys = np.arange(10_000, dtype=np.int64)
+        b1 = _bucket_of(keys, 64)
+        b2 = _bucket_of(keys, 64)
+        assert (b1 == b2).all()
+        counts = np.bincount(b1, minlength=64)
+        assert counts.min() > 0.5 * counts.mean()  # no striping/empty buckets
