@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "simhash_pairs", "embedding_neardup", "knn_bruteforce", "knn_ivf",
     "image_features", "audio_features", "video_framesample",
     "pricing_summary", "top_customers", "order_revenue_join",
-    "events_rollup", "sessionize",
+    "events_rollup", "events_tumbling", "sessionize",
     "normalize_boxes", "raw_text_join", "vendor_topk", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",
 ]

@@ -348,6 +348,39 @@ def q_events_rollup(sf_dir: str) -> "ray.data.Dataset":
     return ds.groupby("event_type").map_groups(per_group, batch_format="pandas")
 
 
+def q_events_tumbling(sf_dir: str) -> "ray.data.Dataset":
+    """Event-time tumbling window (1h) per event_type: the windowed-aggregate
+    operator. Window assignment is a vectorized floor on the timestamp inside
+    map_batches (no shuffle), partial-aggregated per batch, then one small
+    groupby on (event_type, window)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    hour_us = np.int64(3600) * 1000000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        win = (ts.astype(np.int64) // hour_us) * hour_us
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_us": pa.array(win, pa.int64()),
+            "cents": pa.array(_cents(batch["value"].to_numpy(zero_copy_only=False)),
+                              pa.int64()),
+        })
+        return t.group_by(["event_type", "window_us"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_us"])
+        .aggregate(Sum("cents_sum"), Sum("cents_count"))
+    )
+    return agg.map_batches(lambda b: pa.table({
+        "event_type": b["event_type"],
+        "window_us": pc.cast(b["window_us"], pa.int64()),
+        "sum_value_cents": pc.cast(b["sum(cents_sum)"], pa.int64()),
+        "n_events": pc.cast(b["sum(cents_count)"], pa.int64()),
+    }), batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     """Windowed/stateful streaming analog: 30-minute-gap sessionization per
     user via groupby(user_id).map_groups with an in-group (ts, event_id)
@@ -739,6 +772,13 @@ ORACLE_SQL: Dict[str, str] = {
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
           count(DISTINCT user_id)::BIGINT AS n_users
         FROM events GROUP BY event_type""",
+    "events_tumbling": """
+        SELECT event_type,
+          CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+                         date_trunc('hour', ts)) AS BIGINT) AS window_us,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+          count(*)::BIGINT AS n_events
+        FROM events GROUP BY event_type, date_trunc('hour', ts)""",
     "sessionize": """
         WITH o AS (
           SELECT user_id, event_id, ts,
@@ -865,6 +905,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "top_customers": q_top_customers,
     "order_revenue_join": q_order_revenue_join,
     "events_rollup": q_events_rollup,
+    "events_tumbling": q_events_tumbling,
     "sessionize": q_sessionize,
     "token_count_bpe": q_token_count_bpe,
     "raw_text_join": q_raw_text_join,
