@@ -147,8 +147,26 @@ def main():
     ap.add_argument("--scaling-high", type=int, default=32)
     ap.add_argument("--docs", type=int, default=0)
     ap.add_argument("--warmup", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the headline pipeline's ds.stats() to stderr")
     args = ap.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if args.stats:
+        import ray
+
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        import __ray_entry__ as E
+        from documentprocessor_ray.pipelines.extract import run_extraction
+
+        n_docs = args.docs or max(400, int(4000 * E._sf_of(sf_dir)))
+        docs_dir, media_dir = E._corpus_for(n_docs)
+        ds = run_extraction(docs_dir, media_dir)
+        ds.count()
+        print(ds.stats(), file=sys.stderr)
+        ray.shutdown()
+        return
 
     if args.scaling:
         print(json.dumps(run_scaling(sf_dir, args.scaling_low, args.scaling_high)))
