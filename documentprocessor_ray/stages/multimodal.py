@@ -135,7 +135,7 @@ class ImageFeatureStage:
                 lumas.append(int(round(float(luma.mean()) * 1000)))
                 feats.append([float(x) for x in hist])
                 errors.append(None)
-            except NotImplementedError as e:
+            except Exception as e:  # in-band error channel (M31)
                 ws.append(0); hs.append(0); lumas.append(0); feats.append([])
                 errors.append(str(e))
         return pa.table({
@@ -169,7 +169,7 @@ class AudioFeatureStage:
                 r = float(np.sqrt(np.mean(wav[: frames * self.frame] ** 2))) if frames else 0.0
                 ns.append(n); rms.append(int(round(r * 1000))); nf.append(frames)
                 errors.append(None)
-            except NotImplementedError as e:
+            except Exception as e:  # in-band error channel (M31)
                 ns.append(0); rms.append(0); nf.append(0)
                 errors.append(str(e))
         return pa.table({
@@ -198,7 +198,7 @@ class VideoFrameSampleStage:
             aid = batch["asset_id"][i].as_py()
             try:
                 frames = self.codec.decode_video_frames(payloads[i], metas[i], self.stride)
-            except NotImplementedError:
+            except Exception:  # in-band: a bad asset contributes no frames
                 continue
             for k, f in enumerate(frames):
                 ids.append(aid)
