@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     "image_features", "audio_features", "video_framesample",
     "pricing_summary", "top_customers", "order_revenue_join",
     "events_rollup", "events_tumbling", "sessionize",
-    "normalize_boxes", "raw_text_join", "vendor_topk", "extract_amount",
+    "normalize_boxes", "raw_text_join", "vendor_topk", "doc_sample",
+    "lang_stats", "low_order_customers", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",
 ]
 

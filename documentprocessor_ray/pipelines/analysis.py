@@ -219,6 +219,71 @@ def q_audio_features(sf_dir: str) -> "ray.data.Dataset":
     return build_media_pipeline(_media_ds(sf_dir), "audio")
 
 
+def q_doc_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic content-hash sampling (~1/8): keep docs whose md5(doc_id)
+    hex starts with 0 or 1 — reproducible across engines and runs, unlike
+    RNG sampling, so train/eval splits are stable under re-execution."""
+    import hashlib as _hl
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        mask = [(_hl.md5(str(i).encode()).hexdigest()[0] in "01") for i in ids]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_lang_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per-language rollup over documents (count + exact char sum)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+        }).group_by("lang").aggregate([("n_chars", "sum"), ("n_chars", "count")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang").aggregate(Sum("n_chars_sum"), Sum("n_chars_count")))
+    return agg.map_batches(lambda b: pa.table({
+        "lang": b["lang"],
+        "sum_chars": pc.cast(b["sum(n_chars_sum)"], pa.int64()),
+        "n_docs": pc.cast(b["sum(n_chars_count)"], pa.int64()),
+    }), batch_format="pyarrow")
+
+
+def q_low_order_customers(sf_dir: str) -> "ray.data.Dataset":
+    """Left-join null handling via the co-bucketed hash join: customers
+    left-joined to per-customer order counts; unmatched customers count 0;
+    keep those with <= 5 orders (non-empty at every sf, unlike a pure
+    anti-join whose empty result cannot carry a schema through conversion)."""
+    from ..functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"]}) \
+            .group_by("c_custkey").aggregate([("c_custkey", "count")])
+
+    counts = (orders.map_batches(partial, batch_format="pyarrow")
+              .groupby("c_custkey").aggregate(Sum("c_custkey_count"))
+              .map_batches(lambda b: pa.table({
+                  "c_custkey": b["c_custkey"],
+                  "n_orders": pc.cast(b["sum(c_custkey_count)"], pa.int64()),
+              }), batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_join(cust, counts, on="c_custkey", how="left")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+        out = df[df["n_orders"] <= 5][["c_custkey", "n_orders"]]
+        return out.astype({"c_custkey": "int64"})
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 # ------------------------------------------------------- relational / agg ops
 
 def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
@@ -760,6 +825,19 @@ ORACLE_SQL: Dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey, c.c_name
         ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
+    "doc_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""",
+    "lang_stats": """
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY lang""",
+    "low_order_customers": """
+        SELECT c.c_custkey, COALESCE(o.cnt, 0)::BIGINT AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+          ON o.o_custkey = c.c_custkey
+        WHERE COALESCE(o.cnt, 0) <= 5""",
     "order_revenue_join": """
         SELECT o.o_orderkey, o.o_custkey,
           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
@@ -904,6 +982,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "order_revenue_join": q_order_revenue_join,
+    "doc_sample": q_doc_sample,
+    "lang_stats": q_lang_stats,
+    "low_order_customers": q_low_order_customers,
     "events_rollup": q_events_rollup,
     "events_tumbling": q_events_tumbling,
     "sessionize": q_sessionize,
