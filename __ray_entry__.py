@@ -49,12 +49,62 @@ def _sf_of(sf_dir: str) -> float:
         return 0.01
 
 
+def _chunk_text(text: str, target: int = 200) -> list[str]:
+    """Deterministic ~target-char chunks on word boundaries (>=1 chunk)."""
+    words = (text or "").split()
+    if not words:
+        return [""]
+    chunks, cur, cur_len = [], [], 0
+    for w in words:
+        if cur and cur_len + 1 + len(w) > target:
+            chunks.append(" ".join(cur))
+            cur, cur_len = [], 0
+        cur.append(w)
+        cur_len += (1 if cur_len else 0) + len(w)
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def _combined_corpus(sf_dir: str, n_docs: int, seed: int = 42):
+    """Interleaved corpus = synthetic media documents + text-span documents
+    DERIVED FROM the driver's sf documents.parquet (each row becomes one
+    doc of ~200-char text spans), so the flagship genuinely consumes the
+    sf input. Keyed by (n_docs, sf) and generated once."""
+    import pyarrow.parquet as pq
+
+    from documentprocessor_ray.corpus import DOCUMENTS_SCHEMA, generate_corpus
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CORPUS_ROOT, f"n{n_docs}_s{seed}_{sfname}")
+    docs_dir = os.path.join(out, "documents")
+    media_dir = os.path.join(out, "media")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate_corpus(out, n_docs=n_docs, seed=seed)
+        src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+        rows = []
+        for did, text in zip(src["doc_id"].to_pylist(), src["text"].to_pylist()):
+            spans = [{"kind": "text", "text": c, "media_ref": "", "offset": i}
+                     for i, c in enumerate(_chunk_text(text))]
+            rows.append({"doc_id": f"sfdoc-{did:06d}", "spans": spans})
+        part_dir = os.path.join(docs_dir, "part=sftext")
+        os.makedirs(part_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA),
+                       os.path.join(part_dir, "data.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return docs_dir, media_dir
+
+
 def _run_extract(sf_dir: str) -> Any:
-    """Flagship pipeline: corpus size scales with sf; slim projection out."""
+    """Flagship pipeline over the interleaved corpus (sf-derived text docs +
+    synthetic media docs); slim projection out."""
     from documentprocessor_ray.pipelines.extract import run_extraction
 
     n_docs = max(40, int(4000 * _sf_of(sf_dir)))
-    docs_dir, media_dir = _corpus_for(n_docs)
+    docs_dir, media_dir = _combined_corpus(sf_dir, n_docs)
     ds = run_extraction(docs_dir, media_dir)
 
     def slim(batch: pa.Table) -> pa.Table:
@@ -79,7 +129,7 @@ def _run_scored_extract(sf_dir: str) -> Any:
     from documentprocessor_ray.pipelines.extract import run_scored_extraction
 
     n_docs = max(40, int(4000 * _sf_of(sf_dir)))
-    docs_dir, media_dir = _corpus_for(n_docs)
+    docs_dir, media_dir = _combined_corpus(sf_dir, n_docs)
     ds = run_scored_extraction(docs_dir, media_dir)
 
     def slim(batch: pa.Table) -> pa.Table:
