@@ -20,7 +20,6 @@ results are stable across summation orders (and match the DuckDB oracle).
 
 from __future__ import annotations
 
-import heapq
 from typing import Optional
 
 import numpy as np

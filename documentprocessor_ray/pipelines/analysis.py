@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from ..functions import dedup as D
 from ..functions import similarity as S

@@ -37,7 +37,7 @@ import ray.data
 from ..corpus import MediaStore
 from ..ocr_kernel import OcrKernel
 from ..oracle import fields as F
-from ..oracle.boxes import normalize_boxes, raw_ocr_text
+from ..oracle.boxes import normalize_boxes
 from ..oracle.document import media_span_lines
 from ..oracle.textnorm import normalize_text_arrow
 from ..stages.preprocess import PreprocessConfig, preprocess

@@ -12,7 +12,7 @@ bytes (10-100x smaller than decoded frames).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import pyarrow as pa
 

@@ -22,7 +22,7 @@ load cost is real (built once per actor), predictions are deterministic.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 import pyarrow as pa
