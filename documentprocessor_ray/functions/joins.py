@@ -4,8 +4,11 @@ Ray Data's 2.49 Dataset API has no general join operator, so this implements
 the classic co-bucketed hash join as a composition: both sides are tagged,
 null-padded to one aligned schema, and hash-bucketed on the join key
 (pkey = mix64(key) % num_buckets); the tagged union shuffles ONCE on pkey and
-each bucket joins locally with a vectorized pandas merge. Shuffle volume =
-|L| + |R| rows moved once — the same exchange a warehouse hash join performs.
+each bucket joins locally with pyarrow's vectorized hash join
+(``pa.Table.join`` — Acero, no pandas conversion on the Arrow-native path).
+Shuffle volume = |L| + |R| rows moved once — the same exchange a warehouse
+hash join performs. The bucket count scales with data/cluster size
+(sharding.auto_buckets), never a fixed constant.
 
 When one side is small, prefer the broadcast pattern instead
 (pipelines/analysis.q_top_customers: ray.put once, dict lookup per batch) —
@@ -18,36 +21,40 @@ one side, replicate on the other) before calling this.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
-N_BUCKETS = 64
-_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
+from ..sharding import auto_buckets, bucket_of_ints
 
+# rows-per-bucket budget for join buckets: join rows are narrow (a few
+# scalar columns), so a bucket of ~64k rows joins in-memory in milliseconds
+JOIN_ROWS_PER_BUCKET = 65536
 
-def _bucket_of(keys: np.ndarray, n: int) -> np.ndarray:
-    """Stable bucket for int64 keys (splitmix-style mix, not raw modulo, so
-    sequential keys spread instead of striping)."""
-    h = keys.astype(np.uint64) * _MIX
-    h ^= h >> np.uint64(31)
-    return (h % np.uint64(n)).astype(np.int64)
+_bucket_of = bucket_of_ints  # back-compat alias (tests import it)
 
 
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     on: str,
-    num_buckets: int = N_BUCKETS,
+    num_buckets: Optional[int] = None,
     how: str = "inner",
+    size_hint: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Join two Datasets on an int64 key column (how: inner|left).
 
     Non-key columns must be disjoint (rename before joining) so the padded
-    union schema is unambiguous.
+    union schema is unambiguous. ``size_hint`` (approx rows of the larger
+    side, e.g. a metadata-only ``count()``) sizes the shuffle width; omitted,
+    the width still scales with cluster CPUs.
     """
+    if num_buckets is None:
+        num_buckets = auto_buckets(size_hint, rows_per_bucket=JOIN_ROWS_PER_BUCKET)
     l_schema = left.schema()
     r_schema = right.schema()
     l_cols = list(l_schema.names)
@@ -68,11 +75,12 @@ def hash_join(
             cols = {}
             for name, typ in all_fields:
                 if name in batch.column_names:
-                    cols[name] = batch[name]
+                    cols[name] = pc.cast(batch[name].combine_chunks(), typ)
                 else:
                     cols[name] = pa.nulls(n, typ)
-            cols["__pkey"] = pa.array(_bucket_of(keys, num_buckets), pa.int64())
-            cols["__side"] = pa.array([side] * n, pa.string())
+            cols["__pkey"] = pa.array(bucket_of_ints(keys, num_buckets), pa.int64())
+            cols["__side"] = pa.array(["l"] * n if side == "l" else ["r"] * n,
+                                      pa.string())
             return pa.table(cols)
         return fn
 
@@ -80,19 +88,65 @@ def hash_join(
         right.map_batches(tag("r"), batch_format="pyarrow"))
 
     r_value_cols = [c for c in r_cols if c != on]
-    int_cols = [c for c, t in all_fields if pa.types.is_integer(t)]
+    out_cols = l_cols + r_value_cols
+    join_type = {"inner": "inner", "left": "left outer"}[how]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g[g["__side"] == "l"][l_cols]
-        rhs = g[g["__side"] == "r"][[on] + r_value_cols]
-        merged = lhs.merge(rhs, on=on, how=how)
-        # the null-padded union floats integer columns in pandas; restore
-        for c in int_cols:
-            if c in merged.columns:
-                if how == "inner":
-                    merged[c] = merged[c].astype("int64")
-                else:
-                    merged[c] = merged[c].astype("Int64")
-        return merged
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["__side"], "l")
+        lhs = g.filter(lmask).select(l_cols)
+        rhs = g.filter(pc.invert(lmask)).select([on] + r_value_cols)
+        # Acero hash join inside the bucket: vectorized, null-safe, keeps
+        # integer types intact (no pandas float/Int64 round-trip)
+        joined = lhs.join(rhs, keys=on, join_type=join_type)
+        return joined.select(out_cols)
 
-    return tagged.groupby("__pkey").map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby("__pkey").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def semi_join(
+    left: "ray.data.Dataset",
+    keep: "ray.data.Dataset",
+    left_on: str,
+    keep_on: str,
+    num_buckets: Optional[int] = None,
+    size_hint: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Distributed semi-join: rows of ``left`` whose ``left_on`` value appears
+    in ``keep[keep_on]`` (int64 keys). The scale-safe replacement for a
+    driver-side keep-set + broadcast filter: both sides shuffle ONCE on the
+    bucketed key and membership is tested vectorized (``pc.is_in``) inside
+    each bucket — keep-list cardinality never lands on one machine.
+    """
+    if num_buckets is None:
+        num_buckets = auto_buckets(size_hint, rows_per_bucket=JOIN_ROWS_PER_BUCKET)
+    l_names = list(left.schema().names)
+    l_types = dict(zip(l_names, left.schema().types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: batch[c] for c in l_names}
+        cols["__key"] = pa.array(keys, pa.int64())
+        cols["__pkey"] = pa.array(bucket_of_ints(keys, num_buckets), pa.int64())
+        cols["__side"] = pa.array(["l"] * batch.num_rows, pa.string())
+        return pa.table(cols)
+
+    def tag_keep(batch: pa.Table) -> pa.Table:
+        keys = batch[keep_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(keys)
+        cols = {c: pa.nulls(n, l_types[c]) for c in l_names}
+        cols["__key"] = pa.array(keys, pa.int64())
+        cols["__pkey"] = pa.array(bucket_of_ints(keys, num_buckets), pa.int64())
+        cols["__side"] = pa.array(["k"] * n, pa.string())
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        keep.map_batches(tag_keep, batch_format="pyarrow"))
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["__side"], "l")
+        lhs = g.filter(lmask)
+        keep_keys = g.filter(pc.invert(lmask))["__key"]
+        hit = pc.is_in(lhs["__key"], value_set=pc.unique(keep_keys.combine_chunks()))
+        return lhs.filter(hit).select(l_names)
+
+    return tagged.groupby("__pkey").map_groups(filter_bucket, batch_format="pyarrow")

@@ -128,32 +128,33 @@ def q_corpus_clean(sf_dir: str) -> "ray.data.Dataset":
     quality gate (length / token / alpha-ratio thresholds) + exact-dedup
     keep-list (only the min-doc_id copy of duplicated content survives).
     Output: the surviving doc_ids with their quality signals — fully
-    SQL-expressible, so the whole composition is oracle-checked."""
+    SQL-expressible, so the whole composition is oracle-checked.
+
+    The keep-list is applied as a co-bucketed SEMI-JOIN on doc_id
+    (functions/joins.semi_join): keep-list cardinality ~ #distinct docs, so
+    it must never be collected to the driver or broadcast as a Python set —
+    both sides shuffle once on the bucketed key instead."""
+    from ..functions.joins import semi_join
+
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
     stats = docs.map_batches(T.quality_stats_batch, batch_format="pyarrow")
 
-    # keep-list from exact dedup: tiny (distinct contents), broadcast once
-    keep = D.exact_dedup(docs)
-    keep_ids = set()
-    for b in keep.iter_batches(batch_format="pyarrow"):
-        keep_ids.update(b["keep_id"].to_pylist())
-    keep_ref = ray.put(keep_ids)
-
     def gate(batch: pa.Table) -> pa.Table:
-        kept = ray.get(keep_ref)
         n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
         n_tokens = batch["n_tokens"].to_numpy(zero_copy_only=False)
         n_alpha = batch["n_alpha"].to_numpy(zero_copy_only=False)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         mask = (
             (n_chars >= 100) & (n_tokens >= 20)
             # alpha_ratio >= 0.6 as an exact integer comparison
             & (5 * n_alpha >= 3 * n_chars)
-            & np.isin(ids, np.fromiter(kept, dtype=np.int64, count=len(kept)))
         )
         return batch.filter(pa.array(mask))
 
-    return stats.map_batches(gate, batch_format="pyarrow")
+    gated = stats.map_batches(gate, batch_format="pyarrow")
+    keep = D.exact_dedup(docs).select_columns(["keep_id"])
+    return semi_join(gated, keep, left_on="doc_id", keep_on="keep_id",
+                     size_hint=n_docs)
 
 
 # ---------------------------------------------------------------- similarity
@@ -273,15 +274,20 @@ def q_low_order_customers(sf_dir: str) -> "ray.data.Dataset":
                   "n_orders": pc.cast(b["sum(c_custkey_count)"], pa.int64()),
               }), batch_format="pyarrow"))
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    joined = hash_join(cust, counts, on="c_custkey", how="left")
+    n_cust = cust.count()  # metadata-only on a fresh read
+    joined = hash_join(cust, counts, on="c_custkey", how="left",
+                       size_hint=n_cust)
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
-        out = df[df["n_orders"] <= 5][["c_custkey", "n_orders"]]
-        return out.astype({"c_custkey": "int64"})
+    def finalize(b: pa.Table) -> pa.Table:
+        # Arrow-native null handling: unmatched customers count 0 orders
+        n = pc.fill_null(pc.cast(b["n_orders"].combine_chunks(), pa.int64()), 0)
+        t = pa.table({
+            "c_custkey": pc.cast(b["c_custkey"].combine_chunks(), pa.int64()),
+            "n_orders": n,
+        })
+        return t.filter(pc.less_equal(n, 5))
 
-    return joined.map_batches(finalize, batch_format="pandas")
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- relational / agg ops
@@ -391,7 +397,8 @@ def q_order_revenue_join(sf_dir: str) -> "ray.data.Dataset":
         }), batch_format="pyarrow")
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    return hash_join(orders, li_agg, on="o_orderkey", how="inner")
+    return hash_join(orders, li_agg, on="o_orderkey", how="inner",
+                     size_hint=orders.count())  # metadata-only on a fresh read
 
 
 def q_events_rollup(sf_dir: str) -> "ray.data.Dataset":
