@@ -101,41 +101,61 @@ RESULT_SCHEMA = pa.schema([
 # + accumulated normalized words, for the downstream scorer stage
 RESULT_SCHEMA_WORDS = RESULT_SCHEMA.append(pa.field("words", pa.list_(WORD_STRUCT)))
 
+# Per-bucket memory budget for the reassembly shuffle, in DOCUMENTS: a bucket
+# is materialized by one map_groups call, so this bounds reducer heap use.
+DOCS_PER_BUCKET = 4096
+
 
 def explode_spans(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
     """(doc_id, spans) -> one row per span; empty-span docs get a sentinel row
     (kind='empty', offset=-1) so reassembly preserves them. Each row carries
     pkey = crc32(doc_id) % num_buckets — the reassembly shuffle key: grouping
-    on ~64 coarse buckets instead of per-doc keys keeps the groupby's
-    per-group overhead off the hot path (docs are re-separated vectorized
-    inside the bucket)."""
+    on coarse buckets instead of per-doc keys keeps the groupby's per-group
+    overhead off the hot path (docs are re-separated vectorized inside the
+    bucket); the bucket count scales with data size (sharding.auto_buckets
+    via build_pipeline), bounding what one map_groups call materializes.
+
+    Zero-copy explode: pyarrow list_flatten / list_parent_indices unnest the
+    span structs in C++; the only Python loop is one crc32 per DOC (not per
+    span) for the shuffle key."""
     import zlib
 
-    doc_ids: List[str] = []
-    offsets: List[int] = []
-    kinds: List[str] = []
-    texts: List[str] = []
-    refs: List[str] = []
-    for doc_id, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
-        if not spans:
-            doc_ids.append(doc_id); offsets.append(-1); kinds.append("empty")
-            texts.append(""); refs.append("")
-            continue
-        for s in spans:
-            doc_ids.append(doc_id)
-            offsets.append(s["offset"])
-            kinds.append(s["kind"])
-            texts.append(s["text"] or "")
-            refs.append(s["media_ref"] or "")
-    return pa.table({
-        "doc_id": pa.array(doc_ids, pa.string()),
-        "offset": pa.array(offsets, pa.int32()),
-        "kind": pa.array(kinds, pa.string()),
-        "text": pa.array(texts, pa.string()),
-        "media_ref": pa.array(refs, pa.string()),
-        "pkey": pa.array([zlib.crc32(d.encode()) % num_buckets for d in doc_ids],
-                         pa.int64()),
+    import pyarrow.compute as pc
+
+    spans = batch["spans"].combine_chunks()
+    doc_ids = batch["doc_id"].combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(spans), 0)
+    parent = pc.list_parent_indices(spans)
+    flat = pc.list_flatten(spans)
+
+    pk_doc = np.array([zlib.crc32(s.encode()) % num_buckets
+                       for s in doc_ids.to_pylist()], dtype=np.int64)
+    parent_np = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    out = pa.table({
+        "doc_id": pc.take(doc_ids, parent),
+        "offset": pc.cast(pc.struct_field(flat, "offset"), pa.int32()),
+        "kind": pc.cast(pc.struct_field(flat, "kind"), pa.string()),
+        "text": pc.fill_null(pc.cast(pc.struct_field(flat, "text"), pa.string()), ""),
+        "media_ref": pc.fill_null(
+            pc.cast(pc.struct_field(flat, "media_ref"), pa.string()), ""),
+        "pkey": pa.array(pk_doc[parent_np], pa.int64()),
     })
+
+    empty = pc.equal(lens, 0)
+    if pc.any(empty).as_py():
+        e_ids = doc_ids.filter(empty)
+        n_e = len(e_ids)
+        sentinel = pa.table({
+            "doc_id": pc.cast(e_ids, pa.string()),
+            "offset": pa.array([-1] * n_e, pa.int32()),
+            "kind": pa.array(["empty"] * n_e, pa.string()),
+            "text": pa.array([""] * n_e, pa.string()),
+            "media_ref": pa.array([""] * n_e, pa.string()),
+            "pkey": pa.array(pk_doc[empty.to_numpy(zero_copy_only=False)], pa.int64()),
+        })
+        out = pa.concat_tables([out, sentinel])
+    return out
 
 
 class SpanProcessor:
@@ -238,31 +258,45 @@ def _field_to_struct(f: Optional[Dict[str, Any]]) -> Optional[Dict[str, Any]]:
 
 
 def assemble_bucket(group: pa.Table, keep_words: bool = False) -> pa.Table:
-    """Reassemble every document in one shuffle bucket: rows sorted by
-    (doc_id, offset), then each contiguous doc segment rebuilt — one UDF call
-    per bucket, not per document."""
-    rows = group.to_pylist()
-    rows.sort(key=lambda r: (r["doc_id"], r["offset"]))
-    out_rows: List[Dict[str, Any]] = []
-    i = 0
-    while i < len(rows):
-        j = i
-        while j < len(rows) and rows[j]["doc_id"] == rows[i]["doc_id"]:
-            j += 1
-        out_rows.append(_assemble_doc(rows[i:j], keep_words=keep_words))
-        i = j
+    """Reassemble every document in one shuffle bucket: Arrow-native sort by
+    (doc_id, offset) (C++ sort, no Python row dicts), numpy run-boundary
+    segmentation, then each contiguous doc segment rebuilt from column
+    slices — one UDF call per bucket, one column->Python conversion per
+    bucket (not one dict per row)."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for future kernels)
+
+    g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+    n = g.num_rows
     schema = RESULT_SCHEMA_WORDS if keep_words else RESULT_SCHEMA
+    if n == 0:
+        return schema.empty_table()
+    ids = np.asarray(g["doc_id"].to_pylist(), dtype=object)
+    starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+    bounds = np.concatenate((starts, [n]))
+    kinds = g["kind"].to_pylist()
+    norm_texts = g["norm_text"].to_pylist()
+    line_texts = g["line_texts"].to_pylist()
+    words_col = g["words"].to_pylist()
+    errors = g["error"].to_pylist()
+    refs = g["media_ref"].to_pylist()
+    out_rows: List[Dict[str, Any]] = []
+    for si in range(len(starts)):
+        i, j = int(bounds[si]), int(bounds[si + 1])
+        out_rows.append(_assemble_doc(
+            str(ids[i]), kinds[i:j], norm_texts[i:j], line_texts[i:j],
+            words_col[i:j], errors[i:j], refs[i:j], keep_words=keep_words))
     return pa.Table.from_pylist(out_rows, schema=schema)
 
 
-def _assemble_doc(rows: List[Dict[str, Any]], keep_words: bool = False) -> Dict[str, Any]:
+def _assemble_doc(doc_id: str, kinds: List[str], norm_texts: List[str],
+                  line_texts: List[List[str]], words_col: List[List[Dict[str, Any]]],
+                  errors: List[Optional[str]], refs: List[str],
+                  keep_words: bool = False) -> Dict[str, Any]:
     """Per-doc reassembly: fragments already offset-sorted; rebuild spans_out
     with the running `order` index, run heuristic field extraction over the
     accumulated normalized words (receipt_processor.py:153,196 word
     accumulation + :404-416 heuristics)."""
-    doc_id = rows[0]["doc_id"]
-
-    err = next((r["error"] for r in rows if r["error"]), None)
+    err = next((e for e in errors if e), None)
     if err is not None:
         return _failed_row(doc_id, err)
 
@@ -270,21 +304,22 @@ def _assemble_doc(rows: List[Dict[str, Any]], keep_words: bool = False) -> Dict[
     all_words: List[Dict[str, Any]] = []
     raw_words: List[Dict[str, Any]] = []
     order = 0
-    for r in rows:
-        if r["kind"] == "text":
-            spans_out.append({"kind": "text", "text": r["norm_text"],
+    for k in range(len(kinds)):
+        if kinds[k] == "text":
+            spans_out.append({"kind": "text", "text": norm_texts[k],
                               "media_ref": "", "order": order})
             order += 1
-        elif r["kind"] == "media":
+        elif kinds[k] == "media":
+            wds = words_col[k] or []
             if keep_words:
-                raw_words.extend(r["words"])
-            for wd in r["words"]:
+                raw_words.extend(wds)
+            for wd in wds:
                 all_words.append({"text": wd["text"],
                                   "box": [wd["x0"], wd["y0"], wd["x1"], wd["y1"]],
                                   "confidence": wd["confidence"]})
-            for line_text in r["line_texts"]:
+            for line_text in line_texts[k] or []:
                 spans_out.append({"kind": "media", "text": line_text,
-                                  "media_ref": r["media_ref"], "order": order})
+                                  "media_ref": refs[k], "order": order})
                 order += 1
 
     fields = F.extract_fields_heuristic(all_words) if all_words else {}
@@ -337,6 +372,8 @@ def build_pipeline(
     debug_dir: Optional[str] = None,
     log_dir: Optional[str] = None,
     split_heavy_cost: Optional[int] = None,
+    num_buckets: Optional[int] = None,
+    size_hint: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Compose the lazy pipeline over an already-loaded documents Dataset.
 
@@ -350,8 +387,19 @@ def build_pipeline(
     timeout at small CPU counts): the right shape once the kernel holds
     heavy state (real model weights), cf. reference lazy singletons
     (receipt_processor.py:50-54).
+
+    The reassembly shuffle width (num_buckets) scales with data/cluster size
+    via sharding.auto_buckets; ``size_hint`` is the input DOC count (a
+    metadata-only ``count()`` on a fresh parquet read). One bucket holds
+    <= ~DOCS_PER_BUCKET documents regardless of corpus size, so the
+    per-bucket map_groups materialization is bounded at any scale.
     """
-    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
+    from ..sharding import auto_buckets
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(size_hint, rows_per_bucket=DOCS_PER_BUCKET)
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow",
+                             fn_kwargs={"num_buckets": num_buckets})
     if target_blocks:
         spans = spans.repartition(target_blocks)
     if split_heavy_cost is not None:
@@ -426,6 +474,7 @@ def run_extraction(
     """Read the hash-partitioned documents table and build the pipeline;
     optionally write partitioned parquet output."""
     docs = ray.data.read_parquet(documents_dir)
+    kwargs.setdefault("size_hint", docs.count())  # metadata-only on a fresh read
     ds = build_pipeline(docs.select_columns(["doc_id", "spans"]), media_dir, **kwargs)
     if output_dir:
         ds.write_parquet(output_dir)
@@ -448,6 +497,7 @@ def run_scored_extraction(
     from ..stages.scorer import ScorerStage
 
     docs = ray.data.read_parquet(documents_dir)
+    kwargs.setdefault("size_hint", docs.count())  # metadata-only on a fresh read
     ds = build_pipeline(docs.select_columns(["doc_id", "spans"]), media_dir,
                         keep_words=True, **kwargs)
     return ds.map_batches(

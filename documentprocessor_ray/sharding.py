@@ -26,8 +26,6 @@ import numpy as np
 
 MIN_BUCKETS = 64
 
-_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
-
 
 def cluster_cpus(default: int = 8) -> int:
     try:
@@ -58,10 +56,13 @@ def auto_buckets(n_rows: Optional[int] = None,
 
 
 def bucket_of_ints(keys: np.ndarray, n: int) -> np.ndarray:
-    """Stable bucket for int64 keys (splitmix-style mix, not raw modulo, so
-    sequential keys spread instead of striping)."""
-    h = keys.astype(np.uint64) * _MIX
-    h ^= h >> np.uint64(31)
+    """Stable bucket for int64 keys (full splitmix64 finalizer — avalanche
+    quality matters here: a weak mix leaves empty/hot buckets on sequential
+    keys, which is reducer skew)."""
+    h = keys.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
     return (h % np.uint64(n)).astype(np.int64)
 
 

@@ -105,8 +105,11 @@ def run_partitioned(
             continue
         t0 = time.time()
         in_path = os.path.join(documents_dir, part)
-        docs = ray.data.read_parquet(in_path).select_columns(["doc_id", "spans"])
-        ds = build_pipeline(docs, media_dir, cfg=cfg, batch_size=batch_size)
+        raw = ray.data.read_parquet(in_path)
+        n_docs = raw.count()  # metadata-only on a fresh read
+        docs = raw.select_columns(["doc_id", "spans"])
+        ds = build_pipeline(docs, media_dir, cfg=cfg, batch_size=batch_size,
+                            size_hint=n_docs)
 
         part_out = os.path.join(output_dir, part)
         counters = {"docs_in": 0, "docs_ok": 0, "docs_failed": 0,
