@@ -29,7 +29,8 @@ is the small-corpus oracle; at 10^9+ rows switch to the LSH/IVF variants
 from __future__ import annotations
 
 import hashlib
-import zlib
+import logging
+import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -39,23 +40,42 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..sharding import auto_buckets, bucket_of_ints, bucket_of_strs
+
+_LOG = logging.getLogger(__name__)
+
 _WS = r"\s+"
 
 _MERSENNE = (1 << 61) - 1
 
 # Shuffle discipline: Ray's groupby pays a fixed per-GROUP cost in
 # aggregate/map_groups, so fine-grained keys (a band hash, a (doc_a, doc_b)
-# pair) are first folded into N_BUCKETS coarse buckets (pkey = crc32 % N);
-# the shuffle moves bucket-sized blocks and the per-key grouping happens
-# VECTORIZED inside each bucket (pyarrow group_by / dict grouping). This is
-# the same hash-partition exchange a warehouse engine performs — the bucket
-# count is the shuffle width, sized to the cluster, independent of key
-# cardinality.
-N_BUCKETS = 64
+# pair) are first folded into coarse buckets (pkey = crc32 % N); the shuffle
+# moves bucket-sized blocks and the per-key grouping happens VECTORIZED
+# inside each bucket (pyarrow group_by / dict grouping). This is the same
+# hash-partition exchange a warehouse engine performs — the bucket count is
+# the shuffle width, derived from cluster/data size (sharding.auto_buckets),
+# independent of key cardinality.
+N_BUCKETS = auto_buckets(None)
+
+# RE2 whitespace semantics ([\t\n\f\r ] — NO \v, NO unicode): Python
+# str.strip()/.split() are unicode-aware and would diverge from the DuckDB/
+# pyarrow RE2 twins on NBSP/NEL/VT at token boundaries, so all Python-side
+# tokenization here uses these exact-class regexes instead.
+_RE2_WS = re.compile(r"[\t\n\f\r ]+")
+_RE2_TRIM = re.compile(r"^[\t\n\f\r ]+|[\t\n\f\r ]+$")
 
 
-def _str_buckets(keys: List[str], n: int = N_BUCKETS) -> List[int]:
-    return [zlib.crc32(k.encode()) % n for k in keys]
+def _re2_tokens(text: Optional[str]) -> List[str]:
+    """Trim + lower + whitespace-split with RE2 \\s semantics."""
+    t = _RE2_TRIM.sub("", text or "")
+    if not t:
+        return []
+    return _RE2_WS.split(t.lower())
+
+
+def _str_buckets(keys: List[str], n: Optional[int] = None) -> List[int]:
+    return bucket_of_strs(keys, n if n is not None else N_BUCKETS)
 
 
 def _md5_arr(texts: List[Optional[str]]) -> List[Optional[str]]:
@@ -84,18 +104,35 @@ def _distinct_pairs(pairs: "ray.data.Dataset", extra_cols: List[str]) -> "ray.da
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
 
 
-def _pairs_by_key(local_fn):
+def _pairs_by_key(local_fn, group_cap: Optional[int] = None):
     """Wrap a per-blocking-key pair emitter into a per-BUCKET UDF: rows are
     grouped by their exact `key` inside the bucket (python dict — bucket rows
-    are small), then local_fn(ids, payloads) emits pairs per key group."""
+    are small), then local_fn(ids, payloads) emits pairs per key group.
+
+    group_cap bounds the in-key candidate-group size: a hot blocking key (a
+    stopword prefix token, an all-zero band) would otherwise produce an
+    O(n^2) pair explosion inside one task. Oversized groups are SKIPPED and
+    the drop is logged with the key and size — never silent; recall for
+    pairs only coverable by that key is lost, which is the documented
+    trade at web scale (hot keys are near-useless blocking keys anyway)."""
 
     def per_bucket(g: pa.Table) -> pa.Table:
         keys = g["key"].to_pylist()
         groups: Dict[Any, List[int]] = {}
         for i, k in enumerate(keys):
             groups.setdefault(k, []).append(i)
-        tables = [local_fn(g, idxs) for idxs in groups.values() if len(idxs) > 1]
-        tables = [t for t in tables if t is not None and t.num_rows]
+        tables = []
+        for k, idxs in groups.items():
+            if len(idxs) < 2:
+                continue
+            if group_cap is not None and len(idxs) > group_cap:
+                _LOG.warning(
+                    "dedup: dropping blocking key %r with %d candidates "
+                    "(> group_cap=%d)", k, len(idxs), group_cap)
+                continue
+            t = local_fn(g, idxs)
+            if t is not None and t.num_rows:
+                tables.append(t)
         if not tables:
             return local_fn(g, [])  # typed empty table
         return pa.concat_tables(tables)
@@ -132,12 +169,10 @@ def exact_dedup(ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def _distinct_tokens(text: str) -> List[str]:
     """Distinct whitespace tokens of the lowercased, trimmed text, first-
-    occurrence order (matches DuckDB list_distinct(regexp_split_to_array))."""
-    t = text.strip().lower() if text else ""
-    if not t:
-        return []
+    occurrence order (matches DuckDB list_distinct(regexp_split_to_array))
+    — RE2 whitespace class, see _re2_tokens."""
     seen = {}
-    for tok in t.split():
+    for tok in _re2_tokens(text):
         if tok not in seen:
             seen[tok] = None
     return list(seen)
@@ -148,8 +183,7 @@ def _distinct_shingles(text: str, k: int) -> List[str]:
     mirrors the DuckDB list_transform(range(...)) construction exactly.
     NOTE: tokens here are the raw split (duplicates kept) since shingles are
     positional; only the shingle SET is deduplicated."""
-    t = text.strip().lower() if text else ""
-    toks = t.split() if t else []
+    toks = _re2_tokens(text)
     if len(toks) < k:
         return []
     seen = {}
@@ -190,7 +224,8 @@ def _token_freqs(ds: "ray.data.Dataset", token_fn=_distinct_tokens) -> Dict[str,
 
 def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
                   threshold_den: int = 5,
-                  shingle_k: Optional[int] = None) -> "ray.data.Dataset":
+                  shingle_k: Optional[int] = None,
+                  group_cap: Optional[int] = None) -> "ray.data.Dataset":
     """All pairs (doc_a < doc_b) with token-set Jaccard >= num/den; EXACT.
 
     Prefix filter (PPJoin): tokens sorted by (global df, token) ascending; a
@@ -256,7 +291,7 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
 
     cand = ds.map_batches(emit_prefix, batch_format="pyarrow")
     pairs = cand.groupby("pkey").map_groups(
-        _pairs_by_key(pairs_for_key), batch_format="pyarrow")
+        _pairs_by_key(pairs_for_key, group_cap=group_cap), batch_format="pyarrow")
     # a pair can be found under several shared prefix tokens -> dedup
     return _distinct_pairs(pairs, ["n_inter", "n_union"])
 
@@ -293,7 +328,7 @@ class MinHasher:
         return h
 
     def _shingles(self, text: str) -> np.ndarray:
-        toks = (text or "").strip().lower().split()
+        toks = _re2_tokens(text)
         if not toks:
             return np.array([], dtype=np.uint64)
         th = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
@@ -322,7 +357,8 @@ class MinHasher:
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.5,
-                      concurrency: Optional[int] = None) -> "ray.data.Dataset":
+                      concurrency: Optional[int] = None,
+                      group_cap: Optional[int] = None) -> "ray.data.Dataset":
     """Near-dup pairs via banded LSH over MinHash signatures.
 
     rows/band r = num_perm/bands; collision prob at Jaccard j is
@@ -371,7 +407,9 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
 
     pairs = (
         sig_ds.map_batches(emit_bands, batch_format="pyarrow")
-        .groupby("pkey").map_groups(_pairs_by_key(pairs_for_key), batch_format="pyarrow")
+        .groupby("pkey").map_groups(
+            _pairs_by_key(pairs_for_key, group_cap=group_cap),
+            batch_format="pyarrow")
     )
     return _distinct_pairs(pairs, ["est_jaccard"])
 
@@ -380,7 +418,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens weighted by term frequency."""
-    toks = (text or "").strip().lower().split()
+    toks = _re2_tokens(text)
     if not toks:
         return 0
     acc = np.zeros(64, dtype=np.int64)
@@ -396,7 +434,8 @@ def simhash64(text: str) -> int:
     return out
 
 
-def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dataset":
+def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
+                  group_cap: Optional[int] = None) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit band
     blocking (any pair within distance 3 shares at least one exact band)."""
 
@@ -442,19 +481,124 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dat
     pairs = (
         ds.map_batches(sig_batch, batch_format="pyarrow")
         .map_batches(emit_bands, batch_format="pyarrow")
-        .groupby("pkey").map_groups(_pairs_by_key(pairs_for_key), batch_format="pyarrow")
+        .groupby("pkey").map_groups(
+            _pairs_by_key(pairs_for_key, group_cap=group_cap),
+            batch_format="pyarrow")
     )
     return _distinct_pairs(pairs, ["hamming"])
+
+
+def cluster_pairs_distributed(pairs: "ray.data.Dataset", max_iters: int = 50,
+                              num_buckets: Optional[int] = None) -> "ray.data.Dataset":
+    """Connected components over a (doc_a, doc_b) pair Dataset WITHOUT ever
+    collecting pairs to the driver: iterative min-label propagation.
+
+    Each round every node's label drops to the min label among itself and
+    its neighbors (one co-bucketed hash join edge x label + one bucketed
+    min-combine); rounds repeat until a round changes no label. Round count
+    is bounded by component diameter — near-dup clusters are small and
+    dense, so this converges in a handful of rounds. The only driver-side
+    values are the per-round changed COUNT (a scalar aggregate) — pair and
+    label data stay distributed, which is what makes this the 10^12-doc
+    path. ``pair_clusters`` (driver union-find) remains the small-N oracle;
+    a unit test asserts label equality between the two.
+
+    Returns a Dataset (doc_id, cluster_rep), rep = min doc_id of the
+    component, one row per node that appears in any pair.
+    """
+    from .joins import hash_join
+
+    if num_buckets is None:
+        num_buckets = auto_buckets(None)
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, c])
+        dst = np.concatenate([c, a])
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(dst, num_buckets), pa.int64()),
+        })
+
+    # edges are reused every round -> materialize ONCE into the object store
+    # (distributed blocks, not a driver collect)
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_rep": pa.array([], pa.int64()),
+        }))
+
+    def init_labels(g: pa.Table) -> pa.Table:
+        # round 0 fused into node enumeration: label = min(node, min neighbor)
+        t = g.group_by("dst").aggregate([("src", "min")])
+        lab = pc.min_element_wise(t["dst"], t["src_min"])
+        return pa.table({
+            "node": pc.cast(t["dst"], pa.int64()),
+            "label": pc.cast(lab, pa.int64()),
+        })
+
+    labels = edges.groupby("pkey").map_groups(
+        init_labels, batch_format="pyarrow").materialize()
+
+    def tag_msg(b: pa.Table) -> pa.Table:
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(dst, pa.int64()),
+            "cand": pc.cast(b["label"].combine_chunks(), pa.int64()),
+            "is_old": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
+            "pkey": pa.array(bucket_of_ints(dst, num_buckets), pa.int64()),
+        })
+
+    def tag_old(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "cand": pc.cast(b["label"].combine_chunks(), pa.int64()),
+            "is_old": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+            "pkey": pa.array(bucket_of_ints(node, num_buckets), pa.int64()),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        t = g.group_by("node").aggregate([("cand", "min")])
+        old = (g.filter(pc.equal(g["is_old"], 1))
+               .group_by("node").aggregate([("cand", "min")])
+               .rename_columns(["node", "old_label"]))
+        j = t.join(old, keys="node", join_type="inner")
+        return pa.table({
+            "node": pc.cast(j["node"], pa.int64()),
+            "label": pc.cast(j["cand_min"], pa.int64()),
+            "changed": pc.cast(pc.less(j["cand_min"], j["old_label"]), pa.int64()),
+        })
+
+    for _ in range(max_iters):
+        lab_by_src = labels.map_batches(
+            lambda b: pa.table({"src": b["node"], "label": b["label"]}),
+            batch_format="pyarrow")
+        msgs = hash_join(edges.select_columns(["src", "dst"]), lab_by_src,
+                         on="src", how="inner", num_buckets=num_buckets)
+        combined = (msgs.map_batches(tag_msg, batch_format="pyarrow")
+                    .union(labels.map_batches(tag_old, batch_format="pyarrow"))
+                    .groupby("pkey").map_groups(combine, batch_format="pyarrow")
+                    ).materialize()
+        labels = combined.select_columns(["node", "label"])
+        if int(combined.sum("changed") or 0) == 0:
+            break
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster_rep": b["label"]}),
+        batch_format="pyarrow")
 
 
 def pair_clusters(pairs: "ray.data.Dataset") -> Dict[int, int]:
     """Union-find over a (doc_a, doc_b) pair dataset -> {doc_id: cluster_rep}
     with rep = min doc_id of the component.
 
-    The pair set is orders of magnitude smaller than the corpus (only
-    near-dups appear), so collecting it to the driver is the right
-    single-node call; at 10^12-doc scale swap for iterative
-    large-star/small-star label propagation over the same pair dataset.
+    The small-N ORACLE for cluster_pairs_distributed (which is the scale
+    path): collecting the pair set to the driver is right-sized for tests
+    and sub-million-pair corpora only.
     """
     parent: Dict[int, int] = {}
 

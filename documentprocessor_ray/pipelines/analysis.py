@@ -111,16 +111,13 @@ def q_embedding_neardup(sf_dir: str) -> "ray.data.Dataset":
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
 
 
-def q_dedup_clusters(sf_dir: str) -> pa.Table:
-    """Near-dup clusters: union-find over the 3-gram Jaccard pairs.
-    Output (doc_id, cluster_rep) for every doc that belongs to a cluster."""
+def q_dedup_clusters(sf_dir: str) -> "ray.data.Dataset":
+    """Near-dup clusters: distributed min-label propagation over the 3-gram
+    Jaccard pairs (pair data never collected to the driver; driver union-find
+    remains the unit-test oracle). Output (doc_id, cluster_rep) for every doc
+    that belongs to a cluster."""
     pairs = q_ngram_jaccard_pairs(sf_dir)
-    mapping = D.pair_clusters(pairs.select_columns(["doc_a", "doc_b"]))
-    ids = sorted(mapping)
-    return pa.table({
-        "doc_id": pa.array(ids, pa.int64()),
-        "cluster_rep": pa.array([mapping[i] for i in ids], pa.int64()),
-    })
+    return D.cluster_pairs_distributed(pairs.select_columns(["doc_a", "doc_b"]))
 
 
 def q_corpus_clean(sf_dir: str) -> "ray.data.Dataset":

@@ -133,6 +133,60 @@ class TestDedup:
         assert m[7] == m[9] == 7
         assert 5 not in m
 
+    def test_distributed_clusters_match_union_find(self, ray_session):
+        """cluster_pairs_distributed == driver union-find on a graph with a
+        chain (multi-round propagation), a star, and a disjoint pair."""
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5),          # chain, rep 1
+                 (10, 11), (10, 12), (10, 13),            # star, rep 10
+                 (20, 21)]                                # pair, rep 20
+        pairs = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        }))
+        oracle = D.pair_clusters(pairs)
+        got = D.cluster_pairs_distributed(pairs).to_pandas()
+        assert dict(zip(got["doc_id"], got["cluster_rep"])) == oracle
+
+    def test_distributed_clusters_empty(self, ray_session):
+        pairs = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+        }))
+        got = D.cluster_pairs_distributed(pairs)
+        assert got.count() == 0
+        assert set(got.schema().names) == {"doc_id", "cluster_rep"}
+
+    def test_group_cap_drops_hot_key_and_logs(self, caplog):
+        """_pairs_by_key skips key groups above group_cap and logs the drop
+        (called in-process: the warning fires inside Ray workers in real
+        runs, so the unit test exercises the wrapper directly)."""
+        import logging as _logging
+
+        emitted = []
+
+        def local_fn(g, idxs):
+            emitted.append(list(idxs))
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+
+        g = pa.table({
+            "key": pa.array(["hot"] * 5 + ["cold"] * 2, pa.string()),
+            "doc_id": pa.array(range(7), pa.int64()),
+        })
+        with caplog.at_level(_logging.WARNING,
+                             logger="documentprocessor_ray.functions.dedup"):
+            D._pairs_by_key(local_fn, group_cap=3)(g)
+        assert any("group_cap" in r.message for r in caplog.records)
+        assert [5, 6] in emitted                 # cold group processed
+        assert [0, 1, 2, 3, 4] not in emitted    # hot group dropped
+
+    def test_group_cap_none_keeps_all(self, ray_session):
+        """Default (no cap) behavior unchanged: identical docs pair up."""
+        docs = ["same words here entirely"] * 4
+        out = D.jaccard_pairs(ray.data.from_arrow(_docs_table(docs)),
+                              threshold_num=3, threshold_den=5).to_pandas()
+        assert len(out) == 6  # all C(4,2) pairs
+
     def test_embedding_neardup(self, ray_session):
         vecs = [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]]
         ds = ray.data.from_arrow(pa.table({
