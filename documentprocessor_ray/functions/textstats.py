@@ -41,8 +41,12 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
 
 def _tokens_list(arr: pa.Array) -> pa.Array:
-    """Whitespace tokens per row; '' -> empty list (matches the SQL guard)."""
-    trimmed = pc.utf8_trim_whitespace(arr)
+    """Whitespace tokens per row; '' -> empty list (matches the SQL guard).
+
+    Trim is the same RE2 regex the SQL twin uses ('^\\s+|\\s+$') — NOT
+    pc.utf8_trim_whitespace, which strips unicode whitespace (NBSP/NEL/VT)
+    that RE2 \\s does not, a latent hash divergence at token boundaries."""
+    trimmed = pc.replace_substring_regex(arr, r"^\s+|\s+$", "")
     split = pc.split_pattern_regex(trimmed, _RE_WS)
     empty = pc.equal(trimmed, "")
     # RE2 split of "" yields [""]; null it out to an empty list equivalent by

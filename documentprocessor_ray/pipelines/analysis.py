@@ -399,22 +399,79 @@ def q_order_revenue_join(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_events_rollup(sf_dir: str) -> "ray.data.Dataset":
-    """Per-event-type rollup incl. a distinct count. The distinct-user count
-    is computed per group (groups = few event types); at 10^12 rows swap the
-    exact nunique for a per-batch partial HLL sketch merged in the same
-    groupby."""
-    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    """Per-event-type rollup incl. an exact distinct-user count, with NO
+    skewed shuffle: the old groupby(event_type).map_groups put every row of
+    one event type in a single group — the classic all-to-one hot key.
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "n_events": np.array([len(g)], dtype=np.int64),
-            "sum_value_cents": np.array([int(_cents(g["value"].to_numpy()).sum())],
-                                        dtype=np.int64),
-            "n_users": np.array([g["user_id"].nunique()], dtype=np.int64),
+    Two-stage shape instead:
+    - n_events / sum_value_cents: per-batch partial group_by + one tiny
+      groupby(event_type) Sum (combiner pattern, rows ~ #types per batch).
+    - n_users: per-batch DISTINCT (event_type, user_id), bucketed on the
+      pair hash -> in-bucket global distinct -> per-bucket partial counts ->
+      tiny groupby(event_type) Sum. Shuffle volume ~ distinct pairs, spread
+      over all buckets; no single reducer sees one event type's full rows.
+    The two aggregate legs (each ~#event_types rows) are tag-unioned and
+    summed in one final tiny groupby — nothing is collected to the driver."""
+    import zlib
+
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    n_rows = _read(sf_dir, "events", ["event_id"]).count()  # metadata-only
+    num_buckets = auto_buckets(n_rows, rows_per_bucket=65536)
+
+    metrics = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial_metrics(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "cents": pa.array(_cents(batch["value"].to_numpy(zero_copy_only=False)),
+                              pa.int64()),
+        }).group_by("event_type").aggregate([("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pc.cast(t["cents_count"], pa.int64()),
+            "sum_value_cents": pc.cast(t["cents_sum"], pa.int64()),
+            "n_users": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
         })
 
-    return ds.groupby("event_type").map_groups(per_group, batch_format="pandas")
+    users = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        d = pa.table({
+            "event_type": batch["event_type"],
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+        }).group_by(["event_type", "user_id"]).aggregate([])
+        et_crc = np.array([zlib.crc32(s.encode())
+                           for s in d["event_type"].to_pylist()], dtype=np.int64)
+        uid = d["user_id"].to_numpy(zero_copy_only=False)
+        pk = bucket_of_ints(uid * np.int64(1000003) + et_crc, num_buckets)
+        return d.append_column("pkey", pa.array(pk, pa.int64()))
+
+    def bucket_distinct_count(g: pa.Table) -> pa.Table:
+        d = g.group_by(["event_type", "user_id"]).aggregate([])
+        t = d.group_by("event_type").aggregate([("user_id", "count")])
+        n = t.num_rows
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_events": pa.nulls(n, pa.int64()).fill_null(0),
+            "sum_value_cents": pa.nulls(n, pa.int64()).fill_null(0),
+            "n_users": pc.cast(t["user_id_count"], pa.int64()),
+        })
+
+    user_leg = (users.map_batches(partial_pairs, batch_format="pyarrow")
+                .groupby("pkey").map_groups(bucket_distinct_count,
+                                            batch_format="pyarrow"))
+    metric_leg = metrics.map_batches(partial_metrics, batch_format="pyarrow")
+
+    agg = (metric_leg.union(user_leg)
+           .groupby("event_type")
+           .aggregate(Sum("n_events"), Sum("sum_value_cents"), Sum("n_users")))
+    return agg.map_batches(lambda b: pa.table({
+        "event_type": b["event_type"],
+        "n_events": pc.cast(b["sum(n_events)"], pa.int64()),
+        "sum_value_cents": pc.cast(b["sum(sum_value_cents)"], pa.int64()),
+        "n_users": pc.cast(b["sum(n_users)"], pa.int64()),
+    }), batch_format="pyarrow")
 
 
 def q_events_tumbling(sf_dir: str) -> "ray.data.Dataset":
