@@ -14,6 +14,7 @@ here calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -49,21 +50,25 @@ def _sf_of(sf_dir: str) -> float:
         return 0.01
 
 
-def _chunk_text(text: str, target: int = 200) -> list[str]:
-    """Deterministic ~target-char chunks on word boundaries (>=1 chunk)."""
-    words = (text or "").split()
+_RE2_WS = re.compile(r"[\t\n\f\r ]+")
+_RE2_TRIM = re.compile(r"^[\t\n\f\r ]+|[\t\n\f\r ]+$")
+
+WORDS_PER_CHUNK = 32
+
+
+def _chunk_text(text: str, words_per_chunk: int = WORDS_PER_CHUNK) -> list[str]:
+    """Deterministic fixed-word-count chunks (>=1 chunk; '' stays one empty
+    chunk). Tokenization uses the RE2 whitespace class ([\\t\\n\\f\\r ]) so the
+    chunk COUNT is SQL-derivable: n_chunks = ceil(n_tokens / 32) with
+    n_tokens computed by the same regexp_split the token_count oracle uses —
+    this is what gives the flagship a driver-checkable DuckDB twin
+    (extract_sftext)."""
+    t = _RE2_TRIM.sub("", text or "")
+    words = _RE2_WS.split(t) if t else []
     if not words:
         return [""]
-    chunks, cur, cur_len = [], [], 0
-    for w in words:
-        if cur and cur_len + 1 + len(w) > target:
-            chunks.append(" ".join(cur))
-            cur, cur_len = [], 0
-        cur.append(w)
-        cur_len += (1 if cur_len else 0) + len(w)
-    if cur:
-        chunks.append(" ".join(cur))
-    return chunks
+    return [" ".join(words[i:i + words_per_chunk])
+            for i in range(0, len(words), words_per_chunk)]
 
 
 def _combined_corpus(sf_dir: str, n_docs: int, seed: int = 42):
@@ -76,7 +81,8 @@ def _combined_corpus(sf_dir: str, n_docs: int, seed: int = 42):
     from documentprocessor_ray.corpus import DOCUMENTS_SCHEMA, generate_corpus
 
     sfname = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(_CORPUS_ROOT, f"n{n_docs}_s{seed}_{sfname}")
+    # v2: fixed-word-count chunker (cache dirs from older chunkers are stale)
+    out = os.path.join(_CORPUS_ROOT, f"n{n_docs}_s{seed}_{sfname}_v2")
     docs_dir = os.path.join(out, "documents")
     media_dir = os.path.join(out, "media")
     marker = os.path.join(out, "_COMPLETE")
@@ -124,13 +130,55 @@ def entry() -> Any:
     return _run_extract("/root/testdata/sf0.001")
 
 
-def _run_scored_extract(sf_dir: str) -> Any:
-    """Extraction + deterministic scorer actor pool (model path, M26/M30)."""
+def _run_extract_sftext(sf_dir: str) -> Any:
+    """Flagship pipeline restricted to the sf-derived TEXT-doc partition:
+    the SQL-checkable projection of the flagship. Per doc, the pipeline
+    chunks documents.text into 32-word spans, normalizes each, and
+    reassembles in order — so n_spans_out == ceil(n_tokens/32) (1 for empty
+    text) is derivable by the DuckDB twin from documents.parquet, giving the
+    driver a rows+schema+hash gate on the REAL extraction code path (same
+    explode -> span stage -> shuffle -> assemble as extract_receipts)."""
+    from documentprocessor_ray.pipelines.extract import run_extraction
+
+    n_docs = max(40, int(4000 * _sf_of(sf_dir)))
+    docs_dir, media_dir = _combined_corpus(sf_dir, n_docs)
+    ds = run_extraction(os.path.join(docs_dir, "part=sftext"), media_dir)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "status": batch["status"],
+            "n_spans_out": pa.compute.cast(
+                pa.compute.list_value_length(batch["spans_out"]), pa.int64()),
+        })
+
+    return ds.map_batches(slim, batch_format="pyarrow")
+
+
+_SFTEXT_ORACLE_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+             ELSE len(regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        END::BIGINT AS n_tokens
+      FROM documents)
+    SELECT 'sfdoc-' || printf('%06d', doc_id) AS doc_id,
+           'done' AS status,
+           CAST(CASE WHEN n_tokens = 0 THEN 1
+                     ELSE (n_tokens + 31) // 32 END AS BIGINT) AS n_spans_out
+    FROM tok"""
+
+
+def _run_scored_extract(sf_dir: str, model: str = "rule") -> Any:
+    """Extraction + deterministic scorer actor pool (model path, M26/M30).
+    model='donut'/'idefics2' routes through the generation+parse scorers
+    (M27/M28 decode running inside the actor pool)."""
     from documentprocessor_ray.pipelines.extract import run_scored_extraction
 
     n_docs = max(40, int(4000 * _sf_of(sf_dir)))
     docs_dir, media_dir = _combined_corpus(sf_dir, n_docs)
-    ds = run_scored_extraction(docs_dir, media_dir)
+    ds = run_scored_extraction(docs_dir, media_dir, model=model)
 
     def slim(batch: pa.Table) -> pa.Table:
         mv = batch["model_vendor"]
@@ -151,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {
         "extract_receipts": _run_extract,
         "extract_scored": _run_scored_extract,
+        "extract_scored_donut": lambda sf: _run_scored_extract(sf, model="donut"),
+        "extract_scored_idefics": lambda sf: _run_scored_extract(sf, model="idefics2"),
+        "extract_sftext": _run_extract_sftext,
     }
     out.update(QUERIES)
     return out
@@ -160,6 +211,10 @@ def oracle_sql() -> dict[str, str]:
     from documentprocessor_ray.pipelines.analysis import ORACLE_SQL
 
     # extract_receipts / langid / winnow_fingerprint / minhash_pairs /
-    # simhash_pairs / knn_ivf are genuinely non-SQL-expressible (stateful
-    # kernels, LSH banding, iterative k-means) -> rows-only checks.
-    return dict(ORACLE_SQL)
+    # simhash_pairs / knn_ivf / extract_scored* are genuinely
+    # non-SQL-expressible (stateful kernels, LSH banding, iterative k-means,
+    # generation models) -> rows-only checks. extract_sftext is the flagship's
+    # SQL-checkable projection (same code path, text-doc partition).
+    out = dict(ORACLE_SQL)
+    out["extract_sftext"] = _SFTEXT_ORACLE_SQL
+    return out

@@ -171,7 +171,121 @@ def decode_bio(words: List[Dict[str, Any]], label_ids: List[int],
     return entities
 
 
-_REGISTRY = {"rule": RuleScorer, "null": NullScorer}
+class _GenScorer(BaseScorer):
+    """Base for the generation+parse scorers: predict() GENERATES model
+    output text from the page words (the deterministic stand-in for
+    model.generate — swap _generate for a real VLM decode) and then DECODES
+    it with the pure parsers in functions/parsers.py, exactly the shape the
+    reference runs inside its model wrappers (donut.py:211-345,
+    idefics2.py:262-396). The parse path therefore executes inside the Ray
+    actor pool on every batch, not just in unit tests."""
+
+    GEN_CONFIDENCE = 0.9  # generation models emit no per-token box/conf
+
+    def __init__(self, seed: int = 33):
+        self.rule = RuleScorer(seed)  # weight-matrix build = actor-state cost
+
+    def _generate(self, words: List[Dict[str, Any]]) -> str:
+        raise NotImplementedError
+
+    def _parse(self, text: str) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def predict(self, words):
+        if not words:
+            return {}
+        fields = self._parse(self._generate(words))
+        return self._fields_to_entities(fields)
+
+    def _fields_to_entities(self, fields: Dict[str, Any]) -> Dict[str, Any]:
+        def ent(v):
+            return {"value": str(v), "confidence": self.GEN_CONFIDENCE,
+                    "box": None}
+
+        out: Dict[str, Any] = {}
+        mapping = {"vendor": ("vendor", "vendor_name"),
+                   "date": ("date",),
+                   "total": ("total_amount",),
+                   "subtotal": ("subtotal", "sub_total"),
+                   "tax": ("tax_amount",)}
+        for kind, keys in mapping.items():
+            for k in keys:
+                if fields.get(k) is not None:
+                    out[kind] = ent(fields[k])
+                    break
+        items = []
+        for it in fields.get("line_items", []) or []:
+            items.append({
+                "value": it.get("description", ""),
+                "confidence": self.GEN_CONFIDENCE,
+                "box": None,
+            })
+        if items:
+            out["items"] = items
+        return out
+
+
+class TagGenScorer(_GenScorer):
+    """Donut CORD-v2 path (M27): emits a <s_field>value</s_field> tag stream
+    (menu items <sep/>-separated with nested nm/cnt/price tags) and decodes
+    it with parse_tagged_output (reference donut.py:211-345 token2json)."""
+
+    def _generate(self, words):
+        ents = self.rule.predict(words)
+        parts: List[str] = []
+        if "vendor" in ents:
+            parts.append(f"<s_vendor>{ents['vendor']['value']}</s_vendor>")
+        if "date" in ents:
+            parts.append(f"<s_date>{ents['date']['value']}</s_date>")
+        for kind, tag, inner in [("total", "total", "total_price"),
+                                 ("subtotal", "sub_total", "subtotal_price"),
+                                 ("tax", "tax", "tax_price")]:
+            if kind in ents:
+                parts.append(f"<s_{tag}><s_{inner}>{ents[kind]['value']}"
+                             f"</s_{inner}></s_{tag}>")
+        items = ents.get("items", [])
+        if items:
+            chunks = [f"<s_nm>{it['value']}</s_nm><s_cnt>1</s_cnt>"
+                      f"<s_price>0.00</s_price>" for it in items]
+            parts.append("<s_menu>" + "<sep/>".join(chunks) + "</s_menu>")
+        return "".join(parts)
+
+    def _parse(self, text):
+        from ..functions.parsers import parse_tagged_output
+
+        return parse_tagged_output(text)
+
+
+class JsonGenScorer(_GenScorer):
+    """IDEFICS2 JSON path (M28): emits a {...} JSON block and decodes it with
+    parse_json_output (reference idefics2.py:262-396), exercising the
+    brace-block search + amount cleaning + regex-fallback machinery."""
+
+    def _generate(self, words):
+        import json as _json
+
+        ents = self.rule.predict(words)
+        obj: Dict[str, Any] = {}
+        if "vendor" in ents:
+            obj["vendor_name"] = ents["vendor"]["value"]
+        if "date" in ents:
+            obj["date"] = ents["date"]["value"]
+        for kind, key in [("total", "total"), ("subtotal", "subtotal"),
+                          ("tax", "tax")]:
+            if kind in ents:
+                obj[key] = ents[kind]["value"]
+        if not obj:
+            return ""  # exercises the parser's regex-fallback branch
+        return "The extracted receipt data is: " + _json.dumps(obj)
+
+    def _parse(self, text):
+        from ..functions.parsers import parse_json_output
+
+        return parse_json_output(text)
+
+
+_REGISTRY = {"rule": RuleScorer, "null": NullScorer,
+             "donut": TagGenScorer, "idefics2": JsonGenScorer}
 
 
 def get_scorer(name: str, **kwargs) -> BaseScorer:

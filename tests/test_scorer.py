@@ -6,8 +6,8 @@ import pyarrow as pa
 import pytest
 
 from documentprocessor_ray.stages.scorer import (
-    RECEIPT_LABELS, NullScorer, RuleScorer, ScorerStage, decode_bio,
-    get_scorer, merge_fields, register_scorer,
+    RECEIPT_LABELS, JsonGenScorer, NullScorer, RuleScorer, ScorerStage,
+    TagGenScorer, decode_bio, get_scorer, merge_fields, register_scorer,
 )
 from tests.conftest import SAMPLE_WORDS
 
@@ -59,8 +59,10 @@ class TestRegistryAndMerge:
     def test_registry(self):
         assert isinstance(get_scorer("rule"), RuleScorer)
         assert isinstance(get_scorer("null"), NullScorer)
+        assert isinstance(get_scorer("donut"), TagGenScorer)
+        assert isinstance(get_scorer("idefics2"), JsonGenScorer)
         with pytest.raises(ValueError):
-            get_scorer("donut")
+            get_scorer("no-such-model")
         register_scorer("custom-null", NullScorer)
         assert isinstance(get_scorer("custom-null"), NullScorer)
 
@@ -76,6 +78,46 @@ class TestRegistryAndMerge:
     def test_merge_empty_model_falls_back(self):
         heur = {"vendor_name": {"value": "H"}}
         assert merge_fields({}, heur) == heur
+
+
+class TestGenScorers:
+    """M27/M28 generation+parse path: the scorer GENERATES tagged/JSON text
+    and decodes it with functions/parsers — so the parsers run inside the
+    scoring path, not only in their unit tests."""
+
+    def test_tag_gen_roundtrip(self, sample_words):
+        s = TagGenScorer()
+        gen = s._generate(sample_words)
+        assert "<s_vendor>" in gen and "</s_vendor>" in gen
+        assert "<s_menu>" in gen and "<sep/>" in gen
+        out = s.predict(sample_words)
+        assert out["vendor"]["value"].startswith("GROCERY")
+        assert out["date"]["value"] == "01/15/2024"
+        # amounts round-trip through parse_amount (strip $, float)
+        assert out["total"]["value"] == "7.01"
+        assert len(out["items"]) == 2
+        assert out == TagGenScorer().predict(sample_words)  # deterministic
+
+    def test_json_gen_roundtrip(self, sample_words):
+        s = JsonGenScorer()
+        gen = s._generate(sample_words)
+        assert gen.index("{") > 0  # brace-block search is exercised
+        out = s.predict(sample_words)
+        assert out["vendor"]["value"].startswith("GROCERY")
+        assert out["total"]["value"] == "7.01"
+
+    def test_gen_empty_words(self):
+        assert TagGenScorer().predict([]) == {}
+        assert JsonGenScorer().predict([]) == {}
+
+    def test_scored_pipeline_donut(self, ray_session, small_corpus):
+        from documentprocessor_ray.pipelines.extract import run_scored_extraction
+
+        docs_dir, media_dir = small_corpus
+        out = run_scored_extraction(docs_dir, media_dir, model="donut").to_pandas()
+        done = out[(out["status"] == "done") & (out["n_words"] > 0)]
+        assert len(done) > 0
+        assert all(v is not None for v in done["model_vendor"])
 
 
 class TestScoredPipeline:
