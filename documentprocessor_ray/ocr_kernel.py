@@ -124,3 +124,51 @@ class OcrKernel:
         if image.ndim == 3:  # RGB -> gray via exact mean (deterministic ints)
             image = (image.astype(np.uint16).sum(axis=2) // image.shape[2]).astype(np.uint8)
         return detect_words(image)
+
+
+# --- engine registry (A1-A3 factory/fallback; reference ocr_engine.py:200-233) ---
+#
+# The span stage resolves its engine INSIDE the Ray worker (actor __init__ /
+# task-pool cache), so a name registered only in the driver process would not
+# exist worker-side. Two supported shapes:
+#   - built-in/name: get_engine("kernel") — names registered at module import
+#     exist in every worker (module-level dict);
+#   - user engine: pass the CLASS itself (build_pipeline(engine=MyEngine)) —
+#     cloudpickle ships it to the workers with the stage closure. This is the
+#     seam where a real Paddle/Tesseract wrapper drops in (its __init__ loads
+#     the model once per actor; detect_and_recognize(image) -> word dicts).
+
+_ENGINE_REGISTRY: Dict[str, type] = {"kernel": OcrKernel}
+
+
+def register_engine(name: str, cls: type) -> None:
+    """Add an engine by name (effective in workers only if registration runs
+    at import time of a module the workers also import; otherwise pass the
+    class object directly to build_pipeline)."""
+    _ENGINE_REGISTRY[name] = cls
+
+
+def get_engine(engine=None):
+    """Resolve an engine spec: None -> default kernel; str -> registry name;
+    class/callable -> instantiate; instance -> as-is."""
+    if engine is None:
+        engine = "kernel"
+    if isinstance(engine, str):
+        if engine not in _ENGINE_REGISTRY:
+            raise ValueError(
+                f"unknown OCR engine '{engine}'; known: {sorted(_ENGINE_REGISTRY)}")
+        return _ENGINE_REGISTRY[engine]()
+    if isinstance(engine, type) or callable(engine):
+        return engine()
+    return engine
+
+
+def engine_key(engine) -> str:
+    """Stable cache key for the per-worker processor cache."""
+    if engine is None:
+        return "kernel"
+    if isinstance(engine, str):
+        return engine
+    if isinstance(engine, type):
+        return f"{engine.__module__}.{engine.__qualname__}"
+    return repr(engine)

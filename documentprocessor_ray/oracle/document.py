@@ -40,8 +40,9 @@ def ocr_page(image: np.ndarray, kernel: Optional[OcrKernel] = None,
              cfg: PreprocessConfig = PreprocessConfig()) -> Dict[str, Any]:
     """preprocess -> OCR -> normalize for one page; the per-page unit of work."""
     kernel = kernel or OcrKernel()
-    h, w = image.shape[:2]
     pre = preprocess(image, cfg)
+    # normalize against the dims the OCR actually saw (resample may rescale)
+    h, w = pre.shape[:2]
     words = kernel.detect_and_recognize(pre)
     return {
         "words": words,

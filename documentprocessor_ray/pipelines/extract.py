@@ -35,7 +35,6 @@ import pyarrow as pa
 import ray.data
 
 from ..corpus import MediaStore
-from ..ocr_kernel import OcrKernel
 from ..oracle import fields as F
 from ..oracle.boxes import normalize_boxes
 from ..oracle.document import media_span_lines
@@ -165,9 +164,14 @@ class SpanProcessor:
     receipt_processor.py:50-54, become __init__ state)."""
 
     def __init__(self, media_dir: str, cfg: Optional[PreprocessConfig] = None,
-                 debug_dir: Optional[str] = None, log_dir: Optional[str] = None):
+                 debug_dir: Optional[str] = None, log_dir: Optional[str] = None,
+                 engine=None):
+        from ..ocr_kernel import get_engine
+
         self.store = MediaStore(media_dir)
-        self.kernel = OcrKernel()
+        # injectable engine seam (A1-A3): name from the registry or a class
+        # shipped via cloudpickle; resolved ONCE per actor/worker here
+        self.kernel = get_engine(engine)
         self.cfg = cfg or PreprocessConfig()
         self.debug_dir = debug_dir  # S7 tee sink, off by default
         self.log_dir = log_dir      # S8 telemetry, off by default
@@ -200,8 +204,8 @@ class SpanProcessor:
                     image = self.store.load(ref)
                     if image is None:
                         raise FileNotFoundError(f"media not found: {ref}")
-                    h, w = image.shape[:2]
                     pre = preprocess(image, self.cfg)
+                    h, w = pre.shape[:2]  # dims the OCR saw (resample rescales)
                     words = self.kernel.detect_and_recognize(pre)
                     norm = normalize_boxes(words, w, h)
                     if self.debug_dir:
@@ -238,11 +242,15 @@ _PROCESSOR_CACHE: Dict[tuple, "SpanProcessor"] = {}
 
 def _cached_processor(media_dir: str, cfg: Optional["PreprocessConfig"],
                       debug_dir: Optional[str] = None,
-                      log_dir: Optional[str] = None) -> "SpanProcessor":
-    key = (media_dir, repr(cfg), debug_dir, log_dir)
+                      log_dir: Optional[str] = None,
+                      engine=None) -> "SpanProcessor":
+    from ..ocr_kernel import engine_key
+
+    key = (media_dir, repr(cfg), debug_dir, log_dir, engine_key(engine))
     proc = _PROCESSOR_CACHE.get(key)
     if proc is None:
-        proc = _PROCESSOR_CACHE[key] = SpanProcessor(media_dir, cfg, debug_dir, log_dir)
+        proc = _PROCESSOR_CACHE[key] = SpanProcessor(
+            media_dir, cfg, debug_dir, log_dir, engine=engine)
     return proc
 
 
@@ -374,6 +382,7 @@ def build_pipeline(
     split_heavy_cost: Optional[int] = None,
     num_buckets: Optional[int] = None,
     size_hint: Optional[int] = None,
+    engine=None,
 ) -> "ray.data.Dataset":
     """Compose the lazy pipeline over an already-loaded documents Dataset.
 
@@ -440,7 +449,8 @@ def build_pipeline(
         processed = spans.map_batches(
             SpanProcessor,
             fn_constructor_kwargs={"media_dir": media_dir, "cfg": cfg,
-                                   "debug_dir": debug_dir, "log_dir": log_dir},
+                                   "debug_dir": debug_dir, "log_dir": log_dir,
+                                   "engine": engine},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -448,8 +458,8 @@ def build_pipeline(
         )
     else:
         def span_task(batch: pa.Table, _m=media_dir, _c=cfg,
-                      _d=debug_dir, _l=log_dir) -> pa.Table:
-            return _cached_processor(_m, _c, _d, _l)(batch)
+                      _d=debug_dir, _l=log_dir, _e=engine) -> pa.Table:
+            return _cached_processor(_m, _c, _d, _l, engine=_e)(batch)
 
         if split_heavy_cost is not None:
             light = spans.filter(expr=f"cost <= {int(split_heavy_cost)}")
@@ -469,15 +479,21 @@ def run_extraction(
     documents_dir: str,
     media_dir: str,
     output_dir: Optional[str] = None,
+    input_format: Optional[str] = None,
+    output_format: str = "parquet",
     **kwargs,
 ) -> "ray.data.Dataset":
-    """Read the hash-partitioned documents table and build the pipeline;
-    optionally write partitioned parquet output."""
-    docs = ray.data.read_parquet(documents_dir)
+    """Read the documents table (Lance when available/detected, parquet
+    fallback — sources/documents.read_table_auto) and build the pipeline;
+    optionally write partitioned output (parquet|lance|json)."""
+    from ..sources.documents import read_table_auto
+    from ..sources.sinks import write_results
+
+    docs = read_table_auto(documents_dir, fmt=input_format)
     kwargs.setdefault("size_hint", docs.count())  # metadata-only on a fresh read
     ds = build_pipeline(docs.select_columns(["doc_id", "spans"]), media_dir, **kwargs)
     if output_dir:
-        ds.write_parquet(output_dir)
+        write_results(ds, output_dir, fmt=output_format)
     return ds
 
 

@@ -18,6 +18,50 @@ import pyarrow as pa
 import ray.data
 
 
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _looks_like_lance(path: str) -> bool:
+    """A Lance dataset is a directory with a _versions/ manifest dir (or the
+    conventional .lance suffix)."""
+    return str(path).endswith(".lance") or os.path.isdir(os.path.join(path, "_versions"))
+
+
+def read_table_auto(
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    fmt: Optional[str] = None,
+) -> "ray.data.Dataset":
+    """Format-dispatching source: the north rule's input tables are LANCE
+    (BASELINE.json input_hint); parquet is the sanctioned fallback where the
+    lance package is absent (FIXTURES.md F1). fmt: 'lance' | 'parquet' |
+    None (auto-detect: .lance suffix or _versions/ layout -> lance).
+
+    Both paths prune COLUMNS at the read (Lance is a columnar format with
+    native projection pushdown; ray.data.read_lance passes columns straight
+    to the fragment scanner)."""
+    if fmt is None:
+        fmt = "lance" if _looks_like_lance(path) else "parquet"
+    if fmt == "lance":
+        if not lance_available():
+            raise ImportError(
+                "input looks like a Lance table but the 'lance' package is "
+                "not installed; install pylance or pass fmt='parquet'")
+        return ray.data.read_lance(path, columns=list(columns) if columns else None)
+    if fmt != "parquet":
+        raise ValueError(f"unknown table format '{fmt}' (lance|parquet)")
+    ds = ray.data.read_parquet(path)
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds
+
+
 def read_documents(
     documents_dir: str,
     columns: Optional[Sequence[str]] = None,

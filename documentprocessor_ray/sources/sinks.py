@@ -17,15 +17,28 @@ def write_results(ds: "ray.data.Dataset", output_dir: str,
                   fmt: str = "parquet") -> None:
     if fmt == "parquet":
         ds.write_parquet(output_dir)
+    elif fmt == "lance":
+        # north-rule output format; import-guarded (FIXTURES.md F1 fallback)
+        from .documents import lance_available
+
+        if not lance_available():
+            raise ImportError("'lance' package not installed; use fmt='parquet'")
+        ds.write_lance(output_dir)
     elif fmt in ("json", "jsonl"):
         ds.write_json(output_dir)
     else:
-        raise ValueError(f"unknown sink format '{fmt}' (parquet|json)")
+        raise ValueError(f"unknown sink format '{fmt}' (parquet|lance|json)")
 
 
 def read_results(output_dir: str, fmt: str = "parquet") -> "ray.data.Dataset":
     if fmt == "parquet":
         return ray.data.read_parquet(output_dir)
+    if fmt == "lance":
+        from .documents import lance_available
+
+        if not lance_available():
+            raise ImportError("'lance' package not installed; use fmt='parquet'")
+        return ray.data.read_lance(output_dir)
     if fmt in ("json", "jsonl"):
         return ray.data.read_json(output_dir)
-    raise ValueError(f"unknown sink format '{fmt}' (parquet|json)")
+    raise ValueError(f"unknown sink format '{fmt}' (parquet|lance|json)")

@@ -168,6 +168,13 @@ class PreprocessConfig:
     apply_threshold: bool = False
     threshold_percent: float = 50.0
     denoise: bool = True
+    # M8: DPI resample, reference-order LAST and separate
+    # (image_preprocessor.py:510-553). None disables; when set, the page is
+    # resampled assumed_dpi -> find_safe_dpi(target_dpi), the safety caps
+    # stepping the target down by DPI_STEP until the result fits; a page
+    # that cannot fit even at MIN_DPI raises -> in-band error channel (M31).
+    target_dpi: Optional[int] = None
+    assumed_dpi: int = 300
 
 
 def preprocess(img: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()) -> np.ndarray:
@@ -188,4 +195,13 @@ def preprocess(img: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()) -> n
         img = threshold(img, cfg.threshold_percent)
     if cfg.denoise:
         img = denoise(img)
+    if cfg.target_dpi:
+        h, w = img.shape[:2]
+        safe = find_safe_dpi(w, h, cfg.assumed_dpi, cfg.target_dpi)
+        if safe is None:
+            raise ValueError(
+                f"page {w}x{h}@{cfg.assumed_dpi}dpi exceeds safety caps even "
+                f"at MIN_DPI={MIN_DPI}")
+        if safe != cfg.assumed_dpi:
+            img = resample(img, safe, cfg.assumed_dpi)
     return img

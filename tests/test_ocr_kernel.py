@@ -124,3 +124,38 @@ class TestPreprocessKernels:
 
     def test_templates_shape(self):
         assert TEMPLATES.shape == (len(CHARSET), 14, 10)
+
+    def test_preprocess_resample_wired(self):
+        """M8 in the chain: target_dpi triggers resample (last, separate);
+        default config leaves the image size untouched."""
+        img = np.full((100, 200), 255, dtype=np.uint8)
+        cfg = P.PreprocessConfig(deskew=False, remove_background=False,
+                                 contrast="none", denoise=False,
+                                 target_dpi=600, assumed_dpi=300)
+        out = P.preprocess(img, cfg)
+        assert out.shape == (200, 400)  # 300 -> 600 dpi doubles both dims
+        assert P.preprocess(img, P.PreprocessConfig()).shape == img.shape
+
+    def test_preprocess_giant_page_backs_off_dpi(self):
+        """The safety-cap guard path runs e2e: a page whose target-dpi
+        resample would exceed MAX_DIM steps the dpi down instead."""
+        img = np.full((100, 11000), 255, dtype=np.uint8)
+        cfg = P.PreprocessConfig(deskew=False, remove_background=False,
+                                 contrast="none", denoise=False,
+                                 target_dpi=300, assumed_dpi=100)
+        out = P.preprocess(img, cfg)
+        # 300 dpi -> 33000 px wide > MAX_DIM=32767; backs off to 250 dpi
+        assert out.shape == (250, 27500)
+
+    def test_preprocess_impossible_page_raises(self):
+        img = np.full((10, 10), 255, dtype=np.uint8)
+        cfg = P.PreprocessConfig(deskew=False, remove_background=False,
+                                 contrast="none", denoise=False,
+                                 target_dpi=300, assumed_dpi=100)
+        # shrink the guard's idea of "fits" by lying about current dpi so
+        # even MIN_DPI overflows: 10px at 100dpi -> fine; use a huge page
+        big = np.full((1, 40000), 255, dtype=np.uint8)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="safety caps"):
+            P.preprocess(big, cfg)

@@ -33,6 +33,35 @@ def pipeline_and_oracle(ray_session, small_corpus):
     return ray_rows, oracle
 
 
+class TestResampleConformance:
+    def test_span_equality_with_resample_on(self, ray_session, small_corpus):
+        """M8 wired e2e: the DPI-resample path (downscale 300->150) stays
+        span-equal between pipeline and oracle — both run the same
+        preprocess chain with resample as the last step."""
+        from documentprocessor_ray.stages.preprocess import PreprocessConfig
+
+        docs_dir, media_dir = small_corpus
+        cfg = PreprocessConfig(target_dpi=150, assumed_dpi=300)
+        ds = run_extraction(docs_dir, media_dir, cfg=cfg, batch_size=8)
+        ray_rows = {r["doc_id"]: r for r in ds.take_all()}
+
+        import pyarrow.dataset as pads
+
+        table = pads.dataset(docs_dir, partitioning="hive").to_table()
+        store = MediaStore(media_dir)
+        checked = 0
+        for row in table.to_pylist()[:12]:
+            o = process_document(row["doc_id"], row["spans"], store.load, cfg=cfg)
+            r = ray_rows[row["doc_id"]]
+            got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                   for s in r["spans_out"]]
+            want = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                    for s in o["spans_out"]]
+            assert got == want, row["doc_id"]
+            checked += 1
+        assert checked == 12
+
+
 class TestSpanEquality:
     def test_all_docs_present(self, pipeline_and_oracle):
         ray_rows, oracle = pipeline_and_oracle
