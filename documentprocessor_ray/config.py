@@ -29,6 +29,7 @@ class JobConfig:
     model: Optional[str] = None          # None = heuristics only; "rule"/"null"
     max_partitions: Optional[int] = None
     debug_dir: Optional[str] = None      # S7 debug sink, off by default
+    engine: Optional[str] = None         # OCR engine registry name (None = kernel)
     preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
 
 

@@ -47,9 +47,14 @@ class Stage:
         if self.num_gpus is not None:
             kwargs["num_gpus"] = self.num_gpus
         if inspect.isclass(self.fn):
-            kwargs["concurrency"] = self.concurrency or (1, 2)
+            # explicit None/0 means "use the default pool", not falsy-skip
+            kwargs["concurrency"] = (self.concurrency
+                                     if self.concurrency is not None else (1, 2))
             if self.fn_constructor_kwargs:
                 kwargs["fn_constructor_kwargs"] = self.fn_constructor_kwargs
+        elif self.concurrency is not None:
+            # function stages accept concurrency too (caps task parallelism)
+            kwargs["concurrency"] = self.concurrency
         return ds.map_batches(self.fn, **kwargs)
 
 

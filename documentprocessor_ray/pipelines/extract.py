@@ -427,11 +427,14 @@ def build_pipeline(
                                        batch["text"].to_pylist(),
                                        batch["media_ref"].to_pylist()):
                 if kind == "media":
-                    p = _os.path.join(_m, ref + ".npz8")
-                    try:
-                        costs.append(_os.path.getsize(p))
-                    except OSError:
-                        costs.append(0)  # missing ref -> error channel later
+                    cost = 0  # missing ref -> error channel later
+                    for ext in (".npz8", ".npy"):  # legacy .npy fallback
+                        try:
+                            cost = _os.path.getsize(_os.path.join(_m, ref + ext))
+                            break
+                        except OSError:
+                            continue
+                    costs.append(cost)
                 else:
                     costs.append(len(text or ""))
             return batch.append_column("cost", pa.array(costs, pa.int64()))
@@ -446,16 +449,27 @@ def build_pipeline(
             except Exception:
                 total = 4
             concurrency = (1, max(1, total - 1))
-        processed = spans.map_batches(
-            SpanProcessor,
+        actor_kwargs = dict(
             fn_constructor_kwargs={"media_dir": media_dir, "cfg": cfg,
                                    "debug_dir": debug_dir, "log_dir": log_dir,
                                    "engine": engine},
             batch_format="pyarrow",
-            batch_size=batch_size,
             concurrency=concurrency,
             num_cpus=1,
         )
+        if split_heavy_cost is not None:
+            # same heavy/light routing as the task path (the flag was
+            # previously a silent no-op with actors): heavy spans ride
+            # batch_size=1 so one giant page never shares a batch
+            light = spans.filter(expr=f"cost <= {int(split_heavy_cost)}")
+            heavy = spans.filter(expr=f"cost > {int(split_heavy_cost)}")
+            processed = light.map_batches(
+                SpanProcessor, batch_size=batch_size, **actor_kwargs,
+            ).union(heavy.map_batches(
+                SpanProcessor, batch_size=1, **actor_kwargs))
+        else:
+            processed = spans.map_batches(
+                SpanProcessor, batch_size=batch_size, **actor_kwargs)
     else:
         def span_task(batch: pa.Table, _m=media_dir, _c=cfg,
                       _d=debug_dir, _l=log_dir, _e=engine) -> pa.Table:

@@ -39,10 +39,14 @@ from ..pipelines.extract import build_pipeline
 from ..stages.preprocess import PreprocessConfig
 
 
-def _config_hash(cfg: Optional[PreprocessConfig], batch_size: int) -> str:
+def _config_hash(cfg: Optional[PreprocessConfig], batch_size: int,
+                 model: Optional[str] = None,
+                 target_blocks: Optional[int] = None) -> str:
     payload = json.dumps({
         "cfg": vars(cfg) if cfg else vars(PreprocessConfig()),
         "batch_size": batch_size,
+        "model": model,
+        "target_blocks": target_blocks,
     }, sort_keys=True, default=str)
     return hashlib.md5(payload.encode()).hexdigest()
 
@@ -83,14 +87,23 @@ def run_partitioned(
     cfg: Optional[PreprocessConfig] = None,
     batch_size: int = 64,
     max_partitions: Optional[int] = None,
+    model: Optional[str] = None,
+    use_actors: bool = False,
+    target_blocks: Optional[int] = None,
+    debug_dir: Optional[str] = None,
+    engine=None,
 ) -> Dict[str, Any]:
     """Run (or resume) the extraction over all input partitions.
 
     ``max_partitions`` limits how many incomplete partitions this invocation
     processes (used by the kill-and-resume test to simulate a dying run).
+    ``model`` appends the scorer actor-pool stage (stages/scorer.py) to each
+    partition's pipeline; the remaining knobs thread straight to
+    build_pipeline so the CLI surface is not silently dropped.
     Returns a summary with per-partition status + aggregate counters.
     """
-    chash = _config_hash(cfg, batch_size)
+    chash = _config_hash(cfg, batch_size, model=model,
+                         target_blocks=target_blocks)
     parts = list_partitions(documents_dir)
     done = set(completed_partitions(output_dir, chash))
     summary: Dict[str, Any] = {"config_hash": chash, "partitions": {}, "skipped": sorted(done)}
@@ -104,12 +117,32 @@ def run_partitioned(
             summary["partitions"][part] = "deferred"
             continue
         t0 = time.time()
+        part_out_pre = os.path.join(output_dir, part)
+        if os.path.isdir(part_out_pre):
+            # no valid manifest for this partition -> any existing output is
+            # a torn previous attempt. Chunk files are named by cumulative
+            # row count, so a retry with different batch boundaries would
+            # otherwise leave stale chunks ALONGSIDE new ones (duplicate
+            # rows on read). Delete-then-rewrite makes the retry idempotent;
+            # the manifest rename stays the single commit point.
+            import shutil
+
+            shutil.rmtree(part_out_pre)
         in_path = os.path.join(documents_dir, part)
         raw = ray.data.read_parquet(in_path)
         n_docs = raw.count()  # metadata-only on a fresh read
         docs = raw.select_columns(["doc_id", "spans"])
         ds = build_pipeline(docs, media_dir, cfg=cfg, batch_size=batch_size,
-                            size_hint=n_docs)
+                            size_hint=n_docs, use_actors=use_actors,
+                            target_blocks=target_blocks, debug_dir=debug_dir,
+                            engine=engine, keep_words=model is not None)
+        if model is not None:
+            from ..stages.scorer import ScorerStage
+
+            ds = ds.map_batches(
+                ScorerStage, fn_constructor_kwargs={"model": model},
+                batch_format="pyarrow", batch_size=batch_size,
+                concurrency=(1, 4), num_cpus=1)
 
         part_out = os.path.join(output_dir, part)
         counters = {"docs_in": 0, "docs_ok": 0, "docs_failed": 0,

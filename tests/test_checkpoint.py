@@ -111,3 +111,45 @@ class TestCheckpointResume:
             assert m["lineage"]["input_files"]
             total_in += c["docs_in"]
         assert total_in == 24
+
+
+class TestTornPartitionOutput:
+    def test_stale_chunks_from_dead_attempt_are_removed(
+            self, ray_session, ckpt_corpus, tmp_path):
+        """A partition with output files but NO manifest is a torn attempt:
+        the retry must delete-then-rewrite, not leave stale chunks alongside
+        new ones (chunk names depend on batch boundaries, so overwrite alone
+        is not idempotent)."""
+        docs_dir, media_dir = ckpt_corpus
+        out = str(tmp_path / "out")
+        part = list_partitions(docs_dir)[0]
+        part_out = os.path.join(out, part)
+        os.makedirs(part_out)
+        stale = os.path.join(part_out, "chunk-99999999.parquet")
+        with open(stale, "wb") as f:
+            f.write(b"not a real parquet file")
+
+        s = run_partitioned(docs_dir, media_dir, out)
+        assert s["partitions"][part] == "done"
+        assert not os.path.exists(stale)
+        # partition output parses cleanly and covers exactly its input docs
+        got = pads.dataset(
+            [os.path.join(part_out, f) for f in sorted(os.listdir(part_out))]
+        ).to_table()
+        want = pads.dataset(os.path.join(docs_dir, part)).to_table()
+        assert sorted(got["doc_id"].to_pylist()) == sorted(want["doc_id"].to_pylist())
+
+    def test_model_flag_reaches_scorer(self, ray_session, ckpt_corpus, tmp_path):
+        """ADVICE fix: model/use_actors/target_blocks thread through
+        run_partitioned instead of being silently dropped."""
+        docs_dir, media_dir = ckpt_corpus
+        out = str(tmp_path / "scored")
+        s = run_partitioned(docs_dir, media_dir, out, model="rule",
+                            max_partitions=1)
+        part = [p for p, st in s["partitions"].items() if st == "done"][0]
+        t = pads.dataset(os.path.join(out, part)).to_table()
+        assert "model_vendor" in t.column_names
+        assert "model_n_items" in t.column_names
+
+    def test_model_changes_config_hash(self):
+        assert _config_hash(None, 64) != _config_hash(None, 64, model="rule")
