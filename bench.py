@@ -31,7 +31,8 @@ BENCH_QUERIES = [
     "normalize_text", "token_count", "token_count_bpe", "quality_stats",
     "fingerprint", "langid", "winnow_fingerprint", "exact_dedup",
     "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean", "minhash_pairs",
-    "simhash_pairs", "embedding_neardup", "knn_bruteforce", "knn_ivf",
+    "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",
+    "knn_bruteforce", "knn_ivf",
     "image_features", "audio_features", "video_framesample",
     "pricing_summary", "top_customers", "order_revenue_join",
     "events_rollup", "events_tumbling", "sessionize",

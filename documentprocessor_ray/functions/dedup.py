@@ -222,10 +222,54 @@ def _token_freqs(ds: "ray.data.Dataset", token_fn=_distinct_tokens) -> Dict[str,
     return out
 
 
+def _tok_slot(tok: str, mask: int) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+        "little") & mask
+
+
+def _token_freqs_sketched(ds: "ray.data.Dataset", token_fn,
+                          bits: int) -> np.ndarray:
+    """BOUNDED document-frequency table: counts folded into a 2^bits array by
+    token hash (one shuffle of sparse (slot, cnt) partials, then a fixed-size
+    dense assembly). The broadcast is 2^bits * 8 bytes REGARDLESS of
+    vocabulary size — the 100-TB replacement for the exact token dict. Slot
+    collisions only perturb the prefix ORDERING, never correctness: the
+    PPJoin recall guarantee holds for any consistent global token order and
+    candidates are verified exactly downstream."""
+    mask = (1 << bits) - 1
+
+    def emit(batch: pa.Table) -> pa.Table:
+        counts: Dict[int, int] = {}
+        for t in batch["text"].to_pylist():
+            for tok in token_fn(t):
+                s = _tok_slot(tok, mask)
+                counts[s] = counts.get(s, 0) + 1
+        slots = np.fromiter(counts, dtype=np.int64, count=len(counts))
+        return pa.table({
+            "slot": pa.array(slots, pa.int64()),
+            "cnt": pa.array([counts[int(s)] for s in slots], pa.int64()),
+            "pkey": pa.array(bucket_of_ints(slots, N_BUCKETS), pa.int64()),
+        })
+
+    def local(g: pa.Table) -> pa.Table:
+        t = g.group_by("slot").aggregate([("cnt", "sum")])
+        return pa.table({"slot": t["slot"], "cnt": pc.cast(t["cnt_sum"], pa.int64())})
+
+    arr = np.zeros(1 << bits, dtype=np.int64)
+    agg = ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(local, batch_format="pyarrow")
+    for b in agg.iter_batches(batch_format="pyarrow"):  # <= 2^bits rows total
+        arr[b["slot"].to_numpy(zero_copy_only=False)] = \
+            b["cnt"].to_numpy(zero_copy_only=False)
+    return arr
+
+
 def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
                   threshold_den: int = 5,
                   shingle_k: Optional[int] = None,
-                  group_cap: Optional[int] = None) -> "ray.data.Dataset":
+                  group_cap: Optional[int] = None,
+                  df_sketch_bits: Optional[int] = None) -> "ray.data.Dataset":
     """All pairs (doc_a < doc_b) with token-set Jaccard >= num/den; EXACT.
 
     Prefix filter (PPJoin): tokens sorted by (global df, token) ascending; a
@@ -238,22 +282,37 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
     shingle_k=None compares distinct-unigram sets; shingle_k=k compares
     distinct k-token shingle sets (n-gram Jaccard — much sharper near-dup
     signal on natural text).
+
+    df_sketch_bits: None broadcasts the EXACT token->df dict (right while the
+    vocabulary fits one node); an int broadcasts a fixed 2^bits count sketch
+    instead — bounded driver/broadcast memory at any corpus size, with
+    IDENTICAL output (ordering-only perturbation; see _token_freqs_sketched).
     """
     t_num, t_den = threshold_num, threshold_den
     if shingle_k is None:
         token_fn = _distinct_tokens
     else:
         token_fn = lambda t, _k=shingle_k: _distinct_shingles(t, _k)  # noqa: E731
-    freqs_ref = ray.put(_token_freqs(ds, token_fn))  # broadcast small side once
+    if df_sketch_bits is None:
+        freqs_ref = ray.put(_token_freqs(ds, token_fn))  # broadcast once
+        sketch_mask = None
+    else:
+        freqs_ref = ray.put(_token_freqs_sketched(ds, token_fn, df_sketch_bits))
+        sketch_mask = (1 << df_sketch_bits) - 1
 
     def emit_prefix(batch: pa.Table) -> pa.Table:
         freqs = ray.get(freqs_ref)
+        if sketch_mask is None:
+            df_of = freqs.get
+        else:
+            def df_of(tok, _default=0):
+                return int(freqs[_tok_slot(tok, sketch_mask)])
         keys, ids, toksets = [], [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             toks = token_fn(text)
             if not toks:
                 continue
-            ordered = sorted(toks, key=lambda t: (freqs.get(t, 0), t))
+            ordered = sorted(toks, key=lambda t: (df_of(t, 0), t))
             n = len(ordered)
             plen = n - (t_num * n + t_den - 1) // t_den + 1  # exact integer ceil
             tokset = sorted(toks)
@@ -417,20 +476,55 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
 # --- SimHash ---
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens weighted by term frequency."""
-    toks = _re2_tokens(text)
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash over whitespace tokens weighted by term frequency.
+    Scalar reference; the pipeline uses simhash64_batch (identical values)."""
+    return simhash64_batch([text])[0]
+
+
+_POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
+def simhash64_batch(texts: List[Optional[str]]) -> List[int]:
+    """Vectorized SimHash: token hashing amortized over the batch's UNIQUE
+    tokens (one blake2b per distinct token, not per occurrence), the ±1 bit
+    matrix built once, and each doc's accumulator one (counts @ bits[idx])
+    matmul — the per-token Python loop the round-1 review flagged is gone
+    from the hot path."""
     from collections import Counter
-    for tok, cnt in Counter(toks).items():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-        acc += cnt * (bits.astype(np.int64) * 2 - 1)
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= (1 << i)
+
+    uniq: Dict[str, int] = {}
+    docs: List[Optional[Tuple[np.ndarray, np.ndarray]]] = []
+    for t in texts:
+        toks = _re2_tokens(t)
+        if not toks:
+            docs.append(None)
+            continue
+        c = Counter(toks)
+        idxs = np.empty(len(c), dtype=np.int64)
+        cnts = np.empty(len(c), dtype=np.int64)
+        for i, (tok, cnt) in enumerate(c.items()):
+            j = uniq.get(tok)
+            if j is None:
+                j = uniq[tok] = len(uniq)
+            idxs[i] = j
+            cnts[i] = cnt
+        docs.append((idxs, cnts))
+    if uniq:
+        hb = np.empty((len(uniq), 8), dtype=np.uint8)
+        for tok, j in uniq.items():
+            hb[j] = np.frombuffer(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                dtype=np.uint8)
+        pm = (np.unpackbits(hb, axis=1).astype(np.int64) * 2 - 1)  # (U, 64)
+    out: List[int] = []
+    for d in docs:
+        if d is None:
+            out.append(0)
+            continue
+        idxs, cnts = d
+        acc = cnts @ pm[idxs]
+        bits = (acc > 0).astype(np.uint64)
+        out.append(int((bits * _POW2).sum()))
     return out
 
 
@@ -440,7 +534,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     blocking (any pair within distance 3 shares at least one exact band)."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch["text"].to_pylist()]
+        hs = simhash64_batch(batch["text"].to_pylist())
         return pa.table({
             "doc_id": batch["doc_id"],
             "simhash": pa.array(hs, pa.uint64()),
@@ -616,6 +710,87 @@ def pair_clusters(pairs: "ray.data.Dataset") -> Dict[int, int]:
             if ra != rc:
                 parent[max(ra, rc)] = min(ra, rc)
     return {x: find(x) for x in parent}
+
+
+def embedding_neardup_lsh_pairs(
+    ds: "ray.data.Dataset", threshold: float = 0.9,
+    n_planes: int = 16, n_bands: int = 4, seed: int = 9,
+    num_buckets: Optional[int] = None,
+    group_cap: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """SCALE path for cosine near-dup: random-hyperplane sign-LSH (Charikar
+    '02) with banded blocking, candidates verified with the EXACT cosine.
+
+    Each vector's n_planes sign bits split into n_bands band keys; two
+    vectors collide in a band with probability (1 - theta/pi)^(planes/band),
+    so near pairs (small angle) almost surely share a band while far pairs
+    rarely do. Shuffle volume = n_bands rows per vector; verification is
+    all-pairs only INSIDE a band-key group (bounded by group_cap). The
+    driver never sees the matrix — unlike embedding_neardup_pairs, which
+    remains the exact small-corpus oracle. Approximate: recall < 1 when a
+    near pair collides in no band (rows-only correctness check).
+
+    The hyperplanes are seeded and regenerated identically inside every
+    task (cheap (n_planes, d) normal draw), so nothing is broadcast at all.
+    """
+    if num_buckets is None:
+        num_buckets = auto_buckets(None)
+    bits_per_band = n_planes // n_bands
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.where(n == 0, 1, n)
+        planes = np.random.default_rng(seed).normal(size=(n_planes, emb.shape[1]))
+        signs = (emb @ planes.T) > 0  # (B, n_planes)
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keys, out_ids, rows = [], [], []
+        for b in range(n_bands):
+            chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
+            band_keys = chunk @ weights + (b << bits_per_band)
+            keys.append(band_keys)
+            out_ids.append(ids)
+        key_arr = np.concatenate(keys)
+        id_arr = np.concatenate(out_ids)
+        emb_rep = np.tile(emb, (n_bands, 1))
+        return pa.table({
+            "key": pa.array(key_arr, pa.int64()),
+            "doc_id": pa.array(id_arr, pa.int64()),
+            "emb": pa.array(list(emb_rep), pa.list_(pa.float64())),
+            "pkey": pa.array(bucket_of_ints(key_arr, num_buckets), pa.int64()),
+        })
+
+    def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
+        if not idxs:
+            return pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "sim_milli": pa.array([], pa.int64()),
+            })
+        ids = np.array([g["doc_id"][i].as_py() for i in idxs], dtype=np.int64)
+        m = np.array([g["emb"][i].as_py() for i in idxs], dtype=np.float64)
+        sims = m @ m.T  # rows are already normalized
+        a_out, b_out, s_out = [], [], []
+        for i in range(len(ids)):
+            hits = np.where((sims[i] >= threshold) & (ids > ids[i]))[0]
+            for h in hits:
+                a_out.append(int(ids[i])); b_out.append(int(ids[h]))
+                s_out.append(int(np.rint(sims[i, h] * 1000)))
+        return pa.table({
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "sim_milli": pa.array(s_out, pa.int64()),
+        })
+
+    pairs = (ds.map_batches(emit_bands, batch_format="pyarrow")
+             .groupby("pkey").map_groups(
+                 _pairs_by_key(pairs_for_key, group_cap=group_cap),
+                 batch_format="pyarrow"))
+    dedup = _distinct_pairs(pairs, ["sim_milli"])
+    return dedup.map_batches(lambda b: pa.table({
+        "vec_a": b["doc_a"], "vec_b": b["doc_b"], "sim_milli": b["sim_milli"],
+    }), batch_format="pyarrow")
 
 
 # --- embedding cosine near-dup (exact; oracle-checkable) ---

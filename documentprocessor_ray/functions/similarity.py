@@ -39,8 +39,10 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(ds: "ray.data.Dataset", n_queries: int):
-    """First n_queries by vec_id (deterministic); tiny filtered pull."""
-    q = ds.filter(lambda row: row["vec_id"] < n_queries).take_all()
+    """First n_queries by vec_id (deterministic); tiny filtered pull. The
+    filter is an Arrow expression (pushed into the scan), not a Python
+    row lambda."""
+    q = ds.filter(expr=f"vec_id < {int(n_queries)}").take_all()
     q.sort(key=lambda r: r["vec_id"])
     qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
     qm = _normalize(np.array([list(r["embedding"]) for r in q], dtype=np.float64))

@@ -117,15 +117,31 @@ _B = np.uint64(1000003)
 _MASK = np.uint64((1 << 61) - 1)
 
 
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _token_hashes(tokens: np.ndarray) -> np.ndarray:
-    """Stable 64-bit hash per token (FNV-1a over utf-8 bytes, vectorized-ish)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):  # tokens are short; this is setup-scale, not hot
-        h = np.uint64(1469598103934665603)
-        for b in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+    """Stable 64-bit FNV-1a per token, vectorized ACROSS tokens: bytes are
+    padded into a (n, maxlen) matrix and the sequential FNV recurrence runs
+    over byte POSITIONS (maxlen iterations of whole-column numpy ops), not
+    over every byte in Python. uint64 multiply wraps in C, matching the
+    masked scalar recurrence bit-for-bit."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    arr = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(bs):  # one memcpy per token, not one op per byte
+        arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ arr[active, j].astype(np.uint64)) * _FNV_PRIME
+    return h
 
 
 def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:

@@ -111,6 +111,14 @@ def q_embedding_neardup(sf_dir: str) -> "ray.data.Dataset":
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
 
 
+def q_embedding_neardup_lsh(sf_dir: str) -> "ray.data.Dataset":
+    """Scale-path near-dup by embedding: sign-LSH banding + in-bucket exact
+    verify (rows-only; approximate recall). The exact all-pairs variant
+    (q_embedding_neardup) stays as the oracle-checked small-corpus twin."""
+    return D.embedding_neardup_lsh_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
+
+
 def q_dedup_clusters(sf_dir: str) -> "ray.data.Dataset":
     """Near-dup clusters: distributed min-label propagation over the 3-gram
     Jaccard pairs (pair data never collected to the driver; driver union-find
@@ -1035,6 +1043,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
     "image_features": q_image_features,

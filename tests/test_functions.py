@@ -123,6 +123,48 @@ class TestDedup:
         assert a == D.simhash64("hello world hello")  # deterministic
         assert 0 < a < 2 ** 64
 
+    def test_simhash64_batch_matches_scalar_reference(self):
+        """The vectorized batch kernel must reproduce the per-token scalar
+        definition bit-for-bit (tf-weighted ±1 bit votes, little-endian
+        blake2b-8 token hashes)."""
+        import hashlib
+        from collections import Counter
+
+        def scalar_ref(text):
+            toks = D._re2_tokens(text)
+            if not toks:
+                return 0
+            acc = np.zeros(64, dtype=np.int64)
+            for tok, cnt in Counter(toks).items():
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+                bits = np.unpackbits(
+                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
+                acc += cnt * (bits.astype(np.int64) * 2 - 1)
+            out = 0
+            for i, v in enumerate(acc):
+                if v > 0:
+                    out |= (1 << i)
+            return out
+
+        texts = ["hello world hello", "", "a", "x y z x y z unique",
+                 "The   Quick\tBrown Fox", "unicode tøkens ünïque"]
+        assert D.simhash64_batch(texts) == [scalar_ref(t) for t in texts]
+
+    def test_token_hashes_match_scalar_fnv(self):
+        from documentprocessor_ray.functions.textstats import _token_hashes
+
+        def fnv(t):
+            h = 1469598103934665603
+            for b in t.encode("utf-8"):
+                h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        toks = np.array(["a", "hello", "", "tøken", "longer-token-here"],
+                        dtype=object)
+        got = _token_hashes(toks)
+        assert got.tolist() == [fnv(t) for t in toks]
+
     def test_pair_clusters_union_find(self, ray_session):
         pairs = ray.data.from_arrow(pa.table({
             "doc_a": pa.array([1, 2, 7], pa.int64()),
@@ -186,6 +228,37 @@ class TestDedup:
         out = D.jaccard_pairs(ray.data.from_arrow(_docs_table(docs)),
                               threshold_num=3, threshold_den=5).to_pandas()
         assert len(out) == 6  # all C(4,2) pairs
+
+    def test_df_sketch_identical_output(self, ray_session):
+        """The bounded DF sketch only reorders prefixes; the exact verify
+        makes the final pair set identical to the exact-dict path."""
+        docs = ["alpha beta gamma delta", "alpha beta gamma epsilon",
+                "zeta eta theta iota", "alpha beta gamma delta",
+                "completely different content here"]
+        ds = ray.data.from_arrow(_docs_table(docs))
+        exact = D.jaccard_pairs(ds, 3, 5).to_pandas()
+        sketched = D.jaccard_pairs(ds, 3, 5, df_sketch_bits=12).to_pandas()
+        key = ["doc_a", "doc_b", "n_inter", "n_union"]
+        assert sorted(map(tuple, exact[key].values.tolist())) == \
+            sorted(map(tuple, sketched[key].values.tolist()))
+
+    def test_embedding_lsh_subset_of_exact(self, ray_session):
+        """Sign-LSH near-dup: finds the near-identical pair; every emitted
+        pair is exact-verified, so LSH pairs are a subset of the exact set."""
+        rng = np.random.default_rng(4)
+        vecs = rng.normal(size=(40, 16))
+        vecs[1] = vecs[0] + rng.normal(scale=0.01, size=16)  # near-dup of 0
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        lsh = D.embedding_neardup_lsh_pairs(ds, threshold=0.9).to_pandas()
+        exact = D.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+        lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+        exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+        assert (0, 1) in lsh_pairs
+        assert lsh_pairs <= exact_pairs
 
     def test_embedding_neardup(self, ray_session):
         vecs = [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0]]
