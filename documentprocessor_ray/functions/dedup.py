@@ -602,10 +602,7 @@ def cluster_pairs_distributed(pairs: "ray.data.Dataset", max_iters: int = 50,
     """
     from .joins import hash_join
 
-    if num_buckets is None:
-        num_buckets = auto_buckets(None)
-
-    def symmetrize(b: pa.Table) -> pa.Table:
+    def symmetrize(b: pa.Table, nb: int) -> pa.Table:
         a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = np.concatenate([a, c])
@@ -613,12 +610,24 @@ def cluster_pairs_distributed(pairs: "ray.data.Dataset", max_iters: int = 50,
         return pa.table({
             "src": pa.array(src, pa.int64()),
             "dst": pa.array(dst, pa.int64()),
-            "pkey": pa.array(bucket_of_ints(dst, num_buckets), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(dst, nb), pa.int64()),
         })
+
+    if num_buckets is None:
+        # size the ITERATION shuffles to the pair count, floored well below
+        # the usual cluster width: each of the ~diameter rounds pays fixed
+        # per-task overhead x num_buckets, and near-dup pair sets are orders
+        # of magnitude smaller than the corpus — 64+ one-row reducer tasks
+        # per round is pure overhead on a small graph.
+        pairs = pairs.materialize()  # reused below; count is then metadata
+        n_pairs = pairs.count()
+        num_buckets = min(auto_buckets(2 * n_pairs, rows_per_bucket=65536),
+                          max(8, -(-2 * n_pairs // 4096)))
 
     # edges are reused every round -> materialize ONCE into the object store
     # (distributed blocks, not a driver collect)
-    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow",
+                              fn_kwargs={"nb": num_buckets}).materialize()
     if edges.count() == 0:
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),

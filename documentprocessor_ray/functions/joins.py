@@ -45,6 +45,8 @@ def hash_join(
     num_buckets: Optional[int] = None,
     how: str = "inner",
     size_hint: Optional[int] = None,
+    left_schema=None,
+    right_schema=None,
 ) -> "ray.data.Dataset":
     """Join two Datasets on an int64 key column (how: inner|left).
 
@@ -52,11 +54,17 @@ def hash_join(
     union schema is unambiguous. ``size_hint`` (approx rows of the larger
     side, e.g. a metadata-only ``count()``) sizes the shuffle width; omitted,
     the width still scales with cluster CPUs.
+
+    ``left_schema``/``right_schema`` (pa.Schema): pass when the side is a
+    non-trivial lazy plan — ``Dataset.schema()`` EXECUTES the plan up to its
+    first block, which for an aggregate-tailed input means running the whole
+    aggregation once for the schema and again for the join (a measured 2x on
+    the join benchmarks). The pipeline author statically knows these schemas.
     """
     if num_buckets is None:
         num_buckets = auto_buckets(size_hint, rows_per_bucket=JOIN_ROWS_PER_BUCKET)
-    l_schema = left.schema()
-    r_schema = right.schema()
+    l_schema = left_schema if left_schema is not None else left.schema()
+    r_schema = right_schema if right_schema is not None else right.schema()
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
     overlap = (set(l_cols) & set(r_cols)) - {on}
@@ -110,6 +118,7 @@ def semi_join(
     keep_on: str,
     num_buckets: Optional[int] = None,
     size_hint: Optional[int] = None,
+    left_schema=None,
 ) -> "ray.data.Dataset":
     """Distributed semi-join: rows of ``left`` whose ``left_on`` value appears
     in ``keep[keep_on]`` (int64 keys). The scale-safe replacement for a
@@ -119,8 +128,9 @@ def semi_join(
     """
     if num_buckets is None:
         num_buckets = auto_buckets(size_hint, rows_per_bucket=JOIN_ROWS_PER_BUCKET)
-    l_names = list(left.schema().names)
-    l_types = dict(zip(l_names, left.schema().types))
+    ls = left_schema if left_schema is not None else left.schema()
+    l_names = list(ls.names)
+    l_types = dict(zip(ls.names, ls.types))
 
     def tag_left(batch: pa.Table) -> pa.Table:
         keys = batch[left_on].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -158,8 +158,13 @@ def q_corpus_clean(sf_dir: str) -> "ray.data.Dataset":
 
     gated = stats.map_batches(gate, batch_format="pyarrow")
     keep = D.exact_dedup(docs).select_columns(["keep_id"])
+    stats_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+        ("n_tokens", pa.int64()), ("n_alpha", pa.int64()),
+        ("n_stop", pa.int64()),
+    ])
     return semi_join(gated, keep, left_on="doc_id", keep_on="keep_id",
-                     size_hint=n_docs)
+                     size_hint=n_docs, left_schema=stats_schema)
 
 
 # ---------------------------------------------------------------- similarity
@@ -264,24 +269,29 @@ def q_low_order_customers(sf_dir: str) -> "ray.data.Dataset":
     left-joined to per-customer order counts; unmatched customers count 0;
     keep those with <= 5 orders (non-empty at every sf, unlike a pure
     anti-join whose empty result cannot carry a schema through conversion)."""
+    from ..functions.agg import bucketed_group_sum
     from ..functions.joins import hash_join
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        return pa.table({"c_custkey": batch["o_custkey"]}) \
+        t = pa.table({"c_custkey": batch["o_custkey"]}) \
             .group_by("c_custkey").aggregate([("c_custkey", "count")])
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": pc.cast(t["c_custkey_count"], pa.int64()),
+        })
 
-    counts = (orders.map_batches(partial, batch_format="pyarrow")
-              .groupby("c_custkey").aggregate(Sum("c_custkey_count"))
-              .map_batches(lambda b: pa.table({
-                  "c_custkey": b["c_custkey"],
-                  "n_orders": pc.cast(b["sum(c_custkey_count)"], pa.int64()),
-              }), batch_format="pyarrow"))
     cust = _read(sf_dir, "customer", ["c_custkey"])
     n_cust = cust.count()  # metadata-only on a fresh read
-    joined = hash_join(cust, counts, on="c_custkey", how="left",
-                       size_hint=n_cust)
+    counts = bucketed_group_sum(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        key="c_custkey", cols=["n_orders"], size_hint=n_cust)
+    joined = hash_join(
+        cust, counts, on="c_custkey", how="left", size_hint=n_cust,
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("n_orders", pa.int64())]))
 
     def finalize(b: pa.Table) -> pa.Table:
         # Arrow-native null handling: unmatched customers count 0 orders
@@ -377,33 +387,44 @@ def q_top_customers(sf_dir: str) -> pa.Table:
 
 def q_order_revenue_join(sf_dir: str) -> "ray.data.Dataset":
     """Large-x-large co-bucketed hash join: lineitem pre-aggregated per order
-    (combiner before the shuffle), then joined to orders on o_orderkey.
+    (per-batch combiner, then ONE bucketed merge — not a fine-key Ray
+    aggregate, which sort-shuffles on 10^5+ distinct keys), then joined to
+    orders on o_orderkey. Schemas are passed statically so the lazy aggregate
+    is executed exactly once (Dataset.schema() would run it a second time).
     Output: (o_orderkey, o_custkey, lineitem_cents, n_lines)."""
+    from ..functions.agg import bucketed_group_sum
     from ..functions.joins import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = orders.count()  # metadata-only on a fresh read
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({
             "o_orderkey": batch["l_orderkey"],
-            "cents": pa.array(_cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)),
-                              pa.int64()),
+            "lineitem_cents": pa.array(
+                _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+        }).group_by("o_orderkey").aggregate(
+            [("lineitem_cents", "sum"), ("lineitem_cents", "count")])
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "lineitem_cents": t["lineitem_cents_sum"],
+            "n_lines": pc.cast(t["lineitem_cents_count"], pa.int64()),
         })
-        return t.group_by("o_orderkey").aggregate([("cents", "sum"), ("cents", "count")])
 
-    li_agg = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Sum("cents_sum"), Sum("cents_count"))
-        .map_batches(lambda b: pa.table({
-            "o_orderkey": b["o_orderkey"],
-            "lineitem_cents": pc.cast(b["sum(cents_sum)"], pa.int64()),
-            "n_lines": pc.cast(b["sum(cents_count)"], pa.int64()),
-        }), batch_format="pyarrow")
-    )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li_agg = bucketed_group_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        key="o_orderkey", cols=["lineitem_cents", "n_lines"],
+        size_hint=n_orders)
+    li_schema = pa.schema([("o_orderkey", pa.int64()),
+                           ("lineitem_cents", pa.int64()),
+                           ("n_lines", pa.int64())])
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())])
     return hash_join(orders, li_agg, on="o_orderkey", how="inner",
-                     size_hint=orders.count())  # metadata-only on a fresh read
+                     size_hint=n_orders,
+                     left_schema=orders_schema, right_schema=li_schema)
 
 
 def q_events_rollup(sf_dir: str) -> "ray.data.Dataset":
