@@ -13,11 +13,14 @@ frames is orders of magnitude bigger than its encoded payload, so
 ``batch_size`` bounds worker heap, and the decoded representation never
 outlives the fused stage (decode -> feature -> drop pixels in one __call__).
 
-The container has no image/audio codec libraries, so the codec boundary is a
-``Codec`` protocol: ``RealCodec`` raises NotImplementedError (STUB — swap in
-PIL/ffmpeg in production), and ``FakeCodec`` provides a deterministic
-seeded decode so the Ray-side plumbing (schema, actor signature, batch
-sizing, output layout) is real and tested end-to-end.
+The codec boundary is a ``Codec`` protocol with three implementations:
+``RawCodec`` is a WORKING pure-numpy decoder for uncompressed containers
+(24-bit BMP, 16-bit PCM WAV, raw rgb24 video) — real bytes decode for real,
+no external libraries; ``RealCodec`` is the documented stub seam for
+compressed formats (png/jpeg/mp4 need PIL/ffmpeg, absent in this container);
+``AutoCodec`` routes by ``meta.format`` (raw formats decode, the rest
+surface in-band errors); ``FakeCodec`` provides a deterministic seeded
+decode for plumbing tests and synthetic benchmarks.
 """
 
 from __future__ import annotations
@@ -69,6 +72,140 @@ class RealCodec(Codec):
 
     def decode_video_frames(self, payload, meta, stride):
         raise NotImplementedError("video codec not available in this build")
+
+
+class RawCodec(Codec):
+    """WORKING pure-numpy codec for uncompressed containers — no external
+    libraries: 24-bit uncompressed BMP (BITMAPINFOHEADER), 16-bit PCM WAV
+    (RIFF), and raw interleaved rgb24 video (meta declares the frame shape).
+    Compressed formats (png/jpeg/mp3/mp4) still need RealCodec's external
+    libs; route by ``meta.format`` (see AutoCodec).
+
+    Format references are public: BMP file structure (Windows
+    BITMAPFILEHEADER/BITMAPINFOHEADER), RIFF/WAVE PCM chunks.
+    """
+
+    def decode_image(self, payload, meta):
+        b = bytes(payload)
+        if b[:2] != b"BM":
+            raise ValueError("RawCodec: not a BMP payload")
+        pix_off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"RawCodec: only 24-bit uncompressed BMP (got {bpp}bpp comp={comp})")
+        bottom_up = h > 0
+        h = abs(h)
+        row = ((w * 3 + 3) // 4) * 4
+        data = np.frombuffer(b, dtype=np.uint8, count=row * h, offset=pix_off)
+        img = data.reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            img = img[::-1]
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+
+    def decode_audio(self, payload, meta):
+        b = bytes(payload)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("RawCodec: not a RIFF/WAVE payload")
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            body = b[pos + 8:pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = {
+                    "audio_format": int.from_bytes(body[0:2], "little"),
+                    "channels": int.from_bytes(body[2:4], "little"),
+                    "sample_rate": int.from_bytes(body[4:8], "little"),
+                    "bits": int.from_bytes(body[14:16], "little"),
+                }
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("RawCodec: missing fmt/data chunk")
+        if fmt["audio_format"] != 1 or fmt["bits"] != 16:
+            raise ValueError("RawCodec: only 16-bit PCM WAV")
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        ch = fmt["channels"]
+        if ch > 1:
+            samples = samples[: len(samples) - len(samples) % ch]
+            samples = samples.reshape(-1, ch).mean(axis=1)  # downmix to mono
+        return samples
+
+    def decode_video_frames(self, payload, meta, stride):
+        h, w = int(meta["height"]), int(meta["width"])
+        frame_bytes = h * w * 3
+        b = bytes(payload)
+        total = len(b) // frame_bytes
+        frames = []
+        for i in range(0, total, stride):
+            frames.append(np.frombuffer(
+                b, dtype=np.uint8, count=frame_bytes, offset=i * frame_bytes
+            ).reshape(h, w, 3).copy())
+        return frames
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP encoder (test/round-trip counterpart of
+    RawCodec.decode_image). img: (H, W, 3) uint8 RGB."""
+    h, w = img.shape[:2]
+    row = ((w * 3 + 3) // 4) * 4
+    pix = np.zeros((h, row), dtype=np.uint8)
+    pix[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = pix.tobytes()
+    off = 14 + 40
+    header = (b"BM" + (off + len(data)).to_bytes(4, "little") + b"\0\0\0\0"
+              + off.to_bytes(4, "little"))
+    info = ((40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+            + len(data).to_bytes(4, "little") + (2835).to_bytes(4, "little") * 2
+            + (0).to_bytes(4, "little") * 2)
+    return header + info + data
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """16-bit mono PCM WAV encoder (round-trip counterpart)."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64) * 32768.0,
+                  -32768, 32767).astype("<i2").tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            + b"data" + len(pcm).to_bytes(4, "little") + pcm)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+class AutoCodec(Codec):
+    """Per-format dispatch: uncompressed containers decode for real via
+    RawCodec; anything else goes to the fallback (RealCodec by default, so
+    unsupported compressed formats surface as in-band errors rather than
+    fake data)."""
+
+    RAW_FORMATS = {"bmp", "wav", "rgb24"}
+
+    def __init__(self, fallback: Optional[Codec] = None):
+        self.raw = RawCodec()
+        self.fallback = fallback or RealCodec()
+
+    def _route(self, meta) -> Codec:
+        fmt = ((meta or {}).get("format") or "").lower()
+        return self.raw if fmt in self.RAW_FORMATS else self.fallback
+
+    def decode_image(self, payload, meta):
+        return self._route(meta).decode_image(payload, meta)
+
+    def decode_audio(self, payload, meta):
+        return self._route(meta).decode_audio(payload, meta)
+
+    def decode_video_frames(self, payload, meta, stride):
+        return self._route(meta).decode_video_frames(payload, meta, stride)
 
 
 class FakeCodec(Codec):

@@ -72,3 +72,67 @@ class TestAudioVideo:
         b = c.decode_image(b"xx", meta)
         d = c.decode_image(b"yy", meta)
         assert (a == b).all() and (a != d).any()
+
+
+class TestRawCodec:
+    """Pure-numpy working decode path (uncompressed BMP / PCM WAV / rgb24):
+    encoder -> Ray actor-pool stage -> features, no external codec libs."""
+
+    def test_bmp_roundtrip_exact(self):
+        from documentprocessor_ray.stages.multimodal import RawCodec, encode_bmp
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)  # odd w: padding path
+        out = RawCodec().decode_image(encode_bmp(img), {})
+        assert np.array_equal(out, img)
+
+    def test_wav_roundtrip(self):
+        from documentprocessor_ray.stages.multimodal import RawCodec, encode_wav_pcm16
+
+        t = np.linspace(0, 1, 16000, endpoint=False)
+        sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        out = RawCodec().decode_audio(encode_wav_pcm16(sig, 16000), {})
+        assert len(out) == 16000
+        assert np.abs(out - sig).max() < 1e-3  # 16-bit quantization error only
+
+    def test_rgb24_video_stride(self):
+        from documentprocessor_ray.stages.multimodal import RawCodec
+
+        frames = np.arange(5 * 4 * 4 * 3, dtype=np.uint8).reshape(5, 4, 4, 3)
+        got = RawCodec().decode_video_frames(
+            frames.tobytes(), {"height": 4, "width": 4}, stride=2)
+        assert len(got) == 3
+        assert np.array_equal(got[0], frames[0]) and np.array_equal(got[2], frames[4])
+
+    def test_real_decode_through_ray_stage(self, ray_session):
+        """BMP/WAV assets flow through the actual actor-pool stages with
+        AutoCodec — the real (non-fake) decode path runs distributed."""
+        from documentprocessor_ray.stages.multimodal import (
+            MEDIA_SCHEMA, AutoCodec, build_media_pipeline, encode_bmp,
+            encode_wav_pcm16)
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(4):
+            img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            rows.append({"asset_id": f"img-{i}", "kind": "image",
+                         "payload": encode_bmp(img),
+                         "meta": {"format": "bmp", "width": 16, "height": 16,
+                                  "sample_rate": 0, "n_frames": 0}})
+            rows.append({"asset_id": f"aud-{i}", "kind": "audio",
+                         "payload": encode_wav_pcm16(
+                             rng.standard_normal(4096) * 0.2, 16000),
+                         "meta": {"format": "wav", "width": 0, "height": 0,
+                                  "sample_rate": 16000, "n_frames": 0}})
+        # one unsupported compressed asset -> in-band error, not a crash
+        rows.append({"asset_id": "img-png", "kind": "image", "payload": b"\x89PNG",
+                     "meta": {"format": "png", "width": 8, "height": 8,
+                              "sample_rate": 0, "n_frames": 0}})
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+        imgs = build_media_pipeline(ds, "image", codec=AutoCodec()).to_pandas()
+        auds = build_media_pipeline(ds, "audio", codec=AutoCodec()).to_pandas()
+        ok_imgs = imgs[imgs["error"].isna()]
+        assert len(ok_imgs) == 4 and set(ok_imgs["width"]) == {16}
+        bad = imgs[imgs["asset_id"] == "img-png"].iloc[0]
+        assert "not available" in bad["error"]
+        assert len(auds) == 4 and (auds["n_samples"] == 4096).all()
