@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "pricing_summary", "top_customers", "order_revenue_join",
     "events_rollup", "events_tumbling", "sessionize",
     "normalize_boxes", "raw_text_join", "vendor_topk", "doc_sample",
-    "lang_stats", "low_order_customers", "extract_amount",
+    "lang_stats", "low_order_customers", "customers_no_big_orders",
+    "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",
 ]
 

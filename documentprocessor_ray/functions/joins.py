@@ -119,12 +119,18 @@ def semi_join(
     num_buckets: Optional[int] = None,
     size_hint: Optional[int] = None,
     left_schema=None,
+    anti: bool = False,
 ) -> "ray.data.Dataset":
     """Distributed semi-join: rows of ``left`` whose ``left_on`` value appears
     in ``keep[keep_on]`` (int64 keys). The scale-safe replacement for a
     driver-side keep-set + broadcast filter: both sides shuffle ONCE on the
     bucketed key and membership is tested vectorized (``pc.is_in``) inside
     each bucket — keep-list cardinality never lands on one machine.
+
+    ``anti=True`` inverts the membership test (anti-join: rows whose key does
+    NOT appear in ``keep``) — correctness relies on co-bucketing: a key's
+    keep rows land in the same bucket as its left rows, so a miss in the
+    bucket is a global miss.
     """
     if num_buckets is None:
         num_buckets = auto_buckets(size_hint, rows_per_bucket=JOIN_ROWS_PER_BUCKET)
@@ -157,6 +163,8 @@ def semi_join(
         lhs = g.filter(lmask)
         keep_keys = g.filter(pc.invert(lmask))["__key"]
         hit = pc.is_in(lhs["__key"], value_set=pc.unique(keep_keys.combine_chunks()))
+        if anti:
+            hit = pc.invert(hit)
         return lhs.filter(hit).select(l_names)
 
     return tagged.groupby("__pkey").map_groups(filter_bucket, batch_format="pyarrow")

@@ -305,6 +305,97 @@ def q_low_order_customers(sf_dir: str) -> "ray.data.Dataset":
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_customers_no_big_orders(sf_dir: str) -> "ray.data.Dataset":
+    """True ANTI-join via the co-bucketed semi_join(anti=True): customers
+    with NO high-value order (o_totalprice > 3000.00 = 300000 cents) — both
+    sides shuffle once on the bucketed customer key; no driver-side key set,
+    no broadcast. (The driver corpus gives every customer at least one
+    order, so a plain no-orders anti-join would be empty and lose its schema
+    through the compare — the price predicate keeps the result non-empty at
+    every sf.)"""
+    from ..functions.joins import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.filter(expr="o_totalprice > 300000.0") \
+        .select_columns(["o_custkey"])
+    return semi_join(
+        cust, big, left_on="c_custkey", keep_on="o_custkey", anti=True,
+        size_hint=cust.count(),
+        left_schema=pa.schema([("c_custkey", pa.int64())]))
+
+
+def q_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Three-way join rollup (TPC-H-Q5 shape): orders pre-aggregated per
+    customer (bucketed combiner), co-bucketed hash join to customer for the
+    nation key, tiny groupby(n_nationkey) merge, then the 25-row nation
+    table attached via broadcast. One big shuffle (the join); everything
+    after it is aggregate-sized."""
+    from ..functions.agg import bucketed_group_sum
+    from ..functions.joins import hash_join
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names_ref = ray.put(dict(zip(nation["n_nationkey"].astype(int),
+                                 nation["n_name"])))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    n_cust = cust.count()  # metadata-only
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_custkey": batch["o_custkey"],
+            "revenue_cents": pa.array(
+                _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+        }).group_by("c_custkey").aggregate(
+            [("revenue_cents", "sum"), ("revenue_cents", "count")])
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "revenue_cents": t["revenue_cents_sum"],
+            "n_orders": pc.cast(t["revenue_cents_count"], pa.int64()),
+        })
+
+    per_cust = bucketed_group_sum(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        key="c_custkey", cols=["revenue_cents", "n_orders"], size_hint=n_cust)
+
+    def cast_cust(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+        })
+
+    joined = hash_join(
+        cust.map_batches(cast_cust, batch_format="pyarrow"), per_cust,
+        on="c_custkey", how="inner", size_hint=n_cust,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_nationkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("revenue_cents", pa.int64()),
+                                ("n_orders", pa.int64())]))
+
+    def partial_nation(b: pa.Table) -> pa.Table:
+        return b.select(["c_nationkey", "revenue_cents", "n_orders"]) \
+            .group_by("c_nationkey").aggregate(
+                [("revenue_cents", "sum"), ("n_orders", "sum")])
+
+    agg = (joined.map_batches(partial_nation, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Sum("revenue_cents_sum"), Sum("n_orders_sum")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        keys = b["c_nationkey"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[int(k)] for k in keys], pa.string()),
+            "revenue_cents": pc.cast(b["sum(revenue_cents_sum)"], pa.int64()),
+            "n_orders": pc.cast(b["sum(n_orders_sum)"], pa.int64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- relational / agg ops
 
 def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
@@ -922,6 +1013,20 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                count(*)::BIGINT AS n_docs
         FROM documents GROUP BY lang""",
+    "customers_no_big_orders": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000.0)""",
+    "nation_revenue": """
+        SELECT n.n_name,
+          CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents,
+          count(*)::BIGINT AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""",
     "low_order_customers": """
         SELECT c.c_custkey, COALESCE(o.cnt, 0)::BIGINT AS n_orders
         FROM customer c
@@ -1076,6 +1181,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "doc_sample": q_doc_sample,
     "lang_stats": q_lang_stats,
     "low_order_customers": q_low_order_customers,
+    "customers_no_big_orders": q_customers_no_big_orders,
+    "nation_revenue": q_nation_revenue,
     "events_rollup": q_events_rollup,
     "events_tumbling": q_events_tumbling,
     "sessionize": q_sessionize,

@@ -10,7 +10,7 @@ import pytest
 
 import ray.data
 
-from documentprocessor_ray.functions.joins import _bucket_of, hash_join
+from documentprocessor_ray.functions.joins import _bucket_of, hash_join, semi_join
 
 
 def _ds(df):
@@ -63,3 +63,24 @@ class TestHashJoin:
         assert (b1 == b2).all()
         counts = np.bincount(b1, minlength=64)
         assert counts.min() > 0.5 * counts.mean()  # no striping/empty buckets
+
+
+class TestSemiAntiJoin:
+    def test_semi_matches_set_filter(self, sides):
+        left, right = sides
+        keep = right[right["k"] % 3 == 0][["k"]].rename(columns={"k": "kk"})
+        got = semi_join(_ds(left), _ds(keep), left_on="k", keep_on="kk").to_pandas()
+        exp = left[left["k"].isin(set(keep["kk"]))]
+        assert sorted(got["lv"]) == sorted(exp["lv"])
+        assert list(got.columns) == ["k", "lv"]
+
+    def test_anti_is_complement(self, sides):
+        left, right = sides
+        keep = right[right["k"] % 3 == 0][["k"]].rename(columns={"k": "kk"})
+        semi = semi_join(_ds(left), _ds(keep), left_on="k", keep_on="kk").to_pandas()
+        anti = semi_join(_ds(left), _ds(keep), left_on="k", keep_on="kk",
+                         anti=True).to_pandas()
+        assert len(semi) + len(anti) == len(left)
+        assert set(semi["lv"]).isdisjoint(set(anti["lv"]))
+        exp = left[~left["k"].isin(set(keep["kk"]))]
+        assert sorted(anti["lv"]) == sorted(exp["lv"])
