@@ -587,15 +587,17 @@ def cluster_pairs_distributed(pairs: "ray.data.Dataset", max_iters: int = 50,
     """Connected components over a (doc_a, doc_b) pair Dataset WITHOUT ever
     collecting pairs to the driver: iterative min-label propagation.
 
-    Each round every node's label drops to the min label among itself and
-    its neighbors (one co-bucketed hash join edge x label + one bucketed
-    min-combine); rounds repeat until a round changes no label. Round count
-    is bounded by component diameter — near-dup clusters are small and
-    dense, so this converges in a handful of rounds. The only driver-side
-    values are the per-round changed COUNT (a scalar aggregate) — pair and
-    label data stay distributed, which is what makes this the 10^12-doc
-    path. ``pair_clusters`` (driver union-find) remains the small-N oracle;
-    a unit test asserts label equality between the two.
+    Each round every node's label drops to the min among itself, its
+    neighbors' labels, AND its label's label (pointer jumping — the
+    shortcutting step of classic MapReduce connected components): two
+    co-bucketed hash joins + one bucketed min-combine per round, repeated
+    until a round changes no label. Pointer jumping makes the round count
+    O(log diameter) instead of O(diameter), so long chain components
+    converge in a handful of rounds too. The only driver-side values are
+    the per-round changed COUNT (a scalar aggregate) — pair and label data
+    stay distributed, which is what makes this the 10^12-doc path.
+    ``pair_clusters`` (driver union-find) remains the small-N oracle; unit
+    tests assert label equality between the two (incl. a random graph).
 
     Returns a Dataset (doc_id, cluster_rep), rep = min doc_id of the
     component, one row per node that appears in any pair.
@@ -676,17 +678,36 @@ def cluster_pairs_distributed(pairs: "ray.data.Dataset", max_iters: int = 50,
             "changed": pc.cast(pc.less(j["cand_min"], j["old_label"]), pa.int64()),
         })
 
+    lab_schema = pa.schema([("src", pa.int64()), ("label", pa.int64())])
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
     for _ in range(max_iters):
         lab_by_src = labels.map_batches(
             lambda b: pa.table({"src": b["node"], "label": b["label"]}),
             batch_format="pyarrow")
         msgs = hash_join(edges.select_columns(["src", "dst"]), lab_by_src,
-                         on="src", how="inner", num_buckets=num_buckets)
+                         on="src", how="inner", num_buckets=num_buckets,
+                         left_schema=edge_schema, right_schema=lab_schema)
+        # pointer jumping: treat (label(n) -> n) as an edge so n also
+        # receives label(label(n)) this round -> O(log diameter) rounds
+        lab_as_edges = labels.map_batches(
+            lambda b: pa.table({"src": b["label"], "dst": b["node"]}),
+            batch_format="pyarrow")
+        jumps = hash_join(lab_as_edges, lab_by_src, on="src", how="inner",
+                          num_buckets=num_buckets,
+                          left_schema=edge_schema, right_schema=lab_schema)
         combined = (msgs.map_batches(tag_msg, batch_format="pyarrow")
+                    .union(jumps.map_batches(tag_msg, batch_format="pyarrow"))
                     .union(labels.map_batches(tag_old, batch_format="pyarrow"))
                     .groupby("pkey").map_groups(combine, batch_format="pyarrow")
                     ).materialize()
-        labels = combined.select_columns(["node", "label"])
+        # repartition back to the iteration width: union/groupby MULTIPLY the
+        # block count each round (3 branches -> 3^k tiny blocks without
+        # this), and scheduler overhead on thousands of one-row blocks is
+        # what kills iterative Ray Data loops — measured exponential
+        # per-round wall time until capped here.
+        labels = (combined.select_columns(["node", "label"])
+                  .repartition(num_buckets).materialize())
         if int(combined.sum("changed") or 0) == 0:
             break
 

@@ -314,3 +314,23 @@ class TestSimilarity:
             a = bf[bf["qid"] == q].sort_values("rank")["vec_id"].tolist()
             b = ivf[ivf["qid"] == q].sort_values("rank")["vec_id"].tolist()
             assert a == b
+
+
+class TestDistributedClustersRandom:
+    def test_random_graph_matches_union_find(self, ray_session):
+        """Seeded random graph (chains + triangles + singdoubles): the
+        distributed labels equal the union-find oracle exactly."""
+        rng = np.random.default_rng(17)
+        edges = set()
+        while len(edges) < 60:
+            a, b = int(rng.integers(0, 80)), int(rng.integers(0, 80))
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        pairs = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        }))
+        oracle = D.pair_clusters(pairs)
+        got = D.cluster_pairs_distributed(pairs).to_pandas()
+        assert dict(zip(got["doc_id"], got["cluster_rep"])) == oracle

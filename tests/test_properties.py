@@ -109,3 +109,84 @@ class TestAmountProps:
 class TestQualitySqlParity:
     def test_stoplist_is_lowercase(self):
         assert all(w == w.lower() for w in STOPWORDS)
+
+
+class TestShardingProps:
+    @given(st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=200),
+           st.integers(1, 512))
+    def test_bucket_in_range_and_deterministic(self, keys, n):
+        import numpy as np
+
+        from documentprocessor_ray.sharding import bucket_of_ints
+
+        arr = np.array(keys, dtype=np.int64)
+        b1 = bucket_of_ints(arr, n)
+        b2 = bucket_of_ints(arr, n)
+        assert (b1 == b2).all()
+        assert ((b1 >= 0) & (b1 < n)).all()
+
+    @given(st.integers(0, 10**12), st.integers(0, 10**12))
+    def test_auto_buckets_monotone(self, a, b):
+        from documentprocessor_ray.sharding import auto_buckets
+
+        lo, hi = sorted((a, b))
+        assert auto_buckets(lo) <= auto_buckets(hi)
+        assert auto_buckets(hi) >= 64
+
+
+class TestSimhashBatchProps:
+    @given(st.lists(st.text(max_size=60), min_size=1, max_size=12))
+    @settings(max_examples=40)
+    def test_batching_invariant(self, texts):
+        """The unique-token cache shared across a batch must not change any
+        document's simhash vs hashing it alone."""
+        from documentprocessor_ray.functions.dedup import simhash64_batch
+
+        together = simhash64_batch(texts)
+        alone = [simhash64_batch([t])[0] for t in texts]
+        assert together == alone
+
+
+class TestRe2TokensProps:
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                   max_size=120))
+    def test_tokens_contain_no_re2_whitespace(self, t):
+        from documentprocessor_ray.functions.dedup import _re2_tokens
+
+        for tok in _re2_tokens(t):
+            assert tok != ""
+            assert not set(tok) & set("\t\n\f\r ")
+
+    @given(st.lists(st.text(alphabet=st.characters(
+        blacklist_characters="\t\n\f\r ", blacklist_categories=("Cs",)),
+        min_size=1, max_size=8), min_size=1, max_size=12))
+    def test_join_split_roundtrip(self, toks):
+        from documentprocessor_ray.functions.dedup import _re2_tokens
+
+        assert _re2_tokens(" ".join(toks)) == [t.lower() for t in toks]
+
+
+class TestRawCodecProps:
+    @given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1))
+    @settings(max_examples=30)
+    def test_bmp_roundtrip_any_shape(self, h, w, seed):
+        import numpy as np
+
+        from documentprocessor_ray.stages.multimodal import RawCodec, encode_bmp
+
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(RawCodec().decode_image(encode_bmp(img), {}), img)
+
+    @given(st.integers(1, 4096), st.integers(0, 2**32 - 1))
+    @settings(max_examples=20)
+    def test_wav_roundtrip_any_length(self, n, seed):
+        import numpy as np
+
+        from documentprocessor_ray.stages.multimodal import (
+            RawCodec, encode_wav_pcm16)
+
+        sig = np.random.default_rng(seed).uniform(-0.9, 0.9, size=n)
+        out = RawCodec().decode_audio(encode_wav_pcm16(sig), {})
+        assert len(out) == n
+        assert np.abs(out - sig).max() < 1e-3
