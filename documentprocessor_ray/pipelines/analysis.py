@@ -627,6 +627,82 @@ def q_events_tumbling(sf_dir: str) -> "ray.data.Dataset":
     }), batch_format="pyarrow")
 
 
+def q_events_hopping(sf_dir: str) -> "ray.data.Dataset":
+    """SLIDING (hopping) event-time window: 1h windows every 30min — each
+    event lands in exactly two windows. Window assignment is a vectorized
+    duplicate-and-shift inside map_batches (no shuffle), partials combine
+    per batch, then one tiny groupby on (event_type, window) — the same
+    combiner shape as the tumbling variant, with 2x the partial rows."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    hop_us = np.int64(1800) * 1000000    # 30 min
+    win_us = np.int64(3600) * 1000000    # 1 h
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        us = ts.astype(np.int64)
+        first = (us // hop_us) * hop_us
+        starts = np.concatenate([first, first - hop_us])
+        et = pa.concat_arrays([batch["event_type"].combine_chunks()] * 2)
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        cents2 = np.concatenate([cents, cents])
+        keep = (np.concatenate([us, us]) - starts) < win_us  # always true; guard
+        t = pa.table({
+            "event_type": et,
+            "window_us": pa.array(starts, pa.int64()),
+            "cents": pa.array(cents2, pa.int64()),
+        }).filter(pa.array(keep))
+        return t.group_by(["event_type", "window_us"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "window_us"])
+           .aggregate(Sum("cents_sum"), Sum("cents_count")))
+    return agg.map_batches(lambda b: pa.table({
+        "event_type": b["event_type"],
+        "window_us": pc.cast(b["window_us"], pa.int64()),
+        "sum_value_cents": pc.cast(b["sum(cents_sum)"], pa.int64()),
+        "n_events": pc.cast(b["sum(cents_count)"], pa.int64()),
+    }), batch_format="pyarrow")
+
+
+def q_top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group top-k (the window-function `row_number() <= 3` shape): the
+    3 highest-value orders per customer. One bucketed shuffle on the
+    customer key; inside each bucket a single vectorized sort + grouped
+    head(3). Deterministic total order: (custkey, -price, orderkey)."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    num_buckets = auto_buckets(ds.count(), rows_per_bucket=65536)
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "o_custkey": pa.array(k, pa.int64()),
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "total_cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+            "pkey": pa.array(bucket_of_ints(k, num_buckets), pa.int64()),
+        })
+
+    def topk(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(
+            ["o_custkey", "total_cents", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort")
+        top = df.groupby("o_custkey", sort=False).head(3).copy()
+        top["rank"] = top.groupby("o_custkey", sort=False).cumcount() + 1
+        return pa.table({
+            "o_custkey": pa.array(top["o_custkey"].to_numpy(), pa.int64()),
+            "o_orderkey": pa.array(top["o_orderkey"].to_numpy(), pa.int64()),
+            "rank": pa.array(top["rank"].to_numpy(), pa.int64()),
+            "total_cents": pa.array(top["total_cents"].to_numpy(), pa.int64()),
+        })
+
+    return ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(topk, batch_format="pyarrow")
+
+
 def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     """Windowed/stateful streaming analog: 30-minute-gap sessionization per
     user via groupby(user_id).map_groups with an in-group (ts, event_id)
@@ -1052,6 +1128,42 @@ ORACLE_SQL: Dict[str, str] = {
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
           count(*)::BIGINT AS n_events
         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "dedup_clusters": """
+        WITH pairs AS ({NGRAM_PAIRS}),
+        sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          WITH RECURSIVE r(n, m) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.n, s.b FROM r JOIN sym s ON r.m = s.a WHERE s.b <> r.n
+          ) SELECT * FROM r)
+        SELECT n AS doc_id, LEAST(n, MIN(m))::BIGINT AS cluster_rep
+        FROM reach GROUP BY n""",
+    "events_hopping": """
+        WITH u AS (
+          SELECT event_type,
+            CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS BIGINT) AS us,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        w AS (
+          SELECT event_type, (us // 1800000000) * 1800000000 AS window_us, cents FROM u
+          UNION ALL
+          SELECT event_type, (us // 1800000000) * 1800000000 - 1800000000, cents FROM u)
+        SELECT event_type, window_us,
+          CAST(sum(cents) AS BIGINT) AS sum_value_cents,
+          count(*)::BIGINT AS n_events
+        FROM w GROUP BY event_type, window_us""",
+    "top_orders_per_customer": """
+        WITH r AS (
+          SELECT o_custkey, o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY round(o_totalprice * 100) DESC,
+                                        o_orderkey) AS rank
+          FROM orders)
+        SELECT o_custkey, o_orderkey, rank::BIGINT AS rank, total_cents
+        FROM r WHERE rank <= 3""",
     "sessionize": """
         WITH o AS (
           SELECT user_id, event_id, ts,
@@ -1154,6 +1266,12 @@ ORACLE_SQL: Dict[str, str] = {
 }
 
 
+# the clustering oracle reuses the pair-generation SQL verbatim (recursive
+# transitive closure over the same exact pair set)
+ORACLE_SQL["dedup_clusters"] = ORACLE_SQL["dedup_clusters"].replace(
+    "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "normalize_text": q_normalize_text,
     "token_count": q_token_count,
@@ -1185,6 +1303,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "nation_revenue": q_nation_revenue,
     "events_rollup": q_events_rollup,
     "events_tumbling": q_events_tumbling,
+    "events_hopping": q_events_hopping,
+    "top_orders_per_customer": q_top_orders_per_customer,
     "sessionize": q_sessionize,
     "token_count_bpe": q_token_count_bpe,
     "raw_text_join": q_raw_text_join,
