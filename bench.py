@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "normalize_text", "token_count", "token_count_bpe", "quality_stats",
     "fingerprint", "langid", "winnow_fingerprint", "exact_dedup",
-    "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean", "minhash_pairs",
+    "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean",
+    "corpus_train_ready", "minhash_pairs",
     "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",
     "knn_bruteforce", "knn_ivf",
     "image_features", "audio_features", "video_framesample",

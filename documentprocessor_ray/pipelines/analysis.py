@@ -167,6 +167,57 @@ def q_corpus_clean(sf_dir: str) -> "ray.data.Dataset":
                      size_hint=n_docs, left_schema=stats_schema)
 
 
+def q_corpus_train_ready(sf_dir: str) -> "ray.data.Dataset":
+    """The FULL training-data cleaning composition, end-to-end distributed
+    and end-to-end SQL-verified: quality gate -> exact-dedup keep-list
+    (semi-join) -> NEAR-dup removal (3-gram Jaccard pairs -> distributed
+    min-label clusters -> anti-join against non-representative members).
+    Output: surviving doc_ids with quality signals. Every stage is the same
+    operator the standalone queries use; nothing is collected to the driver
+    (keep-list and cluster members travel as datasets through
+    semi_join/anti)."""
+    from ..functions.joins import semi_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
+    stats = docs.map_batches(T.quality_stats_batch, batch_format="pyarrow")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        n_tokens = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        n_alpha = batch["n_alpha"].to_numpy(zero_copy_only=False)
+        mask = ((n_chars >= 100) & (n_tokens >= 20)
+                & (5 * n_alpha >= 3 * n_chars))
+        return batch.filter(pa.array(mask))
+
+    stats_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+        ("n_tokens", pa.int64()), ("n_alpha", pa.int64()),
+        ("n_stop", pa.int64()),
+    ])
+    gated = stats.map_batches(gate, batch_format="pyarrow")
+
+    exact_keep = D.exact_dedup(docs).select_columns(["keep_id"])
+    surviving = semi_join(gated, exact_keep, left_on="doc_id",
+                          keep_on="keep_id", size_hint=n_docs,
+                          left_schema=stats_schema)
+
+    pairs = D.jaccard_pairs(docs, threshold_num=1, threshold_den=2,
+                            shingle_k=3)
+    clusters = D.cluster_pairs_distributed(
+        pairs.select_columns(["doc_a", "doc_b"]))
+    non_rep = clusters.filter(expr="doc_id != cluster_rep") \
+        .select_columns(["doc_id"])
+
+    def rename_member(b: pa.Table) -> pa.Table:
+        return pa.table({"member_id": pc.cast(b["doc_id"], pa.int64())})
+
+    return semi_join(surviving,
+                     non_rep.map_batches(rename_member, batch_format="pyarrow"),
+                     left_on="doc_id", keep_on="member_id", anti=True,
+                     size_hint=n_docs, left_schema=stats_schema)
+
+
 # ---------------------------------------------------------------- similarity
 
 def q_knn_bruteforce(sf_dir: str) -> "ray.data.Dataset":
@@ -1271,6 +1322,15 @@ ORACLE_SQL: Dict[str, str] = {
 ORACLE_SQL["dedup_clusters"] = ORACLE_SQL["dedup_clusters"].replace(
     "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
 
+# full cleaning composition: corpus_clean's quality+exact-dedup SQL minus
+# the non-representative members of the recursive-CTE near-dup clusters
+ORACLE_SQL["corpus_train_ready"] = f"""
+    WITH base AS ({ORACLE_SQL["corpus_clean"]}),
+    clusters AS ({ORACLE_SQL["dedup_clusters"]})
+    SELECT base.* FROM base
+    WHERE base.doc_id NOT IN
+      (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)"""
+
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "normalize_text": q_normalize_text,
@@ -1284,6 +1344,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "corpus_clean": q_corpus_clean,
+    "corpus_train_ready": q_corpus_train_ready,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
