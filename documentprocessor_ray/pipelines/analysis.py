@@ -612,8 +612,11 @@ def q_events_rollup(sf_dir: str) -> "ray.data.Dataset":
             "event_type": batch["event_type"],
             "user_id": pc.cast(batch["user_id"], pa.int64()),
         }).group_by(["event_type", "user_id"]).aggregate([])
-        et_crc = np.array([zlib.crc32(s.encode())
-                           for s in d["event_type"].to_pylist()], dtype=np.int64)
+        # crc once per DISTINCT event type (a handful), then take per row
+        enc = pc.dictionary_encode(d["event_type"].combine_chunks())
+        uniq_crc = np.array([zlib.crc32(s.encode())
+                             for s in enc.dictionary.to_pylist()], dtype=np.int64)
+        et_crc = uniq_crc[enc.indices.to_numpy(zero_copy_only=False)]
         uid = d["user_id"].to_numpy(zero_copy_only=False)
         pk = bucket_of_ints(uid * np.int64(1000003) + et_crc, num_buckets)
         return d.append_column("pkey", pa.array(pk, pa.int64()))
