@@ -167,6 +167,37 @@ def q_corpus_clean(sf_dir: str) -> "ray.data.Dataset":
                      size_hint=n_docs, left_schema=stats_schema)
 
 
+def q_main_content(sf_dir: str) -> "ray.data.Dataset":
+    """North-rule main-content extraction (HTML boilerplate strip / DOM
+    heuristics): deterministic HTML is constructed per document from its
+    token stream (a link-farm nav block, the body paragraph, a short
+    footer) IDENTICALLY in Ray and SQL, then block-level link-density
+    heuristics keep only the main content (functions/boilerplate.py spec).
+    The nav block dies of link density, the footer of min length — the
+    oracle checks the whole strip, not just a pass-through."""
+    from ..functions.boilerplate import extract_main_content_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build_html(batch: pa.Table) -> pa.Table:
+        split, empty = T._tokens_list(batch["text"].combine_chunks())
+        toks_py = split.to_pylist()
+        empties = empty.to_pylist()
+        htmls = []
+        for toks, e in zip(toks_py, empties):
+            toks = [] if e else (toks or [])
+            nav = " ".join(f'<a href="#">{w}</a>' for w in toks[:10])
+            body = " ".join(toks[10:])
+            htmls.append(f"<div>{nav}</div><p>{body}</p><div>ok</div>")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    return ds.map_batches(build_html, batch_format="pyarrow") \
+        .map_batches(extract_main_content_batch, batch_format="pyarrow")
+
+
 def q_corpus_train_ready(sf_dir: str) -> "ray.data.Dataset":
     """The FULL training-data cleaning composition, end-to-end distributed
     and end-to-end SQL-verified: quality gate -> exact-dedup keep-list
@@ -1325,6 +1356,47 @@ ORACLE_SQL: Dict[str, str] = {
 ORACLE_SQL["dedup_clusters"] = ORACLE_SQL["dedup_clusters"].replace(
     "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
 
+# main-content extraction twin: same construction + block/link-density spec
+# as functions/boilerplate.py (BLOCK_TAG_PATTERN / ANCHOR_PATTERN /
+# MIN_BLOCK_CHARS), normalize chain shared via _NORM_SQL
+_KEEP_LAMBDA = "(x, i) -> length(x) >= 50 AND 3 * linklen[i] <= length(x)"
+ORACLE_SQL["main_content"] = rf"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+        '<div>' || coalesce(array_to_string(list_transform(list_slice(toks, 1, 10),
+            w -> '<a href="#">' || w || '</a>'), ' '), '')
+        || '</div><p>'
+        || coalesce(array_to_string(list_slice(toks, 11, len(toks)), ' '), '')
+        || '</p><div>ok</div>' AS html
+      FROM t),
+    b AS (
+      SELECT doc_id, regexp_split_to_array(html,
+        '(?i)</?(?:div|p|td|th|li|h[1-6]|table|section|article|header|footer|nav|br)[^>]*>')
+        AS blocks
+      FROM h),
+    v AS (
+      SELECT doc_id, blocks,
+        list_transform(blocks, x -> {_NORM_SQL.format(col='x')}) AS vis,
+        list_transform(blocks, x -> coalesce(list_sum(list_transform(
+          regexp_extract_all(x, '(?is)<a(?:[ \t\n\f\r][^>]*)?>(.*?)</a>', 1),
+          y -> length(y))), 0)) AS linklen
+      FROM b)
+    SELECT doc_id,
+      -- array_to_string([]) is NULL in DuckDB, engine emits ''
+      coalesce(array_to_string(list_filter(vis, {_KEEP_LAMBDA}), ' '), '')
+        AS main_text,
+      len(blocks)::BIGINT AS n_blocks,
+      len(list_filter(vis, {_KEEP_LAMBDA}))::BIGINT AS n_kept
+    FROM v"""
+
 # full cleaning composition: corpus_clean's quality+exact-dedup SQL minus
 # the non-representative members of the recursive-CTE near-dup clusters
 ORACLE_SQL["corpus_train_ready"] = f"""
@@ -1337,6 +1409,7 @@ ORACLE_SQL["corpus_train_ready"] = f"""
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "normalize_text": q_normalize_text,
+    "main_content": q_main_content,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "fingerprint": q_fingerprint,

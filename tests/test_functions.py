@@ -334,3 +334,44 @@ class TestDistributedClustersRandom:
         oracle = D.pair_clusters(pairs)
         got = D.cluster_pairs_distributed(pairs).to_pandas()
         assert dict(zip(got["doc_id"], got["cluster_rep"])) == oracle
+
+
+class TestBoilerplate:
+    def test_link_farm_rejected_body_kept(self):
+        from documentprocessor_ray.functions.boilerplate import (
+            extract_main_content_batch)
+
+        body = "this is the real article content " * 3  # > 50 chars
+        nav = " ".join(f'<a href="#">link{i}</a>' for i in range(8))
+        html = f"<div>{nav}</div><p>{body.strip()}</p><div>ok</div>"
+        out = extract_main_content_batch(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "html": pa.array([html], pa.string()),
+        }))
+        assert out["n_kept"][0].as_py() == 1
+        assert out["main_text"][0].as_py() == body.strip()
+
+    def test_short_and_empty_blocks_dropped(self):
+        from documentprocessor_ray.functions.boilerplate import (
+            extract_main_content_batch)
+
+        out = extract_main_content_batch(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "html": pa.array(["<div>tiny</div><p>also small</p>", ""],
+                             pa.string()),
+        }))
+        assert out["main_text"].to_pylist() == ["", ""]
+        assert out["n_kept"].to_pylist() == [0, 0]
+
+    def test_low_link_density_long_block_kept(self):
+        from documentprocessor_ray.functions.boilerplate import (
+            extract_main_content_batch)
+
+        body = ("prose with one <a href='#'>ref</a> inside " +
+                "and plenty of surrounding words to stay well above limits")
+        out = extract_main_content_batch(pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "html": pa.array([f"<p>{body}</p>", ], pa.string()),
+        }))
+        assert out["n_kept"][0].as_py() == 1
+        assert "ref" in out["main_text"][0].as_py()
