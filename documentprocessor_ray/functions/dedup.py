@@ -378,9 +378,13 @@ class MinHasher:
         self.k = shingle_k
         self._tok_cache: Dict[str, int] = {}
 
+    _CACHE_CAP = 1 << 20  # bound actor memory on adversarial vocabularies
+
     def _tok_hash(self, tok: str) -> int:
         h = self._tok_cache.get(tok)
         if h is None:
+            if len(self._tok_cache) >= self._CACHE_CAP:
+                self._tok_cache.clear()  # Zipf head re-fills immediately
             h = int.from_bytes(
                 hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
             self._tok_cache[tok] = h

@@ -15,8 +15,11 @@ When one side is small, prefer the broadcast pattern instead
 no shuffle at all. This module is the path for two BIG sides.
 
 Skew note: a hot join key lands in one bucket; num_buckets spreads distinct
-keys, and a single pathological key should be salted (split key -> key#i on
-one side, replicate on the other) before calling this.
+keys, and a single pathological key is handled with ``salt=S``: left rows
+scatter across S salt partitions (round-robin within each batch) and right
+rows replicate to every salt, so a key with millions of left rows spreads
+over S reducers at the cost of S-times the (small) right side — the classic
+skew-join trade. Output is identical to the unsalted join.
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ def hash_join(
     size_hint: Optional[int] = None,
     left_schema=None,
     right_schema=None,
+    salt: int = 1,
 ) -> "ray.data.Dataset":
     """Join two Datasets on an int64 key column (how: inner|left).
 
@@ -86,6 +90,31 @@ def hash_join(
                     cols[name] = pc.cast(batch[name].combine_chunks(), typ)
                 else:
                     cols[name] = pa.nulls(n, typ)
+            if salt > 1 and side == "l":
+                # scatter left rows over salt partitions (round-robin is
+                # deterministic per batch; any assignment is correct). The
+                # salt is carried as a JOIN KEY — two (key, salt) partitions
+                # can hash into the same bucket, and only the matching salt
+                # may pair up there.
+                s = np.arange(n, dtype=np.int64) % salt
+                cols["__salt"] = pa.array(s, pa.int64())
+                cols["__pkey"] = pa.array(
+                    bucket_of_ints(keys * np.int64(salt) + s, num_buckets),
+                    pa.int64())
+                cols["__side"] = pa.array(["l"] * n, pa.string())
+                return pa.table(cols)
+            if salt > 1:  # replicate the right side to every salt partition
+                reps = []
+                for s in range(salt):
+                    rc = dict(cols)
+                    rc["__salt"] = pa.array(
+                        np.full(n, s, dtype=np.int64), pa.int64())
+                    rc["__pkey"] = pa.array(
+                        bucket_of_ints(keys * np.int64(salt) + np.int64(s),
+                                       num_buckets), pa.int64())
+                    rc["__side"] = pa.array(["r"] * n, pa.string())
+                    reps.append(pa.table(rc))
+                return pa.concat_tables(reps)
             cols["__pkey"] = pa.array(bucket_of_ints(keys, num_buckets), pa.int64())
             cols["__side"] = pa.array(["l"] * n if side == "l" else ["r"] * n,
                                       pa.string())
@@ -99,13 +128,15 @@ def hash_join(
     out_cols = l_cols + r_value_cols
     join_type = {"inner": "inner", "left": "left outer"}[how]
 
+    join_keys = [on] if salt <= 1 else [on, "__salt"]
+
     def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g["__side"], "l")
-        lhs = g.filter(lmask).select(l_cols)
-        rhs = g.filter(pc.invert(lmask)).select([on] + r_value_cols)
+        lhs = g.filter(lmask).select(l_cols + (["__salt"] if salt > 1 else []))
+        rhs = g.filter(pc.invert(lmask)).select(join_keys + r_value_cols)
         # Acero hash join inside the bucket: vectorized, null-safe, keeps
         # integer types intact (no pandas float/Int64 round-trip)
-        joined = lhs.join(rhs, keys=on, join_type=join_type)
+        joined = lhs.join(rhs, keys=join_keys, join_type=join_type)
         return joined.select(out_cols)
 
     return tagged.groupby("__pkey").map_groups(join_bucket, batch_format="pyarrow")

@@ -84,3 +84,27 @@ class TestSemiAntiJoin:
         assert set(semi["lv"]).isdisjoint(set(anti["lv"]))
         exp = left[~left["k"].isin(set(keep["kk"]))]
         assert sorted(anti["lv"]) == sorted(exp["lv"])
+
+
+class TestSaltedJoin:
+    def test_salted_inner_equals_unsalted(self, sides):
+        left, right = sides
+        # make one key pathologically hot on the left
+        hot = pd.DataFrame({"k": np.full(300, 7, dtype="int64"),
+                            "lv": np.arange(10_000, 10_300, dtype="int64")})
+        left = pd.concat([left, hot], ignore_index=True)
+        plain = hash_join(_ds(left), _ds(right), on="k").to_pandas()
+        salted = hash_join(_ds(left), _ds(right), on="k", salt=8).to_pandas()
+        key = ["k", "lv", "rv"]
+        a = plain[key].sort_values(key).reset_index(drop=True)
+        b = salted[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_salted_left_equals_unsalted(self, sides):
+        left, right = sides
+        right = right[right["k"] < 10]
+        plain = hash_join(_ds(left), _ds(right), on="k", how="left").to_pandas()
+        salted = hash_join(_ds(left), _ds(right), on="k", how="left",
+                           salt=4).to_pandas()
+        assert len(plain) == len(salted)
+        assert int(plain["rv"].isna().sum()) == int(salted["rv"].isna().sum())
