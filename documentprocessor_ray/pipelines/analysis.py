@@ -522,40 +522,54 @@ def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_top_customers(sf_dir: str) -> pa.Table:
-    """Top-10 customers by revenue: broadcast hash join (customer is the
-    small side, shipped once via ray.put) + partial agg + tiny global sort."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    """Top-10 customers by revenue, fully pruned: bucketed per-customer
+    revenue merge -> global sort+limit(10) -> customer names fetched by
+    FILTERING the dimension table on just those 10 keys. Nothing
+    corpus-sized ever reaches the driver (the old variant broadcast the
+    whole customer name table; at warehouse scale that table is not
+    small)."""
+    from ..functions.agg import bucketed_group_sum
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    n_cust_hint = _read(sf_dir, "customer", ["c_custkey"]).count()
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({
             "o_custkey": batch["o_custkey"],
-            "rev": pa.array(_cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
-                            pa.int64()),
-        })
-        return t.group_by("o_custkey").aggregate([("rev", "sum"), ("rev", "count")])
-
-    agg = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("rev_sum"), Sum("rev_count"))
-    )
-
-    def attach(b: pa.Table) -> pa.Table:
-        names = ray.get(lookup_ref)
-        keys = b["o_custkey"].to_pylist()
+            "revenue_cents": pa.array(
+                _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+        }).group_by("o_custkey").aggregate(
+            [("revenue_cents", "sum"), ("revenue_cents", "count")])
         return pa.table({
-            "c_custkey": pa.array(keys, pa.int64()),
-            "c_name": pa.array([names.get(k) for k in keys], pa.string()),
-            "revenue_cents": pc.cast(b["sum(rev_sum)"], pa.int64()),
-            "n_orders": pc.cast(b["sum(rev_count)"], pa.int64()),
+            "o_custkey": t["o_custkey"],
+            "revenue_cents": t["revenue_cents_sum"],
+            "n_orders": pc.cast(t["revenue_cents_count"], pa.int64()),
         })
 
-    joined = agg.map_batches(attach, batch_format="pyarrow")
-    top = joined.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(10)
-    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    agg = bucketed_group_sum(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        key="o_custkey", cols=["revenue_cents", "n_orders"],
+        size_hint=n_cust_hint)
+    top = agg.sort(["revenue_cents", "o_custkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+
+    keys = list(map(int, top["o_custkey"]))
+    key_set = pa.array(keys, pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["c_custkey"].combine_chunks(),
+                                 value_set=key_set))
+
+    names = _read(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(pick, batch_format="pyarrow").to_pandas()
+    name_of = dict(zip(names["c_custkey"], names["c_name"]))
+    return pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array([name_of[k] for k in keys], pa.string()),
+        "revenue_cents": pa.array(top["revenue_cents"].astype("int64"), pa.int64()),
+        "n_orders": pa.array(top["n_orders"].astype("int64"), pa.int64()),
+    })
 
 
 def q_order_revenue_join(sf_dir: str) -> "ray.data.Dataset":
