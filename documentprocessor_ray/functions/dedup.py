@@ -87,10 +87,12 @@ def _distinct_pairs(pairs: "ray.data.Dataset", extra_cols: List[str]) -> "ray.da
     """Deduplicate (doc_a, doc_b) pairs found under several blocking keys.
     Duplicate rows are identical, so min-per-column is exact."""
 
+    nb = auto_buckets(None)  # live cluster width (N_BUCKETS froze at import)
+
     def add_pkey(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy(zero_copy_only=False)
         bb = b["doc_b"].to_numpy(zero_copy_only=False)
-        pk = ((a * np.int64(1000003)) ^ bb) % N_BUCKETS
+        pk = bucket_of_ints((a * np.int64(1000003)) ^ bb, nb)
         return b.append_column("pkey", pa.array(pk, pa.int64()))
 
     def local(g: pa.Table) -> pa.Table:
@@ -550,7 +552,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
             for b in range(4):
                 chunk = (h >> (16 * b)) & 0xFFFF
                 keys.append(b * 65536 + chunk); ids.append(doc_id); hs.append(h)
-        pk = (np.asarray(keys, dtype=np.int64) * np.int64(2654435761)) % N_BUCKETS
+        pk = bucket_of_ints(np.asarray(keys, dtype=np.int64), auto_buckets(None))
         return pa.table({
             "key": pa.array(keys, pa.int64()),
             "doc_id": pa.array(ids, pa.int64()),

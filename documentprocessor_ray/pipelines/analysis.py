@@ -863,8 +863,11 @@ def _lineitem_words(sf_dir: str) -> "ray.data.Dataset":
 
 def q_raw_text_join(sf_dir: str) -> "ray.data.Dataset":
     """M13/G1 parity: per-document ' '-join of word texts in order.
-    Bucketed shuffle + vectorized in-bucket grouping (pandas)."""
+    Bucketed shuffle (data-sized width) + vectorized in-bucket grouping."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
     ds = _lineitem_words(sf_dir)
+    num_buckets = auto_buckets(ds.count(), rows_per_bucket=65536)
 
     def add_word(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -876,7 +879,8 @@ def q_raw_text_join(sf_dir: str) -> "ray.data.Dataset":
             "l_orderkey": pa.array(ok, pa.int64()),
             "l_linenumber": pa.array(ln, pa.int64()),
             "word": pa.array(text, pa.string()),
-            "pkey": pa.array((ok * np.int64(2654435761)) % 64, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(ok.astype(np.int64), num_buckets),
+                             pa.int64()),
         })
 
     def join_in_bucket(g: pa.Table) -> pa.Table:
@@ -895,8 +899,12 @@ def q_raw_text_join(sf_dir: str) -> "ray.data.Dataset":
 
 def q_vendor_topk(sf_dir: str) -> "ray.data.Dataset":
     """M20/G2/G3/O1 parity: per-document vendor = join of the top-3 words by
-    (y0, position); integerized avg confidence (sum_milli + n) and union box."""
+    (y0, position); integerized avg confidence (sum_milli + n) and union box.
+    Bucketed shuffle width derives from data size."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
     ds = _lineitem_words(sf_dir)
+    num_buckets = auto_buckets(ds.count(), rows_per_bucket=65536)
 
     def add_geom(batch: pa.Table) -> pa.Table:
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -912,7 +920,8 @@ def q_vendor_topk(sf_dir: str) -> "ray.data.Dataset":
             "y0": pa.array((sk * 13) % 600, pa.int64()),
             "x0": pa.array(pk % 400, pa.int64()),
             "conf_milli": pa.array(500 + (pk % 500), pa.int64()),
-            "pkey": pa.array((ok * np.int64(2654435761)) % 64, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(ok.astype(np.int64), num_buckets),
+                             pa.int64()),
         })
 
     def topk_in_bucket(g: pa.Table) -> pa.Table:
