@@ -437,19 +437,41 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
     )
 
     def emit_bands(batch: pa.Table) -> pa.Table:
-        keys, ids, sigs = [], [], []
-        for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-            for b in range(bands):
-                chunk = tuple(sig[b * rows:(b + 1) * rows])
-                h = hashlib.blake2b(
-                    (str(b) + ":" + ",".join(map(str, chunk))).encode(), digest_size=8
-                ).hexdigest()
-                keys.append(h); ids.append(doc_id); sigs.append(sig)
+        """Vectorized banding: the (B, num_perm) signature matrix reduces to
+        (B, bands) band keys with a polynomial combine over each band's rows
+        — whole-matrix numpy ops, no per-doc Python. The band index is mixed
+        into the key so band b of one doc can only collide with band b of
+        another (same blocking semantics as the per-band string hash)."""
+        sig_mat = np.asarray(
+            [s for s in batch["sig"].to_pylist()], dtype=np.uint64)  # (B, P)
+        n = sig_mat.shape[0]
+        if n == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.list_(pa.uint64())),
+                "pkey": pa.array([], pa.int64()),
+            })
+        prime = np.uint64(0x100000001B3)
+        band_keys = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):  # bands is small; inner ops are vectorized
+            acc = np.full(n, np.uint64(1469598103934665603 + b), dtype=np.uint64)
+            chunk = sig_mat[:, b * rows:(b + 1) * rows]
+            for j in range(rows):
+                acc = (acc ^ chunk[:, j]) * prime
+            band_keys[:, b] = acc
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys_flat = band_keys.reshape(-1).astype(np.int64)  # doc-major
+        ids_flat = np.repeat(ids, bands)
+        sig_col = pa.concat_arrays(
+            [batch["sig"].combine_chunks().take(
+                pa.array(np.repeat(np.arange(n), bands), pa.int64()))])
         return pa.table({
-            "key": pa.array(keys, pa.string()),
-            "doc_id": pa.array(ids, pa.int64()),
-            "sig": pa.array(sigs, pa.list_(pa.uint64())),
-            "pkey": pa.array(_str_buckets(keys), pa.int64()),
+            "key": pa.array(keys_flat, pa.int64()),
+            "doc_id": pa.array(ids_flat, pa.int64()),
+            "sig": sig_col,
+            "pkey": pa.array(bucket_of_ints(keys_flat, auto_buckets(None)),
+                             pa.int64()),
         })
 
     def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
