@@ -803,34 +803,58 @@ def q_top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
-    """Windowed/stateful streaming analog: 30-minute-gap sessionization per
-    user via groupby(user_id).map_groups with an in-group (ts, event_id)
-    sort — the partitioning assumption is that one user's events fit one
-    group (true for web-scale user histories)."""
-    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-    gap = np.timedelta64(30 * 60 * 1000000, "us")
+    """Windowed/stateful streaming analog: 30-minute-gap sessionization.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy(dtype="datetime64[us]")
-        new_s = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_s[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sess = np.cumsum(new_s)
-        df = pd.DataFrame({"session_id": sess, "ts": ts})
-        out = df.groupby("session_id").agg(
-            n_events=("ts", "size"), start=("ts", "min"), end=("ts", "max"))
-        out = out.reset_index()
-        return pd.DataFrame({
-            "user_id": np.full(len(out), g["user_id"].iloc[0], dtype=np.int64),
-            "session_id": out["session_id"].astype(np.int64),
-            "n_events": out["n_events"].astype(np.int64),
-            "duration_us": (out["end"].to_numpy(dtype="datetime64[us]")
-                            - out["start"].to_numpy(dtype="datetime64[us]")
-                            ).astype("timedelta64[us]").astype(np.int64),
+    One bucketed shuffle on hash(user_id) (a direct groupby(user_id) pays
+    Ray's per-group cost x millions of users); inside each bucket the
+    session assignment is ONE vectorized pass over all users: sort by
+    (user_id, ts, event_id), break sessions on user change OR gap, number
+    sessions per user by global-cumsum minus per-user offset, then a single
+    grouped aggregate. The partitioning assumption (one user's events fit
+    one bucket slice) is unchanged."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    num_buckets = auto_buckets(ds.count(), rows_per_bucket=65536)
+    gap_us = np.int64(30 * 60) * 1000000
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "pkey", pa.array(bucket_of_ints(uid, num_buckets), pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                       kind="mergesort")
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_s = new_user | brk
+        cs = np.cumsum(new_s)
+        # session_id restarts at 1 per user: subtract the cumsum just
+        # before each user's first row
+        user_start = np.maximum.accumulate(np.where(new_user, cs - 1, 0))
+        sess = cs - user_start
+        out = (pd.DataFrame({"user_id": uid, "session_id": sess, "ts_us": ts})
+               .groupby(["user_id", "session_id"], sort=True)
+               .agg(n_events=("ts_us", "size"), start=("ts_us", "min"),
+                    end=("ts_us", "max")).reset_index())
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+            "session_id": pa.array(out["session_id"].to_numpy(), pa.int64()),
+            "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+            "duration_us": pa.array((out["end"] - out["start"]).to_numpy(),
+                                    pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def q_token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
