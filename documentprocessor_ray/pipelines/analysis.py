@@ -698,7 +698,10 @@ def q_events_tumbling(sf_dir: str) -> "ray.data.Dataset":
     operator. Window assignment is a vectorized floor on the timestamp inside
     map_batches (no shuffle), partial-aggregated per batch, then one small
     groupby on (event_type, window)."""
+    from ..functions.agg import bucketed_group_sum_multi
+
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    n_rows = _read(sf_dir, "events", ["event_id"]).count()  # metadata-only
     hour_us = np.int64(3600) * 1000000
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -707,23 +710,23 @@ def q_events_tumbling(sf_dir: str) -> "ray.data.Dataset":
         t = pa.table({
             "event_type": batch["event_type"],
             "window_us": pa.array(win, pa.int64()),
-            "cents": pa.array(_cents(batch["value"].to_numpy(zero_copy_only=False)),
-                              pa.int64()),
+            "sum_value_cents": pa.array(
+                _cents(batch["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+        }).group_by(["event_type", "window_us"]).aggregate(
+            [("sum_value_cents", "sum"), ("sum_value_cents", "count")])
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_us": t["window_us"],
+            "sum_value_cents": t["sum_value_cents_sum"],
+            "n_events": pc.cast(t["sum_value_cents_count"], pa.int64()),
         })
-        return t.group_by(["event_type", "window_us"]).aggregate(
-            [("cents", "sum"), ("cents", "count")])
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_us"])
-        .aggregate(Sum("cents_sum"), Sum("cents_count"))
-    )
-    return agg.map_batches(lambda b: pa.table({
-        "event_type": b["event_type"],
-        "window_us": pc.cast(b["window_us"], pa.int64()),
-        "sum_value_cents": pc.cast(b["sum(cents_sum)"], pa.int64()),
-        "n_events": pc.cast(b["sum(cents_count)"], pa.int64()),
-    }), batch_format="pyarrow")
+    # (event_type, window) cardinality grows with the corpus time range ->
+    # bucketed composite-key merge, not a fine-key Ray aggregate
+    return bucketed_group_sum_multi(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "window_us"],
+        cols=["sum_value_cents", "n_events"], size_hint=n_rows // 16)
 
 
 def q_events_hopping(sf_dir: str) -> "ray.data.Dataset":
@@ -732,7 +735,10 @@ def q_events_hopping(sf_dir: str) -> "ray.data.Dataset":
     duplicate-and-shift inside map_batches (no shuffle), partials combine
     per batch, then one tiny groupby on (event_type, window) — the same
     combiner shape as the tumbling variant, with 2x the partial rows."""
+    from ..functions.agg import bucketed_group_sum_multi
+
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    n_rows = _read(sf_dir, "events", ["event_id"]).count()  # metadata-only
     hop_us = np.int64(1800) * 1000000    # 30 min
     win_us = np.int64(3600) * 1000000    # 1 h
 
@@ -748,20 +754,20 @@ def q_events_hopping(sf_dir: str) -> "ray.data.Dataset":
         t = pa.table({
             "event_type": et,
             "window_us": pa.array(starts, pa.int64()),
-            "cents": pa.array(cents2, pa.int64()),
-        }).filter(pa.array(keep))
-        return t.group_by(["event_type", "window_us"]).aggregate(
-            [("cents", "sum"), ("cents", "count")])
+            "sum_value_cents": pa.array(cents2, pa.int64()),
+        }).filter(pa.array(keep)).group_by(["event_type", "window_us"]).aggregate(
+            [("sum_value_cents", "sum"), ("sum_value_cents", "count")])
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_us": t["window_us"],
+            "sum_value_cents": t["sum_value_cents_sum"],
+            "n_events": pc.cast(t["sum_value_cents_count"], pa.int64()),
+        })
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["event_type", "window_us"])
-           .aggregate(Sum("cents_sum"), Sum("cents_count")))
-    return agg.map_batches(lambda b: pa.table({
-        "event_type": b["event_type"],
-        "window_us": pc.cast(b["window_us"], pa.int64()),
-        "sum_value_cents": pc.cast(b["sum(cents_sum)"], pa.int64()),
-        "n_events": pc.cast(b["sum(cents_count)"], pa.int64()),
-    }), batch_format="pyarrow")
+    return bucketed_group_sum_multi(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "window_us"],
+        cols=["sum_value_cents", "n_events"], size_hint=n_rows // 8)
 
 
 def q_top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
