@@ -75,7 +75,10 @@ def _re2_tokens(text: Optional[str]) -> List[str]:
 
 
 def _str_buckets(keys: List[str], n: Optional[int] = None) -> List[int]:
-    return bucket_of_strs(keys, n if n is not None else N_BUCKETS)
+    # default resolves the LIVE cluster width (N_BUCKETS froze at import,
+    # possibly before ray.init); auto_buckets is a local computation plus a
+    # cached resource lookup — fine per batch
+    return bucket_of_strs(keys, n if n is not None else auto_buckets(None))
 
 
 def _md5_arr(texts: List[Optional[str]]) -> List[Optional[str]]:

@@ -70,8 +70,10 @@ def q_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_langid(sf_dir: str) -> "ray.data.Dataset":
+    # autoscaling pool (1, 4): small inputs use one actor without warning,
+    # big inputs scale out
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        T.LangIdModel, batch_format="pyarrow", concurrency=4)
+        T.LangIdModel, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":

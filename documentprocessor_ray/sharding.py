@@ -27,12 +27,24 @@ import numpy as np
 MIN_BUCKETS = 64
 
 
+_CPU_MEMO: Optional[int] = None
+
+
 def cluster_cpus(default: int = 8) -> int:
+    """Total cluster CPUs, memoized per process: ray.cluster_resources() is
+    an ~9ms RPC, and the fleet is fixed-size (north rule), so one lookup per
+    worker process is correct. Un-memoized lookups before ray.init fall
+    through to the default WITHOUT caching, so a later initialized call
+    still resolves the real width."""
+    global _CPU_MEMO
+    if _CPU_MEMO is not None:
+        return _CPU_MEMO
     try:
         import ray
 
         if ray.is_initialized():
-            return int(ray.cluster_resources().get("CPU", default))
+            _CPU_MEMO = int(ray.cluster_resources().get("CPU", default))
+            return _CPU_MEMO
     except Exception:
         pass
     return default
