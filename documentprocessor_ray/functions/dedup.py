@@ -620,20 +620,20 @@ def cluster_pairs_distributed(pairs: "ray.data.Dataset", max_iters: int = 50,
 
     Each round every node's label drops to the min among itself, its
     neighbors' labels, AND its label's label (pointer jumping — the
-    shortcutting step of classic MapReduce connected components): two
-    co-bucketed hash joins + one bucketed min-combine per round, repeated
-    until a round changes no label. Pointer jumping makes the round count
-    O(log diameter) instead of O(diameter), so long chain components
-    converge in a handful of rounds too. The only driver-side values are
-    the per-round changed COUNT (a scalar aggregate) — pair and label data
-    stay distributed, which is what makes this the 10^12-doc path.
-    ``pair_clusters`` (driver union-find) remains the small-N oracle; unit
-    tests assert label equality between the two (incl. a random graph).
+    shortcutting step of classic MapReduce connected components), in
+    exactly TWO bucketed shuffles: a ship-and-resolve stage (label lookups
+    answered by one vectorized searchsorted per bucket) and a min-combine
+    stage. Pointer jumping makes the round count O(log diameter) instead of
+    O(diameter), so long chain components converge in a handful of rounds
+    too. The only driver-side values are the per-round changed COUNT (a
+    scalar aggregate) — pair and label data stay distributed, which is what
+    makes this the 10^12-doc path. ``pair_clusters`` (driver union-find)
+    remains the small-N oracle; unit tests assert label equality between
+    the two (incl. a random graph).
 
     Returns a Dataset (doc_id, cluster_rep), rep = min doc_id of the
     component, one row per node that appears in any pair.
     """
-    from .joins import hash_join
 
     def symmetrize(b: pa.Table, nb: int) -> pa.Table:
         a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -679,21 +679,63 @@ def cluster_pairs_distributed(pairs: "ray.data.Dataset", max_iters: int = 50,
     labels = edges.groupby("pkey").map_groups(
         init_labels, batch_format="pyarrow").materialize()
 
-    def tag_msg(b: pa.Table) -> pa.Table:
-        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # --- per-round plan: exactly TWO sort shuffles ---------------------
+    # Stage 1 ("resolve"): label rows ship to bucket(node) as the lookup
+    # table, jump requests (n asks for label(label(n))) ship to
+    # bucket(label), and static edge rows already live at bucket(dst) —
+    # symmetric edges mean "resolve dst's label, deliver to src". Inside a
+    # bucket ONE vectorized searchsorted answers every request; old labels
+    # ride along as candidates. Stage 2 ("combine"): candidates group by
+    # recipient bucket and take the min. No hash-join machinery: the
+    # previous 2-join formulation paid three sorts per round.
+    # role: 0/2 = lookup request (a = recipient, b = lookup key),
+    #       1   = label lookup row + old candidate (a = node, b = label)
+
+    def ship_edges(b: pa.Table) -> pa.Table:
+        n = b.num_rows
         return pa.table({
-            "node": pa.array(dst, pa.int64()),
-            "cand": pc.cast(b["label"].combine_chunks(), pa.int64()),
-            "is_old": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
-            "pkey": pa.array(bucket_of_ints(dst, num_buckets), pa.int64()),
+            "role": pa.nulls(n, pa.int64()).fill_null(0),
+            "a": pc.cast(b["src"], pa.int64()),
+            "b": pc.cast(b["dst"], pa.int64()),
+            "pkey": b["pkey"],  # bucket(dst) — the lookup key's bucket
         })
 
-    def tag_old(b: pa.Table) -> pa.Table:
+    def ship_labels(b: pa.Table) -> pa.Table:
         node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        label = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(node)
+        roles = np.concatenate([np.ones(n, np.int64), np.full(n, 2, np.int64)])
+        a = np.concatenate([node, node])
+        bb = np.concatenate([label, label])
+        pk = np.concatenate([bucket_of_ints(node, num_buckets),
+                             bucket_of_ints(label, num_buckets)])
+        return pa.table({
+            "role": pa.array(roles, pa.int64()),
+            "a": pa.array(a, pa.int64()),
+            "b": pa.array(bb, pa.int64()),
+            "pkey": pa.array(pk, pa.int64()),
+        })
+
+    def resolve_bucket(g: pa.Table) -> pa.Table:
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        bb = g["b"].to_numpy(zero_copy_only=False)
+        is_lbl = roles == 1
+        keys = a[is_lbl]
+        vals = bb[is_lbl]
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        req = ~is_lbl
+        pos = np.searchsorted(keys, bb[req])
+        cands = vals[pos]  # every lookup key has a label row in this bucket
+        node = np.concatenate([a[req], keys])
+        cand = np.concatenate([cands, vals])
+        is_old = np.concatenate([np.zeros(req.sum(), np.int64),
+                                 np.ones(len(keys), np.int64)])
         return pa.table({
             "node": pa.array(node, pa.int64()),
-            "cand": pc.cast(b["label"].combine_chunks(), pa.int64()),
-            "is_old": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+            "cand": pa.array(cand, pa.int64()),
+            "is_old": pa.array(is_old, pa.int64()),
             "pkey": pa.array(bucket_of_ints(node, num_buckets), pa.int64()),
         })
 
@@ -709,34 +751,20 @@ def cluster_pairs_distributed(pairs: "ray.data.Dataset", max_iters: int = 50,
             "changed": pc.cast(pc.less(j["cand_min"], j["old_label"]), pa.int64()),
         })
 
-    lab_schema = pa.schema([("src", pa.int64()), ("label", pa.int64())])
-    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    edges_shipped = edges.map_batches(
+        ship_edges, batch_format="pyarrow").materialize()
 
     for _ in range(max_iters):
-        lab_by_src = labels.map_batches(
-            lambda b: pa.table({"src": b["node"], "label": b["label"]}),
-            batch_format="pyarrow")
-        msgs = hash_join(edges.select_columns(["src", "dst"]), lab_by_src,
-                         on="src", how="inner", num_buckets=num_buckets,
-                         left_schema=edge_schema, right_schema=lab_schema)
-        # pointer jumping: treat (label(n) -> n) as an edge so n also
-        # receives label(label(n)) this round -> O(log diameter) rounds
-        lab_as_edges = labels.map_batches(
-            lambda b: pa.table({"src": b["label"], "dst": b["node"]}),
-            batch_format="pyarrow")
-        jumps = hash_join(lab_as_edges, lab_by_src, on="src", how="inner",
-                          num_buckets=num_buckets,
-                          left_schema=edge_schema, right_schema=lab_schema)
-        combined = (msgs.map_batches(tag_msg, batch_format="pyarrow")
-                    .union(jumps.map_batches(tag_msg, batch_format="pyarrow"))
-                    .union(labels.map_batches(tag_old, batch_format="pyarrow"))
+        combined = (edges_shipped
+                    .union(labels.map_batches(ship_labels, batch_format="pyarrow"))
+                    .groupby("pkey").map_groups(resolve_bucket,
+                                                batch_format="pyarrow")
                     .groupby("pkey").map_groups(combine, batch_format="pyarrow")
                     ).materialize()
         # repartition back to the iteration width: union/groupby MULTIPLY the
-        # block count each round (3 branches -> 3^k tiny blocks without
-        # this), and scheduler overhead on thousands of one-row blocks is
-        # what kills iterative Ray Data loops — measured exponential
-        # per-round wall time until capped here.
+        # block count each round, and scheduler overhead on thousands of
+        # one-row blocks kills iterative Ray Data loops (measured
+        # exponential per-round wall time until capped here).
         labels = (combined.select_columns(["node", "label"])
                   .repartition(num_buckets).materialize())
         if int(combined.sum("changed") or 0) == 0:
