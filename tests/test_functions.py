@@ -186,8 +186,13 @@ class TestDedup:
             "doc_b": pa.array([b for _, b in edges], pa.int64()),
         }))
         oracle = D.pair_clusters(pairs)
-        got = D.cluster_pairs_distributed(pairs).to_pandas()
+        # small_graph_rows=0 forces the ITERATIVE scale path (the default
+        # would short-circuit a graph this small into one union-find task)
+        got = D.cluster_pairs_distributed(pairs, small_graph_rows=0).to_pandas()
         assert dict(zip(got["doc_id"], got["cluster_rep"])) == oracle
+        # the small-graph short-circuit must agree with both
+        sc = D.cluster_pairs_distributed(pairs).to_pandas()
+        assert dict(zip(sc["doc_id"], sc["cluster_rep"])) == oracle
 
     def test_distributed_clusters_empty(self, ray_session):
         pairs = ray.data.from_arrow(pa.table({
@@ -236,7 +241,7 @@ class TestDedup:
                 "zeta eta theta iota", "alpha beta gamma delta",
                 "completely different content here"]
         ds = ray.data.from_arrow(_docs_table(docs))
-        exact = D.jaccard_pairs(ds, 3, 5).to_pandas()
+        exact = D.jaccard_pairs(ds, 3, 5, df_sketch_bits=None).to_pandas()
         sketched = D.jaccard_pairs(ds, 3, 5, df_sketch_bits=12).to_pandas()
         key = ["doc_a", "doc_b", "n_inter", "n_union"]
         assert sorted(map(tuple, exact[key].values.tolist())) == \
@@ -332,8 +337,10 @@ class TestDistributedClustersRandom:
             "doc_b": pa.array([b for _, b in edges], pa.int64()),
         }))
         oracle = D.pair_clusters(pairs)
-        got = D.cluster_pairs_distributed(pairs).to_pandas()
+        got = D.cluster_pairs_distributed(pairs, small_graph_rows=0).to_pandas()
         assert dict(zip(got["doc_id"], got["cluster_rep"])) == oracle
+        sc = D.cluster_pairs_distributed(pairs).to_pandas()
+        assert dict(zip(sc["doc_id"], sc["cluster_rep"])) == oracle
 
 
 class TestBoilerplate:
