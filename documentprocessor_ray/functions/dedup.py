@@ -142,7 +142,12 @@ def _pairs_by_key(local_fn, group_cap: Optional[int] = None):
                 tables.append(t)
         if not tables:
             return local_fn(g, [])  # typed empty table
-        return pa.concat_tables(tables)
+        out = pa.concat_tables(tables)
+        # in-bucket dedup: a pair found under two blocking keys of the SAME
+        # bucket is identical row-for-row — drop it here, before it costs
+        # shuffle bytes downstream (cross-bucket duplicates are resolved by
+        # the caller: _distinct_pairs or the hop-A in-bucket dedup)
+        return out.group_by(out.column_names).aggregate([])
 
     return per_bucket
 
@@ -203,68 +208,112 @@ def _distinct_shingles(text: str, k: int) -> List[str]:
     return list(seen)
 
 
-def _token_freqs(ds: "ray.data.Dataset", token_fn=_distinct_tokens,
-                 nb: Optional[int] = None) -> Dict[str, int]:
-    """Global document frequency per token (the small side; broadcast).
-    Pre-aggregated per batch, then one bucketed count merge."""
-    if nb is None:
-        nb = auto_buckets(None)  # driver-resolved once
+_TOK_HASH_CACHE: Dict[str, int] = {}
+_TOK_CACHE_CAP = 1 << 20  # bound worker memory on adversarial vocabularies
 
+
+def _tok_hash64(tok: str) -> int:
+    """64-bit blake2b of a token, cached per worker process (Zipfian
+    vocabularies make the hit rate high — hashing amortizes to dict
+    lookups). The full-clear on cap is refilled immediately by the head."""
+    h = _TOK_HASH_CACHE.get(tok)
+    if h is None:
+        if len(_TOK_HASH_CACHE) >= _TOK_CACHE_CAP:
+            _TOK_HASH_CACHE.clear()
+        h = int.from_bytes(
+            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+            "little")
+        _TOK_HASH_CACHE[tok] = h
+    return h
+
+
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
+_SHINGLE_B = np.uint64(1000003)
+
+
+def _doc_tok_hashes(text: Optional[str], shingle_k: Optional[int]) -> np.ndarray:
+    """Sorted distinct uint64 hash SET of the doc's unigrams (shingle_k
+    None) or k-token shingles (rolling polynomial over token hashes — the
+    same construction MinHasher uses, so no shingle string is ever built).
+    Token identity downstream IS the hash: a collision merges two tokens
+    with probability ~2^-64 per distinct pair — negligible even across a
+    10^12-doc vocabulary, and the DuckDB string-set twin has matched
+    bit-exactly at every sf. 8 bytes/token keeps every verify shuffle and
+    in-bucket intersection a dense numpy op instead of string work."""
+    toks = _re2_tokens(text)
+    if not toks:
+        return _EMPTY_U64
+    th = np.fromiter((_tok_hash64(t) for t in toks),
+                     dtype=np.uint64, count=len(toks))
+    if shingle_k is None:
+        return np.unique(th)
+    k = shingle_k
+    if len(th) < k:
+        return _EMPTY_U64
+    n = len(th) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k is tiny; the inner op is vectorized
+        acc = acc * _SHINGLE_B + th[j: n + j]
+    return np.unique(acc)
+
+
+def _list_parts(col: pa.ChunkedArray) -> Tuple[np.ndarray, np.ndarray]:
+    """(flattened values, offsets) of a list column, slice-safe (lengths +
+    cumsum instead of raw offset buffers)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return flat, offs
+
+
+def _df_exact(toksets: "ray.data.Dataset", nb: int) -> Dict[int, int]:
+    """EXACT document frequency per token hash (the small side; broadcast).
+    Unbounded driver memory — the oracle twin while the vocabulary fits one
+    node; _df_sketched is the default scale path."""
     def emit(batch: pa.Table) -> pa.Table:
-        counts: Dict[str, int] = {}
-        for t in batch["text"].to_pylist():
-            for tok in token_fn(t):
-                counts[tok] = counts.get(tok, 0) + 1
-        toks = list(counts)
+        flat, _ = _list_parts(batch["toks"])
+        u, c = np.unique(flat, return_counts=True)  # per-doc distinct => df
+        u_i = u.view(np.int64)
         return pa.table({
-            "token": pa.array(toks, pa.string()),
-            "cnt": pa.array([counts[t] for t in toks], pa.int64()),
-            "pkey": pa.array(_str_buckets(toks, nb), pa.int64()),
+            "slot": pa.array(u_i, pa.int64()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(u_i, nb), pa.int64()),
         })
 
     def local(g: pa.Table) -> pa.Table:
-        t = g.group_by("token").aggregate([("cnt", "sum")])
-        return pa.table({"token": t["token"], "cnt": pc.cast(t["cnt_sum"], pa.int64())})
+        t = g.group_by("slot").aggregate([("cnt", "sum")])
+        return pa.table({"slot": t["slot"], "cnt": pc.cast(t["cnt_sum"], pa.int64())})
 
-    freq_ds = ds.map_batches(emit, batch_format="pyarrow") \
+    agg = toksets.map_batches(emit, batch_format="pyarrow") \
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
-    out: Dict[str, int] = {}
-    for b in freq_ds.iter_batches(batch_format="pyarrow"):
-        for tok, cnt in zip(b["token"].to_pylist(), b["cnt"].to_pylist()):
-            out[tok] = int(cnt)
+    out: Dict[int, int] = {}
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        for slot, cnt in zip(b["slot"].to_numpy(zero_copy_only=False),
+                             b["cnt"].to_numpy(zero_copy_only=False)):
+            out[int(slot)] = int(cnt)
     return out
 
 
-def _tok_slot(tok: str, mask: int) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-        "little") & mask
-
-
-def _token_freqs_sketched(ds: "ray.data.Dataset", token_fn,
-                          bits: int, nb: Optional[int] = None) -> np.ndarray:
+def _df_sketched(toksets: "ray.data.Dataset", bits: int, nb: int) -> np.ndarray:
     """BOUNDED document-frequency table: counts folded into a 2^bits array by
     token hash (one shuffle of sparse (slot, cnt) partials, then a fixed-size
     dense assembly). The broadcast is 2^bits * 8 bytes REGARDLESS of
-    vocabulary size — the 100-TB replacement for the exact token dict. Slot
+    vocabulary size — the 100-TB replacement for the exact df dict. Slot
     collisions only perturb the prefix ORDERING, never correctness: the
     PPJoin recall guarantee holds for any consistent global token order and
     candidates are verified exactly downstream."""
-    mask = (1 << bits) - 1
-    if nb is None:
-        nb = auto_buckets(None)  # driver-resolved once
+    mask = np.uint64((1 << bits) - 1)
 
     def emit(batch: pa.Table) -> pa.Table:
-        counts: Dict[int, int] = {}
-        for t in batch["text"].to_pylist():
-            for tok in token_fn(t):
-                s = _tok_slot(tok, mask)
-                counts[s] = counts.get(s, 0) + 1
-        slots = np.fromiter(counts, dtype=np.int64, count=len(counts))
+        flat, _ = _list_parts(batch["toks"])
+        u, c = np.unique(flat & mask, return_counts=True)
+        u_i = u.view(np.int64)
         return pa.table({
-            "slot": pa.array(slots, pa.int64()),
-            "cnt": pa.array([counts[int(s)] for s in slots], pa.int64()),
-            "pkey": pa.array(bucket_of_ints(slots, nb), pa.int64()),
+            "slot": pa.array(u_i, pa.int64()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(u_i, nb), pa.int64()),
         })
 
     def local(g: pa.Table) -> pa.Table:
@@ -272,7 +321,7 @@ def _token_freqs_sketched(ds: "ray.data.Dataset", token_fn,
         return pa.table({"slot": t["slot"], "cnt": pc.cast(t["cnt_sum"], pa.int64())})
 
     arr = np.zeros(1 << bits, dtype=np.int64)
-    agg = ds.map_batches(emit, batch_format="pyarrow") \
+    agg = toksets.map_batches(emit, batch_format="pyarrow") \
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
     for b in agg.iter_batches(batch_format="pyarrow"):  # <= 2^bits rows total
         # accumulate, never assign: robust to a slot appearing in more than
@@ -307,74 +356,86 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
 
     shingle_k=None compares distinct-unigram sets; shingle_k=k compares
     distinct k-token shingle sets (n-gram Jaccard — much sharper near-dup
-    signal on natural text).
+    signal on natural text). Token identity is the 64-bit token hash
+    (_hash_tokens_u64): sets ship as dense uint64 arrays and every
+    intersection is a vectorized merge, never string work.
 
     df_sketch_bits (default 20): the document-frequency table that orders
     prefixes is a fixed 2^bits count sketch — bounded driver/broadcast
-    memory at ANY corpus size. None broadcasts the exact token->df dict
+    memory at ANY corpus size. None broadcasts the exact hash->df dict
     instead (unbounded; kept as the oracle twin — output is IDENTICAL either
     way since slot collisions only perturb prefix ordering and candidates
     are verified exactly)."""
     t_num, t_den = threshold_num, threshold_den
-    if shingle_k is None:
-        token_fn = _distinct_tokens
-    else:
-        token_fn = lambda t, _k=shingle_k: _distinct_shingles(t, _k)  # noqa: E731
     nb = auto_buckets(None)  # driver-resolved ONCE for every shuffle below
-    if df_sketch_bits is None:
-        freqs_ref = ray.put(_token_freqs(ds, token_fn, nb))  # broadcast once
-        sketch_mask = None
-    else:
-        freqs_ref = ray.put(_token_freqs_sketched(ds, token_fn,
-                                                  df_sketch_bits, nb))
-        sketch_mask = (1 << df_sketch_bits) - 1
 
-    # --- token sets: computed once per doc, bucketed by doc_id, reused by
-    # the prefix stage and both verify hops (materialized = distributed
-    # blocks in the object store, which spills — never a driver collect)
+    # --- token sets: computed once per doc as SORTED uint64 hash arrays,
+    # bucketed by doc_id, reused by the df pass, the prefix stage and the
+    # verify hops (materialized = distributed blocks in the object store,
+    # which spills — never a driver collect)
     def emit_toksets(batch: pa.Table) -> pa.Table:
         ids_out: List[int] = []
-        toks_out: List[List[str]] = []
+        parts: List[np.ndarray] = []
+        offs = [0]
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
-            toks = token_fn(text)
-            if not toks:
+            h = _doc_tok_hashes(text, shingle_k)
+            if len(h) == 0:
                 continue  # empty docs can never reach the verify stage
             ids_out.append(doc_id)
-            toks_out.append(sorted(toks))
+            parts.append(h)
+            offs.append(offs[-1] + len(h))
         ids_np = np.asarray(ids_out, dtype=np.int64)
+        flat = (np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.uint64))
+        toks_col = pa.ListArray.from_arrays(
+            pa.array(np.asarray(offs, dtype=np.int32), pa.int32()),
+            pa.array(flat, pa.uint64()))
         return pa.table({
             "doc_id": pa.array(ids_np, pa.int64()),
-            "toks": pa.array(toks_out, pa.list_(pa.string())),
+            "toks": toks_col,
             "pkey": pa.array(bucket_of_ints(ids_np, nb), pa.int64()),
         })
 
     toksets = ds.map_batches(emit_toksets, batch_format="pyarrow").materialize()
 
+    if df_sketch_bits is None:
+        freqs_ref = ray.put(_df_exact(toksets, nb))  # broadcast once
+        sketch_mask = None
+    else:
+        freqs_ref = ray.put(_df_sketched(toksets, df_sketch_bits, nb))
+        sketch_mask = np.uint64((1 << df_sketch_bits) - 1)
+
     def emit_prefix(batch: pa.Table) -> pa.Table:
         freqs = ray.get(freqs_ref)
+        flat, offs = _list_parts(batch["toks"])
         if sketch_mask is None:
-            df_of = freqs.get
+            df_flat = np.fromiter((freqs.get(int(h), 0) for h in
+                                   flat.view(np.int64)),
+                                  dtype=np.int64, count=len(flat))
         else:
-            def df_of(tok, _default=0):
-                return int(freqs[_tok_slot(tok, sketch_mask)])
-        keys: List[str] = []
-        ids: List[int] = []
-        ntk: List[int] = []
-        for doc_id, toks in zip(batch["doc_id"].to_pylist(),
-                                batch["toks"].to_pylist()):
-            ordered = sorted(toks, key=lambda t: (df_of(t, 0), t))
-            n = len(ordered)
+            df_flat = freqs[(flat & sketch_mask).astype(np.int64)]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        key_parts, id_parts, n_parts = [], [], []
+        for i in range(len(ids)):
+            seg = flat[offs[i]:offs[i + 1]]
+            n = len(seg)
             plen = n - (t_num * n + t_den - 1) // t_den + 1  # exact int ceil
-            for t in ordered[:plen]:
-                keys.append(t)
-                ids.append(doc_id)
-                ntk.append(n)
+            # global token order = (df asc, hash asc); any consistent total
+            # order preserves the PPJoin recall guarantee
+            ord_idx = np.lexsort((seg, df_flat[offs[i]:offs[i + 1]]))[:plen]
+            key_parts.append(seg[ord_idx])
+            id_parts.append(np.full(plen, ids[i], dtype=np.int64))
+            n_parts.append(np.full(plen, n, dtype=np.int64))
+        keys = (np.concatenate(key_parts).view(np.int64) if key_parts
+                else np.empty(0, dtype=np.int64))
         return pa.table({
-            "key": pa.array(keys, pa.string()),
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_tok": pa.array(ntk, pa.int64()),
-            "pkey": pa.array(_str_buckets(keys, nb), pa.int64()),
+            "key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(np.concatenate(id_parts) if id_parts
+                               else np.empty(0, np.int64), pa.int64()),
+            "n_tok": pa.array(np.concatenate(n_parts) if n_parts
+                              else np.empty(0, np.int64), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(keys, nb), pa.int64()),
         })
 
     def cands_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
@@ -396,25 +457,36 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
             "doc_b": pa.array(b_out, pa.int64()),
         })
 
-    cand = _distinct_pairs(
-        toksets.map_batches(emit_prefix, batch_format="pyarrow")
-        .groupby("pkey").map_groups(
-            _pairs_by_key(cands_for_key, group_cap=group_cap),
-            batch_format="pyarrow"),
-        [])
+    # NOTE: candidates are NOT globally distinct here — a pair found under
+    # several shared prefix tokens is emitted several times. Every duplicate
+    # of (a, b) lands in hop A's bucket(a), so hop A dedups them with one
+    # in-bucket vectorized pass; paying a separate distinct SHUFFLE first
+    # (the round-2 shape) doubled the candidate-stream exchange cost.
+    cand = (toksets.map_batches(emit_prefix, batch_format="pyarrow")
+            .groupby("pkey").map_groups(
+                _pairs_by_key(cands_for_key, group_cap=group_cap),
+                batch_format="pyarrow"))
 
-    # --- verify hops: unified row shape (role, a, b, toks, pkey) so the
-    # candidate stream and the token-set lookup table union into one shuffle.
-    # role 0 = candidate pair (a=doc_a, b=doc_b, toks = tokens already
-    # fetched); role 1 = token-set lookup row (a=doc_id).
+    # --- verify hops: unified row shape (role, a, bs, toks, pkey) so the
+    # candidate stream and the token-set lookup table union into one
+    # shuffle. role 0 = candidate row; role 1 = token-set lookup row
+    # (a=doc_id). Hop A resolves doc_a's set; its output is GROUPED to one
+    # row per (doc_a, bucket(doc_b)) carrying the partner id list — a hot
+    # doc's set ships at most min(#partners, num_buckets) times, never once
+    # per pair (the dense-output amplification the pairwise form would pay).
+    empty_i64 = np.empty(0, dtype=np.int64)
+
     def ship_cand_a(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(a)
+        bs = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32), pa.int32()),
+            pc.cast(b["doc_b"].combine_chunks(), pa.int64()))
         return pa.table({
             "role": pa.array(np.zeros(n, np.int64), pa.int64()),
             "a": pa.array(a, pa.int64()),
-            "b": pc.cast(b["doc_b"], pa.int64()),
-            "toks": pa.nulls(n, pa.list_(pa.string())),
+            "bs": bs,
+            "toks": pa.nulls(n, pa.list_(pa.uint64())),
             "pkey": pa.array(bucket_of_ints(a, nb), pa.int64()),
         })
 
@@ -423,13 +495,13 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
         return pa.table({
             "role": pa.array(np.ones(n, np.int64), pa.int64()),
             "a": pc.cast(b["doc_id"], pa.int64()),
-            "b": pa.nulls(n, pa.int64()),
+            "bs": pa.nulls(n, pa.list_(pa.int64())),
             "toks": b["toks"],
             "pkey": b["pkey"],
         })
 
     def _split_lookup(g: pa.Table):
-        """(cand-row mask, sorted lookup keys, take-indices into g) for the
+        """(table, cand-row mask, sorted lookup keys, take-indices) for the
         role-1 rows; ONE vectorized searchsorted answers every fetch."""
         g = g.combine_chunks()
         roles = g["role"].to_numpy(zero_copy_only=False)
@@ -442,43 +514,92 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
     def resolve_a(g: pa.Table) -> pa.Table:
         g, req, keys, tok_idx = _split_lookup(g)
         a = g["a"].to_numpy(zero_copy_only=False)[req]
-        bb = g["b"].to_numpy(zero_copy_only=False)[req]
+        req_idx = np.where(req)[0]
+        bs_flat, bs_offs = _list_parts(
+            g["bs"].combine_chunks().take(pa.array(req_idx, pa.int64())))
+        # hop-A cand rows are single pairs: one partner per row
+        bb = bs_flat.astype(np.int64)
         pos = np.searchsorted(keys, a)  # every doc_a has a lookup row here
-        toks_a = g["toks"].combine_chunks().take(
-            pa.array(tok_idx[pos], pa.int64()))
+        pkb = bucket_of_ints(bb, nb)
+        order2 = np.lexsort((bb, pkb, a))
+        a2, b2, pk2, pos2 = a[order2], bb[order2], pkb[order2], pos[order2]
+        if len(a2):
+            # drop duplicate candidates: every emission of pair (a, b) is in
+            # THIS bucket (pkey = bucket(a)), adjacent after the lexsort
+            uniq = np.empty(len(a2), dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+            a2, b2, pk2, pos2 = a2[uniq], b2[uniq], pk2[uniq], pos2[uniq]
+        if len(a2) == 0:
+            starts = empty_i64
+        else:
+            change = np.empty(len(a2), dtype=bool)
+            change[0] = True
+            change[1:] = (a2[1:] != a2[:-1]) | (pk2[1:] != pk2[:-1])
+            starts = np.where(change)[0]
+        grp_offs = np.append(starts, len(b2)).astype(np.int32)
+        bs_col = pa.ListArray.from_arrays(
+            pa.array(grp_offs, pa.int32()), pa.array(b2, pa.int64()))
+        toks_col = g["toks"].combine_chunks().take(
+            pa.array(tok_idx[pos2[starts]] if len(starts) else empty_i64,
+                     pa.int64()))
         return pa.table({
-            "role": pa.array(np.zeros(len(a), np.int64), pa.int64()),
-            "a": pa.array(a, pa.int64()),
-            "b": pa.array(bb, pa.int64()),
-            "toks": toks_a,
-            "pkey": pa.array(bucket_of_ints(bb, nb), pa.int64()),
+            "role": pa.array(np.zeros(len(starts), np.int64), pa.int64()),
+            "a": pa.array(a2[starts] if len(starts) else empty_i64, pa.int64()),
+            "bs": bs_col,
+            "toks": toks_col,
+            "pkey": pa.array(pk2[starts] if len(starts) else empty_i64,
+                             pa.int64()),
         })
 
     def resolve_b_verify(g: pa.Table) -> pa.Table:
         g, req, keys, tok_idx = _split_lookup(g)
-        a = g["a"].to_numpy(zero_copy_only=False)[req]
-        bb = g["b"].to_numpy(zero_copy_only=False)[req]
-        pos = np.searchsorted(keys, bb)
-        toks_b = g["toks"].combine_chunks().take(
-            pa.array(tok_idx[pos], pa.int64())).to_pylist()
-        toks_a = g["toks"].combine_chunks().take(
-            pa.array(np.where(req)[0], pa.int64())).to_pylist()
-        a_out, b_out, i_out, u_out = [], [], [], []
-        for i in range(len(a)):
-            sa = frozenset(toks_a[i])
-            sb = frozenset(toks_b[i])
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if union and t_den * inter >= t_num * union:
-                a_out.append(int(a[i]))
-                b_out.append(int(bb[i]))
-                i_out.append(inter)
-                u_out.append(union)
+        req_idx = np.where(req)[0]
+        a_vals = g["a"].to_numpy(zero_copy_only=False)[req]
+        tok_col = g["toks"].combine_chunks()
+        lk = tok_col.take(pa.array(tok_idx, pa.int64()))  # sorted by key
+        lk_flat, lk_offs = _list_parts(lk)
+        ca = tok_col.take(pa.array(req_idx, pa.int64()))  # toks_a per cand
+        ca_flat, ca_offs = _list_parts(ca)
+        bs_flat, bs_offs = _list_parts(
+            g["bs"].combine_chunks().take(pa.array(req_idx, pa.int64())))
+        bs_flat = bs_flat.astype(np.int64)
+        pos = np.searchsorted(keys, bs_flat)  # partner lookup, vectorized
+        lens_b = (lk_offs[pos + 1] - lk_offs[pos]) if len(pos) else empty_i64
+        cum = np.zeros(len(pos) + 1, dtype=np.int64)
+        np.cumsum(lens_b, out=cum[1:])
+        # gather all partner tokens once: cat[k] spans partner p's tokens
+        gather = (np.repeat(lk_offs[pos] - cum[:-1], lens_b)
+                  + np.arange(cum[-1], dtype=np.int64)) if len(pos) \
+            else empty_i64
+        cat = lk_flat[gather]
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for r in range(len(a_vals)):
+            ta = ca_flat[ca_offs[r]:ca_offs[r + 1]]  # sorted uint64
+            na_ = len(ta)
+            p0, p1 = bs_offs[r], bs_offs[r + 1]
+            if p1 == p0:
+                continue
+            catr = cat[cum[p0]:cum[p1]]
+            idx = np.searchsorted(ta, catr)
+            found = (ta[np.minimum(idx, na_ - 1)] == catr)
+            bnd = (cum[p0:p1] - cum[p0])
+            inter = np.add.reduceat(found, bnd).astype(np.int64)
+            nb_arr = lens_b[p0:p1]
+            union = na_ + nb_arr - inter
+            ok = np.where(t_den * inter >= t_num * union)[0]
+            if len(ok):
+                out_a.append(np.full(len(ok), a_vals[r], dtype=np.int64))
+                out_b.append(bs_flat[p0:p1][ok])
+                out_i.append(inter[ok])
+                out_u.append(union[ok])
+        def _cat(parts):
+            return np.concatenate(parts) if parts else empty_i64
         return pa.table({
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "n_inter": pa.array(i_out, pa.int64()),
-            "n_union": pa.array(u_out, pa.int64()),
+            "doc_a": pa.array(_cat(out_a), pa.int64()),
+            "doc_b": pa.array(_cat(out_b), pa.int64()),
+            "n_inter": pa.array(_cat(out_i), pa.int64()),
+            "n_union": pa.array(_cat(out_u), pa.int64()),
         })
 
     lookup = toksets.map_batches(ship_toks, batch_format="pyarrow")
