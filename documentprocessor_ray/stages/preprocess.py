@@ -16,10 +16,13 @@ parallelism levels.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
+
+_LOG = logging.getLogger(__name__)
 
 # Safety caps from the reference (image_preprocessor.py:40-43)
 MAX_DIM = 32767              # Tesseract per-dimension cap
@@ -171,10 +174,14 @@ class PreprocessConfig:
     # M8: DPI resample, reference-order LAST and separate
     # (image_preprocessor.py:510-553). None disables; when set, the page is
     # resampled assumed_dpi -> find_safe_dpi(target_dpi), the safety caps
-    # stepping the target down by DPI_STEP until the result fits; a page
-    # that cannot fit even at MIN_DPI raises -> in-band error channel (M31).
+    # stepping the target down by DPI_STEP until the result fits. A page
+    # that cannot fit even at MIN_DPI matches the reference by default
+    # (image_preprocessor.py:330-334, :533): WARN and skip the resample so
+    # the page still OCRs; error_on_unsafe_dpi=True raises instead ->
+    # in-band error channel (M31).
     target_dpi: Optional[int] = None
     assumed_dpi: int = 300
+    error_on_unsafe_dpi: bool = False
 
 
 def preprocess(img: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()) -> np.ndarray:
@@ -199,9 +206,15 @@ def preprocess(img: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()) -> n
         h, w = img.shape[:2]
         safe = find_safe_dpi(w, h, cfg.assumed_dpi, cfg.target_dpi)
         if safe is None:
-            raise ValueError(
-                f"page {w}x{h}@{cfg.assumed_dpi}dpi exceeds safety caps even "
-                f"at MIN_DPI={MIN_DPI}")
-        if safe != cfg.assumed_dpi:
+            if cfg.error_on_unsafe_dpi:
+                raise ValueError(
+                    f"page {w}x{h}@{cfg.assumed_dpi}dpi exceeds safety caps "
+                    f"even at MIN_DPI={MIN_DPI}")
+            # reference behavior (image_preprocessor.py:330-334): warn and
+            # proceed un-resampled so the page still OCRs
+            _LOG.warning(
+                "page %dx%d@%ddpi exceeds safety caps even at MIN_DPI=%d; "
+                "skipping DPI adjustment", w, h, cfg.assumed_dpi, MIN_DPI)
+        elif safe != cfg.assumed_dpi:
             img = resample(img, safe, cfg.assumed_dpi)
     return img

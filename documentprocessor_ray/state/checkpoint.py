@@ -119,14 +119,20 @@ def run_partitioned(
         t0 = time.time()
         part_out_pre = os.path.join(output_dir, part)
         if os.path.isdir(part_out_pre):
-            # no valid manifest for this partition -> any existing output is
-            # a torn previous attempt. Chunk files are named by cumulative
-            # row count, so a retry with different batch boundaries would
-            # otherwise leave stale chunks ALONGSIDE new ones (duplicate
-            # rows on read). Delete-then-rewrite makes the retry idempotent;
-            # the manifest rename stays the single commit point.
+            # no manifest VALID FOR THIS CONFIG -> any existing output is a
+            # torn previous attempt (or a different-config run). Remove the
+            # partition's manifest FIRST — whatever config hash it carries —
+            # so a stale manifest can never outlive deleted data: if this
+            # run crashes between rmtree and its own manifest commit, a
+            # later resume under the OLD config must re-run the partition,
+            # not skip it as complete (silent data loss otherwise).
+            # Delete-then-rewrite makes the retry idempotent; the manifest
+            # rename stays the single commit point.
             import shutil
 
+            stale_manifest = _manifest_path(output_dir, part)
+            if os.path.exists(stale_manifest):
+                os.remove(stale_manifest)
             shutil.rmtree(part_out_pre)
         in_path = os.path.join(documents_dir, part)
         raw = ray.data.read_parquet(in_path)
@@ -145,22 +151,35 @@ def run_partitioned(
                 concurrency=(1, 4), num_cpus=1)
 
         part_out = os.path.join(output_dir, part)
-        counters = {"docs_in": 0, "docs_ok": 0, "docs_failed": 0,
-                    "words": 0, "spans_out": 0}
-        for b in ds.iter_batches(batch_format="pyarrow"):
-            # stream to the partition sink while accumulating metrics
-            os.makedirs(part_out, exist_ok=True)
-            import pyarrow.parquet as pq
-            pq.write_table(b, os.path.join(
-                part_out, f"chunk-{counters['docs_in']:08d}.parquet"))
-            counters["docs_in"] += b.num_rows
-            ok = pc.sum(pc.cast(pc.equal(b["status"], "done"), "int64")).as_py() or 0
-            counters["docs_ok"] += int(ok)
-            counters["docs_failed"] += b.num_rows - int(ok)
-            counters["words"] += int(pc.sum(b["n_words"]).as_py() or 0)
-            counters["spans_out"] += int(
-                pc.sum(pc.list_value_length(b["spans_out"])).as_py() or 0)
         os.makedirs(part_out, exist_ok=True)
+        # DISTRIBUTED writers: the partition's result blocks are pinned once
+        # (materialize — the checkpoint unit is sized to fit the cluster's
+        # object store), written by Ray Data's parallel parquet writers
+        # (driver bandwidth is no longer the sink bottleneck), and the
+        # counters come from a tiny follow-up aggregate over the same
+        # blocks: one (1-row-per-block) partial table collected to the
+        # driver. The manifest rename below stays the atomic commit point.
+        mat = ds.materialize()
+        mat.write_parquet(part_out)
+
+        def _count_partial(b):
+            import pyarrow as pa
+            ok = pc.sum(pc.cast(pc.equal(b["status"], "done"), "int64")).as_py() or 0
+            return pa.table({
+                "docs_in": pa.array([b.num_rows], pa.int64()),
+                "docs_ok": pa.array([int(ok)], pa.int64()),
+                "words": pa.array([int(pc.sum(b["n_words"]).as_py() or 0)], pa.int64()),
+                "spans_out": pa.array(
+                    [int(pc.sum(pc.list_value_length(b["spans_out"])).as_py() or 0)],
+                    pa.int64()),
+            })
+
+        counters = {"docs_in": 0, "docs_ok": 0, "words": 0, "spans_out": 0}
+        for r in mat.map_batches(_count_partial,
+                                 batch_format="pyarrow").take_all():
+            for k in counters:
+                counters[k] += int(r[k])
+        counters["docs_failed"] = counters["docs_in"] - counters["docs_ok"]
 
         manifest = {
             "partition": part,

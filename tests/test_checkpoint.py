@@ -153,3 +153,33 @@ class TestTornPartitionOutput:
 
     def test_model_changes_config_hash(self):
         assert _config_hash(None, 64) != _config_hash(None, 64, model="rule")
+
+    def test_stale_manifest_never_outlives_deleted_output(
+            self, ray_session, ckpt_corpus, tmp_path, monkeypatch):
+        """Delete-before-invalidate hazard (round-2 advice): a rerun under a
+        NEW config deletes the old-config output; if it crashes before
+        committing its own manifest, a resume under the OLD config must
+        re-run the partition — the old-hash manifest must not survive the
+        rmtree and mark deleted data as complete."""
+        import documentprocessor_ray.state.checkpoint as ck
+
+        docs_dir, media_dir = ckpt_corpus
+        out = str(tmp_path / "out")
+        run_partitioned(docs_dir, media_dir, out, max_partitions=1)
+        old_hash = _config_hash(None, 64)
+        victim = completed_partitions(out, old_hash)[0]
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash mid-rerun")
+
+        monkeypatch.setattr(ck, "build_pipeline", boom)
+        from documentprocessor_ray.stages.preprocess import PreprocessConfig
+        cfg2 = PreprocessConfig(apply_threshold=True)
+        with pytest.raises(RuntimeError):
+            run_partitioned(docs_dir, media_dir, out, cfg=cfg2,
+                            max_partitions=1)
+        # output gone AND manifest gone -> old-config resume re-runs it
+        assert victim not in completed_partitions(out, old_hash)
+        monkeypatch.undo()
+        s = run_partitioned(docs_dir, media_dir, out, max_partitions=1)
+        assert s["partitions"][victim] == "done"

@@ -147,15 +147,26 @@ class TestPreprocessKernels:
         # 300 dpi -> 33000 px wide > MAX_DIM=32767; backs off to 250 dpi
         assert out.shape == (250, 27500)
 
-    def test_preprocess_impossible_page_raises(self):
-        img = np.full((10, 10), 255, dtype=np.uint8)
+    def test_preprocess_impossible_page_skips_resample_by_default(self, caplog):
+        """Reference behavior (image_preprocessor.py:330-334): when no DPI
+        fits the caps, warn and proceed UN-resampled — the page still OCRs.
+        error_on_unsafe_dpi=True opts into the strict in-band error."""
+        import logging as _logging
+
         cfg = P.PreprocessConfig(deskew=False, remove_background=False,
                                  contrast="none", denoise=False,
                                  target_dpi=300, assumed_dpi=100)
-        # shrink the guard's idea of "fits" by lying about current dpi so
-        # even MIN_DPI overflows: 10px at 100dpi -> fine; use a huge page
         big = np.full((1, 40000), 255, dtype=np.uint8)
-        import pytest as _pytest
+        with caplog.at_level(_logging.WARNING,
+                             logger="documentprocessor_ray.stages.preprocess"):
+            out = P.preprocess(big, cfg)
+        assert out.shape == big.shape  # un-resampled, not dropped
+        assert any("safety caps" in r.message for r in caplog.records)
 
+        import pytest as _pytest
+        strict = P.PreprocessConfig(deskew=False, remove_background=False,
+                                    contrast="none", denoise=False,
+                                    target_dpi=300, assumed_dpi=100,
+                                    error_on_unsafe_dpi=True)
         with _pytest.raises(ValueError, match="safety caps"):
-            P.preprocess(big, cfg)
+            P.preprocess(big, strict)
