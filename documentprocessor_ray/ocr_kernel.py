@@ -138,7 +138,93 @@ class OcrKernel:
 #     seam where a real Paddle/Tesseract wrapper drops in (its __init__ loads
 #     the model once per actor; detect_and_recognize(image) -> word dicts).
 
-_ENGINE_REGISTRY: Dict[str, type] = {"kernel": OcrKernel}
+class TesseractEngine:
+    """A2: pytesseract-backed engine behind the registry seam (reference
+    ocr_engine.py:159-233). Import-guarded — this container has no
+    tesseract, so construction raises ImportError with the install hint; the
+    result adaptation (image_to_data dict -> words, conf<0 skipped,
+    conf/100, box [l, t, l+w, t+h]) is oracle/boxes.tesseract_result_to_words
+    (M11), unit-tested against a stubbed pytesseract so the adapter logic is
+    exercised without the binary. One instance per Ray actor: __init__
+    resolves the module once; detect_and_recognize runs per page."""
+
+    def __init__(self, lang: str = "eng", config: str = "--psm 6"):
+        try:
+            import pytesseract
+        except ImportError as e:  # pragma: no cover - absent in container
+            raise ImportError(
+                "pytesseract not installed. Install with: "
+                "pip install pytesseract (plus the tesseract binary)") from e
+        self.lang = lang
+        self.config = config
+        self._pt = pytesseract
+
+    def detect_and_recognize(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        from .oracle.boxes import tesseract_result_to_words
+
+        img = image
+        try:
+            from PIL import Image
+
+            if isinstance(image, np.ndarray):
+                img = Image.fromarray(image)
+        except ImportError:
+            pass  # recent pytesseract accepts ndarrays directly
+        data = self._pt.image_to_data(
+            img, lang=self.lang, config=self.config,
+            output_type=self._pt.Output.DICT)
+        return tesseract_result_to_words(data)
+
+
+class PaddleEngine:
+    """A1: PaddleOCR-backed engine (reference ocr_engine.py:31-147).
+    Import-guarded like TesseractEngine; the model loads ONCE per actor in
+    __init__ (the reference lazy-loads per request — per-actor state is the
+    Ray-idiomatic replacement). Result adaptation (4-corner polygon ->
+    axis-aligned box, empty-text skip) is oracle/boxes.paddle_result_to_words
+    (M10)."""
+
+    def __init__(self, lang: str = "en"):
+        try:
+            from paddleocr import PaddleOCR
+        except ImportError as e:  # pragma: no cover - absent in container
+            raise ImportError(
+                "PaddleOCR not installed. Install with: "
+                "pip install paddleocr paddlepaddle") from e
+        self._ocr = PaddleOCR(use_angle_cls=True, lang=lang)
+
+    def detect_and_recognize(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        from .oracle.boxes import paddle_result_to_words
+
+        return paddle_result_to_words(self._ocr.ocr(image))
+
+
+def create_engine(engine_type: str = "paddle", **kwargs):
+    """A3 factory/fallback (reference ocr_engine.py:264-286): paddle falls
+    back to tesseract when paddleocr is absent; 'kernel' resolves the
+    deterministic built-in."""
+    engine_type = engine_type.lower()
+    if engine_type == "paddle":
+        try:
+            return PaddleEngine(**kwargs)
+        except ImportError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "PaddleOCR not available, falling back to Tesseract")
+            return TesseractEngine()
+    if engine_type == "tesseract":
+        return TesseractEngine(**kwargs)
+    if engine_type == "kernel":
+        return OcrKernel(**kwargs)
+    raise ValueError(f"Unknown OCR engine type: {engine_type}")
+
+
+_ENGINE_REGISTRY: Dict[str, type] = {
+    "kernel": OcrKernel,
+    "tesseract": TesseractEngine,
+    "paddle": PaddleEngine,
+}
 
 
 def register_engine(name: str, cls: type) -> None:

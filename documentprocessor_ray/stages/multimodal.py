@@ -60,12 +60,151 @@ class Codec:
         raise NotImplementedError
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(b: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decoder (PNG spec, RFC 2083): 8-bit depth,
+    non-interlaced, color types gray/RGB/palette/gray-alpha/RGBA, all five
+    scanline filters. Output (H, W, 3) uint8 RGB (alpha dropped). Filters
+    Sub is a per-channel-lane cumulative sum; Average/Paeth carry a left
+    dependency, so those rows run a per-pixel loop vectorized over channel
+    lanes (rare rows pay O(W) python steps; None/Up rows stay whole-row)."""
+    import struct
+    import zlib
+
+    if bytes(b[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat: List[bytes] = []
+    plte = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = bytes(b[pos + 4:pos + 8])
+        body = bytes(b[pos + 8:pos + 8 + ln])
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(
+            f"PNG decoder supports 8-bit non-interlaced only "
+            f"(depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    bpp = channels
+    for y in range(h):
+        f = int(ftypes[y])
+        row = rows[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: cumulative sum per channel lane, mod 256
+            lanes = row.reshape(w, bpp)
+            rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride) & 255
+        elif f == 2:  # Up
+            rec = (row + prev) & 255
+        elif f in (3, 4):  # Average / Paeth: left dependency -> pixel loop
+            rec = np.zeros(stride, np.int64)
+            lanes = row.reshape(w, bpp)
+            up = prev.reshape(w, bpp)
+            recl = rec.reshape(w, bpp)
+            left = np.zeros(bpp, np.int64)
+            ul = np.zeros(bpp, np.int64)
+            for x in range(w):
+                if f == 3:
+                    recl[x] = (lanes[x] + (left + up[x]) // 2) & 255
+                else:
+                    p = left + up[x] - ul
+                    pa_ = np.abs(p - left)
+                    pb_ = np.abs(p - up[x])
+                    pc_ = np.abs(p - ul)
+                    pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                    np.where(pb_ <= pc_, up[x], ul))
+                    recl[x] = (lanes[x] + pred) & 255
+                left = recl[x]
+                ul = up[x]
+            rec = recl.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    pix = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(pix, 3, axis=2)
+    if ctype == 2:
+        return pix
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[pix[:, :, 0]]
+    if ctype == 4:
+        return np.repeat(pix[:, :, :1], 3, axis=2)
+    return pix[:, :, :3].copy()  # RGBA -> RGB
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (round-trip counterpart of _png_decode): 8-bit
+    RGB, one filter type for every scanline (0/1/2 supported — enough to
+    exercise the decoder's filter reconstruction in tests)."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    rgb = img.astype(np.int64)
+    lines = []
+    prev = np.zeros((w, 3), np.int64)
+    for y in range(h):
+        row = rgb[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            filt = (row - np.vstack([np.zeros((1, 3), np.int64), row[:-1]])) & 255
+        elif filter_type == 2:  # Up
+            filt = (row - prev) & 255
+        else:
+            raise ValueError("encode_png supports filter types 0/1/2")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = row
+    payload = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return len(body).to_bytes(4, "big") + typ + body + crc.to_bytes(4, "big")
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", payload)
+            + chunk(b"IEND", b""))
+
+
 class RealCodec(Codec):
-    """STUB: production codec (PIL / soundfile / pyav). The libraries are not
-    available in this environment; wire them here and nothing else changes."""
+    """Production codec seam. PNG decodes FOR REAL (pure numpy + stdlib
+    zlib, _png_decode — the one compressed format needing no external
+    library); jpeg/mp3/mp4 still need PIL / soundfile / pyav, absent in this
+    container — wire them here and nothing else changes."""
 
     def decode_image(self, payload, meta):
-        raise NotImplementedError("image codec not available in this build")
+        if bytes(payload[:8]) == _PNG_SIG:
+            return _png_decode(payload)
+        raise NotImplementedError(
+            "only PNG decodes without external image libraries in this build")
 
     def decode_audio(self, payload, meta):
         raise NotImplementedError("audio codec not available in this build")

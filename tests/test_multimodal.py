@@ -125,14 +125,142 @@ class TestRawCodec:
                          "meta": {"format": "wav", "width": 0, "height": 0,
                                   "sample_rate": 16000, "n_frames": 0}})
         # one unsupported compressed asset -> in-band error, not a crash
-        rows.append({"asset_id": "img-png", "kind": "image", "payload": b"\x89PNG",
-                     "meta": {"format": "png", "width": 8, "height": 8,
+        rows.append({"asset_id": "img-jpg", "kind": "image",
+                     "payload": b"\xff\xd8\xff\xe0 not a real jpeg",
+                     "meta": {"format": "jpeg", "width": 8, "height": 8,
                               "sample_rate": 0, "n_frames": 0}})
         ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
         imgs = build_media_pipeline(ds, "image", codec=AutoCodec()).to_pandas()
         auds = build_media_pipeline(ds, "audio", codec=AutoCodec()).to_pandas()
         ok_imgs = imgs[imgs["error"].isna()]
         assert len(ok_imgs) == 4 and set(ok_imgs["width"]) == {16}
-        bad = imgs[imgs["asset_id"] == "img-png"].iloc[0]
-        assert "not available" in bad["error"]
+        bad = imgs[imgs["asset_id"] == "img-jpg"].iloc[0]
+        assert "only PNG" in bad["error"]
         assert len(auds) == 4 and (auds["n_samples"] == 4096).all()
+
+
+def _forward_filter(img, ftype):
+    """Reference forward PNG filter (per spec) to exercise the decoder's
+    Average/Paeth reconstruction, which encode_png doesn't emit."""
+    h, w = img.shape[:2]
+    raw = img.astype(np.int64)
+    out = []
+    prev = np.zeros((w, 3), np.int64)
+    for y in range(h):
+        row = raw[y]
+        filt = np.zeros((w, 3), np.int64)
+        left = np.zeros(3, np.int64)
+        ul = np.zeros(3, np.int64)
+        for x in range(w):
+            if ftype == 3:
+                pred = (left + prev[x]) // 2
+            else:  # Paeth
+                p = left + prev[x] - ul
+                pa_ = np.abs(p - left)
+                pb_ = np.abs(p - prev[x])
+                pc_ = np.abs(p - ul)
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                np.where(pb_ <= pc_, prev[x], ul))
+            filt[x] = (row[x] - pred) & 255
+            left = row[x]
+            ul = prev[x]
+        out.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = row
+    return b"".join(out)
+
+
+class TestPngCodec:
+    """Pure numpy+zlib PNG decode in RealCodec (round-3 item): encode with
+    the in-repo encoder, decode, pixel-equal — for every filter type."""
+
+    def test_roundtrip_filters_012(self):
+        from documentprocessor_ray.stages.multimodal import (
+            RealCodec, encode_png)
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+        codec = RealCodec()
+        for ftype in (0, 1, 2):
+            got = codec.decode_image(encode_png(img, filter_type=ftype), {})
+            assert np.array_equal(got, img), f"filter {ftype}"
+
+    def test_decode_average_and_paeth(self):
+        import struct
+        import zlib
+
+        from documentprocessor_ray.stages.multimodal import (
+            _PNG_SIG, RealCodec)
+
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+        for ftype in (3, 4):
+            payload = zlib.compress(_forward_filter(img, ftype))
+
+            def chunk(typ, body):
+                crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+                return (len(body).to_bytes(4, "big") + typ + body
+                        + crc.to_bytes(4, "big"))
+
+            png = (_PNG_SIG
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 7, 8, 2, 0, 0, 0))
+                   + chunk(b"IDAT", payload) + chunk(b"IEND", b""))
+            got = RealCodec().decode_image(png, {})
+            assert np.array_equal(got, img), f"filter {ftype}"
+
+    def test_gray_and_rgba(self):
+        import struct
+        import zlib
+
+        from documentprocessor_ray.stages.multimodal import (
+            _PNG_SIG, RealCodec)
+
+        def chunk(typ, body):
+            crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+            return (len(body).to_bytes(4, "big") + typ + body
+                    + crc.to_bytes(4, "big"))
+
+        # 2x2 grayscale
+        g = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+        lines = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+        png = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+        got = RealCodec().decode_image(png, {})
+        assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+
+        # 1x2 RGBA -> alpha dropped
+        rgba = np.array([[[1, 2, 3, 255], [4, 5, 6, 0]]], dtype=np.uint8)
+        lines = b"\x00" + rgba[0].tobytes()
+        png = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(lines)) + chunk(b"IEND", b""))
+        got = RealCodec().decode_image(png, {})
+        assert np.array_equal(got, rgba[:, :, :3])
+
+    def test_image_features_on_real_png(self, ray_session):
+        """The image pipeline runs end-to-end on real PNG bytes through
+        AutoCodec (png routes to the numpy decoder, not the fake)."""
+        from documentprocessor_ray.stages.multimodal import (
+            MEDIA_SCHEMA, AutoCodec, RealCodec, build_media_pipeline,
+            encode_png)
+
+        rng = np.random.default_rng(13)
+        rows = []
+        imgs = {}
+        for i in range(3):
+            img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+            imgs[f"png-{i}"] = img
+            rows.append({"asset_id": f"png-{i}", "kind": "image",
+                         "payload": encode_png(img, filter_type=2),
+                         "meta": {"format": "png", "width": 16, "height": 24,
+                                  "sample_rate": 0, "n_frames": 0}})
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+        out = build_media_pipeline(ds, "image", codec=AutoCodec()).to_pandas()
+        assert out["error"].isna().all()
+        assert set(out["width"]) == {16} and set(out["height"]) == {24}
+        # luma matches a direct decode of the same bytes
+        for _, r in out.iterrows():
+            img = imgs[r["asset_id"]]
+            small_src = RealCodec().decode_image(
+                encode_png(img, filter_type=2), {})
+            assert np.array_equal(small_src, img)

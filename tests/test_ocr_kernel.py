@@ -1,6 +1,7 @@
 """OCR kernel + renderer + preprocessing kernel tests."""
 
 import numpy as np
+import pytest
 
 from documentprocessor_ray.fonts import CHARSET, FONT, TEMPLATES
 from documentprocessor_ray.ocr_kernel import OcrKernel, detect_words
@@ -170,3 +171,108 @@ class TestPreprocessKernels:
                                     error_on_unsafe_dpi=True)
         with _pytest.raises(ValueError, match="safety caps"):
             P.preprocess(big, strict)
+
+
+class TestRealEngineAdapters:
+    """Import-guarded Tesseract/Paddle adapters behind the registry seam
+    (reference ocr_engine.py:31-286). The container lacks both libs, so the
+    adapter logic is driven with stub modules; with a lib present the same
+    tests exercise the real import path."""
+
+    def test_registry_names(self):
+        from documentprocessor_ray import ocr_kernel as K
+
+        assert {"kernel", "tesseract", "paddle"} <= set(K._ENGINE_REGISTRY)
+
+    def test_missing_lib_raises_importerror(self):
+        from documentprocessor_ray import ocr_kernel as K
+
+        try:
+            import pytesseract  # noqa: F401
+            pytest.skip("pytesseract installed; guard not reachable")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="pytesseract"):
+            K.get_engine("tesseract")
+
+    def test_tesseract_adapter_with_stub(self, monkeypatch):
+        """The image_to_data dict adaptation matches the reference
+        (ocr_engine.py:223-257): conf<0 skipped, conf/100, [l,t,l+w,t+h]."""
+        import sys
+        import types
+
+        from documentprocessor_ray import ocr_kernel as K
+
+        stub = types.ModuleType("pytesseract")
+        stub.Output = types.SimpleNamespace(DICT="dict")
+
+        def image_to_data(img, lang=None, config=None, output_type=None):
+            return {
+                "text": ["TOTAL", "", "$12.40", "ghost"],
+                "conf": [96, 0, 88, -1],
+                "left": [10, 0, 60, 0],
+                "top": [5, 0, 5, 0],
+                "width": [40, 0, 52, 0],
+                "height": [12, 0, 12, 0],
+            }
+
+        stub.image_to_data = image_to_data
+        monkeypatch.setitem(sys.modules, "pytesseract", stub)
+        eng = K.get_engine("tesseract")
+        words = eng.detect_and_recognize(np.full((32, 128), 255, np.uint8))
+        assert [w["text"] for w in words] == ["TOTAL", "$12.40"]
+        assert words[0]["box"] == [10, 5, 50, 17]
+        assert words[0]["confidence"] == 0.96
+
+    def test_paddle_adapter_with_stub(self, monkeypatch):
+        """Polygon -> axis-aligned box; empty text skipped
+        (ocr_engine.py:104-131 via oracle/boxes.paddle_result_to_words)."""
+        import sys
+        import types
+
+        from documentprocessor_ray import ocr_kernel as K
+
+        stub = types.ModuleType("paddleocr")
+
+        class PaddleOCR:
+            def __init__(self, **kw):
+                pass
+
+            def ocr(self, image):
+                return [[
+                    [[[10, 5], [50, 6], [50, 17], [10, 16]], ("TOTAL", 0.97)],
+                    [[[0, 0], [1, 0], [1, 1], [0, 1]], ("", 0.5)],
+                ]]
+
+        stub.PaddleOCR = PaddleOCR
+        monkeypatch.setitem(sys.modules, "paddleocr", stub)
+        eng = K.get_engine("paddle")
+        words = eng.detect_and_recognize(np.full((32, 128), 255, np.uint8))
+        assert len(words) == 1
+        assert words[0]["text"] == "TOTAL"
+        assert words[0]["box"] == [10, 5, 50, 17]
+
+    def test_factory_fallback_paddle_to_tesseract(self, monkeypatch):
+        """create_engine('paddle') falls back to Tesseract when paddleocr is
+        missing (reference ocr_engine.py:277-282)."""
+        import sys
+        import types
+
+        from documentprocessor_ray import ocr_kernel as K
+
+        monkeypatch.setitem(sys.modules, "paddleocr", None)  # import fails
+        stub = types.ModuleType("pytesseract")
+        stub.Output = types.SimpleNamespace(DICT="dict")
+        stub.image_to_data = lambda *a, **k: {
+            "text": [], "conf": [], "left": [], "top": [],
+            "width": [], "height": []}
+        monkeypatch.setitem(sys.modules, "pytesseract", stub)
+        eng = K.create_engine("paddle")
+        assert isinstance(eng, K.TesseractEngine)
+
+    def test_factory_kernel_and_unknown(self):
+        from documentprocessor_ray import ocr_kernel as K
+
+        assert isinstance(K.create_engine("kernel"), K.OcrKernel)
+        with pytest.raises(ValueError, match="Unknown OCR engine"):
+            K.create_engine("nope")
