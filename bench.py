@@ -58,7 +58,7 @@ def _consume(res) -> int:
 
 
 def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
-              n_docs: int = 0, warmup: bool = False) -> dict:
+              n_docs: int = 0, warmup: bool = False, reps: int = 3) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -67,6 +67,7 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
 
     qs = E.queries()
     out_queries = {}
+    out_min = {}
 
     # headline: flagship interleaved extraction, docs/sec
     if not n_docs:
@@ -86,10 +87,26 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
     out_queries["extract_receipts"] = round(headline, 3)
 
     if not headline_only:
+        from documentprocessor_ray.pipelines import analysis as A
+
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            _consume(qs[name](sf_dir))
-            out_queries[name] = round(time.time() - t0, 3)
+            # median of `reps` runs so hypervisor noise (documented 2-3x
+            # swings on untouched queries) is distinguishable from real
+            # regressions; min is reported alongside. The memoized 3-gram
+            # pair Dataset is cleared per rep for the query that BUILDS it,
+            # so its median reflects the true pair-generation cost, while
+            # its consumers (dedup_clusters, corpus_train_ready) measure
+            # with a warm cache — their in-suite reality.
+            times = []
+            for _ in range(max(1, reps)):
+                if name == "ngram_jaccard_pairs":
+                    A._PAIR_CACHE.clear()
+                t0 = time.time()
+                _consume(qs[name](sf_dir))
+                times.append(time.time() - t0)
+            times.sort()
+            out_queries[name] = round(times[len(times) // 2], 3)
+            out_min[name] = round(times[0], 3)
 
     ray.shutdown()
     sf = E._sf_of(sf_dir)
@@ -98,6 +115,8 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
         "value": round(sum(out_queries.values()), 3),
         "unit": "sec",
         "queries": out_queries,
+        "queries_min": out_min,
+        "reps": reps,
         "sf": sf,
         "num_cpus": num_cpus,
         "headline_docs": n_docs,
@@ -151,6 +170,8 @@ def main():
     ap.add_argument("--scaling-low", type=int, default=8)
     ap.add_argument("--scaling-high", type=int, default=32)
     ap.add_argument("--docs", type=int, default=0)
+    ap.add_argument("--reps", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_REPS", "3")))
     ap.add_argument("--warmup", action="store_true")
     ap.add_argument("--stats", action="store_true",
                     help="print the headline pipeline's ds.stats() to stderr")
@@ -177,7 +198,8 @@ def main():
         print(json.dumps(run_scaling(sf_dir, args.scaling_low, args.scaling_high)))
     else:
         print(json.dumps(run_suite(sf_dir, args.cpus, args.headline_only,
-                                   n_docs=args.docs, warmup=args.warmup)))
+                                   n_docs=args.docs, warmup=args.warmup,
+                                   reps=args.reps)))
 
 
 if __name__ == "__main__":
