@@ -823,16 +823,33 @@ def q_top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
         })
 
     def topk(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(
-            ["o_custkey", "total_cents", "o_orderkey"],
-            ascending=[True, False, True], kind="mergesort")
-        top = df.groupby("o_custkey", sort=False).head(3).copy()
-        top["rank"] = top.groupby("o_custkey", sort=False).cumcount() + 1
+        # Arrow-native: one multi-key sort, then numpy segment boundaries —
+        # no Arrow->pandas->Arrow round-trip in the reducer
+        t = g.sort_by([("o_custkey", "ascending"),
+                       ("total_cents", "descending"),
+                       ("o_orderkey", "ascending")])
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            return pa.table({
+                "o_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+            })
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.where(new)[0]
+        sizes = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        mask = rank <= 3
+        tt = t.filter(pa.array(mask))
         return pa.table({
-            "o_custkey": pa.array(top["o_custkey"].to_numpy(), pa.int64()),
-            "o_orderkey": pa.array(top["o_orderkey"].to_numpy(), pa.int64()),
-            "rank": pa.array(top["rank"].to_numpy(), pa.int64()),
-            "total_cents": pa.array(top["total_cents"].to_numpy(), pa.int64()),
+            "o_custkey": tt["o_custkey"],
+            "o_orderkey": tt["o_orderkey"],
+            "rank": pa.array(rank[mask], pa.int64()),
+            "total_cents": tt["total_cents"],
         })
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
@@ -861,11 +878,22 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
             "pkey", pa.array(bucket_of_ints(uid, num_buckets), pa.int64()))
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"],
-                                       kind="mergesort")
-        uid = df["user_id"].to_numpy(dtype=np.int64)
-        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        # Arrow-native sort + numpy segment reduction: sessions are
+        # CONTIGUOUS runs after the (user, ts, event) sort, so every
+        # aggregate is a boundary-index expression — no pandas round-trip
+        t = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
         n = len(uid)
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "duration_us": pa.array([], pa.int64()),
+            })
         new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = uid[1:] != uid[:-1]
@@ -878,16 +906,13 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
         # before each user's first row
         user_start = np.maximum.accumulate(np.where(new_user, cs - 1, 0))
         sess = cs - user_start
-        out = (pd.DataFrame({"user_id": uid, "session_id": sess, "ts_us": ts})
-               .groupby(["user_id", "session_id"], sort=True)
-               .agg(n_events=("ts_us", "size"), start=("ts_us", "min"),
-                    end=("ts_us", "max")).reset_index())
+        starts = np.where(new_s)[0]
+        ends = np.append(starts[1:], n) - 1
         return pa.table({
-            "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
-            "session_id": pa.array(out["session_id"].to_numpy(), pa.int64()),
-            "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
-            "duration_us": pa.array((out["end"] - out["start"]).to_numpy(),
-                                    pa.int64()),
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_id": pa.array(sess[starts], pa.int64()),
+            "n_events": pa.array(np.diff(np.append(starts, n)), pa.int64()),
+            "duration_us": pa.array(ts[ends] - ts[starts], pa.int64()),
         })
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
@@ -946,12 +971,28 @@ def q_raw_text_join(sf_dir: str) -> "ray.data.Dataset":
 
     def join_in_bucket(g: pa.Table) -> pa.Table:
         # (orderkey, linenumber) is NOT unique in the corpus: tie-break on the
-        # word text so both engines produce one deterministic total order
-        df = g.to_pandas().sort_values(["l_orderkey", "l_linenumber", "word"])
-        out = df.groupby("l_orderkey", sort=True)["word"].agg(" ".join)
+        # word text so both engines produce one deterministic total order.
+        # Arrow-native sort; the per-group ' '.join walks segment slices.
+        t = g.sort_by([("l_orderkey", "ascending"),
+                       ("l_linenumber", "ascending"), ("word", "ascending")])
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(ok)
+        if n == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "raw_text": pa.array([], pa.string()),
+            })
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.where(new)[0]
+        bounds = np.append(starts, n)
+        words = t["word"].to_pylist()
+        texts = [" ".join(words[bounds[i]:bounds[i + 1]])
+                 for i in range(len(starts))]
         return pa.table({
-            "l_orderkey": pa.array(out.index.to_numpy(), pa.int64()),
-            "raw_text": pa.array(out.to_numpy(), pa.string()),
+            "l_orderkey": pa.array(ok[starts], pa.int64()),
+            "raw_text": pa.array(texts, pa.string()),
         })
 
     return ds.map_batches(add_word, batch_format="pyarrow") \
@@ -987,25 +1028,49 @@ def q_vendor_topk(sf_dir: str) -> "ray.data.Dataset":
 
     def topk_in_bucket(g: pa.Table) -> pa.Table:
         # full deterministic total order: duplicate (orderkey, linenumber)
-        # rows exist, so break ties on word/conf/x0 (identical rows commute)
-        df = g.to_pandas().sort_values(
-            ["l_orderkey", "y0", "l_linenumber", "word", "conf_milli", "x0"],
-            kind="mergesort")
-        top = df.groupby("l_orderkey", sort=True).head(3)
-        agg = top.groupby("l_orderkey", sort=True).agg(
-            vendor=("word", " ".join),
-            sum_conf_milli=("conf_milli", "sum"),
-            n_words=("word", "size"),
-            x0=("x0", "min"),
-            y0=("y0", "min"),
-        )
+        # rows exist, so break ties on word/conf/x0 (identical rows commute).
+        # Arrow-native sort; head(3) + aggregates via numpy segment ops.
+        t = g.sort_by([("l_orderkey", "ascending"), ("y0", "ascending"),
+                       ("l_linenumber", "ascending"), ("word", "ascending"),
+                       ("conf_milli", "ascending"), ("x0", "ascending")])
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(ok)
+        if n == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "vendor": pa.array([], pa.string()),
+                "sum_conf_milli": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "x0": pa.array([], pa.int64()),
+                "y0": pa.array([], pa.int64()),
+            })
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.where(new)[0]
+        sizes = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        mask = rank < 3
+        okm = ok[mask]
+        conf = t["conf_milli"].to_numpy(zero_copy_only=False)[mask]
+        x0 = t["x0"].to_numpy(zero_copy_only=False)[mask]
+        y0 = t["y0"].to_numpy(zero_copy_only=False)[mask]
+        words = t["word"].filter(pa.array(mask)).to_pylist()
+        m = len(okm)
+        new2 = np.empty(m, dtype=bool)
+        new2[0] = True
+        new2[1:] = okm[1:] != okm[:-1]
+        s2 = np.where(new2)[0]
+        b2 = np.append(s2, m)
         return pa.table({
-            "l_orderkey": pa.array(agg.index.to_numpy(), pa.int64()),
-            "vendor": pa.array(agg["vendor"].to_numpy(), pa.string()),
-            "sum_conf_milli": pa.array(agg["sum_conf_milli"].to_numpy(), pa.int64()),
-            "n_words": pa.array(agg["n_words"].to_numpy(), pa.int64()),
-            "x0": pa.array(agg["x0"].to_numpy(), pa.int64()),
-            "y0": pa.array(agg["y0"].to_numpy(), pa.int64()),
+            "l_orderkey": pa.array(okm[s2], pa.int64()),
+            "vendor": pa.array(
+                [" ".join(words[b2[i]:b2[i + 1]]) for i in range(len(s2))],
+                pa.string()),
+            "sum_conf_milli": pa.array(np.add.reduceat(conf, s2), pa.int64()),
+            "n_words": pa.array(np.diff(b2), pa.int64()),
+            "x0": pa.array(np.minimum.reduceat(x0, s2), pa.int64()),
+            "y0": pa.array(np.minimum.reduceat(y0, s2), pa.int64()),
         })
 
     return ds.map_batches(add_geom, batch_format="pyarrow") \
