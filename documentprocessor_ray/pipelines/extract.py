@@ -204,13 +204,20 @@ class SpanProcessor:
                     image = self.store.load(ref)
                     if image is None:
                         raise FileNotFoundError(f"media not found: {ref}")
-                    pre = preprocess(image, self.cfg)
+                    if self.debug_dir:
+                        steps = [("source", image)]
+                        pre = preprocess(image, self.cfg,
+                                         tap=lambda nm, im, _s=steps:
+                                         _s.append((nm, im)))
+                    else:
+                        pre = preprocess(image, self.cfg)
                     h, w = pre.shape[:2]  # dims the OCR saw (resample rescales)
                     words = self.kernel.detect_and_recognize(pre)
                     norm = normalize_boxes(words, w, h)
                     if self.debug_dir:
-                        from ..stages.debug import save_page
-                        save_page(self.debug_dir, ref, pre, norm)
+                        from ..stages.debug import save_steps
+                        save_steps(self.debug_dir, ref, steps, pre,
+                                   words_px=words, words_norm=norm)
                     out["words"][i] = [
                         {"text": wd["text"], "x0": wd["box"][0], "y0": wd["box"][1],
                          "x1": wd["box"][2], "y1": wd["box"][3],

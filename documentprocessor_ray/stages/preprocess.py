@@ -184,24 +184,37 @@ class PreprocessConfig:
     error_on_unsafe_dpi: bool = False
 
 
-def preprocess(img: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()) -> np.ndarray:
+def preprocess(img: np.ndarray, cfg: PreprocessConfig = PreprocessConfig(),
+               tap=None) -> np.ndarray:
     """M9: fused chain in the reference composer's order (grayscale hoisted
     before deskew — deskew estimation needs single-channel; output-equivalent
-    because the reference's deskew precedes any color-dependent step)."""
+    because the reference's deskew precedes any color-dependent step).
+
+    ``tap(step_name, image)`` is the S7 debug hook: called after every stage
+    that RAN (the debug sink numbers and PNG-encodes them,
+    stages/debug.save_steps). None (the default) costs nothing."""
+    t = tap if tap is not None else (lambda _n, _i: None)
     if cfg.grayscale:
         img = to_grayscale(img)
+        t("grayscale", img)
     if cfg.deskew:
         img = deskew(img)
+        t("deskewed", img)
     if cfg.remove_background:
         img = remove_background(img, cfg.bg_fuzz_percent)
+        t("background_removed", img)
     if cfg.contrast == "sigmoidal":
         img = sigmoidal_contrast(img, cfg.contrast_strength, cfg.contrast_midpoint)
+        t("contrast_enhanced", img)
     elif cfg.contrast == "linear":
         img = auto_level(img)
+        t("contrast_enhanced", img)
     if cfg.apply_threshold:
         img = threshold(img, cfg.threshold_percent)
+        t("threshold", img)
     if cfg.denoise:
         img = denoise(img)
+        t("denoised", img)
     if cfg.target_dpi:
         h, w = img.shape[:2]
         safe = find_safe_dpi(w, h, cfg.assumed_dpi, cfg.target_dpi)
@@ -217,4 +230,5 @@ def preprocess(img: np.ndarray, cfg: PreprocessConfig = PreprocessConfig()) -> n
                 "skipping DPI adjustment", w, h, cfg.assumed_dpi, MIN_DPI)
         elif safe != cfg.assumed_dpi:
             img = resample(img, safe, cfg.assumed_dpi)
+            t("resampled", img)
     return img

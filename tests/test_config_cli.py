@@ -94,3 +94,24 @@ class TestDebugSink:
         assert len(pages) > 0
         evts = read_events(log)
         assert sum(e["media"] for e in evts) == len(pages)
+
+        # reference-parity step artifacts (debug_output.py:24-339): numbered
+        # per-step PNGs + bbox overlay + debug_summary.json per media span
+        ref = pages[0][: -len(".pre.npz8")]
+        summaries = [f for f in os.listdir(dbg)
+                     if f == ref + ".debug_summary.json"]
+        assert summaries, os.listdir(dbg)
+        with open(os.path.join(dbg, summaries[0])) as f:
+            summary = json.load(f)
+        assert summary["steps"][0] == "source"
+        assert "preprocessed_final" in summary["steps"]
+        assert summary["steps"][-1] == "ocr_bboxes"
+        for fn in summary["files"]:
+            assert os.path.exists(os.path.join(dbg, fn)), fn
+        # the step PNGs are real PNGs (decodable by the in-repo decoder)
+        from documentprocessor_ray.stages.multimodal import RealCodec
+
+        png = next(f for f in summary["files"] if f.endswith("_source.png"))
+        with open(os.path.join(dbg, png), "rb") as f:
+            img = RealCodec().decode_image(f.read(), {})
+        assert img.ndim == 3 and img.shape[2] == 3
