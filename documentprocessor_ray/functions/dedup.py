@@ -611,6 +611,122 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
                                         batch_format="pyarrow"))
 
 
+def _pairs_with_payloads(cand: "ray.data.Dataset",
+                         payloads: "ray.data.Dataset",
+                         nb: int, payload_type, verify) -> "ray.data.Dataset":
+    """Generic two-hop candidate/payload exchange (the same machinery
+    jaccard_pairs uses, for payloads small enough to expand per pair):
+
+    - ``cand``: (doc_a, doc_b) rows, DUPLICATES ALLOWED — every emission of
+      a pair lands in hop A's bucket(doc_a) and is deduped there in one
+      vectorized pass (no separate distinct shuffle).
+    - ``payloads``: (doc_id, pay: list<payload_type>, pkey=bucket(doc_id))
+      — one row per doc; each doc's payload ships ONCE per hop, never once
+      per band/prefix row (the round-2 replication caveat on minhash /
+      embedding-LSH banding).
+    - ``verify(a, b, pay_a, pay_b) -> pa.Table``: vectorized per-bucket
+      verifier; a/b are int64 numpy arrays per candidate pair, pay_a/pay_b
+      the matching ListArrays.
+    """
+    empty_i64 = np.empty(0, dtype=np.int64)
+
+    def ship_cand(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(a)
+        bs = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32), pa.int32()),
+            pc.cast(b["doc_b"].combine_chunks(), pa.int64()))
+        return pa.table({
+            "role": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "a": pa.array(a, pa.int64()),
+            "bs": bs,
+            "pay": pa.nulls(n, pa.list_(payload_type)),
+            "pkey": pa.array(bucket_of_ints(a, nb), pa.int64()),
+        })
+
+    def ship_pay(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "role": pa.array(np.ones(n, np.int64), pa.int64()),
+            "a": pc.cast(b["doc_id"], pa.int64()),
+            "bs": pa.nulls(n, pa.list_(pa.int64())),
+            "pay": b["pay"],
+            "pkey": b["pkey"],
+        })
+
+    def _split(g: pa.Table):
+        g = g.combine_chunks()
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        is_pay = roles == 1
+        a = g["a"].to_numpy(zero_copy_only=False)
+        keys = a[is_pay]
+        order = np.argsort(keys)
+        return g, ~is_pay, keys[order], np.where(is_pay)[0][order]
+
+    def resolve_a(g: pa.Table) -> pa.Table:
+        g, req, keys, pay_idx = _split(g)
+        a = g["a"].to_numpy(zero_copy_only=False)[req]
+        req_idx = np.where(req)[0]
+        bs_flat, _ = _list_parts(
+            g["bs"].combine_chunks().take(pa.array(req_idx, pa.int64())))
+        bb = bs_flat.astype(np.int64)  # one partner per hop-A cand row
+        pos = np.searchsorted(keys, a)
+        pkb = bucket_of_ints(bb, nb)
+        order2 = np.lexsort((bb, pkb, a))
+        a2, b2, pk2, pos2 = a[order2], bb[order2], pkb[order2], pos[order2]
+        if len(a2):
+            uniq = np.empty(len(a2), dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+            a2, b2, pk2, pos2 = a2[uniq], b2[uniq], pk2[uniq], pos2[uniq]
+        if len(a2) == 0:
+            starts = empty_i64
+        else:
+            change = np.empty(len(a2), dtype=bool)
+            change[0] = True
+            change[1:] = (a2[1:] != a2[:-1]) | (pk2[1:] != pk2[:-1])
+            starts = np.where(change)[0]
+        grp_offs = np.append(starts, len(b2)).astype(np.int32)
+        bs_col = pa.ListArray.from_arrays(
+            pa.array(grp_offs, pa.int32()), pa.array(b2, pa.int64()))
+        pay_col = g["pay"].combine_chunks().take(
+            pa.array(pay_idx[pos2[starts]] if len(starts) else empty_i64,
+                     pa.int64()))
+        return pa.table({
+            "role": pa.array(np.zeros(len(starts), np.int64), pa.int64()),
+            "a": pa.array(a2[starts] if len(starts) else empty_i64, pa.int64()),
+            "bs": bs_col,
+            "pay": pay_col,
+            "pkey": pa.array(pk2[starts] if len(starts) else empty_i64,
+                             pa.int64()),
+        })
+
+    def resolve_b(g: pa.Table) -> pa.Table:
+        g, req, keys, pay_idx = _split(g)
+        req_idx = np.where(req)[0]
+        a_grp = g["a"].to_numpy(zero_copy_only=False)[req]
+        pay_col = g["pay"].combine_chunks()
+        bs_flat, bs_offs = _list_parts(
+            g["bs"].combine_chunks().take(pa.array(req_idx, pa.int64())))
+        b_pair = bs_flat.astype(np.int64)
+        n_partners = np.diff(bs_offs)
+        a_pair = np.repeat(a_grp, n_partners)
+        pos = np.searchsorted(keys, b_pair)
+        pay_b = pay_col.take(pa.array(pay_idx[pos] if len(pos) else
+                                      np.empty(0, np.int64), pa.int64()))
+        pay_a = pay_col.take(pa.array(
+            np.repeat(req_idx, n_partners) if len(req_idx) else
+            np.empty(0, np.int64), pa.int64()))
+        return verify(a_pair, b_pair, pay_a, pay_b)
+
+    lookup = payloads.map_batches(ship_pay, batch_format="pyarrow")
+    with_a = (cand.map_batches(ship_cand, batch_format="pyarrow")
+              .union(lookup)
+              .groupby("pkey").map_groups(resolve_a, batch_format="pyarrow"))
+    return (with_a.union(lookup)
+            .groupby("pkey").map_groups(resolve_b, batch_format="pyarrow"))
+
+
 # --- MinHash + LSH ---
 
 def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:
@@ -688,27 +804,40 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
     nb = auto_buckets(None)  # driver-resolved ONCE: a worker-side lookup can
     # disagree across workers while nodes register, splitting one band key
     # across buckets (silent recall loss) — see _str_buckets
+
+    def key_sigs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pay": batch["sig"],
+            "pkey": pa.array(bucket_of_ints(
+                batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                nb), pa.int64()),
+        })
+
+    # signatures computed once per doc, reused by banding AND verification
     sig_ds = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
         batch_format="pyarrow", concurrency=concurrency or (1, 8),
-    )
+    ).map_batches(key_sigs, batch_format="pyarrow").materialize()
 
     def emit_bands(batch: pa.Table) -> pa.Table:
         """Vectorized banding: the (B, num_perm) signature matrix reduces to
         (B, bands) band keys with a polynomial combine over each band's rows
-        — whole-matrix numpy ops, no per-doc Python. The band index is mixed
-        into the key so band b of one doc can only collide with band b of
-        another (same blocking semantics as the per-band string hash)."""
-        sig_mat = np.asarray(
-            [s for s in batch["sig"].to_pylist()], dtype=np.uint64)  # (B, P)
-        n = sig_mat.shape[0]
+        — whole-matrix numpy ops, no per-doc Python. Band rows carry ONLY
+        (key, doc_id): the signature ships once per hop in the verify
+        exchange (_pairs_with_payloads), not once per band — the round-2
+        bands-x-payload replication is gone. The band index is mixed into
+        the key so band b of one doc can only collide with band b of
+        another."""
+        flat, _ = _list_parts(batch["pay"])
+        n = batch.num_rows
         if n == 0:
             return pa.table({
                 "key": pa.array([], pa.int64()),
                 "doc_id": pa.array([], pa.int64()),
-                "sig": pa.array([], pa.list_(pa.uint64())),
                 "pkey": pa.array([], pa.int64()),
             })
+        sig_mat = flat.reshape(n, num_perm)
         prime = np.uint64(0x100000001B3)
         band_keys = np.empty((n, bands), dtype=np.uint64)
         for b in range(bands):  # bands is small; inner ops are vectorized
@@ -719,42 +848,50 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
             band_keys[:, b] = acc
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keys_flat = band_keys.reshape(-1).astype(np.int64)  # doc-major
-        ids_flat = np.repeat(ids, bands)
-        sig_col = pa.concat_arrays(
-            [batch["sig"].combine_chunks().take(
-                pa.array(np.repeat(np.arange(n), bands), pa.int64()))])
         return pa.table({
             "key": pa.array(keys_flat, pa.int64()),
-            "doc_id": pa.array(ids_flat, pa.int64()),
-            "sig": sig_col,
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
             "pkey": pa.array(bucket_of_ints(keys_flat, nb), pa.int64()),
         })
 
-    def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
+    def cands_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
         ids = [g["doc_id"][i].as_py() for i in idxs]
-        sigs = [np.asarray(g["sig"][i].as_py(), dtype=np.uint64) for i in idxs]
-        a_out, b_out, j_out = [], [], []
+        a_out, b_out = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if ids[i] == ids[j]:
                     continue
-                est = float(np.mean(sigs[i] == sigs[j]))
-                if est >= threshold:
-                    a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-                    a_out.append(a); b_out.append(b); j_out.append(round(est, 6))
+                a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                a_out.append(a)
+                b_out.append(b)
         return pa.table({
             "doc_a": pa.array(a_out, pa.int64()),
             "doc_b": pa.array(b_out, pa.int64()),
-            "est_jaccard": pa.array(j_out, pa.float64()),
         })
 
-    pairs = (
-        sig_ds.map_batches(emit_bands, batch_format="pyarrow")
-        .groupby("pkey").map_groups(
-            _pairs_by_key(pairs_for_key, group_cap=group_cap),
-            batch_format="pyarrow")
-    )
-    return _distinct_pairs(pairs, ["est_jaccard"])
+    cand = (sig_ds.map_batches(emit_bands, batch_format="pyarrow")
+            .groupby("pkey").map_groups(
+                _pairs_by_key(cands_for_key, group_cap=group_cap),
+                batch_format="pyarrow"))
+
+    def verify(a: np.ndarray, b: np.ndarray, pay_a, pay_b) -> pa.Table:
+        if len(a) == 0:
+            return pa.table({
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            })
+        sa = _list_parts(pay_a)[0].reshape(len(a), num_perm)
+        sb = _list_parts(pay_b)[0].reshape(len(a), num_perm)
+        est = (sa == sb).mean(axis=1)  # exact multiples of 1/num_perm
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+        })
+
+    return _pairs_with_payloads(cand, sig_ds, nb, pa.uint64(), verify)
 
 
 # --- SimHash ---
@@ -1114,60 +1251,85 @@ def embedding_neardup_lsh_pairs(
         num_buckets = auto_buckets(None)
     bits_per_band = n_planes // n_bands
 
-    def emit_bands(batch: pa.Table) -> pa.Table:
+    def norm_keyed(batch: pa.Table) -> pa.Table:
+        """Normalized vectors, bucketed by id — the payload side of the
+        verify exchange (ships once per hop, never once per band)."""
         emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.where(n == 0, 1, n)
+        nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.where(nrm == 0, 1, nrm)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pay": pa.array(list(emb), pa.list_(pa.float64())),
+            "pkey": pa.array(bucket_of_ints(ids, num_buckets), pa.int64()),
+        })
+
+    vecs = ds.map_batches(norm_keyed, batch_format="pyarrow").materialize()
+
+    def emit_bands(batch: pa.Table) -> pa.Table:
+        flat, _ = _list_parts(batch["pay"])
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "key": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "pkey": pa.array([], pa.int64()),
+            })
+        emb = flat.reshape(n, -1)
         planes = np.random.default_rng(seed).normal(size=(n_planes, emb.shape[1]))
         signs = (emb @ planes.T) > 0  # (B, n_planes)
         weights = (1 << np.arange(bits_per_band)).astype(np.int64)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        keys, out_ids, rows = [], [], []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = []
         for b in range(n_bands):
             chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
-            band_keys = chunk @ weights + (b << bits_per_band)
-            keys.append(band_keys)
-            out_ids.append(ids)
+            keys.append(chunk @ weights + (b << bits_per_band))
         key_arr = np.concatenate(keys)
-        id_arr = np.concatenate(out_ids)
-        emb_rep = np.tile(emb, (n_bands, 1))
         return pa.table({
             "key": pa.array(key_arr, pa.int64()),
-            "doc_id": pa.array(id_arr, pa.int64()),
-            "emb": pa.array(list(emb_rep), pa.list_(pa.float64())),
+            "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),
             "pkey": pa.array(bucket_of_ints(key_arr, num_buckets), pa.int64()),
         })
 
-    def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
-        if not idxs:
-            return pa.table({
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "sim_milli": pa.array([], pa.int64()),
-            })
-        ids = np.array([g["doc_id"][i].as_py() for i in idxs], dtype=np.int64)
-        m = np.array([g["emb"][i].as_py() for i in idxs], dtype=np.float64)
-        sims = m @ m.T  # rows are already normalized
-        a_out, b_out, s_out = [], [], []
+    def cands_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
+        ids = [g["doc_id"][i].as_py() for i in idxs]
+        a_out, b_out = [], []
         for i in range(len(ids)):
-            hits = np.where((sims[i] >= threshold) & (ids > ids[i]))[0]
-            for h in hits:
-                a_out.append(int(ids[i])); b_out.append(int(ids[h]))
-                s_out.append(int(np.rint(sims[i, h] * 1000)))
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                a_out.append(a)
+                b_out.append(b)
         return pa.table({
             "doc_a": pa.array(a_out, pa.int64()),
             "doc_b": pa.array(b_out, pa.int64()),
-            "sim_milli": pa.array(s_out, pa.int64()),
         })
 
-    pairs = (ds.map_batches(emit_bands, batch_format="pyarrow")
-             .groupby("pkey").map_groups(
-                 _pairs_by_key(pairs_for_key, group_cap=group_cap),
-                 batch_format="pyarrow"))
-    dedup = _distinct_pairs(pairs, ["sim_milli"])
-    return dedup.map_batches(lambda b: pa.table({
-        "vec_a": b["doc_a"], "vec_b": b["doc_b"], "sim_milli": b["sim_milli"],
-    }), batch_format="pyarrow")
+    cand = (vecs.map_batches(emit_bands, batch_format="pyarrow")
+            .groupby("pkey").map_groups(
+                _pairs_by_key(cands_for_key, group_cap=group_cap),
+                batch_format="pyarrow"))
+
+    def verify(a: np.ndarray, b: np.ndarray, pay_a, pay_b) -> pa.Table:
+        if len(a) == 0:
+            return pa.table({
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "sim_milli": pa.array([], pa.int64()),
+            })
+        va = _list_parts(pay_a)[0].reshape(len(a), -1)
+        vb = _list_parts(pay_b)[0].reshape(len(a), -1)
+        sims = (va * vb).sum(axis=1)  # rows are already normalized
+        keep = sims >= threshold
+        return pa.table({
+            "vec_a": pa.array(a[keep], pa.int64()),
+            "vec_b": pa.array(b[keep], pa.int64()),
+            "sim_milli": pa.array(np.rint(sims[keep] * 1000).astype(np.int64),
+                                  pa.int64()),
+        })
+
+    return _pairs_with_payloads(cand, vecs, num_buckets, pa.float64(), verify)
 
 
 # --- embedding cosine near-dup (exact; oracle-checkable) ---
