@@ -1,0 +1,254 @@
+"""Import-guarded HuggingFace-backed model scorers (A4-A6 real-model seam).
+
+The deterministic scorers in ``stages/scorer.py`` implement the full
+parse/decode/merge semantics (M26-M30); these adapters supply the one piece
+this container cannot run — the actual HF ``load``/``predict`` — behind the
+same ``register_scorer`` registry, mirroring the reference loaders:
+
+- ``HFLayoutLMv3Scorer``  — token classification -> BIO decode
+  (reference ``Ocr/src/models/layoutlmv3.py:70-129`` load, ``:131+`` predict)
+- ``HFDonutScorer``       — vision generate -> CORD-v2 tag parse
+  (reference ``donut.py:71-103`` load, ``:211-345`` token2json)
+- ``HFIdefics2Scorer``    — vision generate -> JSON parse
+  (reference ``idefics2.py:100-162`` load, ``:262-396`` parse)
+
+Construction raises ``ImportError`` with the exact install hint when
+torch/transformers are absent (this container); everything around the model
+call — first-subtoken label pooling, page-canvas reconstruction, the parse
+paths — is pure and unit-tested without the libraries.
+
+Scorer-protocol note: ``predict(words)`` receives the normalized word
+stream, not the page image (the Ray stage drops pixels after OCR, by
+design). The vision models therefore run on a DETERMINISTIC page
+reconstruction (``render_words_canvas`` — the in-repo glyph set drawn at
+each word's normalized box), which is the honest stand-in; a production
+deployment that needs real pixels should keep them in the batch and call
+``predict_image`` instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..fonts import CHAR_H, CHAR_PITCH, CHAR_W, FONT, SCALE
+from .scorer import (
+    RECEIPT_LABELS, BaseScorer, decode_bio, register_scorer,
+)
+
+_INSTALL_HINT = ("Install with: pip install torch transformers "
+                 "(plus accelerate/bitsandbytes for IDEFICS2 quantization)")
+
+
+def render_words_canvas(words: List[Dict[str, Any]], width: int = 1000,
+                        height: int = 1000) -> np.ndarray:
+    """Deterministic page reconstruction from (text, box) words: each word's
+    text is drawn with the in-repo glyph set at its (normalized, 0-1000) box
+    origin on a white canvas. Round-trips through the OCR kernel for
+    non-overlapping layouts, so the vision scorers see a faithful page."""
+    img = np.full((height, width), 255, dtype=np.uint8)
+    for w in words:
+        x = int(np.clip(w["box"][0], 0, width - 1))
+        y0 = int(np.clip(w["box"][1], 0, height - 1))
+        if y0 + CHAR_H > height:
+            continue
+        for ch in str(w["text"]):
+            if x + CHAR_W > width:
+                break
+            g = FONT.get(ch)
+            if g is not None:
+                big = np.kron(g, np.ones((SCALE, SCALE), dtype=bool))
+                img[y0: y0 + CHAR_H, x: x + CHAR_W][big] = 0
+            x += CHAR_PITCH
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+def first_subtoken_labels(logits: np.ndarray, word_ids: List[Optional[int]],
+                          n_words: int):
+    """Pool token-classification logits to per-WORD (label_id, confidence):
+    softmax per token, FIRST subtoken of each word wins (the reference's
+    word-level pooling); words with no surviving subtoken (truncation) stay
+    label 0 / conf 0. Pure numpy — unit-tested without torch."""
+    label_ids = [0] * n_words
+    confs = [0.0] * n_words
+    if logits.size == 0:
+        return label_ids, confs
+    z = logits - logits.max(axis=1, keepdims=True)
+    e = np.exp(z)
+    probs = e / e.sum(axis=1, keepdims=True)
+    seen = set()
+    for t, wid in enumerate(word_ids):
+        if wid is None or wid in seen or not (0 <= wid < n_words):
+            continue
+        seen.add(wid)
+        label_ids[wid] = int(np.argmax(probs[t]))
+        confs[wid] = float(np.max(probs[t]))
+    return label_ids, confs
+
+
+class HFLayoutLMv3Scorer(BaseScorer):
+    """LayoutLMv3 token classification behind the scorer registry.
+
+    ``__init__`` loads processor + model ONCE (per Ray actor — the
+    reference reloads per request, ``layoutlmv3.py:70-129``); ``predict``
+    feeds the word texts + normalized boxes with a blank canvas
+    (``apply_ocr=False`` — we provide our own OCR, same flag the reference
+    sets) and BIO-decodes the first-subtoken labels with the SAME decode the
+    deterministic scorers use."""
+
+    def __init__(self, model_name: str = "microsoft/layoutlmv3-base",
+                 device: str = "cpu"):
+        try:
+            import torch
+            from transformers import (AutoModelForTokenClassification,
+                                      AutoProcessor)
+        except ImportError as e:  # pragma: no cover - absent in container
+            raise ImportError(
+                f"torch/transformers not installed. {_INSTALL_HINT}") from e
+        self._torch = torch
+        self.device = device
+        self.processor = AutoProcessor.from_pretrained(
+            model_name, apply_ocr=False)
+        id2label = dict(enumerate(RECEIPT_LABELS))
+        self.model = AutoModelForTokenClassification.from_pretrained(
+            model_name, num_labels=len(RECEIPT_LABELS), id2label=id2label,
+            label2id={v: k for k, v in id2label.items()},
+            ignore_mismatched_sizes=True).to(device).eval()
+
+    def predict(self, words: List[Dict[str, Any]]) -> Dict[str, Any]:
+        if not words:
+            return {}
+        texts = [w["text"] for w in words]
+        boxes = [[int(np.clip(v, 0, 1000)) for v in w["box"]] for w in words]
+        canvas = np.full((224, 224, 3), 255, dtype=np.uint8)
+        enc = self.processor(canvas, texts, boxes=boxes,
+                             return_tensors="pt", truncation=True)
+        with self._torch.no_grad():
+            logits = self.model(
+                **{k: v.to(self.device) for k, v in enc.items()}
+            ).logits[0].cpu().numpy()
+        label_ids, confs = first_subtoken_labels(
+            logits, enc.word_ids(0), len(words))
+        return decode_bio(words, label_ids, confs)
+
+
+class _HFVisionGenScorer(BaseScorer):
+    """Shared generate->parse shape for the vision generation models: the
+    model call is the only HF-specific part; parsing reuses the exact
+    functions the deterministic scorers run in-pool (M27/M28)."""
+
+    GEN_CONFIDENCE = 0.9
+    MAX_NEW_TOKENS = 512
+
+    def _generate_text(self, image: np.ndarray) -> str:
+        raise NotImplementedError
+
+    def _parse(self, text: str) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def predict(self, words: List[Dict[str, Any]]) -> Dict[str, Any]:
+        if not words:
+            return {}
+        return self.predict_image(render_words_canvas(words))
+
+    def predict_image(self, image: np.ndarray) -> Dict[str, Any]:
+        fields = self._parse(self._generate_text(image))
+        from .scorer import _GenScorer
+
+        return _GenScorer._fields_to_entities(self, fields)
+
+
+class HFDonutScorer(_HFVisionGenScorer):
+    """Donut (CORD-v2) generation scorer (reference ``donut.py:71-103``
+    load, ``:105-209`` generate): processor + VisionEncoderDecoderModel load
+    once per actor; output decodes through ``parse_tagged_output`` — the
+    same token2json semantics the deterministic TagGenScorer exercises."""
+
+    def __init__(self,
+                 model_name: str = "naver-clova-ix/donut-base-finetuned-cord-v2",
+                 device: str = "cpu"):
+        try:
+            import torch
+            from transformers import DonutProcessor, VisionEncoderDecoderModel
+        except ImportError as e:  # pragma: no cover - absent in container
+            raise ImportError(
+                f"torch/transformers not installed. {_INSTALL_HINT}") from e
+        self._torch = torch
+        self.device = device
+        self.processor = DonutProcessor.from_pretrained(model_name)
+        self.model = VisionEncoderDecoderModel.from_pretrained(
+            model_name).to(device).eval()
+
+    def _generate_text(self, image: np.ndarray) -> str:
+        pixel_values = self.processor(
+            image, return_tensors="pt").pixel_values.to(self.device)
+        task_prompt = "<s_cord-v2>"
+        decoder_input_ids = self.processor.tokenizer(
+            task_prompt, add_special_tokens=False,
+            return_tensors="pt").input_ids.to(self.device)
+        with self._torch.no_grad():
+            out = self.model.generate(
+                pixel_values, decoder_input_ids=decoder_input_ids,
+                max_new_tokens=self.MAX_NEW_TOKENS,
+                pad_token_id=self.processor.tokenizer.pad_token_id,
+                eos_token_id=self.processor.tokenizer.eos_token_id)
+        return self.processor.batch_decode(out)[0]
+
+    def _parse(self, text: str) -> Dict[str, Any]:
+        from ..functions.parsers import parse_tagged_output
+
+        return parse_tagged_output(text)
+
+
+class HFIdefics2Scorer(_HFVisionGenScorer):
+    """IDEFICS2 generation scorer (reference ``idefics2.py:100-162`` load,
+    ``:200-260`` prompt/generate): AutoModelForVision2Seq loads once per
+    actor (fp32 on cpu, fp16 otherwise — quantization is a deployment knob,
+    not reproduced here); output decodes through ``parse_json_output``."""
+
+    PROMPT = ("Extract the receipt fields as JSON with keys vendor_name, "
+              "date, total, subtotal, tax.")
+
+    def __init__(self, model_name: str = "HuggingFaceM4/idefics2-8b",
+                 device: str = "cpu"):
+        try:
+            import torch
+            from transformers import AutoModelForVision2Seq, AutoProcessor
+        except ImportError as e:  # pragma: no cover - absent in container
+            raise ImportError(
+                f"torch/transformers not installed. {_INSTALL_HINT}") from e
+        self._torch = torch
+        self.device = device
+        self.processor = AutoProcessor.from_pretrained(
+            model_name, trust_remote_code=True)
+        self.model = AutoModelForVision2Seq.from_pretrained(
+            model_name, trust_remote_code=True,
+            torch_dtype=torch.float32 if device == "cpu" else torch.float16,
+        ).to(device).eval()
+
+    def _generate_text(self, image: np.ndarray) -> str:
+        messages = [{"role": "user", "content": [
+            {"type": "image"}, {"type": "text", "text": self.PROMPT}]}]
+        prompt = self.processor.apply_chat_template(
+            messages, add_generation_prompt=True)
+        enc = self.processor(text=prompt, images=[image],
+                             return_tensors="pt")
+        with self._torch.no_grad():
+            out = self.model.generate(
+                **{k: v.to(self.device) for k, v in enc.items()},
+                max_new_tokens=self.MAX_NEW_TOKENS)
+        return self.processor.batch_decode(out, skip_special_tokens=True)[0]
+
+    def _parse(self, text: str) -> Dict[str, Any]:
+        from ..functions.parsers import parse_json_output
+
+        return parse_json_output(text)
+
+
+# importing this module registers the HF-backed names; stages/scorer.py
+# resolves "*-hf" names by importing it lazily, so get_scorer("donut-hf")
+# works without the caller touching this module
+register_scorer("layoutlmv3-hf", HFLayoutLMv3Scorer)
+register_scorer("donut-hf", HFDonutScorer)
+register_scorer("idefics2-hf", HFIdefics2Scorer)

@@ -288,8 +288,15 @@ _REGISTRY = {"rule": RuleScorer, "null": NullScorer,
              "donut": TagGenScorer, "idefics2": JsonGenScorer}
 
 
+_HF_NAMES = ("layoutlmv3-hf", "donut-hf", "idefics2-hf")
+
+
 def get_scorer(name: str, **kwargs) -> BaseScorer:
-    """Model registry (reference models/__init__.py:24-37)."""
+    """Model registry (reference models/__init__.py:24-37). The "-hf" names
+    resolve to the import-guarded HuggingFace adapters (stages/hf_scorers.py)
+    — registered lazily so this module never imports torch."""
+    if name not in _REGISTRY and name in _HF_NAMES:
+        from . import hf_scorers  # noqa: F401 — registers the -hf names
     if name not in _REGISTRY:
         raise ValueError(f"unknown scorer '{name}'; known: {sorted(_REGISTRY)}")
     return _REGISTRY[name](**kwargs)

@@ -132,3 +132,94 @@ class TestScoredPipeline:
         assert len(with_words) > 0
         for _, row in with_words.iterrows():
             assert row["model_vendor"] is not None
+
+
+class TestHFAdapters:
+    """Import-guarded HF scorers (stages/hf_scorers.py): the pure pieces run
+    without torch; construction raises the install hint when libs absent."""
+
+    def test_lazy_registry_importerror_without_libs(self):
+        import pytest
+
+        from documentprocessor_ray.stages.scorer import get_scorer
+
+        try:
+            import transformers  # noqa: F401
+            pytest.skip("transformers installed; guard not reachable")
+        except ImportError:
+            pass
+        for name in ("layoutlmv3-hf", "donut-hf", "idefics2-hf"):
+            with pytest.raises(ImportError, match="transformers"):
+                get_scorer(name)
+
+    def test_first_subtoken_labels(self):
+        import numpy as np
+
+        from documentprocessor_ray.stages.hf_scorers import (
+            first_subtoken_labels)
+
+        # 5 tokens over 3 words: [CLS]=None, w0 (2 subtokens), w1, w2
+        logits = np.array([
+            [0.0, 9.0, 0.0],   # CLS -> ignored
+            [0.0, 0.0, 5.0],   # w0 first subtoken -> label 2
+            [9.0, 0.0, 0.0],   # w0 second subtoken -> ignored
+            [6.0, 0.0, 0.0],   # w1 -> label 0
+            [0.0, 4.0, 0.0],   # w2 -> label 1
+        ])
+        word_ids = [None, 0, 0, 1, 2]
+        ids, confs = first_subtoken_labels(logits, word_ids, 3)
+        assert ids == [2, 0, 1]
+        assert all(0.0 < c <= 1.0 for c in confs)
+        # truncated word keeps the default
+        ids2, confs2 = first_subtoken_labels(logits, [None, 0, 0, 1, 1], 3)
+        assert ids2[2] == 0 and confs2[2] == 0.0
+
+    def test_render_words_canvas_roundtrips_through_ocr(self):
+        from documentprocessor_ray.ocr_kernel import detect_words
+        from documentprocessor_ray.stages.hf_scorers import (
+            render_words_canvas)
+
+        words = [
+            {"text": "TOTAL", "box": [40, 100, 100, 114], "confidence": 1.0},
+            {"text": "$12.40", "box": [200, 100, 272, 114], "confidence": 1.0},
+            {"text": "Thanks", "box": [40, 300, 112, 314], "confidence": 1.0},
+        ]
+        canvas = render_words_canvas(words)
+        assert canvas.shape == (1000, 1000, 3)
+        got = detect_words(canvas[:, :, 0])
+        assert [w["text"] for w in got] == ["TOTAL", "$12.40", "Thanks"]
+
+    def test_vision_predict_empty_words(self):
+        from documentprocessor_ray.stages.hf_scorers import _HFVisionGenScorer
+
+        class Fake(_HFVisionGenScorer):
+            def __init__(self):
+                pass
+
+        assert Fake().predict([]) == {}
+
+    def test_vision_generate_parse_glue(self):
+        """The generate->parse->entities glue runs without torch when the
+        model call is substituted — proves everything around the HF call."""
+        from documentprocessor_ray.stages.hf_scorers import _HFVisionGenScorer
+
+        class Fake(_HFVisionGenScorer):
+            def __init__(self):
+                pass
+
+            def _generate_text(self, image):
+                assert image.ndim == 3
+                return ("<s_vendor>ACME CORP</s_vendor>"
+                        "<s_total><s_total_price>12.40</s_total_price></s_total>")
+
+            def _parse(self, text):
+                from documentprocessor_ray.functions.parsers import (
+                    parse_tagged_output)
+
+                return parse_tagged_output(text)
+
+        words = [{"text": "ACME", "box": [10, 10, 60, 24], "confidence": 1.0}]
+        ents = Fake().predict(words)
+        assert ents["vendor"]["value"] == "ACME CORP"
+        # parse_amount normalizes "12.40" -> float repr (M27 semantics)
+        assert ents["total"]["value"] == "12.4"
