@@ -790,21 +790,123 @@ class MinHasher:
         })
 
 
+# replicate-payload banding is cheaper below this per-shuffle volume; above
+# it the two-hop fetch (payload ships once per hop, not once per band) wins.
+# The constant is a single-exchange byte budget, not a cluster property.
+_PAYLOAD_FETCH_BYTES = 1 << 30
+
+
 def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.5,
                       concurrency: Optional[int] = None,
-                      group_cap: Optional[int] = None) -> "ray.data.Dataset":
+                      group_cap: Optional[int] = None,
+                      payload_fetch: Optional[bool] = None) -> "ray.data.Dataset":
     """Near-dup pairs via banded LSH over MinHash signatures.
 
     rows/band r = num_perm/bands; collision prob at Jaccard j is
     1-(1-j^r)^bands (S-curve). Output: (doc_a, doc_b, est_jaccard) for
     candidate pairs with signature-estimated Jaccard >= threshold.
-    """
+
+    payload_fetch picks the physical plan (None = by estimated volume):
+    False ships the signature ON each band row (one shuffle; bands x
+    signature bytes — fastest while that volume is small), True ships band
+    rows as (key, doc_id) only and fetches signatures for the surviving
+    candidates through _pairs_with_payloads (two extra co-bucketed
+    exchanges; each doc's signature moves twice TOTAL regardless of bands —
+    the 10^9-doc plan)."""
     rows = num_perm // bands
     nb = auto_buckets(None)  # driver-resolved ONCE: a worker-side lookup can
     # disagree across workers while nodes register, splitting one band key
     # across buckets (silent recall loss) — see _str_buckets
+    if payload_fetch is None:
+        n_docs = ds.count()  # metadata-only on a fresh read
+        payload_fetch = n_docs * bands * num_perm * 8 > _PAYLOAD_FETCH_BYTES
 
+    sig_ds = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=concurrency or (1, 8),
+    )
+
+    def band_keys_of(sig_mat: np.ndarray) -> np.ndarray:
+        """(n, num_perm) -> (n, bands) polynomial band keys; whole-matrix
+        numpy, no per-doc Python. The band index is mixed into the key so
+        band b of one doc can only collide with band b of another."""
+        n = sig_mat.shape[0]
+        prime = np.uint64(0x100000001B3)
+        out = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):  # bands is small; inner ops are vectorized
+            acc = np.full(n, np.uint64(1469598103934665603 + b), dtype=np.uint64)
+            chunk = sig_mat[:, b * rows:(b + 1) * rows]
+            for j in range(rows):
+                acc = (acc ^ chunk[:, j]) * prime
+            out[:, b] = acc
+        return out
+
+    def est_filter(a, b, sa, sb) -> pa.Table:
+        a = np.asarray(a, dtype=np.int64)
+        b = np.asarray(b, dtype=np.int64)
+        est = (sa == sb).mean(axis=1) if len(a) else np.empty(0)
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+        })
+
+    if not payload_fetch:
+        # single-exchange plan: signatures ride the band rows
+        def emit_bands(batch: pa.Table) -> pa.Table:
+            flat, _ = _list_parts(batch["sig"])
+            n = batch.num_rows
+            if n == 0:
+                return pa.table({
+                    "key": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.uint64())),
+                    "pkey": pa.array([], pa.int64()),
+                })
+            keys_flat = band_keys_of(flat.reshape(n, num_perm)) \
+                .reshape(-1).astype(np.int64)  # doc-major
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sig_col = batch["sig"].combine_chunks().take(
+                pa.array(np.repeat(np.arange(n), bands), pa.int64()))
+            return pa.table({
+                "key": pa.array(keys_flat, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "sig": sig_col,
+                "pkey": pa.array(bucket_of_ints(keys_flat, nb), pa.int64()),
+            })
+
+        def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
+            ids = [g["doc_id"][i].as_py() for i in idxs]
+            sigs = [np.asarray(g["sig"][i].as_py(), dtype=np.uint64)
+                    for i in idxs]
+            a_out, b_out, sa, sb = [], [], [], []
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    a, b = ((ids[i], ids[j]) if ids[i] < ids[j]
+                            else (ids[j], ids[i]))
+                    a_out.append(a)
+                    b_out.append(b)
+                    sa.append(sigs[i])
+                    sb.append(sigs[j])
+            return est_filter(
+                a_out, b_out,
+                np.asarray(sa).reshape(len(a_out), num_perm)
+                if a_out else np.empty((0, num_perm), np.uint64),
+                np.asarray(sb).reshape(len(a_out), num_perm)
+                if a_out else np.empty((0, num_perm), np.uint64))
+
+        pairs = (sig_ds.map_batches(emit_bands, batch_format="pyarrow")
+                 .groupby("pkey").map_groups(
+                     _pairs_by_key(pairs_for_key, group_cap=group_cap),
+                     batch_format="pyarrow"))
+        return _distinct_pairs(pairs, ["est_jaccard"])
+
+    # two-hop plan: band rows carry only (key, doc_id); signatures are
+    # fetched once per hop for the surviving candidates
     def key_sigs(batch: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -814,21 +916,9 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
                 nb), pa.int64()),
         })
 
-    # signatures computed once per doc, reused by banding AND verification
-    sig_ds = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency or (1, 8),
-    ).map_batches(key_sigs, batch_format="pyarrow").materialize()
+    sig_keyed = sig_ds.map_batches(key_sigs, batch_format="pyarrow").materialize()
 
-    def emit_bands(batch: pa.Table) -> pa.Table:
-        """Vectorized banding: the (B, num_perm) signature matrix reduces to
-        (B, bands) band keys with a polynomial combine over each band's rows
-        — whole-matrix numpy ops, no per-doc Python. Band rows carry ONLY
-        (key, doc_id): the signature ships once per hop in the verify
-        exchange (_pairs_with_payloads), not once per band — the round-2
-        bands-x-payload replication is gone. The band index is mixed into
-        the key so band b of one doc can only collide with band b of
-        another."""
+    def emit_band_keys(batch: pa.Table) -> pa.Table:
         flat, _ = _list_parts(batch["pay"])
         n = batch.num_rows
         if n == 0:
@@ -837,17 +927,9 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
                 "doc_id": pa.array([], pa.int64()),
                 "pkey": pa.array([], pa.int64()),
             })
-        sig_mat = flat.reshape(n, num_perm)
-        prime = np.uint64(0x100000001B3)
-        band_keys = np.empty((n, bands), dtype=np.uint64)
-        for b in range(bands):  # bands is small; inner ops are vectorized
-            acc = np.full(n, np.uint64(1469598103934665603 + b), dtype=np.uint64)
-            chunk = sig_mat[:, b * rows:(b + 1) * rows]
-            for j in range(rows):
-                acc = (acc ^ chunk[:, j]) * prime
-            band_keys[:, b] = acc
+        keys_flat = band_keys_of(flat.reshape(n, num_perm)) \
+            .reshape(-1).astype(np.int64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keys_flat = band_keys.reshape(-1).astype(np.int64)  # doc-major
         return pa.table({
             "key": pa.array(keys_flat, pa.int64()),
             "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
@@ -869,29 +951,21 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", num_perm: int = 64, bands: int = 1
             "doc_b": pa.array(b_out, pa.int64()),
         })
 
-    cand = (sig_ds.map_batches(emit_bands, batch_format="pyarrow")
+    cand = (sig_keyed.map_batches(emit_band_keys, batch_format="pyarrow")
             .groupby("pkey").map_groups(
                 _pairs_by_key(cands_for_key, group_cap=group_cap),
                 batch_format="pyarrow"))
 
     def verify(a: np.ndarray, b: np.ndarray, pay_a, pay_b) -> pa.Table:
         if len(a) == 0:
-            return pa.table({
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "est_jaccard": pa.array([], pa.float64()),
-            })
-        sa = _list_parts(pay_a)[0].reshape(len(a), num_perm)
-        sb = _list_parts(pay_b)[0].reshape(len(a), num_perm)
-        est = (sa == sb).mean(axis=1)  # exact multiples of 1/num_perm
-        keep = est >= threshold
-        return pa.table({
-            "doc_a": pa.array(a[keep], pa.int64()),
-            "doc_b": pa.array(b[keep], pa.int64()),
-            "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
-        })
+            return est_filter([], [], np.empty((0, num_perm), np.uint64),
+                              np.empty((0, num_perm), np.uint64))
+        return est_filter(
+            a, b,
+            _list_parts(pay_a)[0].reshape(len(a), num_perm),
+            _list_parts(pay_b)[0].reshape(len(a), num_perm))
 
-    return _pairs_with_payloads(cand, sig_ds, nb, pa.uint64(), verify)
+    return _pairs_with_payloads(cand, sig_keyed, nb, pa.uint64(), verify)
 
 
 # --- SimHash ---
@@ -1231,6 +1305,7 @@ def embedding_neardup_lsh_pairs(
     n_planes: int = 16, n_bands: int = 4, seed: int = 9,
     num_buckets: Optional[int] = None,
     group_cap: Optional[int] = None,
+    payload_fetch: Optional[bool] = None,
 ) -> "ray.data.Dataset":
     """SCALE path for cosine near-dup: random-hyperplane sign-LSH (Charikar
     '02) with banded blocking, candidates verified with the EXACT cosine.
@@ -1250,6 +1325,12 @@ def embedding_neardup_lsh_pairs(
     if num_buckets is None:
         num_buckets = auto_buckets(None)
     bits_per_band = n_planes // n_bands
+    if payload_fetch is None:
+        # replication factor is n_bands: below ~1e6 vectors the single
+        # exchange (vector rides each band row) is cheaper than two extra
+        # co-bucketed hops; above it the fetch plan's
+        # 2x-corpus-total-volume bound wins
+        payload_fetch = ds.count() > 1_000_000  # metadata-only on a read
 
     def norm_keyed(batch: pa.Table) -> pa.Table:
         """Normalized vectors, bucketed by id — the payload side of the
@@ -1264,6 +1345,79 @@ def embedding_neardup_lsh_pairs(
             "pkey": pa.array(bucket_of_ints(ids, num_buckets), pa.int64()),
         })
 
+    def band_keys_of(emb: np.ndarray) -> np.ndarray:
+        """(n, d) normalized vectors -> flat (n_bands*n,) band keys."""
+        planes = np.random.default_rng(seed).normal(size=(n_planes, emb.shape[1]))
+        signs = (emb @ planes.T) > 0  # (B, n_planes)
+        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        keys = []
+        for b in range(n_bands):
+            chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
+            keys.append(chunk @ weights + (b << bits_per_band))
+        return np.concatenate(keys)
+
+    if not payload_fetch:
+        # single-exchange plan: the normalized vector rides each band row
+        def emit_bands_pay(batch: pa.Table) -> pa.Table:
+            flat, _ = _list_parts(batch["pay"])
+            n = batch.num_rows
+            if n == 0:
+                return pa.table({
+                    "key": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
+                    "pkey": pa.array([], pa.int64()),
+                })
+            key_arr = band_keys_of(flat.reshape(n, -1))
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            emb_col = batch["pay"].combine_chunks().take(
+                pa.array(np.tile(np.arange(n), n_bands), pa.int64()))
+            return pa.table({
+                "key": pa.array(key_arr, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+                "emb": emb_col,
+                "pkey": pa.array(bucket_of_ints(key_arr, num_buckets),
+                                 pa.int64()),
+            })
+
+        def pairs_for_key(g: pa.Table, idxs: List[int]) -> pa.Table:
+            if not idxs:
+                return pa.table({
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "sim_milli": pa.array([], pa.int64()),
+                })
+            ids = np.array([g["doc_id"][i].as_py() for i in idxs],
+                           dtype=np.int64)
+            m = np.array([g["emb"][i].as_py() for i in idxs],
+                         dtype=np.float64)
+            sims = m @ m.T  # rows are already normalized
+            a_out, b_out, s_out = [], [], []
+            for i in range(len(ids)):
+                hits = np.where((sims[i] >= threshold) & (ids > ids[i]))[0]
+                for h in hits:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[h]))
+                    s_out.append(int(np.rint(sims[i, h] * 1000)))
+            return pa.table({
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "sim_milli": pa.array(s_out, pa.int64()),
+            })
+
+        pairs = (ds.map_batches(norm_keyed, batch_format="pyarrow")
+                 .map_batches(emit_bands_pay, batch_format="pyarrow")
+                 .groupby("pkey").map_groups(
+                     _pairs_by_key(pairs_for_key, group_cap=group_cap),
+                     batch_format="pyarrow"))
+        dedup = _distinct_pairs(pairs, ["sim_milli"])
+        return dedup.map_batches(lambda b: pa.table({
+            "vec_a": b["doc_a"], "vec_b": b["doc_b"],
+            "sim_milli": b["sim_milli"],
+        }), batch_format="pyarrow")
+
+    # two-hop plan: band rows carry only (key, doc_id); vectors are fetched
+    # once per hop for the surviving candidates
     vecs = ds.map_batches(norm_keyed, batch_format="pyarrow").materialize()
 
     def emit_bands(batch: pa.Table) -> pa.Table:
@@ -1275,16 +1429,8 @@ def embedding_neardup_lsh_pairs(
                 "doc_id": pa.array([], pa.int64()),
                 "pkey": pa.array([], pa.int64()),
             })
-        emb = flat.reshape(n, -1)
-        planes = np.random.default_rng(seed).normal(size=(n_planes, emb.shape[1]))
-        signs = (emb @ planes.T) > 0  # (B, n_planes)
-        weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+        key_arr = band_keys_of(flat.reshape(n, -1))
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        keys = []
-        for b in range(n_bands):
-            chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
-            keys.append(chunk @ weights + (b << bits_per_band))
-        key_arr = np.concatenate(keys)
         return pa.table({
             "key": pa.array(key_arr, pa.int64()),
             "doc_id": pa.array(np.tile(ids, n_bands), pa.int64()),

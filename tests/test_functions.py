@@ -382,3 +382,41 @@ class TestBoilerplate:
         }))
         assert out["n_kept"][0].as_py() == 1
         assert "ref" in out["main_text"][0].as_py()
+
+
+class TestPayloadFetchPlans:
+    """The cost-based physical-plan switch (replicate payload on band rows
+    vs two-hop fetch) must be output-invariant."""
+
+    def test_minhash_plans_identical(self, ray_session):
+        docs = ["the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog tonight",
+                "completely different content with other words entirely",
+                "the quick brown fox jumps over the lazy dog today"]
+        ds = ray.data.from_arrow(_docs_table(docs))
+        key = ["doc_a", "doc_b", "est_jaccard"]
+        small = D.minhash_lsh_pairs(ds, threshold=0.3, payload_fetch=False) \
+            .to_pandas()
+        big = D.minhash_lsh_pairs(ds, threshold=0.3, payload_fetch=True) \
+            .to_pandas()
+        assert sorted(map(tuple, small[key].values.tolist())) == \
+            sorted(map(tuple, big[key].values.tolist()))
+        assert len(small) > 0
+
+    def test_embedding_lsh_plans_identical(self, ray_session):
+        rng = np.random.default_rng(6)
+        vecs = rng.normal(size=(30, 16))
+        vecs[1] = vecs[0] + rng.normal(scale=0.01, size=16)
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        key = ["vec_a", "vec_b", "sim_milli"]
+        small = D.embedding_neardup_lsh_pairs(
+            ds, threshold=0.9, payload_fetch=False).to_pandas()
+        big = D.embedding_neardup_lsh_pairs(
+            ds, threshold=0.9, payload_fetch=True).to_pandas()
+        assert sorted(map(tuple, small[key].values.tolist())) == \
+            sorted(map(tuple, big[key].values.tolist()))
+        assert len(small) > 0
