@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "normalize_text", "main_content", "token_count", "token_count_bpe", "quality_stats",
     "fingerprint", "langid", "winnow_fingerprint", "exact_dedup",
     "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean",
-    "corpus_train_ready", "minhash_pairs",
+    "corpus_train_ready", "decontaminate", "minhash_pairs",
     "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",
     "knn_bruteforce", "knn_ivf",
     "image_features", "audio_features", "video_framesample",

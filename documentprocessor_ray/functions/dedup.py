@@ -727,6 +727,103 @@ def _pairs_with_payloads(cand: "ray.data.Dataset",
             .groupby("pkey").map_groups(resolve_b, batch_format="pyarrow"))
 
 
+def _md5_eval_mask(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 1/16 eval split: md5 hex of the id starts with '0'
+    (the same hash split q_doc_sample uses — reproducible across engines)."""
+    return np.fromiter(
+        (hashlib.md5(str(int(i)).encode()).hexdigest()[0] == "0"
+         for i in ids), dtype=bool, count=len(ids))
+
+
+def decontaminate(ds: "ray.data.Dataset", shingle_k: int = 13,
+                  eval_mask_fn=_md5_eval_mask,
+                  nb: Optional[int] = None) -> "ray.data.Dataset":
+    """Benchmark decontamination: per TRAIN document, the number of distinct
+    k-gram shingles it shares with ANY document of the held-out EVAL split
+    (the n-gram-overlap test-set filter large-LM training pipelines run;
+    n_shared == 0 means clean, thresholds are caller policy). Output one row
+    per train doc: (doc_id, n_shared) — eval docs are not emitted.
+
+    Scale shape: TWO bucketed shuffles. (1) every doc's distinct shingle
+    hashes ship once to bucket(hash); inside a bucket one sorted-membership
+    pass marks the train rows whose hash also occurs in an eval row and
+    pre-counts per doc (a hash lives in exactly one bucket, so per-bucket
+    counts are disjoint). (2) partial counts — plus a zero row per train
+    doc, so clean docs appear — merge with a bucketed per-doc sum. Nothing
+    is broadcast and the eval side is never collected: at 10^12 docs the
+    eval split is itself huge."""
+    if nb is None:
+        nb = auto_buckets(None)
+
+    def emit_shingles(batch: pa.Table) -> pa.Table:
+        ids_out: List[np.ndarray] = []
+        hs_out: List[np.ndarray] = []
+        ev_out: List[np.ndarray] = []
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        ev = eval_mask_fn(ids) if len(ids) else np.zeros(0, bool)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            h = _doc_tok_hashes(text, shingle_k)
+            if len(h) == 0:
+                continue
+            hs_out.append(h)
+            ids_out.append(np.full(len(h), ids[i], dtype=np.int64))
+            ev_out.append(np.full(len(h), ev[i], dtype=bool))
+        hs = (np.concatenate(hs_out).view(np.int64) if hs_out
+              else np.empty(0, np.int64))
+        return pa.table({
+            "h": pa.array(hs, pa.int64()),
+            "doc_id": pa.array(np.concatenate(ids_out) if ids_out
+                               else np.empty(0, np.int64), pa.int64()),
+            "is_eval": pa.array(np.concatenate(ev_out) if ev_out
+                                else np.empty(0, bool), pa.bool_()),
+            "pkey": pa.array(bucket_of_ints(hs, nb), pa.int64()),
+        })
+
+    def overlap_bucket(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        h = g["h"].to_numpy(zero_copy_only=False)
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        ev = g["is_eval"].to_numpy(zero_copy_only=False).astype(bool)
+        eval_h = np.unique(h[ev])
+        tr_h = h[~ev]
+        tr_id = did[~ev]
+        if len(eval_h) and len(tr_h):
+            pos = np.searchsorted(eval_h, tr_h)
+            hit = eval_h[np.minimum(pos, len(eval_h) - 1)] == tr_h
+            u, c = np.unique(tr_id[hit], return_counts=True)
+        else:
+            u = np.empty(0, np.int64)
+            c = np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(u, pa.int64()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(u, nb), pa.int64()),
+        })
+
+    def zero_partials(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        train = ids[~eval_mask_fn(ids)] if len(ids) else ids
+        return pa.table({
+            "doc_id": pa.array(train, pa.int64()),
+            "cnt": pa.array(np.zeros(len(train), np.int64), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(train, nb), pa.int64()),
+        })
+
+    def merge_counts(g: pa.Table) -> pa.Table:
+        t = g.group_by("doc_id").aggregate([("cnt", "sum")])
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_shared": pc.cast(t["cnt_sum"], pa.int64()),
+        })
+
+    partials = (ds.map_batches(emit_shingles, batch_format="pyarrow")
+                .groupby("pkey").map_groups(overlap_bucket,
+                                            batch_format="pyarrow"))
+    zeros = ds.map_batches(zero_partials, batch_format="pyarrow")
+    return partials.union(zeros).groupby("pkey").map_groups(
+        merge_counts, batch_format="pyarrow")
+
+
 # --- MinHash + LSH ---
 
 def _minhash_params(num_perm: int, seed: int = 7) -> Tuple[np.ndarray, np.ndarray]:

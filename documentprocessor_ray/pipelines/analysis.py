@@ -280,6 +280,16 @@ def q_corpus_train_ready(sf_dir: str) -> "ray.data.Dataset":
                      size_hint=n_docs, left_schema=stats_schema)
 
 
+def q_decontaminate(sf_dir: str) -> "ray.data.Dataset":
+    """Benchmark decontamination over the documents table: the md5-split
+    eval sixteenth (same split as doc_sample) is the held-out set; every
+    train doc reports how many distinct 5-gram shingles it shares with any
+    eval doc (0 = clean). k=5 is scaled to the synthetic docs; the operator
+    default is the 13-gram filter training pipelines use."""
+    return D.decontaminate(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           shingle_k=5)
+
+
 # ---------------------------------------------------------------- similarity
 
 def q_knn_bruteforce(sf_dir: str) -> "ray.data.Dataset":
@@ -1284,6 +1294,29 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
+    "decontaminate": r"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(
+            lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                 || ' ' || toks[i + 3] || ' ' || toks[i + 4]))) AS w
+          FROM tok WHERE len(toks) >= 5
+        ), ev AS (
+          SELECT DISTINCT w FROM sh
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        ), hits AS (
+          SELECT s.doc_id, count(*) AS n
+          FROM sh s JOIN ev ON s.w = ev.w
+          WHERE substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) <> '0'
+          GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> '0'""",
     "embedding_neardup": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1570,6 +1603,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_clusters": q_dedup_clusters,
     "corpus_clean": q_corpus_clean,
     "corpus_train_ready": q_corpus_train_ready,
+    "decontaminate": q_decontaminate,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,

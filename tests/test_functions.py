@@ -420,3 +420,34 @@ class TestPayloadFetchPlans:
         assert sorted(map(tuple, small[key].values.tolist())) == \
             sorted(map(tuple, big[key].values.tolist()))
         assert len(small) > 0
+
+
+class TestDecontaminate:
+    def test_shared_shingles_counted(self, ray_session):
+        """Doc sharing a 3-gram with an eval doc gets n_shared >= 1; clean
+        docs report 0; eval docs are not emitted."""
+        texts = ["alpha beta gamma delta epsilon",      # id 0 -> eval
+                 "alpha beta gamma other words here",   # id 1 -> shares 1
+                 "totally different content entirely",  # id 2 -> clean
+                 "alpha beta gamma delta trailing"]     # id 3 -> shares 2
+        ds = ray.data.from_arrow(_docs_table(texts))
+
+        def eval_mask(ids):
+            return np.asarray(ids) == 0
+
+        out = D.decontaminate(ds, shingle_k=3, eval_mask_fn=eval_mask) \
+            .to_pandas().set_index("doc_id")["n_shared"].to_dict()
+        assert 0 not in out                # eval doc not emitted
+        assert out[1] == 1                 # "alpha beta gamma"
+        assert out[2] == 0                 # clean but PRESENT
+        assert out[3] == 2                 # "alpha beta gamma", "beta gamma delta"
+
+    def test_empty_text_train_doc_reports_zero(self, ray_session):
+        ds = ray.data.from_arrow(_docs_table(["alpha beta gamma", ""], [0, 7]))
+
+        def eval_mask(ids):
+            return np.asarray(ids) == 0
+
+        out = D.decontaminate(ds, shingle_k=3, eval_mask_fn=eval_mask) \
+            .to_pandas().set_index("doc_id")["n_shared"].to_dict()
+        assert out == {7: 0}
