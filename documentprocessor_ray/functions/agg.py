@@ -56,6 +56,27 @@ def bucketed_group_sum(
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
 
 
+def _composite_key_hash(b: pa.Table, keys: List[str]) -> np.ndarray:
+    """int64 hash of the composite key tuple for each row (string columns
+    crc-hashed once per DISTINCT value via dictionary encoding). Bucketing
+    only — exact grouping always happens on the real values in-bucket."""
+    import zlib
+
+    h = np.zeros(b.num_rows, dtype=np.int64)
+    for k in keys:
+        col = b[k].combine_chunks()
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            enc = pc.dictionary_encode(col)
+            uniq = np.array([zlib.crc32(str(s).encode())
+                             for s in enc.dictionary.to_pylist()],
+                            dtype=np.int64)
+            vals = uniq[enc.indices.to_numpy(zero_copy_only=False)]
+        h = h * np.int64(1000003) ^ vals
+    return h
+
+
 def bucketed_group_sum_multi(
     ds: "ray.data.Dataset",
     keys: List[str],
@@ -69,24 +90,11 @@ def bucketed_group_sum_multi(
     the exact grouping happens vectorized inside the bucket. Right shape
     for (event_type, window) style keys whose cardinality grows with the
     data's time range."""
-    import zlib
-
     if num_buckets is None:
         num_buckets = auto_buckets(size_hint, rows_per_bucket=65536)
 
     def add_pkey(b: pa.Table) -> pa.Table:
-        h = np.zeros(b.num_rows, dtype=np.int64)
-        for k in keys:
-            col = b[k].combine_chunks()
-            if pa.types.is_integer(col.type):
-                vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
-            else:
-                enc = pc.dictionary_encode(col)
-                uniq = np.array([zlib.crc32(str(s).encode())
-                                 for s in enc.dictionary.to_pylist()],
-                                dtype=np.int64)
-                vals = uniq[enc.indices.to_numpy(zero_copy_only=False)]
-            h = h * np.int64(1000003) ^ vals
+        h = _composite_key_hash(b, keys)
         return b.append_column(
             "pkey", pa.array(bucket_of_ints(h, num_buckets), pa.int64()))
 
@@ -99,4 +107,85 @@ def bucketed_group_sum_multi(
         return pa.table(out)
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(local, batch_format="pyarrow")
+
+
+def grouped_quantile_disc(
+    ds: "ray.data.Dataset",
+    keys: List[str],
+    value: str,
+    qs: List[float],
+    q_names: Optional[List[str]] = None,
+    count_col: str = "n_vals",
+    num_buckets: Optional[int] = None,
+    size_hint: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """EXACT discrete quantiles of int64 ``value`` per distinct tuple of
+    ``keys`` — a holistic aggregate, distributed as a value histogram.
+
+    DuckDB ``quantile_disc(x, q)`` semantics (probed, all n/q combos): the
+    element at 1-based index ``max(1, ceil(q*n))`` of the sorted values,
+    with ``q*n`` evaluated in double — reproduced here bit-for-bit so the
+    oracle twin hash-matches.
+
+    Plan shape (the 100-TB story): quantiles need the full value multiset
+    per group, so the combiner compacts rows to per-batch
+    ``(keys, value) -> count`` histogram cells FIRST (for low-cardinality
+    values — quantities, scores, bucketed cents — this collapses row count
+    to ~distinct-cells-per-batch), then ONE bucketed shuffle on
+    hash(keys) co-locates each group's cells, and the per-bucket reducer is
+    fully vectorized: merge cells, lexsort by (key, value), one global
+    cumsum, and a single ``searchsorted`` per q answers EVERY group in the
+    bucket at once (the global cumsum is strictly increasing since counts
+    are positive, so offset+target lands inside the right segment). No
+    per-group loop, no driver materialization. Skew caveat: one group's
+    distinct-value count must fit a reducer; for near-unique values at
+    crawl scale, pre-bucket the value (cents -> dollars) or switch to a
+    two-pass splitter search.
+    """
+    if q_names is None:
+        q_names = [f"q{int(round(q * 100))}" for q in qs]
+    if num_buckets is None:
+        num_buckets = auto_buckets(size_hint, rows_per_bucket=65536)
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = b.select(keys + [value]).group_by(keys + [value]) \
+            .aggregate([([], "count_all")])
+        t = pa.table({**{k: t[k] for k in keys + [value]},
+                      "cnt": pc.cast(t["count_all"], pa.int64())})
+        h = _composite_key_hash(t, keys)
+        return t.append_column(
+            "pkey", pa.array(bucket_of_ints(h, num_buckets), pa.int64()))
+
+    def local(g: pa.Table) -> pa.Table:
+        t = g.select(keys + [value, "cnt"]).group_by(keys + [value]) \
+            .aggregate([("cnt", "sum")])
+        val = t[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        karrs = [t[k].combine_chunks().to_numpy(zero_copy_only=False)
+                 for k in keys]
+        order = np.lexsort((val,) + tuple(reversed(karrs)))
+        val, cnt = val[order], cnt[order]
+        karrs = [a[order] for a in karrs]
+        new_seg = np.ones(len(val), dtype=bool)
+        if len(val) > 1:
+            new_seg[1:] = False
+            for a in karrs:
+                new_seg[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(new_seg)
+        csum = np.cumsum(cnt)
+        offsets = np.where(starts > 0, csum[starts - 1], 0)
+        ends = np.r_[starts[1:], len(val)] - 1
+        n_group = csum[ends] - offsets
+        out = {k: pa.array(a[starts]) for k, a in zip(keys, karrs)}
+        for q, name in zip(qs, q_names):
+            # double q*n then ceil: DuckDB's exact index arithmetic
+            tgt = np.maximum(1, np.ceil(q * n_group.astype(np.float64))
+                             .astype(np.int64))
+            idx = np.searchsorted(csum, offsets + tgt, side="left")
+            out[name] = pa.array(val[idx], pa.int64())
+        out[count_col] = pa.array(n_group, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(combine, batch_format="pyarrow") \
         .groupby("pkey").map_groups(local, batch_format="pyarrow")

@@ -562,6 +562,54 @@ def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_quantity_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Exact grouped quantile_disc of l_quantity per (returnflag,
+    linestatus): holistic aggregate via the distributed value histogram —
+    the combiner collapses the lineitem stream to (flag, status, qty)->cnt
+    cells per batch (~50 distinct quantities x 6 groups), so the shuffle
+    moves histogram cells, not rows."""
+    from ..functions.agg import grouped_quantile_disc
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        qty = np.rint(b["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_linestatus": b["l_linestatus"],
+                         "qty": pa.array(qty, pa.int64())})
+
+    return grouped_quantile_disc(
+        ds.map_batches(to_int, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"], value="qty",
+        qs=[0.25, 0.5, 0.75, 0.95])
+
+
+def q_customer_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Median + p90 of order price (cents) per customer — the
+    high-cardinality-key path of grouped_quantile_disc: thousands of
+    groups, near-unique values, so this exercises the bucketed shuffle and
+    the vectorized multi-segment selection (one searchsorted answers every
+    customer in a bucket)."""
+    from ..functions.agg import grouped_quantile_disc
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "price_cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    return grouped_quantile_disc(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        keys=["o_custkey"], value="price_cents",
+        qs=[0.5, 0.9], q_names=["median_cents", "p90_cents"],
+        count_col="n_orders")
+
+
 def q_top_customers(sf_dir: str) -> pa.Table:
     """Top-10 customers by revenue, fully pruned: bucketed per-customer
     revenue merge -> global sort+limit(10) -> customer names fetched by
@@ -1342,6 +1390,25 @@ ORACLE_SQL: Dict[str, str] = {
                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro,
           count(*)::BIGINT AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "quantity_quantiles": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(quantile_disc(qty, 0.25) AS BIGINT) AS q25,
+          CAST(quantile_disc(qty, 0.5) AS BIGINT) AS q50,
+          CAST(quantile_disc(qty, 0.75) AS BIGINT) AS q75,
+          CAST(quantile_disc(qty, 0.95) AS BIGINT) AS q95,
+          count(*)::BIGINT AS n_vals
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity) AS BIGINT) AS qty FROM lineitem)
+        GROUP BY l_returnflag, l_linestatus""",
+    "customer_price_quantiles": """
+        SELECT o_custkey::BIGINT AS o_custkey,
+          CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents,
+          CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents,
+          count(*)::BIGINT AS n_orders
+        FROM (SELECT o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY o_custkey""",
     "top_customers": """
         SELECT c.c_custkey, c.c_name,
           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -1614,6 +1681,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "audio_features": q_audio_features,
     "video_framesample": q_video_framesample,
     "pricing_summary": q_pricing_summary,
+    "quantity_quantiles": q_quantity_quantiles,
+    "customer_price_quantiles": q_customer_price_quantiles,
     "top_customers": q_top_customers,
     "order_revenue_join": q_order_revenue_join,
     "doc_sample": q_doc_sample,

@@ -451,3 +451,54 @@ class TestDecontaminate:
         out = D.decontaminate(ds, shingle_k=3, eval_mask_fn=eval_mask) \
             .to_pandas().set_index("doc_id")["n_shared"].to_dict()
         assert out == {7: 0}
+
+
+class TestGroupedQuantiles:
+    """grouped_quantile_disc vs a scalar sorted-index reference
+    (idx = max(1, ceil(q*n)), 1-based — DuckDB quantile_disc semantics,
+    probed over all n/q combos in scripts history)."""
+
+    @staticmethod
+    def _ref(keys, vals, qs):
+        import math
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for k, v in zip(keys, vals):
+            groups[k].append(v)
+        out = {}
+        for k, vs in groups.items():
+            vs = sorted(vs)
+            out[k] = tuple(vs[max(1, math.ceil(q * len(vs))) - 1] for q in qs)
+        return out
+
+    def test_matches_reference_random(self, ray_session):
+        from documentprocessor_ray.functions.agg import grouped_quantile_disc
+        rng = np.random.default_rng(11)
+        n = 5000
+        k1 = rng.integers(0, 40, n)          # int key, some groups tiny
+        k2 = rng.choice(["a", "b", "c"], n)  # string key
+        v = rng.integers(-100, 100, n)
+        ds = ray.data.from_arrow(pa.table({
+            "k1": pa.array(k1, pa.int64()), "k2": pa.array(k2),
+            "v": pa.array(v, pa.int64())}))
+        qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+        out = grouped_quantile_disc(ds, ["k1", "k2"], "v", qs,
+                                    q_names=[f"x{i}" for i in range(5)],
+                                    num_buckets=8).to_pandas()
+        ref = self._ref(list(zip(k1.tolist(), k2.tolist())), v.tolist(), qs)
+        assert len(out) == len(ref)
+        for row in out.itertuples(index=False):
+            assert ref[(row.k1, row.k2)] == (row.x0, row.x1, row.x2,
+                                             row.x3, row.x4)
+
+    def test_singleton_and_duplicate_groups(self, ray_session):
+        from documentprocessor_ray.functions.agg import grouped_quantile_disc
+        t = pa.table({"k": pa.array([1, 2, 2, 2, 2], pa.int64()),
+                      "v": pa.array([7, 5, 5, 5, 9], pa.int64())})
+        out = grouped_quantile_disc(
+            ray.data.from_arrow(t), ["k"], "v", [0.5, 0.95],
+            num_buckets=4).to_pandas().set_index("k")
+        assert out.loc[1, "q50"] == 7 and out.loc[1, "q95"] == 7
+        # group 2 sorted: [5,5,5,9]; q50 idx=ceil(2)=2 -> 5; q95 idx=4 -> 9
+        assert out.loc[2, "q50"] == 5 and out.loc[2, "q95"] == 9
+        assert out.loc[2, "n_vals"] == 4
