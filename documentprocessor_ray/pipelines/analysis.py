@@ -859,6 +859,51 @@ def q_events_hopping(sf_dir: str) -> "ray.data.Dataset":
         cols=["sum_value_cents", "n_events"], size_hint=n_rows // 8)
 
 
+def q_click_attribution(sf_dir: str) -> "ray.data.Dataset":
+    """Backward as-of join: each click attributed to the user's most recent
+    purchase at-or-before it (DuckDB ASOF JOIN semantics, ties broken by
+    max purchase event_id). Both sides co-bucketed on hash(user_id) in one
+    shuffle; the in-bucket matcher is a single vectorized forward-fill —
+    see functions/temporal.py. No-match rows keep -1 sentinels so every
+    output column stays non-null BIGINT (nullable ints degrade to float64
+    through to_pandas and wobble the driver's hash)."""
+    from ..functions.temporal import asof_join
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    left = _read(sf_dir, "events", cols).filter(
+        expr="event_type == 'click'")
+    right = _read(sf_dir, "events", cols).filter(
+        expr="event_type == 'purchase'")
+    j = asof_join(left, right, key="user_id", ts="ts",
+                  left_cols=["event_id"],
+                  right_cols={"purchase_event_id": "event_id",
+                              "purchase_ts": "ts",
+                              "purchase_value": "value"},
+                  tiebreak="event_id")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        pe = pc.fill_null(pc.cast(b["purchase_event_id"], pa.int64()), -1)
+        has = pc.greater_equal(pe, 0)
+        has_np = has.combine_chunks().to_numpy(zero_copy_only=False)
+        lts = pc.cast(b["ts"], pa.int64())
+        pts = pc.cast(b["purchase_ts"], pa.int64())
+        gap = pc.if_else(has, pc.subtract(lts, pts),
+                         pa.scalar(-1, pa.int64()))
+        v = pc.fill_null(b["purchase_value"], 0.0) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        cents = np.where(has_np, _cents(v), -1)
+        return pa.table({
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "ts": b["ts"],
+            "purchase_event_id": pe,
+            "purchase_cents": pa.array(cents, pa.int64()),
+            "gap_us": pc.cast(gap, pa.int64()),
+        })
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
     """Per-group top-k (the window-function `row_number() <= 3` shape): the
     3 highest-value orders per customer. One bucketed shuffle on the
@@ -1390,6 +1435,21 @@ ORACLE_SQL: Dict[str, str] = {
                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro,
           count(*)::BIGINT AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "click_attribution": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        r0 AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+        r AS (SELECT * FROM (
+                SELECT r0.*, row_number() OVER (
+                  PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM r0) WHERE rn = 1)
+        SELECT l.event_id::BIGINT AS event_id, l.user_id::BIGINT AS user_id,
+          l.ts,
+          COALESCE(r.event_id, -1)::BIGINT AS purchase_event_id,
+          COALESCE(CAST(round(r.value * 100) AS BIGINT), -1) AS purchase_cents,
+          COALESCE(date_diff('microsecond', r.ts, l.ts), -1)::BIGINT AS gap_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""",
     "quantity_quantiles": """
         SELECT l_returnflag, l_linestatus,
           CAST(quantile_disc(qty, 0.25) AS BIGINT) AS q25,
@@ -1690,6 +1750,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "low_order_customers": q_low_order_customers,
     "customers_no_big_orders": q_customers_no_big_orders,
     "nation_revenue": q_nation_revenue,
+    "click_attribution": q_click_attribution,
     "events_rollup": q_events_rollup,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,

@@ -1,0 +1,73 @@
+"""asof_join vs a brute-force scalar reference (DuckDB ASOF semantics:
+greatest right ts <= left ts per key, ties on (ts) broken by max tiebreak)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from documentprocessor_ray.functions.temporal import asof_join
+
+
+def _ref(lk, lt, rk, rt, rtb):
+    out = []
+    for k, t in zip(lk, lt):
+        best = None
+        for j, (k2, t2) in enumerate(zip(rk, rt)):
+            if k2 == k and t2 <= t:
+                cand = (t2, rtb[j], j)
+                if best is None or cand > best:
+                    best = cand
+        out.append(best[2] if best else -1)
+    return out
+
+
+class TestAsofJoin:
+    def test_random_matches_reference(self, ray_session):
+        rng = np.random.default_rng(3)
+        nl, nr = 400, 300
+        lk = rng.integers(0, 12, nl)
+        lt = rng.integers(0, 50, nl)          # small range forces ts ties
+        rk = rng.integers(0, 12, nr)
+        rt = rng.integers(0, 50, nr)
+        rtb = np.arange(nr)                    # unique tiebreak ids
+        rv = rng.integers(100, 999, nr)
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(lk, pa.int64()), "t": pa.array(lt, pa.int64()),
+            "lid": pa.array(np.arange(nl), pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array(rk, pa.int64()), "t": pa.array(rt, pa.int64()),
+            "rid": pa.array(rtb, pa.int64()),
+            "val": pa.array(rv, pa.int64())}))
+        out = asof_join(left, right, key="k", ts="t", left_cols=["lid"],
+                        right_cols={"m_rid": "rid", "m_val": "val"},
+                        tiebreak="rid", num_buckets=8).to_pandas()
+        assert len(out) == nl
+        ref = _ref(lk, lt, rk, rt, rtb)
+        got = out.set_index("lid")
+        for i in range(nl):
+            exp = ref[i]
+            m = got.loc[i, "m_rid"]
+            if exp < 0:
+                assert m != m or m is None or got.loc[i, "m_val"] != got.loc[i, "m_val"]  # NaN
+            else:
+                assert int(m) == int(rtb[exp])
+                assert int(got.loc[i, "m_val"]) == int(rv[exp])
+
+    def test_exact_ts_match_allowed_and_no_match_null(self, ray_session):
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "t": pa.array([10, 5, 10], pa.int64()),
+            "lid": pa.array([0, 1, 2], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array([1], pa.int64()), "t": pa.array([10], pa.int64()),
+            "rid": pa.array([7], pa.int64())}))
+        out = asof_join(left, right, key="k", ts="t", left_cols=["lid"],
+                        right_cols={"m": "rid"}, num_buckets=4) \
+            .to_pandas().set_index("lid")
+        assert int(out.loc[0, "m"]) == 7       # exact ts counts
+        assert np.isnan(out.loc[1, "m"])       # right ts later -> no match
+        assert np.isnan(out.loc[2, "m"])       # other key -> no match
