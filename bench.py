@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "image_features", "audio_features", "video_framesample",
     "pricing_summary", "top_customers", "order_revenue_join",
     "events_rollup", "events_tumbling", "events_hopping",
-    "top_orders_per_customer", "sessionize",
+    "top_orders_per_customer", "sessionize", "click_attribution",
+    "quantity_quantiles", "customer_price_quantiles",
     "normalize_boxes", "raw_text_join", "vendor_topk", "doc_sample",
     "lang_stats", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",

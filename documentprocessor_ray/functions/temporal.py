@@ -145,3 +145,64 @@ def asof_join(
     both = left.map_batches(prep_left, batch_format="pyarrow").union(
         right.map_batches(prep_right, batch_format="pyarrow"))
     return both.groupby("pkey").map_groups(local, batch_format="pyarrow")
+
+
+def range_join_broadcast(
+    points: "ray.data.Dataset",
+    intervals: pa.Table,
+    value: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    interval_cols: Optional[List[str]] = None,
+) -> "ray.data.Dataset":
+    """Interval (range) join: emit one output row per (point, interval)
+    where ``lo <= point.value < hi``. Intervals may OVERLAP — every
+    containing interval matches.
+
+    Scale shape: the interval side is a DIMENSION (price bands, calendars,
+    maintenance windows) — broadcast once via ``ray.put`` and read by every
+    map task, zero shuffle; the point side streams. Per batch the matcher
+    is O(n log n + matches): sort the batch's values once, then ONE
+    ``searchsorted`` per interval boundary array turns every interval into
+    a [start, end) slice of the sorted order — no per-point loop, no
+    per-interval scan. Partitioning assumption: the interval table fits in
+    a worker's heap; a big-big interval join needs the co-bucketed asof
+    machinery instead (bucket by coarse value range, replicate intervals to
+    every range chunk they overlap).
+    """
+    import ray as _ray
+
+    if interval_cols is None:
+        interval_cols = [c for c in intervals.column_names if c not in (lo, hi)]
+    ref = _ray.put(intervals)
+
+    def match(b: pa.Table) -> pa.Table:
+        iv: pa.Table = _ray.get(ref)
+        los = iv[lo].to_numpy(zero_copy_only=False).astype(np.int64)
+        his = iv[hi].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[value].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        vs = v[order]
+        starts = np.searchsorted(vs, los, side="left")
+        ends = np.searchsorted(vs, his, side="left")
+        counts = np.maximum(ends - starts, 0)
+        iv_idx = np.repeat(np.arange(len(los)), counts)
+        # point positions: for interval i the slice [starts_i, ends_i) of
+        # the sorted order — one ragged arange over all intervals
+        total = int(counts.sum())
+        if total:
+            offs = np.r_[0, np.cumsum(counts)[:-1]]
+            pt_sorted = (np.arange(total)
+                         - np.repeat(offs, counts)
+                         + np.repeat(starts, counts))
+            pt_idx = order[pt_sorted]
+        else:
+            pt_idx = np.zeros(0, np.int64)
+        take_pts = pa.array(pt_idx, pa.int64())
+        out = {c: b[c].take(take_pts) for c in b.column_names}
+        for c in interval_cols:
+            out[c] = iv[c].take(pa.array(iv_idx, pa.int64()))
+        return pa.table(out)
+
+    return points.map_batches(match, batch_format="pyarrow")

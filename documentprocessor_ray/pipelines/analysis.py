@@ -904,6 +904,39 @@ def q_click_attribution(sf_dir: str) -> "ray.data.Dataset":
     return j.map_batches(finalize, batch_format="pyarrow")
 
 
+# price bands in cents — deliberately OVERLAPPING so the range join's
+# multi-match semantics are exercised; the SQL twin is generated from this
+# same constant so the two sides cannot drift
+_PRICE_BANDS = [(0, 0, 10_000_000),
+                (1, 5_000_000, 20_000_000),
+                (2, 15_000_000, 60_000_000),
+                (3, 0, 60_000_000)]
+
+
+def q_order_price_bands(sf_dir: str) -> "ray.data.Dataset":
+    """Range (interval) join: orders against overlapping price bands.
+    Broadcast interval side, streamed point side, searchsorted matcher —
+    see functions/temporal.py:range_join_broadcast."""
+    from ..functions.temporal import range_join_broadcast
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    bands = pa.table({
+        "band_id": pa.array([b[0] for b in _PRICE_BANDS], pa.int64()),
+        "lo": pa.array([b[1] for b in _PRICE_BANDS], pa.int64()),
+        "hi": pa.array([b[2] for b in _PRICE_BANDS], pa.int64())})
+    return range_join_broadcast(
+        ds.map_batches(to_cents, batch_format="pyarrow"), bands,
+        value="cents", interval_cols=["band_id"])
+
+
 def q_top_orders_per_customer(sf_dir: str) -> "ray.data.Dataset":
     """Per-group top-k (the window-function `row_number() <= 3` shape): the
     3 highest-value orders per customer. One bucketed shuffle on the
@@ -1435,6 +1468,16 @@ ORACLE_SQL: Dict[str, str] = {
                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro,
           count(*)::BIGINT AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "order_price_bands": (
+        "WITH bands(band_id, lo, hi) AS (VALUES "
+        + ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+        + """),
+        pts AS (SELECT o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+        SELECT o_orderkey::BIGINT AS o_orderkey, cents,
+               band_id::BIGINT AS band_id
+        FROM pts JOIN bands ON cents >= lo AND cents < hi"""),
     "click_attribution": """
         WITH l AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_type = 'click'),
@@ -1751,6 +1794,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "customers_no_big_orders": q_customers_no_big_orders,
     "nation_revenue": q_nation_revenue,
     "click_attribution": q_click_attribution,
+    "order_price_bands": q_order_price_bands,
     "events_rollup": q_events_rollup,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,

@@ -71,3 +71,38 @@ class TestAsofJoin:
         assert int(out.loc[0, "m"]) == 7       # exact ts counts
         assert np.isnan(out.loc[1, "m"])       # right ts later -> no match
         assert np.isnan(out.loc[2, "m"])       # other key -> no match
+
+
+class TestRangeJoin:
+    def test_overlap_boundaries_and_multi_match(self, ray_session):
+        from documentprocessor_ray.functions.temporal import range_join_broadcast
+        pts = ray.data.from_arrow(pa.table({
+            "pid": pa.array([0, 1, 2, 3], pa.int64()),
+            "v": pa.array([5, 10, 15, 100], pa.int64())}))
+        iv = pa.table({"band": pa.array([0, 1], pa.int64()),
+                       "lo": pa.array([0, 10], pa.int64()),
+                       "hi": pa.array([15, 20], pa.int64())})
+        out = range_join_broadcast(pts, iv, value="v",
+                                   interval_cols=["band"]).to_pandas()
+        got = sorted(map(tuple, out[["pid", "band"]].values.tolist()))
+        # v=5 -> band0; v=10 -> band0 AND band1 (overlap, lo inclusive);
+        # v=15 -> band1 only (hi exclusive); v=100 -> none
+        assert got == [(0, 0), (1, 0), (1, 1), (2, 1)]
+
+    def test_random_matches_bruteforce(self, ray_session):
+        from documentprocessor_ray.functions.temporal import range_join_broadcast
+        rng = np.random.default_rng(5)
+        v = rng.integers(0, 1000, 500)
+        lo = rng.integers(0, 900, 20)
+        hi = lo + rng.integers(1, 300, 20)
+        pts = ray.data.from_arrow(pa.table({
+            "pid": pa.array(np.arange(500), pa.int64()),
+            "v": pa.array(v, pa.int64())}))
+        iv = pa.table({"band": pa.array(np.arange(20), pa.int64()),
+                       "lo": pa.array(lo, pa.int64()),
+                       "hi": pa.array(hi, pa.int64())})
+        out = range_join_broadcast(pts, iv, value="v",
+                                   interval_cols=["band"]).to_pandas()
+        exp = sorted((p, b) for p in range(500) for b in range(20)
+                     if lo[b] <= v[p] < hi[b])
+        assert sorted(map(tuple, out[["pid", "band"]].values.tolist())) == exp
