@@ -904,6 +904,47 @@ def q_click_attribution(sf_dir: str) -> "ray.data.Dataset":
     return j.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_customer_running_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """SUM OVER (PARTITION BY customer ORDER BY date, orderkey) + lag():
+    running revenue and previous-order gap per customer. Total order is
+    (o_orderdate, o_orderkey) — unique, so the SQL default RANGE frame
+    equals this operator's ROWS semantics (see functions/window.py)."""
+    from ..functions.window import running_sum_lag
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                  "o_orderdate", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "o_orderdate": b["o_orderdate"],
+            "date_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    w = running_sum_lag(ds.map_batches(prep, batch_format="pyarrow"),
+                        key="o_custkey",
+                        order_cols=["date_us", "o_orderkey"],
+                        sum_col="cents",
+                        lag_cols=["o_orderkey", "date_us"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        prev_dt = b["prev_date_us"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        dt = b["date_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        gap = np.where(prev_dt >= 0, dt - prev_dt, -1)
+        return pa.table({
+            "o_custkey": b["o_custkey"], "o_orderkey": b["o_orderkey"],
+            "o_orderdate": b["o_orderdate"], "cents": b["cents"],
+            "running_cents": b["running_cents"],
+            "prev_orderkey": b["prev_o_orderkey"],
+            "gap_us": pa.array(gap, pa.int64())})
+
+    return w.map_batches(finalize, batch_format="pyarrow")
+
+
 # price bands in cents — deliberately OVERLAPPING so the range join's
 # multi-match semantics are exercised; the SQL twin is generated from this
 # same constant so the two sides cannot drift
@@ -1468,6 +1509,18 @@ ORACLE_SQL: Dict[str, str] = {
                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro,
           count(*)::BIGINT AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "customer_running_revenue": """
+        SELECT o_custkey::BIGINT AS o_custkey,
+          o_orderkey::BIGINT AS o_orderkey, o_orderdate, cents,
+          CAST(sum(cents) OVER w AS BIGINT) AS running_cents,
+          COALESCE(lag(o_orderkey) OVER w, -1)::BIGINT AS prev_orderkey,
+          COALESCE(date_diff('microsecond', lag(o_orderdate) OVER w,
+                             o_orderdate), -1)::BIGINT AS gap_us
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)""",
     "order_price_bands": (
         "WITH bands(band_id, lo, hi) AS (VALUES "
         + ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
@@ -1795,6 +1848,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "nation_revenue": q_nation_revenue,
     "click_attribution": q_click_attribution,
     "order_price_bands": q_order_price_bands,
+    "customer_running_revenue": q_customer_running_revenue,
     "events_rollup": q_events_rollup,
     "events_tumbling": q_events_tumbling,
     "events_hopping": q_events_hopping,

@@ -106,3 +106,43 @@ class TestRangeJoin:
         exp = sorted((p, b) for p in range(500) for b in range(20)
                      if lo[b] <= v[p] < hi[b])
         assert sorted(map(tuple, out[["pid", "band"]].values.tolist())) == exp
+
+
+class TestRunningWindow:
+    def test_running_sum_and_lag_match_reference(self, ray_session):
+        from documentprocessor_ray.functions.window import running_sum_lag
+        rng = np.random.default_rng(9)
+        n = 600
+        k = rng.integers(0, 15, n)
+        o = rng.permutation(n)          # unique order key per row
+        v = rng.integers(1, 100, n)
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(k, pa.int64()), "o": pa.array(o, pa.int64()),
+            "v": pa.array(v, pa.int64())}))
+        out = running_sum_lag(ds, key="k", order_cols=["o"], sum_col="v",
+                              lag_cols=["o"], num_buckets=8).to_pandas()
+        assert len(out) == n
+        # scalar reference per partition
+        import collections
+        rows = sorted(zip(k, o, v), key=lambda r: (r[0], r[1]))
+        run = collections.defaultdict(int)
+        prev = {}
+        exp = {}
+        for kk, oo, vv in rows:
+            run[kk] += vv
+            exp[oo] = (run[kk], prev.get(kk, -1))
+            prev[kk] = oo
+        got = out.set_index("o")
+        for oo in o:
+            assert int(got.loc[oo, "running_v"]) == exp[oo][0]
+            assert int(got.loc[oo, "prev_o"]) == exp[oo][1]
+
+    def test_single_row_partition(self, ray_session):
+        from documentprocessor_ray.functions.window import running_sum_lag
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([5], pa.int64()), "o": pa.array([1], pa.int64()),
+            "v": pa.array([42], pa.int64())}))
+        out = running_sum_lag(ds, "k", ["o"], "v", lag_cols=["o"],
+                              num_buckets=4).to_pandas()
+        assert int(out.loc[0, "running_v"]) == 42
+        assert int(out.loc[0, "prev_o"]) == -1
