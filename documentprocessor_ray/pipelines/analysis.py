@@ -81,6 +81,19 @@ def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
         T.winnow_fingerprint_batch, batch_format="pyarrow")
 
 
+def q_inverted_index(sf_dir: str) -> "ray.data.Dataset":
+    return T.inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_top_terms(sf_dir: str) -> "ray.data.Dataset":
+    """Global top-25 terms by total frequency (deterministic ties by
+    token): the heavy-hitters read path over the inverted index — a
+    bucketed aggregate followed by a tiny global sort+limit."""
+    idx = T.inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return idx.select_columns(["token", "tf", "df"]) \
+        .sort(["tf", "token"], descending=[True, False]).limit(25)
+
+
 # ---------------------------------------------------------------- dedup ops
 
 def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
@@ -1509,6 +1522,31 @@ ORACLE_SQL: Dict[str, str] = {
                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_micro,
           count(*)::BIGINT AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "inverted_index": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+            lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS w
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), per AS (
+          SELECT w, doc_id, count(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT w AS token, count(*)::BIGINT AS df,
+          CAST(sum(c) AS BIGINT) AS tf,
+          md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+            AS postings_md5
+        FROM per GROUP BY w""",
+    "top_terms": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+            lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS w
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), per AS (
+          SELECT w, doc_id, count(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT w AS token, CAST(sum(c) AS BIGINT) AS tf,
+          count(*)::BIGINT AS df
+        FROM per GROUP BY w
+        ORDER BY tf DESC, token LIMIT 25""",
     "customer_running_revenue": """
         SELECT o_custkey::BIGINT AS o_custkey,
           o_orderkey::BIGINT AS o_orderkey, o_orderdate, cents,
@@ -1820,6 +1858,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "fingerprint": q_fingerprint,
     "langid": q_langid,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "inverted_index": q_inverted_index,
+    "top_terms": q_top_terms,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

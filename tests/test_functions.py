@@ -502,3 +502,24 @@ class TestGroupedQuantiles:
         # group 2 sorted: [5,5,5,9]; q50 idx=ceil(2)=2 -> 5; q95 idx=4 -> 9
         assert out.loc[2, "q50"] == 5 and out.loc[2, "q95"] == 9
         assert out.loc[2, "n_vals"] == 4
+
+
+class TestInvertedIndex:
+    def test_df_tf_postings(self, ray_session):
+        import hashlib
+        t = pa.table({
+            "doc_id": pa.array([3, 1, 2, 9], pa.int64()),
+            "text": pa.array(["apple Banana apple", "banana cherry",
+                              "  ", "APPLE"], pa.string())})
+        out = T.inverted_index(ray.data.from_arrow(t), num_buckets=4) \
+            .to_pandas().set_index("token")
+        # doc 2 is blank -> excluded entirely
+        assert set(out.index) == {"apple", "banana", "cherry"}
+        assert out.loc["apple", "df"] == 2 and out.loc["apple", "tf"] == 3
+        assert out.loc["banana", "df"] == 2 and out.loc["banana", "tf"] == 2
+        assert out.loc["cherry", "df"] == 1
+        # postings digest pins ascending doc order: apple in docs 3 and 9
+        exp = hashlib.md5(b"3,9").hexdigest()
+        assert out.loc["apple", "postings_md5"] == exp
+        assert out.loc["banana", "postings_md5"] == \
+            hashlib.md5(b"1,3").hexdigest()
