@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "normalize_text", "main_content", "token_count", "token_count_bpe", "quality_stats",
     "fingerprint", "langid", "winnow_fingerprint", "exact_dedup",
-    "inverted_index", "top_terms",
+    "inverted_index", "top_terms", "doc_top_terms",
     "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean",
     "corpus_train_ready", "decontaminate", "minhash_pairs",
     "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",

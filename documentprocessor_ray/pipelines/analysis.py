@@ -85,6 +85,13 @@ def q_inverted_index(sf_dir: str) -> "ray.data.Dataset":
     return T.inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_doc_top_terms(sf_dir: str) -> "ray.data.Dataset":
+    """TF-IDF-style top-3 terms per document (relevance = tf/df, an IEEE
+    division — bit-reproducible vs the SQL twin, unlike ln-based idf)."""
+    return T.doc_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           k=3)
+
+
 def q_top_terms(sf_dir: str) -> "ray.data.Dataset":
     """Global top-25 terms by total frequency (deterministic ties by
     token): the heavy-hitters read path over the inverted index — a
@@ -1535,6 +1542,24 @@ ORACLE_SQL: Dict[str, str] = {
           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
             AS postings_md5
         FROM per GROUP BY w""",
+    "doc_top_terms": r"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+            lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) AS w
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), per AS (
+          SELECT w, doc_id, count(*) AS c FROM tok GROUP BY 1, 2
+        ), wdf AS (
+          SELECT w, count(*) AS df FROM per GROUP BY w
+        ), ranked AS (
+          SELECT per.doc_id, per.w, per.c, wdf.df,
+            row_number() OVER (PARTITION BY per.doc_id
+              ORDER BY CAST(per.c AS DOUBLE) / wdf.df DESC, per.w) AS rank
+          FROM per JOIN wdf ON per.w = wdf.w)
+        SELECT doc_id, rank::BIGINT AS rank, w AS token,
+          c::BIGINT AS tf, df::BIGINT AS df
+        FROM ranked WHERE rank <= 3""",
     "top_terms": r"""
         WITH tok AS (
           SELECT doc_id, unnest(regexp_split_to_array(
@@ -1860,6 +1885,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "inverted_index": q_inverted_index,
     "top_terms": q_top_terms,
+    "doc_top_terms": q_doc_top_terms,
     "exact_dedup": q_exact_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

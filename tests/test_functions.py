@@ -523,3 +523,17 @@ class TestInvertedIndex:
         assert out.loc["apple", "postings_md5"] == exp
         assert out.loc["banana", "postings_md5"] == \
             hashlib.md5(b"1,3").hexdigest()
+
+    def test_doc_top_terms_rank_and_ties(self, ray_session):
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["rare rare common zeta", "common zeta"],
+                             pa.string())})
+        out = T.doc_top_terms(ray.data.from_arrow(t), k=2, num_buckets=4) \
+            .to_pandas()
+        d1 = out[out.doc_id == 1].set_index("rank")
+        # doc1: rare tf=2 df=1 -> 2.0; common tf=1 df=2 -> 0.5; zeta 0.5
+        assert d1.loc[1, "token"] == "rare"
+        assert d1.loc[2, "token"] == "common"   # tie 0.5 broken token asc
+        d2 = out[out.doc_id == 2].set_index("rank")
+        assert list(d2["token"]) == ["common", "zeta"]
