@@ -388,6 +388,34 @@ def q_doc_sample(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_lang_balanced_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Stratified (language-balanced) deterministic sampling: per-language
+    keep rate = min(1, C / n_lang), so dominant languages are downsampled
+    toward ~C docs each — the corpus-rebalancing shape. The per-lang counts
+    are a 5-row aggregate broadcast into a zero-shuffle filter; membership
+    is md5-hash based and the threshold compare is EXACT RATIONAL
+    (n_lang * hash32 < C * 2^32 — no float division on either side)."""
+    import hashlib as _hl
+
+    target = 30  # ~docs per language after rebalancing
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = {r["lang"]: r["n_docs"]
+              for r in q_lang_stats(sf_dir).select_columns(
+                  ["lang", "n_docs"]).take_all()}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        mask = []
+        for i, lg in zip(ids, langs):
+            h32 = int(_hl.md5(str(i).encode()).hexdigest()[:8], 16)
+            n = counts.get(lg, 0)
+            mask.append(n * h32 < target * (1 << 32))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_lang_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-language rollup over documents (count + exact char sum)."""
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
@@ -1635,6 +1663,12 @@ ORACLE_SQL: Dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey, c.c_name
         ORDER BY revenue_cents DESC, c_custkey LIMIT 10""",
+    "lang_balanced_sample": """
+        WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang FROM documents d JOIN n ON d.lang = n.lang
+        WHERE n.n_lang *
+              ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              < 30 * 4294967296""",
     "doc_sample": """
         SELECT doc_id, lang FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""",
@@ -1908,6 +1942,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "top_customers": q_top_customers,
     "order_revenue_join": q_order_revenue_join,
     "doc_sample": q_doc_sample,
+    "lang_balanced_sample": q_lang_balanced_sample,
     "lang_stats": q_lang_stats,
     "low_order_customers": q_low_order_customers,
     "customers_no_big_orders": q_customers_no_big_orders,
