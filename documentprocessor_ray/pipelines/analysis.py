@@ -416,6 +416,19 @@ def q_lang_balanced_sample(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_event_users_hll(sf_dir: str) -> "ray.data.Dataset":
+    """Approximate distinct users per event type via mergeable HyperLogLog
+    sketches (p=12, ~1.6% expected error) — the bounded-shuffle twin of
+    events_rollup's exact n_users leg. Rows-only in the driver (DuckDB's
+    HLL uses a different hash, so estimates differ by design); the pytest
+    gate compares against the exact count within tolerance."""
+    from ..functions.sketches import hll_group_distinct
+
+    return hll_group_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        keys=["event_type"], value="user_id", p=12)
+
+
 def q_lang_stats(sf_dir: str) -> "ray.data.Dataset":
     """Per-language rollup over documents (count + exact char sum)."""
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
@@ -1943,6 +1956,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "order_revenue_join": q_order_revenue_join,
     "doc_sample": q_doc_sample,
     "lang_balanced_sample": q_lang_balanced_sample,
+    "event_users_hll": q_event_users_hll,
     "lang_stats": q_lang_stats,
     "low_order_customers": q_low_order_customers,
     "customers_no_big_orders": q_customers_no_big_orders,

@@ -537,3 +537,45 @@ class TestInvertedIndex:
         assert d1.loc[2, "token"] == "common"   # tie 0.5 broken token asc
         d2 = out[out.doc_id == 2].set_index("rank")
         assert list(d2["token"]) == ["common", "zeta"]
+
+
+class TestHll:
+    def test_group_distinct_within_tolerance(self, ray_session):
+        from documentprocessor_ray.functions.sketches import hll_group_distinct
+        rng = np.random.default_rng(21)
+        # three groups with very different cardinalities; values repeat
+        rows_k, rows_v = [], []
+        for g, card in [(0, 50), (1, 2000), (2, 20000)]:
+            vals = rng.integers(0, 1 << 61, card)
+            picks = vals[rng.integers(0, card, card * 2)]  # duplicates
+            rows_k += [g] * len(picks)
+            rows_v += picks.tolist()
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(rows_k, pa.int64()),
+            "v": pa.array(rows_v, pa.int64())}))
+        out = hll_group_distinct(ds, ["g"], "v", p=12, num_buckets=8) \
+            .to_pandas().set_index("g")
+        import collections
+        exact = collections.defaultdict(set)
+        for g, v in zip(rows_k, rows_v):
+            exact[g].add(v)
+        for g in (0, 1, 2):
+            est = int(out.loc[g, "approx_distinct"])
+            true = len(exact[g])
+            assert abs(est - true) / true < 0.06, (g, est, true)
+
+    def test_merge_invariance_across_batch_splits(self, ray_session):
+        """Same multiset split into different batch layouts must give the
+        IDENTICAL estimate (sketch merge is exact)."""
+        from documentprocessor_ray.functions.sketches import hll_group_distinct
+        rng = np.random.default_rng(4)
+        v = rng.integers(0, 1 << 60, 5000)
+        t = pa.table({"g": pa.array(np.zeros(5000, np.int64)),
+                      "v": pa.array(v, pa.int64())})
+        a = hll_group_distinct(ray.data.from_arrow(t), ["g"], "v",
+                               p=12, num_buckets=8).to_pandas()
+        b = hll_group_distinct(
+            ray.data.from_arrow(t).repartition(13), ["g"], "v",
+            p=12, num_buckets=8).to_pandas()
+        assert int(a.loc[0, "approx_distinct"]) == \
+            int(b.loc[0, "approx_distinct"])
