@@ -671,6 +671,71 @@ def q_customer_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
         count_col="n_orders")
 
 
+def q_revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(priority, status): subtotal and grand-total rows with
+    'ALL' markers. The raw stream is aggregated ONCE at the finest level
+    (combiner + tiny groupby); the coarser levels re-aggregate the ~15-row
+    fine result, never the input — the scale-right rollup plan. All three
+    levels stay distributed Datasets and tag-union at the end."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "o_orderstatus": b["o_orderstatus"],
+            "cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+        t = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "revenue_cents": pc.cast(t["cents_sum"], pa.int64()),
+            "n_orders": pc.cast(t["cents_count"], pa.int64())})
+
+    # materialize: ~|priority|x|status| rows. Without it the three level
+    # legs each re-execute the whole raw aggregation (lazy fan-out).
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderpriority", "o_orderstatus"]) \
+        .aggregate(Sum("revenue_cents"), Sum("n_orders")).materialize()
+
+    def fmt(prio_col):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            allc = pa.array(["ALL"] * n, pa.string())
+            return pa.table({
+                "o_orderpriority": b[prio_col] if prio_col else allc,
+                "o_orderstatus": b["o_orderstatus"]
+                if "o_orderstatus" in b.column_names else allc,
+                "revenue_cents": pc.cast(b["sum(revenue_cents)"], pa.int64()),
+                "n_orders": pc.cast(b["sum(n_orders)"], pa.int64())})
+        return f
+
+    lvl2 = fine.map_batches(fmt("o_orderpriority"), batch_format="pyarrow")
+    lvl1 = fine.groupby("o_orderpriority") \
+        .aggregate(Sum("sum(revenue_cents)"), Sum("sum(n_orders)")) \
+        .map_batches(lambda b: pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "o_orderstatus": pa.array(["ALL"] * b.num_rows, pa.string()),
+            "revenue_cents": pc.cast(b["sum(sum(revenue_cents))"], pa.int64()),
+            "n_orders": pc.cast(b["sum(sum(n_orders))"], pa.int64())}),
+            batch_format="pyarrow")
+    lvl0 = fine.map_batches(lambda b: pa.table({
+        "revenue_cents": pc.cast(b["sum(revenue_cents)"], pa.int64()),
+        "n_orders": pc.cast(b["sum(n_orders)"], pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby(None).aggregate(Sum("revenue_cents"), Sum("n_orders")) \
+        .map_batches(lambda b: pa.table({
+            "o_orderpriority": pa.array(["ALL"] * b.num_rows, pa.string()),
+            "o_orderstatus": pa.array(["ALL"] * b.num_rows, pa.string()),
+            "revenue_cents": pc.cast(b["sum(revenue_cents)"], pa.int64()),
+            "n_orders": pc.cast(b["sum(n_orders)"], pa.int64())}),
+            batch_format="pyarrow")
+    return lvl2.union(lvl1).union(lvl0)
+
+
 def q_top_customers(sf_dir: str) -> pa.Table:
     """Top-10 customers by revenue, fully pruned: bucketed per-customer
     revenue merge -> global sort+limit(10) -> customer names fetched by
@@ -1669,6 +1734,13 @@ ORACLE_SQL: Dict[str, str] = {
                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
               FROM orders)
         GROUP BY o_custkey""",
+    "revenue_rollup": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents,
+          count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""",
     "top_customers": """
         SELECT c.c_custkey, c.c_name,
           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -1950,6 +2022,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "audio_features": q_audio_features,
     "video_framesample": q_video_framesample,
     "pricing_summary": q_pricing_summary,
+    "revenue_rollup": q_revenue_rollup,
     "quantity_quantiles": q_quantity_quantiles,
     "customer_price_quantiles": q_customer_price_quantiles,
     "top_customers": q_top_customers,

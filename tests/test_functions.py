@@ -579,3 +579,22 @@ class TestHll:
             p=12, num_buckets=8).to_pandas()
         assert int(a.loc[0, "approx_distinct"]) == \
             int(b.loc[0, "approx_distinct"])
+
+
+class TestRevenueRollup:
+    def test_rollup_levels_consistent(self, ray_session):
+        """ROLLUP invariants: the 'ALL' subtotal per priority equals the sum
+        of its fine rows, and the grand total equals the sum of subtotals."""
+        from documentprocessor_ray.pipelines.analysis import q_revenue_rollup
+        df = q_revenue_rollup("/root/testdata/sf0.001").to_pandas()
+        fine = df[(df.o_orderpriority != "ALL") & (df.o_orderstatus != "ALL")]
+        sub = df[(df.o_orderpriority != "ALL") & (df.o_orderstatus == "ALL")]
+        grand = df[(df.o_orderpriority == "ALL") & (df.o_orderstatus == "ALL")]
+        assert len(grand) == 1
+        assert int(grand.revenue_cents.iloc[0]) == int(fine.revenue_cents.sum())
+        assert int(grand.n_orders.iloc[0]) == int(fine.n_orders.sum())
+        for prio, g in fine.groupby("o_orderpriority"):
+            row = sub[sub.o_orderpriority == prio]
+            assert len(row) == 1, prio
+            assert int(row.revenue_cents.iloc[0]) == int(g.revenue_cents.sum())
+            assert int(row.n_orders.iloc[0]) == int(g.n_orders.sum())
