@@ -1615,3 +1615,145 @@ def embedding_neardup_pairs(ds: "ray.data.Dataset", threshold: float = 0.9) -> "
         })
 
     return ds.map_batches(find_pairs, batch_format="pyarrow", batch_size=256)
+
+
+# ------------------------------------------------------------------ chunk
+# Sub-document exact dedup (C4 / "Deduplicating Training Data Makes LMs
+# Better" style): the unit of deduplication is a fixed-size token chunk,
+# the surviving chunks are reassembled into a cleaned document.
+
+def _chunk_rows(batch: pa.Table, k: int) -> Tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Explode (doc_id, text) into (doc_id, chunk_idx, chunk) rows, fully
+    vectorized: one RE2 split per batch, chunk boundaries from offset
+    arithmetic (chunks tile the flat token array exactly, so the chunk list
+    reuses the token values buffer zero-copy), one binary_join per batch.
+
+    Chunking mirrors the SQL twin exactly: tokens of the trimmed text
+    (RE2 \\s), consecutive groups of ``k``, last group ragged; a blank text
+    yields one empty chunk (RE2 split of "" -> [""])."""
+    arr = batch["text"].combine_chunks()
+    trimmed = pc.replace_substring_regex(arr, r"^\s+|\s+$", "")
+    split = pc.split_pattern_regex(trimmed, _WS)
+    la = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+    offsets = la.offsets.to_numpy().astype(np.int64)
+    n_tok = np.diff(offsets)
+    n_chunks = -(-n_tok // k)  # ceil; blank doc -> [""] -> 1 chunk
+    total = int(n_chunks.sum())
+    doc_rep = np.repeat(np.arange(len(n_tok)), n_chunks)
+    chunk_idx = np.arange(total, dtype=np.int64) - \
+        np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    starts = offsets[:-1][doc_rep] + chunk_idx * k
+    # ends are implicit: chunk c ends where chunk c+1 starts (chunks tile
+    # the token array), so the offsets vector is starts + final end.
+    chunk_offsets = np.append(starts, offsets[-1])
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(chunk_offsets, pa.int32()), la.values)
+    chunks = pc.binary_join(chunk_list, " ")
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_rep]
+    return doc_ids, chunk_idx, chunks
+
+
+def _chunk_hashes(chunks: pa.Array) -> np.ndarray:
+    """64-bit content hash per chunk string (blake2b-8; collision odds
+    ~2^-64 per pair — the same trade every hashed-key dedup makes)."""
+    out = np.empty(len(chunks), dtype=np.int64)
+    for i, s in enumerate(chunks.to_pylist()):
+        out[i] = np.frombuffer(
+            hashlib.blake2b((s or "").encode(), digest_size=8).digest(),
+            dtype=np.int64)[0]
+    return out
+
+
+def chunk_dedup(ds: "ray.data.Dataset", chunk_tokens: int = 10,
+                num_buckets: Optional[int] = None) -> "ray.data.Dataset":
+    """Chunk-level exact dedup with keep-first semantics and document
+    reassembly: every distinct ``chunk_tokens``-token chunk survives only at
+    its first occurrence (min (doc_id, chunk_idx)); each document is
+    rebuilt from its surviving chunks in order.
+
+    Output: (doc_id, clean_text, n_chunks, n_kept) — one row per document
+    (docs whose every chunk is a repeat come back with clean_text='').
+
+    Plan — 2 shuffles, text bytes move ONCE:
+      1. hash hop: (doc_id, chunk_idx, h) rows shuffle on bucket(h); each
+         bucket picks winners vectorized (sort + adjacent-compare) and emits
+         (doc_id, chunk_idx, keep) decisions re-keyed to bucket(doc_id).
+      2. assembly hop: a second column-pruned pass explodes the chunk TEXT
+         directly into bucket(doc_id); the tagged union of decisions+chunks
+         groups once on the doc bucket and reassembles. Text never rides the
+         hash exchange (the payload-amplification trap PPJoin hit in round
+         2), and decisions are ~17 bytes/row.
+    """
+    nb = num_buckets or auto_buckets(None)
+
+    def explode_hashes(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_idx, chunks = _chunk_rows(batch, chunk_tokens)
+        hs = _chunk_hashes(chunks)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(hs, nb), pa.int64()),
+        })
+
+    def winners(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("h", "ascending"), ("doc_id", "ascending"),
+                       ("chunk_idx", "ascending")])
+        h = t["h"].to_numpy()
+        keep = np.empty(len(h), dtype=bool)
+        if len(h):
+            keep[0] = True
+            keep[1:] = h[1:] != h[:-1]
+        doc = t["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "chunk_idx": t["chunk_idx"],
+            "chunk": pa.nulls(len(h), pa.string()),
+            "keep": pa.array(keep.astype(np.int8), pa.int8()),
+            "pkey": pa.array(bucket_of_ints(doc, nb), pa.int64()),
+        })
+
+    decisions = ds.map_batches(explode_hashes, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(winners, batch_format="pyarrow")
+
+    def explode_text(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_idx, chunks = _chunk_rows(batch, chunk_tokens)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk": chunks,
+            "keep": pa.array(np.full(len(doc_ids), -1, np.int8), pa.int8()),
+            "pkey": pa.array(bucket_of_ints(doc_ids, nb), pa.int64()),
+        })
+
+    chunks_ds = ds.map_batches(explode_text, batch_format="pyarrow")
+
+    def assemble(g: pa.Table) -> pa.Table:
+        keep_col = g["keep"].to_numpy()
+        dec = g.filter(pc.greater_equal(g["keep"], 0)) \
+            .sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+        chk = g.filter(pc.less(g["keep"], 0)) \
+            .sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+        # both streams carry exactly one row per (doc_id, chunk_idx) in this
+        # doc bucket, so after the same sort they align positionally
+        assert dec.num_rows == chk.num_rows
+        kept = dec["keep"].to_numpy().astype(bool)
+        doc = chk["doc_id"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        n_chunks = np.diff(np.r_[bounds, len(doc)])
+        n_kept = np.add.reduceat(kept.astype(np.int64), bounds) \
+            if len(doc) else np.array([], np.int64)
+        kept_chunks = chk["chunk"].combine_chunks().filter(pa.array(kept))
+        offs = np.r_[0, np.cumsum(n_kept)]
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                       kept_chunks)
+        clean = pc.fill_null(pc.binary_join(lst, " "), "")
+        return pa.table({
+            "doc_id": pa.array(doc[bounds], pa.int64()),
+            "clean_text": clean,
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+        })
+
+    return decisions.union(chunks_ds).groupby("pkey") \
+        .map_groups(assemble, batch_format="pyarrow")

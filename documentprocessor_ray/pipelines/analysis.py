@@ -107,6 +107,14 @@ def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     return D.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_chunk_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Sub-document dedup: every distinct 10-token chunk survives only at
+    its first (doc_id, chunk_idx) occurrence; docs are reassembled from
+    their surviving chunks."""
+    return D.chunk_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         chunk_tokens=10)
+
+
 def q_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
     # df_sketch_bits defaults to 20: the bounded DF sketch IS the exercised
     # path (output identical to the exact dict by construction)
@@ -1534,6 +1542,27 @@ ORACLE_SQL: Dict[str, str] = {
     "exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         FROM documents GROUP BY text""",
+    "chunk_dedup": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(
+            regexp_replace(text,'^\s+|\s+$','','g'), '\s+') AS t
+          FROM documents
+        ), chunks AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                 array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk
+          FROM toks, UNNEST(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+        ), ranked AS (
+          SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, chunk_idx) AS rn
+          FROM chunks
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN rn=1 THEN chunk END, ' '
+                                   ORDER BY chunk_idx), '') AS clean_text,
+               count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN rn=1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        FROM ranked GROUP BY doc_id""",
     "jaccard_pairs": r"""
         WITH tok AS (
           SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
@@ -2006,6 +2035,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "top_terms": q_top_terms,
     "doc_top_terms": q_doc_top_terms,
     "exact_dedup": q_exact_dedup,
+    "chunk_dedup": q_chunk_dedup,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,

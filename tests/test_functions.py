@@ -598,3 +598,50 @@ class TestRevenueRollup:
             assert len(row) == 1, prio
             assert int(row.revenue_cents.iloc[0]) == int(g.revenue_cents.sum())
             assert int(row.n_orders.iloc[0]) == int(g.n_orders.sum())
+
+
+class TestChunkDedup:
+    def _brute(self, docs, k=10):
+        import re as _re
+        rows = []
+        for doc_id, text in docs:
+            t = _re.sub(r"^[\t\n\f\r ]+|[\t\n\f\r ]+$", "", text)
+            toks = _re.split(r"[\t\n\f\r ]+", t) if True else []
+            # RE2 split of "" yields [""] — one empty chunk
+            chunks = [" ".join(toks[i:i + k])
+                      for i in range(0, max(len(toks), 1), k)]
+            for ci, c in enumerate(chunks):
+                rows.append((doc_id, ci, c))
+        first = {}
+        for doc_id, ci, c in sorted(rows):
+            first.setdefault(c, (doc_id, ci))
+        out = {}
+        for doc_id, ci, c in rows:
+            keep = first[c] == (doc_id, ci)
+            d = out.setdefault(doc_id, {"kept": [], "n": 0})
+            d["n"] += 1
+            if keep:
+                d["kept"].append(c)
+        return {i: (" ".join(d["kept"]), d["n"], len(d["kept"]))
+                for i, d in out.items()}
+
+    def test_matches_bruteforce_with_edge_cases(self, ray_session):
+        words = ["alpha", "beta", "gamma", "delta", "eps"]
+        rng = np.random.default_rng(11)
+        docs = []
+        for i in range(40):
+            n = int(rng.integers(0, 35))  # includes 0-token (blank) docs
+            docs.append((i, " ".join(words[int(j)] for j in
+                                     rng.integers(0, len(words), n))))
+        # doc 40 repeats doc 3's text exactly: every chunk is a dup
+        docs.append((40, docs[3][1]))
+        # doc 41 is blank-with-whitespace
+        docs.append((41, "  \t "))
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string())}))
+        got = {r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_kept"])
+               for r in D.chunk_dedup(ds, chunk_tokens=10).take_all()}
+        exp = self._brute(docs, k=10)
+        assert got == exp
+        assert got[40][2] < got[40][1]  # full-repeat doc loses chunks
