@@ -409,3 +409,55 @@ def doc_top_terms(ds: "ray.data.Dataset", k: int = 3,
     return ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("pkey").map_groups(with_df, batch_format="pyarrow") \
         .groupby("pkey").map_groups(topk, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ redact
+# Pattern redaction (PII scrubbing at corpus scale). Every pattern is
+# RE2-only syntax (no backreferences, no lookaround) so the pyarrow kernels
+# here and a DuckDB regexp_replace twin produce byte-identical output.
+# Patterns apply SEQUENTIALLY: each is counted on the current string, then
+# replaced, before the next pattern runs — deterministic in both engines.
+
+PII_PATTERNS = [
+    # order matters: ssn/ipv4 before the looser phone pattern
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d{1,2}[- ]?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}", "<PHONE>"),
+]
+
+
+def redact_batch(batch: pa.Table, col: str = "text",
+                 patterns=None, out_col: str = "red_text") -> pa.Table:
+    """Redact every pattern occurrence in ``col``; emit the scrubbed string
+    plus the total match count. Fully vectorized (one RE2 pass per pattern
+    per batch); stateless, so it runs on the task pool."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    arr = batch[col].combine_chunks()
+    total = np.zeros(len(arr), dtype=np.int64)
+    for pat, repl in patterns:
+        total += pc.count_substring_regex(arr, pat) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = pc.replace_substring_regex(arr, pat, repl)
+    key = batch.column_names[0]
+    return pa.table({
+        key: batch[key],
+        out_col: arr,
+        "n_redactions": pa.array(total, pa.int64()),
+    })
+
+
+def extract_int_field_batch(batch: pa.Table, col: str, pattern: str,
+                            out_col: str) -> pa.Table:
+    """Extract one integer capture group per row (e.g. a field out of a
+    JSON-ish props string) with RE2 ``extract_regex`` — the vectorized
+    scale path for schema-on-read field extraction; rows with no match
+    come back NULL."""
+    ex = pc.extract_regex(batch[col].combine_chunks(), pattern)
+    # extract_regex yields a StructArray with one field per capture group;
+    # the child array holds "" under a null parent, so re-apply the parent
+    # validity before casting
+    f = pc.if_else(pc.is_valid(ex), ex.field(0), pa.scalar(None, pa.string()))
+    val = pc.cast(f, pa.int64())
+    key = batch.column_names[0]
+    return pa.table({key: batch[key], out_col: val})

@@ -81,6 +81,34 @@ def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
         T.winnow_fingerprint_batch, batch_format="pyarrow")
 
 
+def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
+    """PII scrub over the corpus (email/SSN/IPv4/phone presets, sequential
+    RE2 passes). This corpus carries no PII so the gate verifies exact
+    pass-through + zero counts; the discriminative cases (synthetic PII)
+    live in tests/test_functions.py::TestRedact."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.redact_batch, batch_format="pyarrow")
+
+
+def q_redact_numbers(sf_dir: str) -> "ray.data.Dataset":
+    """Digit-run redaction over events.props — same redaction machinery as
+    q_pii_redact but with non-zero match counts on this corpus."""
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        lambda b: T.redact_batch(b, col="props",
+                                 patterns=[(r"\d+", "<NUM>")],
+                                 out_col="red_props"),
+        batch_format="pyarrow")
+
+
+def q_props_extract(sf_dir: str) -> "ray.data.Dataset":
+    """Schema-on-read field extraction: pull the integer 'k' field out of
+    the JSON-ish props string with one vectorized RE2 pass per batch."""
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        lambda b: T.extract_int_field_batch(
+            b, "props", r'"k": (?P<k>\d+)', "k"),
+        batch_format="pyarrow")
+
+
 def q_inverted_index(sf_dir: str) -> "ray.data.Dataset":
     return T.inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1542,6 +1570,48 @@ ORACLE_SQL: Dict[str, str] = {
     "exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         FROM documents GROUP BY text""",
+    "pii_redact": r"""
+        WITH s1 AS (
+          SELECT doc_id,
+            len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g') AS t
+          FROM documents
+        ), s2 AS (
+          SELECT doc_id, c1,
+            len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS c2,
+            regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, c1, c2,
+            len(regexp_extract_all(t,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c3,
+            regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+              '<IP>', 'g') AS t
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, c1, c2, c3,
+            len(regexp_extract_all(t,
+              '\+?\d{1,2}[- ]?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}')) AS c4,
+            regexp_replace(t, '\+?\d{1,2}[- ]?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}',
+              '<PHONE>', 'g') AS t
+          FROM s3
+        )
+        SELECT doc_id, t AS red_text,
+               (c1 + c2 + c3 + c4)::BIGINT AS n_redactions
+        FROM s4""",
+    "redact_numbers": r"""
+        SELECT event_id,
+               regexp_replace(props, '\d+', '<NUM>', 'g') AS red_props,
+               len(regexp_extract_all(props, '\d+'))::BIGINT AS n_redactions
+        FROM events""",
+    "props_extract": r"""
+        SELECT event_id,
+               CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '')
+                    AS BIGINT) AS k
+        FROM events""",
     "chunk_dedup": r"""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(
@@ -2030,6 +2100,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "quality_stats": q_quality_stats,
     "fingerprint": q_fingerprint,
     "langid": q_langid,
+    "pii_redact": q_pii_redact,
+    "redact_numbers": q_redact_numbers,
+    "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
     "inverted_index": q_inverted_index,
     "top_terms": q_top_terms,

@@ -645,3 +645,34 @@ class TestChunkDedup:
         exp = self._brute(docs, k=10)
         assert got == exp
         assert got[40][2] < got[40][1]  # full-repeat doc loses chunks
+
+
+class TestRedact:
+    def test_pii_preset_scrubs_and_counts(self):
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "mail a@b.co or 192.168.0.1 ssn 123-45-6789 tel +1 (555) 123-4567",
+                "clean text with no pii at all",
+                "two mails: x.y+z@test.org w@example.io",
+            ])})
+        out = T.redact_batch(t).to_pydict()
+        assert out["red_text"][0] == "mail <EMAIL> or <IP> ssn <SSN> tel <PHONE>"
+        assert out["n_redactions"] == [4, 0, 2]
+        assert out["red_text"][1] == "clean text with no pii at all"
+        assert "<EMAIL> <EMAIL>" in out["red_text"][2]
+
+    def test_sequential_semantics(self):
+        # after the ipv4 pass, the phone pattern must not re-match the <IP>
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["ip 10.20.30.40 end"])})
+        out = T.redact_batch(t).to_pydict()
+        assert out["red_text"][0] == "ip <IP> end"
+        assert out["n_redactions"] == [1]
+
+    def test_extract_int_field_null_on_miss(self):
+        t = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                      "props": pa.array(['{"k": 5}', "zzz"])})
+        out = T.extract_int_field_batch(
+            t, "props", r'"k": (?P<k>\d+)', "k").to_pydict()
+        assert out["k"] == [5, None]
