@@ -16,7 +16,7 @@ prunes at the read so only ``doc_id`` + ``text`` leave storage.
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -461,3 +461,83 @@ def extract_int_field_batch(batch: pa.Table, col: str, pattern: str,
     val = pc.cast(f, pa.int64())
     key = batch.column_names[0]
     return pa.table({key: batch[key], out_col: val})
+
+
+# ------------------------------------------------------- repetition stats
+# Gopher-style (Rae et al. 2021 §A1.1) repetition signals: most-frequent-
+# token share and duplicate 2-/3-gram counts. Integer counts only (the
+# consumer compares exact rationals), one boolean flag with fixed
+# thresholds. Distinctness is counted over 64-bit token/shingle hashes —
+# the same ~2^-64 collision trade every hashed dedup path here makes.
+
+def _per_doc_distinct(doc_of: np.ndarray, hashes: np.ndarray,
+                      n_docs: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(distinct_count, max_multiplicity) per doc, vectorized: one lexsort,
+    run-length encode (doc, hash) runs, then bincount / maximum.reduceat."""
+    distinct = np.zeros(n_docs, dtype=np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    if len(hashes) == 0:
+        return distinct, top
+    order = np.lexsort((hashes, doc_of))
+    d, h = doc_of[order], hashes[order]
+    starts = np.flatnonzero(np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1])])
+    run_len = np.diff(np.r_[starts, len(h)])
+    run_doc = d[starts]
+    distinct += np.bincount(run_doc, minlength=n_docs)
+    doc_starts = np.flatnonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])
+    top[run_doc[doc_starts]] = np.maximum.reduceat(run_len, doc_starts)
+    return distinct, top
+
+
+def repetition_stats_batch(batch: pa.Table, min_tokens: int = 20) -> pa.Table:
+    """Per-doc repetition signals over whitespace tokens of the trimmed
+    text: token count, distinct tokens, top-token multiplicity, 2-/3-gram
+    totals and duplicate counts, and a repetition flag
+    (n_tokens >= min_tokens AND (top share > 30% OR dup-2-gram share > 20%
+    OR dup-3-gram share > 18%), all compared as exact integer rationals).
+    Blank docs report all-zero counts."""
+    arr = batch["text"].combine_chunks()
+    trimmed = pc.replace_substring_regex(arr, r"^\s+|\s+$", "")
+    split = pc.split_pattern_regex(trimmed, _RE_WS)
+    la = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+    offsets = la.offsets.to_numpy().astype(np.int64)
+    n_tok = np.diff(offsets)
+    blank = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    n_docs = len(n_tok)
+    doc_of = np.repeat(np.arange(n_docs), n_tok)
+    toks = np.asarray(la.values.to_pylist(), dtype=object)
+    th = _token_hashes(toks)
+
+    n_tokens = np.where(blank, 0, n_tok)
+    n_distinct, top_count = _per_doc_distinct(doc_of, th, n_docs)
+    n_distinct = np.where(blank, 0, n_distinct)
+    top_count = np.where(blank, 0, top_count)
+
+    out = {"doc_id": batch["doc_id"],
+           "n_tokens": pa.array(n_tokens, pa.int64()),
+           "n_distinct": pa.array(n_distinct, pa.int64()),
+           "top_count": pa.array(top_count, pa.int64())}
+    dup = {}
+    for k in (2, 3):
+        n_k = np.maximum(n_tok - k + 1, 0)
+        n_k = np.where(blank | (n_tok < k), 0, n_k)
+        sh = shingle_hashes(th, k)
+        # drop shingles that cross a document boundary
+        if len(sh):
+            valid = doc_of[: len(sh)] == doc_of[k - 1:]
+            d_k, _ = _per_doc_distinct(doc_of[: len(sh)][valid], sh[valid],
+                                       n_docs)
+        else:
+            d_k = np.zeros(n_docs, dtype=np.int64)
+        d_k = np.where(blank, 0, d_k)
+        out[f"n_{k}grams"] = pa.array(n_k, pa.int64())
+        out[f"n_dup_{k}grams"] = pa.array(n_k - d_k, pa.int64())
+        dup[k] = (n_k, n_k - d_k)
+    n2, dup2 = dup[2]
+    n3, dup3 = dup[3]
+    flag = (n_tokens >= min_tokens) & (
+        (10 * top_count > 3 * n_tokens)
+        | (10 * dup2 > 2 * n2)
+        | (100 * dup3 > 18 * n3))
+    out["flag_repetitive"] = pa.array(flag, pa.bool_())
+    return pa.table(out)

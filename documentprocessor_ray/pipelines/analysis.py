@@ -81,6 +81,13 @@ def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
         T.winnow_fingerprint_batch, batch_format="pyarrow")
 
 
+def q_repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition signals (top-token share, duplicate 2-/3-gram
+    counts) + a fixed-threshold repetition flag, exact-rational compares."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.repetition_stats_batch, batch_format="pyarrow")
+
+
 def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
     """PII scrub over the corpus (email/SSN/IPv4/phone presets, sequential
     RE2 passes). This corpus carries no PII so the gate verifies exact
@@ -1570,6 +1577,52 @@ ORACLE_SQL: Dict[str, str] = {
     "exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         FROM documents GROUP BY text""",
+    "repetition_stats": r"""
+        WITH base AS (
+          SELECT doc_id, regexp_replace(text,'^\s+|\s+$','','g') AS tt
+          FROM documents
+        ), toks AS (
+          SELECT doc_id,
+                 CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(tt, '\s+') END AS t
+          FROM base
+        ), tok_counts AS (
+          SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY doc_id, w
+        ), per_doc AS (
+          SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                 max(c) AS top_count
+          FROM tok_counts GROUP BY doc_id
+        ), g2_stats AS (
+          SELECT doc_id, count(*) AS n2, count(DISTINCT w) AS d2
+          FROM (SELECT doc_id, unnest(list_filter(
+                  list_transform(t, (x,i) -> x || ' ' || t[i+1]),
+                  x -> x IS NOT NULL)) AS w FROM toks)
+          GROUP BY doc_id
+        ), g3_stats AS (
+          SELECT doc_id, count(*) AS n3, count(DISTINCT w) AS d3
+          FROM (SELECT doc_id, unnest(list_filter(
+                  list_transform(t, (x,i) -> x || ' ' || t[i+1] || ' ' || t[i+2]),
+                  x -> x IS NOT NULL)) AS w FROM toks)
+          GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+          coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+          coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
+          coalesce(p.top_count, 0)::BIGINT AS top_count,
+          coalesce(g2.n2, 0)::BIGINT AS n_2grams,
+          (coalesce(g2.n2, 0) - coalesce(g2.d2, 0))::BIGINT AS n_dup_2grams,
+          coalesce(g3.n3, 0)::BIGINT AS n_3grams,
+          (coalesce(g3.n3, 0) - coalesce(g3.d3, 0))::BIGINT AS n_dup_3grams,
+          (coalesce(p.n_tokens, 0) >= 20 AND (
+             10 * coalesce(p.top_count, 0) > 3 * coalesce(p.n_tokens, 0)
+             OR 10 * (coalesce(g2.n2, 0) - coalesce(g2.d2, 0)) > 2 * coalesce(g2.n2, 0)
+             OR 100 * (coalesce(g3.n3, 0) - coalesce(g3.d3, 0)) > 18 * coalesce(g3.n3, 0)
+          )) AS flag_repetitive
+        FROM base b
+        LEFT JOIN per_doc p USING (doc_id)
+        LEFT JOIN g2_stats g2 USING (doc_id)
+        LEFT JOIN g3_stats g3 USING (doc_id)""",
     "pii_redact": r"""
         WITH s1 AS (
           SELECT doc_id,
@@ -2101,6 +2154,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "fingerprint": q_fingerprint,
     "langid": q_langid,
     "pii_redact": q_pii_redact,
+    "repetition_stats": q_repetition_stats,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

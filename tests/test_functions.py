@@ -676,3 +676,34 @@ class TestRedact:
         out = T.extract_int_field_batch(
             t, "props", r'"k": (?P<k>\d+)', "k").to_pydict()
         assert out["k"] == [5, None]
+
+
+class TestRepetitionStats:
+    def test_counts_and_flag(self):
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "a b c d e f g h i j k l m n o p q r s t",   # 20 uniq
+                "spam " * 19 + "spam",                        # 20x same token
+                "",                                            # blank
+                "x y",                                         # tiny
+            ])})
+        out = T.repetition_stats_batch(t).to_pydict()
+        assert out["n_tokens"] == [20, 20, 0, 2]
+        assert out["n_distinct"] == [20, 1, 0, 2]
+        assert out["top_count"] == [1, 20, 0, 1]
+        assert out["n_2grams"] == [19, 19, 0, 1]
+        assert out["n_dup_2grams"] == [0, 18, 0, 0]
+        assert out["n_3grams"] == [18, 18, 0, 0]
+        assert out["n_dup_3grams"] == [0, 17, 0, 0]
+        assert out["flag_repetitive"] == [False, True, False, False]
+
+    def test_shingles_do_not_cross_docs(self):
+        # identical tail/head tokens in adjacent docs must not create
+        # cross-document 2-grams
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["p q", "q p"])})
+        out = T.repetition_stats_batch(t).to_pydict()
+        assert out["n_2grams"] == [1, 1]
+        assert out["n_dup_2grams"] == [0, 0]
