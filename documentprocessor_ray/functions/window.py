@@ -84,3 +84,93 @@ def running_sum_lag(
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
+
+
+def global_rank(
+    ds: "ray.data.Dataset",
+    key: str,
+    tie_col: str,
+    descending: bool = True,
+    n_tiles: Optional[int] = None,
+    num_buckets: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Dense global ordering (``row_number() OVER (ORDER BY key, tie_col)``)
+    without a global sort: the zipWithIndex primitive.
+
+    Two passes:
+      1. a combiner-first per-``key``-value count aggregate (tiny output:
+         one row per DISTINCT key value — bounded by the key's value range,
+         e.g. document lengths, NOT by row count) whose cumulative sums
+         become the rank offset of every key value; broadcast once with
+         ``ray.put``.
+      2. one hash shuffle of (key, tie_col) rows into buckets; inside each
+         bucket a single lexsort ranks every key-group at once
+         (rank = broadcast offset[key] + position within the key group).
+
+    ``n_tiles`` additionally emits the exact SQL ``ntile(n)`` bucket
+    (first n_rows % n tiles get the larger size), computed from the global
+    rank in closed form. Skew note: one key VALUE's rows co-locate; for keys
+    with pathological multiplicity pre-aggregate or salt upstream.
+    """
+    if num_buckets is None:
+        num_buckets = auto_buckets(None)
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key]}).group_by(key).aggregate([([], "count_all")])
+        return pa.table({key: t[key],
+                         "c": pc.cast(t["count_all"], pa.int64())})
+
+    counts = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby(key).aggregate(ray.data.aggregate.Sum("c"))
+    # driver holds one row per distinct key VALUE (not per input row)
+    ct = counts.to_pandas()
+    order = np.argsort(ct[key].to_numpy())
+    if descending:
+        order = order[::-1]
+    keys_sorted = ct[key].to_numpy()[order]
+    cnts_sorted = ct["sum(c)"].to_numpy().astype(np.int64)[order]
+    offsets = np.concatenate([[0], np.cumsum(cnts_sorted)[:-1]])
+    total = int(cnts_sorted.sum())
+    # lookup arrays sorted by key for worker-side searchsorted
+    lut_order = np.argsort(keys_sorted)
+    lut_keys = keys_sorted[lut_order]
+    lut_offsets = offsets[lut_order]
+    shared = ray.put((lut_keys, lut_offsets))
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key: b[key], tie_col: b[tie_col],
+            "pkey": pa.array(bucket_of_ints(kv, num_buckets), pa.int64()),
+        })
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        lk, lo = ray.get(shared)
+        kv = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = g[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        srt = np.lexsort((tv, -kv if descending else kv))
+        kv_s, tv_s = kv[srt], tv[srt]
+        # position within each key group (groups are contiguous after sort)
+        starts = np.flatnonzero(np.r_[True, kv_s[1:] != kv_s[:-1]])
+        within = np.arange(len(kv_s)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(kv_s)]))
+        rank = lo[np.searchsorted(lk, kv_s)] + within + 1
+        cols = {key: pa.array(kv_s, pa.int64()),
+                tie_col: pa.array(tv_s, pa.int64()),
+                "rnk": pa.array(rank, pa.int64())}
+        if n_tiles:
+            n, k = total, n_tiles
+            big = n % k
+            size_big, size_small = -(-n // k), n // k
+            cut = big * size_big
+            r = rank
+            tile = np.where(
+                r <= cut,
+                -(-r // max(size_big, 1)),
+                big + -(-(r - cut) // max(size_small, 1)))
+            cols["quartile" if k == 4 else f"tile{k}"] = \
+                pa.array(tile.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(rank_bucket, batch_format="pyarrow")

@@ -81,6 +81,16 @@ def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
         T.winnow_fingerprint_batch, batch_format="pyarrow")
 
 
+def q_doc_length_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Global ordering without a global sort: every document's exact rank
+    (and ntile quartile) by length via the broadcast-offset zipWithIndex
+    (functions/window.global_rank). Reads ONLY (doc_id, n_chars)."""
+    from ..functions.window import global_rank
+    return global_rank(_read(sf_dir, "documents", ["doc_id", "n_chars"]),
+                       key="n_chars", tie_col="doc_id", descending=True,
+                       n_tiles=4)
+
+
 def q_repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition signals (top-token share, duplicate 2-/3-gram
     counts) + a fixed-threshold repetition flag, exact-rational compares."""
@@ -1577,6 +1587,11 @@ ORACLE_SQL: Dict[str, str] = {
     "exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         FROM documents GROUP BY text""",
+    "doc_length_rank": """
+        SELECT n_chars, doc_id,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
+               ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS quartile
+        FROM documents""",
     "repetition_stats": r"""
         WITH base AS (
           SELECT doc_id, regexp_replace(text,'^\s+|\s+$','','g') AS tt
@@ -2155,6 +2170,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "langid": q_langid,
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
+    "doc_length_rank": q_doc_length_rank,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -146,3 +146,38 @@ class TestRunningWindow:
                               num_buckets=4).to_pandas()
         assert int(out.loc[0, "running_v"]) == 42
         assert int(out.loc[0, "prev_o"]) == -1
+
+
+class TestGlobalRank:
+    def test_matches_numpy_reference(self, ray_session):
+        from documentprocessor_ray.functions.window import global_rank
+        rng = np.random.default_rng(5)
+        n = 500
+        key = rng.integers(0, 40, n)       # heavy ties
+        ids = rng.permutation(n).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(key, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64())}))
+        out = global_rank(ds, key="k", tie_col="doc_id",
+                          descending=True, n_tiles=4).to_pandas() \
+            .sort_values("rnk").reset_index(drop=True)
+        order = np.lexsort((ids, -key))
+        assert (out["k"].to_numpy() == key[order]).all()
+        assert (out["doc_id"].to_numpy() == ids[order]).all()
+        assert (out["rnk"].to_numpy() == np.arange(1, n + 1)).all()
+        # exact ntile sizes: n % 4 big tiles of ceil(n/4) first
+        sizes = out.groupby("quartile").size()
+        big, small = -(-n // 4), n // 4
+        exp = [big] * (n % 4) + [small] * (4 - n % 4)
+        assert sizes.sort_index().tolist() == exp
+
+    def test_ascending_and_n_less_than_tiles(self, ray_session):
+        from documentprocessor_ray.functions.window import global_rank
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array([7, 3], pa.int64()),
+            "doc_id": pa.array([1, 2], pa.int64())}))
+        out = global_rank(ds, key="k", tie_col="doc_id",
+                          descending=False, n_tiles=4).to_pandas() \
+            .sort_values("rnk")
+        assert out["k"].tolist() == [3, 7]
+        assert out["quartile"].tolist() == [1, 2]
