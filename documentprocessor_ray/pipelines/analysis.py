@@ -81,6 +81,36 @@ def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
         T.winnow_fingerprint_batch, batch_format="pyarrow")
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot (conditional aggregation): one row per user with a count
+    column per event type + purchase revenue cents. Per-batch combiner
+    first (indicator columns -> local group_by), then ONE bucketed merge —
+    shuffle rows ∝ distinct users per batch, never event rows."""
+    from ..functions.agg import bucketed_group_sum
+    cols = [f"n_{t}" for t in _EVENT_TYPES] + ["purchase_cents"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        t = {"user_id": b["user_id"]}
+        for ty in _EVENT_TYPES:
+            t[f"n_{ty}"] = pc.cast(pc.equal(et, ty), pa.int64())
+        cents = _cents(b["value"].to_numpy(zero_copy_only=False))
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        t["purchase_cents"] = pa.array(np.where(is_p, cents, 0), pa.int64())
+        g = pa.table(t).group_by("user_id").aggregate(
+            [(c, "sum") for c in cols])
+        return pa.table({"user_id": g["user_id"],
+                         **{c: pc.cast(g[f"{c}_sum"], pa.int64())
+                            for c in cols}})
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    return bucketed_group_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                              "user_id", cols)
+
+
 def q_doc_length_rank(sf_dir: str) -> "ray.data.Dataset":
     """Global ordering without a global sort: every document's exact rank
     (and ntile quartile) by length via the broadcast-offset zipWithIndex
@@ -1587,6 +1617,17 @@ ORACLE_SQL: Dict[str, str] = {
     "exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         FROM documents GROUP BY text""",
+    "event_pivot": """
+        SELECT user_id,
+          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+          sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+          sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END
+             )::BIGINT AS purchase_cents
+        FROM events GROUP BY user_id""",
     "doc_length_rank": """
         SELECT n_chars, doc_id,
                row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
@@ -2171,6 +2212,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
     "doc_length_rank": q_doc_length_rank,
+    "event_pivot": q_event_pivot,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
