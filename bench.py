@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "knn_bruteforce", "knn_ivf",
     "image_features", "audio_features", "video_framesample",
     "pricing_summary", "top_customers", "order_revenue_join",
-    "events_rollup", "event_users_hll", "events_tumbling", "events_hopping",
+    "events_rollup", "event_users_hll", "event_heavy_hitters", "events_tumbling", "events_hopping",
     "top_orders_per_customer", "sessionize", "click_attribution",
     "quantity_quantiles", "customer_price_quantiles", "order_price_bands",
     "customer_running_revenue",

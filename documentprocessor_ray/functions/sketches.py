@@ -126,3 +126,104 @@ def hll_group_distinct(
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- Count-Min heavy hitters
+# Cormode & Muthukrishnan 2005: depth x width counter matrix, est(v) =
+# min_d cms[d, slot_d(v)] — always >= the true count, over by at most
+# ~N/width w.h.p. Partials are SUM-mergeable, so the shuffle moves at most
+# (nonzero cells per batch) rows and the merged sketch is depth*width cells
+# REGARDLESS of input size — that bounded size is what licenses the final
+# driver-side assembly (sketch-bounded, not data-bounded).
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_slots(values: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) slot matrix for int64 values."""
+    v = values.astype(np.uint64)
+    return np.stack([
+        (_mix64(v ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        for d in range(depth)])
+
+
+def cms_heavy_hitters(
+    ds: "ray.data.Dataset",
+    value: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 4096,
+    local_k: int = 64,
+    num_buckets: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Approximate global top-``k`` heavy hitters of the int64 ``value``
+    column: (value, est_count), est_count >= true count, ordered
+    (est_count desc, value asc).
+
+    Candidate generation is the local-top-``local_k``-per-batch union (a
+    true global heavy hitter is a local heavy hitter in at least one batch
+    region); frequencies come from the merged Count-Min sketch, so no exact
+    per-value global count is ever shuffled."""
+    if num_buckets is None:
+        num_buckets = auto_buckets(None)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        slots = _cms_slots(uniq, depth, width)  # (depth, u)
+        d_idx = np.repeat(np.arange(depth), len(uniq))
+        cell = d_idx * width + slots.ravel()
+        # sum counts into distinct cells (two values can share a slot)
+        cell_u, inv = np.unique(cell, return_inverse=True)
+        cell_cnt = np.zeros(len(cell_u), np.int64)
+        np.add.at(cell_cnt, inv, np.tile(cnt, depth))
+        top = np.argsort(-cnt, kind="stable")[:local_k]
+        n_cells, n_cand = len(cell_u), len(top)
+        return pa.table({
+            "cell": pa.array(np.r_[cell_u, np.full(n_cand, -1)], pa.int64()),
+            "cnt": pa.array(np.r_[cell_cnt, cnt[top]], pa.int64()),
+            "cand": pa.array(np.r_[np.full(n_cells, 0), uniq[top]],
+                             pa.int64()),
+            "pkey": pa.array(bucket_of_ints(
+                np.r_[cell_u, uniq[top]], num_buckets), pa.int64()),
+        })
+
+    def local_merge(g: pa.Table) -> pa.Table:
+        is_cell = pc.greater_equal(g["cell"], 0)
+        cells = g.filter(is_cell)
+        t = cells.group_by("cell").aggregate([("cnt", "sum")])
+        cands = g.filter(pc.invert(is_cell))
+        cu = np.unique(cands["cand"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "cell": pa.concat_arrays([
+                t["cell"].combine_chunks(),
+                pa.array(np.full(len(cu), -1), pa.int64())]),
+            "cnt": pa.concat_arrays([
+                pc.cast(t["cnt_sum"], pa.int64()).combine_chunks(),
+                pa.array(np.zeros(len(cu), np.int64), pa.int64())]),
+            "cand": pa.concat_arrays([
+                pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                pa.array(cu, pa.int64())]),
+        })
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(local_merge, batch_format="pyarrow")
+
+    # driver assembly bounded by depth*width + total distinct candidates
+    tbl = pa.concat_tables(list(merged.iter_batches(batch_format="pyarrow")))
+    cell = tbl["cell"].to_numpy()
+    cms = np.zeros(depth * width, np.int64)
+    cmask = cell >= 0
+    np.add.at(cms, cell[cmask], tbl["cnt"].to_numpy()[cmask])
+    cands = np.unique(tbl["cand"].to_numpy()[~cmask])
+    slots = _cms_slots(cands, depth, width)
+    est = np.min(np.stack([cms[d * width + slots[d]]
+                           for d in range(depth)]), axis=0)
+    order = np.lexsort((cands, -est))[:k]
+    out = pa.table({value: pa.array(cands[order], pa.int64()),
+                    "est_count": pa.array(est[order], pa.int64())})
+    import ray.data as rd
+    return rd.from_arrow(out)

@@ -499,6 +499,18 @@ def q_lang_balanced_sample(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_event_heavy_hitters(sf_dir: str) -> "ray.data.Dataset":
+    """Approximate top-10 users by event volume via a mergeable Count-Min
+    sketch + local-candidate union — the bounded-shuffle heavy-hitter path
+    (shuffle ∝ sketch cells, merged size depth*width regardless of input).
+    Rows-only in the driver (estimates are sketch-dependent by design); the
+    pytest gate proves the no-undercount and top-k-recall properties."""
+    from ..functions.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_read(sf_dir, "events", ["user_id"]),
+                             "user_id", k=10)
+
+
 def q_event_users_hll(sf_dir: str) -> "ray.data.Dataset":
     """Approximate distinct users per event type via mergeable HyperLogLog
     sketches (p=12, ~1.6% expected error) — the bounded-shuffle twin of
@@ -2245,6 +2257,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "doc_sample": q_doc_sample,
     "lang_balanced_sample": q_lang_balanced_sample,
     "event_users_hll": q_event_users_hll,
+    "event_heavy_hitters": q_event_heavy_hitters,
     "lang_stats": q_lang_stats,
     "low_order_customers": q_low_order_customers,
     "customers_no_big_orders": q_customers_no_big_orders,

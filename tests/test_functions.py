@@ -707,3 +707,35 @@ class TestRepetitionStats:
         out = T.repetition_stats_batch(t).to_pydict()
         assert out["n_2grams"] == [1, 1]
         assert out["n_dup_2grams"] == [0, 0]
+
+
+class TestCmsHeavyHitters:
+    def _zipf_ds(self, n=30000, seed=3):
+        rng = np.random.default_rng(seed)
+        v = rng.zipf(1.5, n).astype(np.int64) % 1000
+        return v, ray.data.from_arrow(pa.table({"v": pa.array(v, pa.int64())}))
+
+    def test_overestimate_and_topk(self, ray_session):
+        from documentprocessor_ray.functions.sketches import cms_heavy_hitters
+        v, ds = self._zipf_ds()
+        out = cms_heavy_hitters(ds.repartition(8), "v", k=10).to_pandas()
+        import collections
+        true = collections.Counter(v.tolist())
+        n = len(v)
+        for _, r in out.iterrows():
+            t = true[int(r["v"])]
+            assert r["est_count"] >= t          # CMS never undercounts
+            assert r["est_count"] - t <= n // 1000 + 1  # ~N/width slack
+        # the true top-3 must appear in the approximate top-10
+        top_true = [x for x, _ in true.most_common(3)]
+        assert set(top_true) <= set(out["v"].tolist())
+
+    def test_merge_invariance(self, ray_session):
+        from documentprocessor_ray.functions.sketches import cms_heavy_hitters
+        _, ds = self._zipf_ds(seed=9)
+        a = cms_heavy_hitters(ds.repartition(3), "v", k=8).to_pandas()
+        b = cms_heavy_hitters(ds.repartition(17), "v", k=8).to_pandas()
+        # sketch cells are sum-merged exactly, so estimates are layout-
+        # independent; candidate sets can differ, but the heavy head agrees
+        assert a["v"].tolist()[:3] == b["v"].tolist()[:3]
+        assert a["est_count"].tolist()[:3] == b["est_count"].tolist()[:3]
