@@ -81,6 +81,25 @@ def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
         T.winnow_fingerprint_batch, batch_format="pyarrow")
 
 
+def q_length_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Outlier trim: documents longer than the corpus-wide p99 length.
+    The p99 comes from the exact distributed quantile (value-histogram
+    merge, one tiny result row) and is applied as a broadcast filter —
+    the quantile never forces a global sort and the filter is a pushed-down
+    Arrow expression over a column-pruned read."""
+    from ..functions.agg import grouped_quantile_disc
+
+    qtab = grouped_quantile_disc(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(lambda b: pa.table({
+            "g": pa.array(np.zeros(b.num_rows, np.int64)),
+            "n_chars": b["n_chars"]}), batch_format="pyarrow"),
+        ["g"], "n_chars", [0.99], q_names=["p99"])
+    p99 = int(qtab.to_pandas()["p99"].iloc[0])
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .filter(expr=f"n_chars > {p99}")
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1629,6 +1648,9 @@ ORACLE_SQL: Dict[str, str] = {
     "exact_dedup": """
         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
         FROM documents GROUP BY text""",
+    "length_outliers": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars > (SELECT quantile_disc(n_chars, 0.99) FROM documents)""",
     "event_pivot": """
         SELECT user_id,
           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
@@ -2225,6 +2247,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "repetition_stats": q_repetition_stats,
     "doc_length_rank": q_doc_length_rank,
     "event_pivot": q_event_pivot,
+    "length_outliers": q_length_outliers,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
