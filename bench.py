@@ -31,7 +31,8 @@ BENCH_QUERIES = [
     "normalize_text", "main_content", "token_count", "token_count_bpe", "quality_stats",
     "fingerprint", "langid", "winnow_fingerprint", "exact_dedup", "chunk_dedup",
     "pii_redact", "redact_numbers", "props_extract", "repetition_stats",
-    "doc_length_rank", "revenue_rollup", "event_pivot",
+    "doc_length_rank", "revenue_rollup", "event_pivot", "length_outliers",
+    "user_activity_full", "funnel", "source_cap",
     "inverted_index", "top_terms", "doc_top_terms",
     "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean",
     "corpus_train_ready", "decontaminate", "minhash_pairs",

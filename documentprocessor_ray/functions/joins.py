@@ -52,7 +52,7 @@ def hash_join(
     right_schema=None,
     salt: int = 1,
 ) -> "ray.data.Dataset":
-    """Join two Datasets on an int64 key column (how: inner|left).
+    """Join two Datasets on an int64 key column (how: inner|left|right|full).
 
     Non-key columns must be disjoint (rename before joining) so the padded
     union schema is unambiguous. ``size_hint`` (approx rows of the larger
@@ -126,7 +126,12 @@ def hash_join(
 
     r_value_cols = [c for c in r_cols if c != on]
     out_cols = l_cols + r_value_cols
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "full": "full outer"}[how]
+    if salt > 1 and how in ("right", "full"):
+        # the salt plan REPLICATES right rows to every salt partition, so a
+        # right row unmatched everywhere would surface `salt` times
+        raise ValueError("salt-based skew handling supports inner/left only")
 
     join_keys = [on] if salt <= 1 else [on, "__salt"]
 

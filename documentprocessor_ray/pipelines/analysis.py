@@ -130,6 +130,135 @@ def q_event_pivot(sf_dir: str) -> "ray.data.Dataset":
                               "user_id", cols)
 
 
+def q_user_activity_full(sf_dir: str) -> "ray.data.Dataset":
+    """FULL OUTER join of two independent per-user aggregates (click counts
+    vs purchase counts): users appearing on either side survive, missing
+    side filled with 0. Each side is combiner-first (per-batch partial
+    count -> one bucketed merge ∝ distinct users), and the join is the
+    co-bucketed hash join with how='full' — both sides shuffle once, the
+    outer semantics resolve inside each bucket because a key's rows from
+    BOTH sides co-locate (a bucket-local miss is a global miss)."""
+    from ..functions.agg import bucketed_group_sum
+    from ..functions.joins import hash_join
+
+    def per_user_count(etype: str, out_col: str) -> "ray.data.Dataset":
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], etype))
+            g = pa.table({"user_id": t["user_id"],
+                          out_col: pa.array(np.ones(t.num_rows, np.int64))})
+            g = g.group_by("user_id").aggregate([(out_col, "sum")])
+            return pa.table({"user_id": g["user_id"],
+                             out_col: pc.cast(g[f"{out_col}_sum"], pa.int64())})
+        ds = _read(sf_dir, "events", ["user_id", "event_type"])
+        return bucketed_group_sum(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "user_id", [out_col])
+
+    sch = lambda c: pa.schema([("user_id", pa.int64()), (c, pa.int64())])
+    j = hash_join(per_user_count("click", "n_click"),
+                  per_user_count("purchase", "n_purchase"),
+                  on="user_id", how="full",
+                  left_schema=sch("n_click"), right_schema=sch("n_purchase"))
+    return j.map_batches(lambda b: pa.table({
+        "user_id": b["user_id"],
+        "n_click": pc.fill_null(b["n_click"], 0),
+        "n_purchase": pc.fill_null(b["n_purchase"], 0),
+    }), batch_format="pyarrow")
+
+
+def q_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Staged conversion funnel (view -> click -> purchase) per user: stage
+    k counts only if it happens at-or-after the user's stage k-1 time.
+    ONE bucketed shuffle on hash(user_id); inside a bucket every user is
+    resolved in a single vectorized pass — per-user stage times are
+    np.minimum.reduceat segment reductions, and each later stage's mask
+    thresholds on the earlier stage's time broadcast back to rows. The
+    sequential-dependency window scan never leaves the bucket."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    num_buckets = auto_buckets(ds.count(), rows_per_bucket=65536)
+    BIG = np.int64(1) << np.int64(62)
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "pkey", pa.array(bucket_of_ints(uid, num_buckets), pa.int64()))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("user_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(uid)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "funnel_depth": pa.array([], pa.int64())})
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = t["event_type"]
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.where(new_user)[0]
+        seg = np.cumsum(new_user) - 1  # per-row segment index
+        is_v = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        t1 = np.minimum.reduceat(np.where(is_v, ts, BIG), starts)
+        is_c = pc.equal(et, "click").to_numpy(zero_copy_only=False) \
+            & (ts >= t1[seg])
+        t2 = np.minimum.reduceat(np.where(is_c, ts, BIG), starts)
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False) \
+            & (ts >= t2[seg])
+        t3 = np.minimum.reduceat(np.where(is_p, ts, BIG), starts)
+        depth = ((t1 < BIG).astype(np.int64) + (t2 < BIG).astype(np.int64)
+                 + (t3 < BIG).astype(np.int64))
+        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                         "funnel_depth": pa.array(depth, pa.int64())})
+
+    return ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def q_source_cap(sf_dir: str) -> "ray.data.Dataset":
+    """Per-source document cap (domain throttling, the RefinedWeb/C4 move
+    against boilerplate-heavy hosts): keep at most K docs per source, chosen
+    deterministically by md5(doc_id) order so the survivors are a stable
+    pseudo-random sample. One shuffle on hash(source); in-bucket the rank
+    is an Arrow sort + cumsum segment offset — no per-group calls."""
+    import hashlib as _hl
+    from ..sharding import auto_buckets, bucket_of_strs
+
+    cap = 15  # < docs-per-source at every sf, so the throttle always bites
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    num_buckets = auto_buckets(ds.count(), rows_per_bucket=65536)
+
+    def add_keys(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_pylist()
+        ids = b["doc_id"].to_pylist()
+        h = [_hl.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({
+            "doc_id": b["doc_id"], "source": b["source"],
+            "h": pa.array(h, pa.string()),
+            "pkey": pa.array(bucket_of_strs(srcs, num_buckets), pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("source", "ascending"), ("h", "ascending"),
+                       ("doc_id", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        new_src = np.empty(n, dtype=bool)
+        new_src[0] = True
+        new_src[1:] = src[1:] != src[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        start_of = np.maximum.accumulate(np.where(new_src, idx, 0))
+        rank = idx - start_of  # 0-based rank within source
+        return t.filter(pa.array(rank < cap)).select(["doc_id", "source"])
+
+    return ds.map_batches(add_keys, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def q_doc_length_rank(sf_dir: str) -> "ray.data.Dataset":
     """Global ordering without a global sort: every document's exact rank
     (and ntile quartile) by length via the broadcast-offset zipWithIndex
@@ -1651,6 +1780,41 @@ ORACLE_SQL: Dict[str, str] = {
     "length_outliers": """
         SELECT doc_id, n_chars FROM documents
         WHERE n_chars > (SELECT quantile_disc(n_chars, 0.99) FROM documents)""",
+    "user_activity_full": """
+        WITH c AS (SELECT user_id, count(*)::BIGINT AS n_click
+                   FROM events WHERE event_type = 'click' GROUP BY user_id),
+             p AS (SELECT user_id, count(*)::BIGINT AS n_purchase
+                   FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               coalesce(n_click, 0)::BIGINT AS n_click,
+               coalesce(n_purchase, 0)::BIGINT AS n_purchase
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""",
+    "funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN v ON e.user_id = v.user_id
+                   WHERE e.event_type = 'click' AND e.ts >= v.t1
+                   GROUP BY e.user_id),
+             p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN c ON e.user_id = c.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+                   GROUP BY e.user_id)
+        SELECT u.user_id,
+               (CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS funnel_depth
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id""",
+    "source_cap": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 15""",
     "event_pivot": """
         SELECT user_id,
           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
@@ -2248,6 +2412,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "doc_length_rank": q_doc_length_rank,
     "event_pivot": q_event_pivot,
     "length_outliers": q_length_outliers,
+    "user_activity_full": q_user_activity_full,
+    "funnel": q_funnel,
+    "source_cap": q_source_cap,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

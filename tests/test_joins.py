@@ -108,3 +108,33 @@ class TestSaltedJoin:
                            salt=4).to_pandas()
         assert len(plain) == len(salted)
         assert int(plain["rv"].isna().sum()) == int(salted["rv"].isna().sum())
+
+
+class TestOuterJoin:
+    def test_full_outer_matches_pandas(self, sides):
+        left, right = sides
+        # disjointify key ranges so BOTH sides have unmatched rows
+        left = left[left["k"] < 40]
+        right = right[right["k"] > 20]
+        got = hash_join(_ds(left), _ds(right), on="k", how="full").to_pandas()
+        exp = left.merge(right, on="k", how="outer")
+        assert len(got) == len(exp)
+        assert int(got["lv"].isna().sum()) == int(exp["lv"].isna().sum())
+        assert int(got["rv"].isna().sum()) == int(exp["rv"].isna().sum())
+        key = ["k", "lv", "rv"]
+        a = got[key].sort_values(key).reset_index(drop=True)
+        b = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_right_outer_matches_pandas(self, sides):
+        left, right = sides
+        left = left[left["k"] < 10]
+        got = hash_join(_ds(left), _ds(right), on="k", how="right").to_pandas()
+        exp = left.merge(right, on="k", how="right")
+        assert len(got) == len(exp)
+        assert int(got["lv"].isna().sum()) == int(exp["lv"].isna().sum())
+
+    def test_salted_outer_rejected(self, sides):
+        left, right = sides
+        with pytest.raises(ValueError, match="inner/left"):
+            hash_join(_ds(left), _ds(right), on="k", how="full", salt=4)
