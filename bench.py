@@ -42,7 +42,8 @@ BENCH_QUERIES = [
     "pricing_summary", "top_customers", "order_revenue_join",
     "events_rollup", "event_users_hll", "event_heavy_hitters", "events_tumbling", "events_hopping",
     "top_orders_per_customer", "sessionize", "click_attribution",
-    "quantity_quantiles", "customer_price_quantiles", "order_price_bands",
+    "quantity_quantiles", "customer_price_quantiles", "lang_length_quantiles",
+    "order_price_bands",
     "customer_running_revenue",
     "normalize_boxes", "raw_text_join", "vendor_topk", "doc_sample",
     "lang_stats", "lang_balanced_sample", "low_order_customers", "customers_no_big_orders",

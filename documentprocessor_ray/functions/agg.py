@@ -158,25 +158,8 @@ def grouped_quantile_disc(
             "pkey", pa.array(bucket_of_ints(h, num_buckets), pa.int64()))
 
     def local(g: pa.Table) -> pa.Table:
-        t = g.select(keys + [value, "cnt"]).group_by(keys + [value]) \
-            .aggregate([("cnt", "sum")])
-        val = t[value].to_numpy(zero_copy_only=False).astype(np.int64)
-        cnt = t["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
-        karrs = [t[k].combine_chunks().to_numpy(zero_copy_only=False)
-                 for k in keys]
-        order = np.lexsort((val,) + tuple(reversed(karrs)))
-        val, cnt = val[order], cnt[order]
-        karrs = [a[order] for a in karrs]
-        new_seg = np.ones(len(val), dtype=bool)
-        if len(val) > 1:
-            new_seg[1:] = False
-            for a in karrs:
-                new_seg[1:] |= a[1:] != a[:-1]
-        starts = np.flatnonzero(new_seg)
-        csum = np.cumsum(cnt)
-        offsets = np.where(starts > 0, csum[starts - 1], 0)
-        ends = np.r_[starts[1:], len(val)] - 1
-        n_group = csum[ends] - offsets
+        karrs, starts, val, csum, offsets, n_group = \
+            _merged_histogram(g, keys, value)
         out = {k: pa.array(a[starts]) for k, a in zip(keys, karrs)}
         for q, name in zip(qs, q_names):
             # double q*n then ceil: DuckDB's exact index arithmetic
@@ -184,6 +167,89 @@ def grouped_quantile_disc(
                              .astype(np.int64))
             idx = np.searchsorted(csum, offsets + tgt, side="left")
             out[name] = pa.array(val[idx], pa.int64())
+        out[count_col] = pa.array(n_group, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(local, batch_format="pyarrow")
+
+
+def _merged_histogram(g: pa.Table, keys: List[str], value: str):
+    """Merge a bucket's (keys, value, cnt) histogram cells and lay them out
+    as contiguous per-group segments sorted by value. Returns
+    (key arrays, segment starts, sorted values, global cumsum, per-segment
+    count offsets, per-group totals) — the vectorized substrate every
+    holistic order-statistic aggregate in this module selects from."""
+    t = g.select(keys + [value, "cnt"]).group_by(keys + [value]) \
+        .aggregate([("cnt", "sum")])
+    val = t[value].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = t["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    karrs = [t[k].combine_chunks().to_numpy(zero_copy_only=False)
+             for k in keys]
+    order = np.lexsort((val,) + tuple(reversed(karrs)))
+    val, cnt = val[order], cnt[order]
+    karrs = [a[order] for a in karrs]
+    new_seg = np.ones(len(val), dtype=bool)
+    if len(val) > 1:
+        new_seg[1:] = False
+        for a in karrs:
+            new_seg[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(new_seg)
+    csum = np.cumsum(cnt)
+    offsets = np.where(starts > 0, csum[starts - 1], 0)
+    ends = np.r_[starts[1:], len(val)] - 1
+    n_group = csum[ends] - offsets
+    return karrs, starts, val, csum, offsets, n_group
+
+
+def grouped_quantile_cont(
+    ds: "ray.data.Dataset",
+    keys: List[str],
+    value: str,
+    qs: List[float],
+    q_names: Optional[List[str]] = None,
+    count_col: str = "n_vals",
+    num_buckets: Optional[int] = None,
+    size_hint: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """EXACT continuous (interpolated) quantiles of int64 ``value`` per key
+    tuple — same histogram-merge plan as ``grouped_quantile_disc``, but the
+    selector reproduces DuckDB ``quantile_cont`` bit-for-bit (probed across
+    n/q combinations): RN = (n-1)*q in double, and when RN is fractional the
+    result is v[floor]*(ceil(RN)-RN) + v[ceil]*(RN-floor(RN)) — that exact
+    expression shape, NOT lo+(hi-lo)*frac, which rounds differently."""
+    if q_names is None:
+        q_names = [f"q{int(round(q * 100))}" for q in qs]
+    if num_buckets is None:
+        num_buckets = auto_buckets(size_hint, rows_per_bucket=65536)
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = b.select(keys + [value]).group_by(keys + [value]) \
+            .aggregate([([], "count_all")])
+        t = pa.table({**{k: t[k] for k in keys + [value]},
+                      "cnt": pc.cast(t["count_all"], pa.int64())})
+        h = _composite_key_hash(t, keys)
+        return t.append_column(
+            "pkey", pa.array(bucket_of_ints(h, num_buckets), pa.int64()))
+
+    def local(g: pa.Table) -> pa.Table:
+        karrs, starts, val, csum, offsets, n_group = \
+            _merged_histogram(g, keys, value)
+        out = {k: pa.array(a[starts]) for k, a in zip(keys, karrs)}
+        fval = val.astype(np.float64)
+        for q, name in zip(qs, q_names):
+            rn = (n_group - 1).astype(np.float64) * np.float64(q)
+            frn = np.floor(rn)
+            crn = np.ceil(rn)
+            # order statistic at 0-based position p = 1-based index p+1
+            ilo = np.searchsorted(csum, offsets + frn.astype(np.int64) + 1,
+                                  side="left")
+            ihi = np.searchsorted(csum, offsets + crn.astype(np.int64) + 1,
+                                  side="left")
+            lo, hi = fval[ilo], fval[ihi]
+            interp = lo * (crn - rn) + hi * (rn - frn)
+            out[name] = pa.array(np.where(crn == frn, lo, interp),
+                                 pa.float64())
         out[count_col] = pa.array(n_group, pa.int64())
         return pa.table(out)
 

@@ -866,6 +866,18 @@ def q_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Continuous (interpolated) length quantiles per language — the
+    quantile_cont twin of the histogram-merge plan; interpolation arithmetic
+    reproduces DuckDB bit-for-bit (see grouped_quantile_cont)."""
+    from ..functions.agg import grouped_quantile_cont
+
+    return grouped_quantile_cont(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        keys=["lang"], value="n_chars", qs=[0.25, 0.5, 0.75],
+        q_names=["q25", "q50", "q75"])
+
+
 def q_quantity_quantiles(sf_dir: str) -> "ray.data.Dataset":
     """Exact grouped quantile_disc of l_quantity per (returnflag,
     linestatus): holistic aggregate via the distributed value histogram —
@@ -2121,6 +2133,13 @@ ORACLE_SQL: Dict[str, str] = {
           COALESCE(CAST(round(r.value * 100) AS BIGINT), -1) AS purchase_cents,
           COALESCE(date_diff('microsecond', r.ts, l.ts), -1)::BIGINT AS gap_us
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""",
+    "lang_length_quantiles": """
+        SELECT lang,
+               quantile_cont(n_chars, 0.25) AS q25,
+               quantile_cont(n_chars, 0.5)  AS q50,
+               quantile_cont(n_chars, 0.75) AS q75,
+               count(*)::BIGINT AS n_vals
+        FROM documents GROUP BY lang""",
     "quantity_quantiles": """
         SELECT l_returnflag, l_linestatus,
           CAST(quantile_disc(qty, 0.25) AS BIGINT) AS q25,
@@ -2441,6 +2460,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_rollup": q_revenue_rollup,
     "quantity_quantiles": q_quantity_quantiles,
+    "lang_length_quantiles": q_lang_length_quantiles,
     "customer_price_quantiles": q_customer_price_quantiles,
     "top_customers": q_top_customers,
     "order_revenue_join": q_order_revenue_join,

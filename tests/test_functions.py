@@ -503,6 +503,32 @@ class TestGroupedQuantiles:
         assert out.loc[2, "q50"] == 5 and out.loc[2, "q95"] == 9
         assert out.loc[2, "n_vals"] == 4
 
+    def test_cont_matches_duckdb_bitwise(self, ray_session):
+        import duckdb
+        import pandas as pd
+        from documentprocessor_ray.functions.agg import grouped_quantile_cont
+        rng = np.random.default_rng(13)
+        n = 4000
+        k = rng.integers(0, 37, n)  # tiny + bigger groups, fractional RN
+        v = rng.integers(-500, 500, n)
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(k, pa.int64()), "v": pa.array(v, pa.int64())}))
+        qs = [0.0, 0.1, 0.25, 0.33, 0.5, 0.75, 0.9, 1.0]
+        names = [f"x{i}" for i in range(len(qs))]
+        got = grouped_quantile_cont(ds, ["k"], "v", qs, q_names=names,
+                                    num_buckets=8).to_pandas() \
+            .set_index("k").sort_index()
+        sel = ", ".join(f"quantile_cont(v, {q!r}) AS x{i}"
+                        for i, q in enumerate(qs))
+        t = pd.DataFrame({"k": k.astype("int64"), "v": v.astype("int64")})
+        exp = duckdb.sql(
+            f"SELECT k, {sel} FROM t GROUP BY k ORDER BY k").df() \
+            .set_index("k")
+        for name in names:
+            # bitwise equality — the interpolation formula must match, not
+            # just be close
+            assert (got[name].to_numpy() == exp[name].to_numpy()).all(), name
+
 
 class TestInvertedIndex:
     def test_df_tf_postings(self, ray_session):
