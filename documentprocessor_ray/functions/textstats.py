@@ -541,3 +541,90 @@ def repetition_stats_batch(batch: pa.Table, min_tokens: int = 20) -> pa.Table:
         | (100 * dup3 > 18 * n3))
     out["flag_repetitive"] = pa.array(flag, pa.bool_())
     return pa.table(out)
+
+
+def bigram_rarity(ds: "ray.data.Dataset", rare_max: int = 2,
+                  num_buckets=None) -> "ray.data.Dataset":
+    """Corpus-frequency bigram rarity score per document — the integer-exact
+    core of an LM-style quality/rarity signal (CCNet shape): for every
+    bigram OCCURRENCE in a doc, look up how often that bigram appears in
+    the whole corpus, then report per doc the occurrence count, the summed
+    corpus frequency, and how many occurrences are "rare" (corpus freq <=
+    rare_max). High n_rare/n_bigrams = unusual text; low = boilerplate.
+
+    Scale shape: TWO bucketed shuffles, both combiner-compacted. (1) each
+    doc's bigram hashes ship once as (doc_id, h) -> cnt cells to
+    bucket(h); a bucket holds EVERY occurrence row of its bigrams, so one
+    sorted segment-sum yields the corpus frequency and the per-doc partial
+    scores in the same pass — the frequency table is never materialized,
+    joined, or broadcast. (2) per-doc partials merge with a bucketed sum.
+    Token identity is the 64-bit rolling hash (collision odds ~2^-64/pair,
+    same trade as the Jaccard family; the DuckDB string twin hash-matches).
+    """
+    from .dedup import _SHINGLE_B, _re2_tokens, _tok_hash64
+    from ..sharding import auto_buckets, bucket_of_ints
+    from .agg import bucketed_group_sum
+
+    nb = num_buckets or auto_buckets(None)  # driver-resolved once
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_out, hs_out = [], []
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = _re2_tokens(text)
+            if len(toks) < 2:
+                continue
+            th = np.fromiter((_tok_hash64(t) for t in toks),
+                             dtype=np.uint64, count=len(toks))
+            bh = th[:-1] * _SHINGLE_B + th[1:]  # occurrences, with repeats
+            hs_out.append(bh)
+            ids_out.append(np.full(len(bh), ids[i], dtype=np.int64))
+        hs = (np.concatenate(hs_out).view(np.int64) if hs_out
+              else np.empty(0, np.int64))
+        dids = (np.concatenate(ids_out) if ids_out
+                else np.empty(0, np.int64))
+        t = pa.table({"doc_id": pa.array(dids, pa.int64()),
+                      "h": pa.array(hs, pa.int64())}) \
+            .group_by(["doc_id", "h"]).aggregate([([], "count_all")])
+        cnt = pc.cast(t["count_all"], pa.int64())
+        h64 = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "h": t["h"], "cnt": cnt,
+            "pkey": pa.array(bucket_of_ints(h64, nb), pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.select(["doc_id", "h", "cnt"]).group_by(["doc_id", "h"]) \
+            .aggregate([("cnt", "sum")])
+        h = t["h"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(h) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_bigrams": z,
+                             "sum_freq": z, "n_rare": z})
+        order = np.argsort(h, kind="stable")
+        h, did, cnt = h[order], did[order], cnt[order]
+        new_h = np.empty(len(h), dtype=bool)
+        new_h[0] = True
+        new_h[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new_h)
+        freq = np.add.reduceat(cnt, starts)       # corpus freq per bigram
+        f_row = freq[np.cumsum(new_h) - 1]        # broadcast back to rows
+        part = pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_bigrams": pa.array(cnt, pa.int64()),
+            "sum_freq": pa.array(cnt * f_row, pa.int64()),
+            "n_rare": pa.array(np.where(f_row <= rare_max, cnt, 0),
+                               pa.int64()),
+        }).group_by("doc_id").aggregate(
+            [("n_bigrams", "sum"), ("sum_freq", "sum"), ("n_rare", "sum")])
+        return pa.table({
+            "doc_id": part["doc_id"],
+            "n_bigrams": pc.cast(part["n_bigrams_sum"], pa.int64()),
+            "sum_freq": pc.cast(part["sum_freq_sum"], pa.int64()),
+            "n_rare": pc.cast(part["n_rare_sum"], pa.int64())})
+
+    partials = ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
+    return bucketed_group_sum(partials, "doc_id",
+                              ["n_bigrams", "sum_freq", "n_rare"])

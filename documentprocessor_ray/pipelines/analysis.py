@@ -100,6 +100,15 @@ def q_length_outliers(sf_dir: str) -> "ray.data.Dataset":
         .filter(expr=f"n_chars > {p99}")
 
 
+def q_bigram_rarity(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus-frequency bigram rarity per doc (LM-style quality signal):
+    occurrence counts, summed corpus frequency, and rare-bigram count —
+    all integers, no frequency table ever broadcast (see
+    textstats.bigram_rarity for the two-shuffle plan)."""
+    return T.bigram_rarity(
+        _read(sf_dir, "documents", ["doc_id", "text"]), rare_max=2)
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2005,6 +2014,23 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
+    "bigram_rarity": r"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(
+            lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS toks
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM tok WHERE len(toks) >= 2
+        ), freq AS (
+          SELECT bg, count(*)::BIGINT AS f FROM bg GROUP BY bg
+        )
+        SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+               sum(f)::BIGINT AS sum_freq,
+               sum(CASE WHEN f <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+        FROM bg b JOIN freq USING (bg) GROUP BY b.doc_id""",
     "decontaminate": r"""
         WITH tok AS (
           SELECT doc_id, regexp_split_to_array(
@@ -2434,6 +2460,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "user_activity_full": q_user_activity_full,
     "funnel": q_funnel,
     "source_cap": q_source_cap,
+    "bigram_rarity": q_bigram_rarity,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -765,3 +765,36 @@ class TestCmsHeavyHitters:
         # independent; candidate sets can differ, but the heavy head agrees
         assert a["v"].tolist()[:3] == b["v"].tolist()[:3]
         assert a["est_count"].tolist()[:3] == b["est_count"].tolist()[:3]
+
+
+class TestBigramRarity:
+    def test_matches_bruteforce(self, ray_session):
+        from collections import Counter
+        from documentprocessor_ray.functions.textstats import bigram_rarity
+
+        docs = {
+            1: "the cat sat on the mat",
+            2: "the cat sat on the hat",
+            3: "one two three",
+            4: "  the   cat  ",          # messy whitespace -> 1 bigram
+            5: "solo",                    # <2 tokens -> no output row
+            6: "",                        # empty -> no output row
+            7: "THE CAT sat",             # lowercased -> shares bigrams
+        }
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string())}))
+        got = bigram_rarity(ds, rare_max=2, num_buckets=4).to_pandas() \
+            .set_index("doc_id").sort_index()
+
+        # brute force with the same tokenization semantics
+        def toks(s):
+            return s.strip().lower().split()
+        bgs = {d: [f"{a} {b}" for a, b in zip(toks(t), toks(t)[1:])]
+               for d, t in docs.items() if len(toks(t)) >= 2}
+        freq = Counter(b for lst in bgs.values() for b in lst)
+        assert sorted(got.index) == sorted(bgs)
+        for d, lst in bgs.items():
+            assert got.loc[d, "n_bigrams"] == len(lst)
+            assert got.loc[d, "sum_freq"] == sum(freq[b] for b in lst)
+            assert got.loc[d, "n_rare"] == sum(freq[b] <= 2 for b in lst)
