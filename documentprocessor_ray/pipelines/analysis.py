@@ -100,6 +100,54 @@ def q_length_outliers(sf_dir: str) -> "ray.data.Dataset":
         .filter(expr=f"n_chars > {p99}")
 
 
+def q_source_lang_mode(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped mode / argmax-by-aggregate: the most frequent language per
+    source (deterministic tie-break: smaller lang string). Stage 1 is the
+    combiner-first multi-key sum (shuffle ∝ distinct (source,lang) pairs,
+    never doc rows); stage 2 re-buckets the tiny count table on
+    hash(source) and picks each group's argmax with one Arrow sort +
+    first-of-segment mask — no per-group calls, nothing on the driver."""
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..sharding import auto_buckets, bucket_of_strs
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "lang": b["lang"],
+                      "n_docs": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["source", "lang"]).aggregate([("n_docs", "sum")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n_docs": pc.cast(g["n_docs_sum"], pa.int64())})
+
+    counts = bucketed_group_sum_multi(
+        _read(sf_dir, "documents", ["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"], ["n_docs"])
+
+    nb = auto_buckets(None)
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        return b.append_column("pkey", pa.array(
+            bucket_of_strs(b["source"].to_pylist(), nb), pa.int64()))
+
+    def argmax_bucket(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("source", "ascending"), ("n_docs", "descending"),
+                       ("lang", "ascending")])
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        n = len(src)
+        if n == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "top_lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = src[1:] != src[:-1]
+        t = t.filter(pa.array(first))
+        return pa.table({"source": t["source"], "top_lang": t["lang"],
+                         "n_docs": t["n_docs"]})
+
+    return counts.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(argmax_bucket, batch_format="pyarrow")
+
+
 def q_bigram_rarity(sf_dir: str) -> "ray.data.Dataset":
     """Corpus-frequency bigram rarity per doc (LM-style quality signal):
     occurrence counts, summed corpus frequency, and rare-bigram count —
@@ -2014,6 +2062,12 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
+    "source_lang_mode": """
+        SELECT source, top_lang, n_docs FROM (
+          SELECT source, lang AS top_lang, count(*)::BIGINT AS n_docs,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY count(*) DESC, lang) AS rn
+          FROM documents GROUP BY source, lang) WHERE rn = 1""",
     "bigram_rarity": r"""
         WITH tok AS (
           SELECT doc_id, regexp_split_to_array(
@@ -2461,6 +2515,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "funnel": q_funnel,
     "source_cap": q_source_cap,
     "bigram_rarity": q_bigram_rarity,
+    "source_lang_mode": q_source_lang_mode,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
