@@ -174,3 +174,82 @@ def global_rank(
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",
+                   order_col: str = "doc_id", bin_size: int = 512,
+                   num_buckets: Optional[int] = None) -> "ray.data.Dataset":
+    """GPT-style sequence packing: concatenate the corpus's token streams in
+    ``order_col`` order, cut the concatenation into fixed ``bin_size``-token
+    bins, and emit one row per (doc, bin) overlap with the doc-local token
+    span ``[tok_start, tok_end)`` that lands in that bin — the
+    concatenate-and-chunk layout LM training batches are built from. Docs
+    with 0 tokens emit nothing.
+
+    Scale shape: the global running offset is the only cross-partition
+    dependency, so the input is RANGE-partitioned on ``order_col`` into
+    ``num_buckets`` contiguous slices and materialized ONCE (narrow rows:
+    id + count + pkey); per-slice token totals — one int64 per slice, the
+    only driver-side data — prefix-sum into each slice's global starting
+    offset, closed over by the reducer. Each slice then computes its docs'
+    global cumsum locally and expands bin overlaps with one repeat/arange —
+    no per-doc loop, no second pass over the text. Partitioning assumption:
+    ``order_col`` is roughly uniform over its range (true for dense ids);
+    replace the linear split with a sampled CDF for skewed keys."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = agg[f"min({order_col})"], agg[f"max({order_col})"]
+    span = max(1, int(hi) - int(lo) + 1)
+    nb = num_buckets or auto_buckets(None)
+    nb = min(nb, span)
+    B = np.int64(bin_size)
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        oid = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = (oid - np.int64(lo)) * np.int64(nb) // np.int64(span)
+        return pa.table({order_col: b[order_col], n_col: b[n_col],
+                         "pkey": pa.array(pk, pa.int64())})
+
+    tagged = ds.map_batches(add_pkey, batch_format="pyarrow").materialize()
+
+    # per-slice totals -> global starting offset per slice (nb ints)
+    totals = tagged.groupby("pkey").aggregate(Sum(n_col)).to_pandas()
+    totals = totals.sort_values("pkey")
+    csum = totals[f"sum({n_col})"].astype("int64").cumsum()
+    offsets = dict(zip(totals["pkey"].astype("int64"),
+                       (csum - totals[f"sum({n_col})"].astype("int64"))))
+
+    def pack_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            order_col: pa.array([], pa.int64()),
+            "bin_id": pa.array([], pa.int64()),
+            "tok_start": pa.array([], pa.int64()),
+            "tok_end": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        t = g.sort_by([(order_col, "ascending")])
+        oid = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.int64(offsets[int(t["pkey"][0].as_py())])
+        before = off + np.cumsum(n) - n
+        m = n > 0
+        if not m.any():
+            return empty
+        oid, n, before = oid[m], n[m], before[m]
+        lo_b = before // B
+        hi_b = (before + n - 1) // B
+        cnt = hi_b - lo_b + 1
+        rows = np.repeat(np.arange(len(n)), cnt)
+        k = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        bin_id = lo_b[rows] + k
+        tok_start = np.maximum(0, bin_id * B - before[rows])
+        tok_end = np.minimum(n[rows], (bin_id + 1) * B - before[rows])
+        return pa.table({
+            order_col: pa.array(oid[rows], pa.int64()),
+            "bin_id": pa.array(bin_id, pa.int64()),
+            "tok_start": pa.array(tok_start, pa.int64()),
+            "tok_end": pa.array(tok_end, pa.int64())})
+
+    return tagged.groupby("pkey").map_groups(pack_bucket,
+                                             batch_format="pyarrow")

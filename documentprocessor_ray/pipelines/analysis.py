@@ -100,6 +100,19 @@ def q_length_outliers(sf_dir: str) -> "ray.data.Dataset":
         .filter(expr=f"n_chars > {p99}")
 
 
+def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
+    """GPT-style sequence packing over the documents table: token streams
+    concatenated in doc_id order and cut into fixed 512-token bins; one row
+    per (doc, bin) overlap with the doc-local token span. See
+    window.pack_sequences for the range-partition + offset-broadcast plan."""
+    from ..functions.window import pack_sequences
+
+    counts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.token_count_batch, batch_format="pyarrow")
+    return pack_sequences(counts, n_col="n_tokens", order_col="doc_id",
+                          bin_size=512)
+
+
 def q_source_lang_mode(sf_dir: str) -> "ray.data.Dataset":
     """Grouped mode / argmax-by-aggregate: the most frequent language per
     source (deterministic tie-break: smaller lang string). Stage 1 is the
@@ -2062,6 +2075,28 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
+    "pack_sequences": r"""
+        WITH tok AS (
+          SELECT doc_id,
+            CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                 ELSE len(regexp_split_to_array(
+                          regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+            END::BIGINT AS n
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n,
+                 (sum(n) OVER (ORDER BY doc_id) - n)::BIGINT AS before
+          FROM tok
+        ), b AS (
+          SELECT doc_id, n, before,
+                 unnest(generate_series(before // 512,
+                                        (before + n - 1) // 512)) AS bin_id
+          FROM c WHERE n > 0
+        )
+        SELECT doc_id, bin_id::BIGINT AS bin_id,
+               greatest(0, bin_id * 512 - before)::BIGINT AS tok_start,
+               least(n, (bin_id + 1) * 512 - before)::BIGINT AS tok_end
+        FROM b""",
     "source_lang_mode": """
         SELECT source, top_lang, n_docs FROM (
           SELECT source, lang AS top_lang, count(*)::BIGINT AS n_docs,
@@ -2516,6 +2551,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "source_cap": q_source_cap,
     "bigram_rarity": q_bigram_rarity,
     "source_lang_mode": q_source_lang_mode,
+    "pack_sequences": q_pack_sequences,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

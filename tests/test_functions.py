@@ -798,3 +798,30 @@ class TestBigramRarity:
             assert got.loc[d, "n_bigrams"] == len(lst)
             assert got.loc[d, "sum_freq"] == sum(freq[b] for b in lst)
             assert got.loc[d, "n_rare"] == sum(freq[b] <= 2 for b in lst)
+
+
+class TestPackSequences:
+    def test_bin_layout_exact(self, ray_session):
+        from documentprocessor_ray.functions.window import pack_sequences
+        # bins of 10 tokens; doc 3 has 0 tokens (emits nothing); doc 2
+        # straddles 3 bins; doc ids deliberately sparse (range partition)
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 50], pa.int64()),
+                      "n_tokens": pa.array([7, 25, 0, 8], pa.int64())})
+        out = pack_sequences(ray.data.from_arrow(t), bin_size=10,
+                             num_buckets=4).to_pandas() \
+            .sort_values(["doc_id", "bin_id"]).reset_index(drop=True)
+        rows = [tuple(r) for r in out.to_numpy()]
+        # concatenation: doc1 tokens [0,7), doc2 [7,32), doc50 [32,40)
+        assert rows == [
+            (1, 0, 0, 7),            # doc1 entirely in bin 0
+            (2, 0, 0, 3),            # doc2 tokens 0-3 fill bin 0
+            (2, 1, 3, 13),           # tokens 3-13 fill bin 1
+            (2, 2, 13, 23),          # tokens 13-23 fill bin 2
+            (2, 3, 23, 25),          # tail in bin 3
+            (50, 3, 0, 8),           # doc50 completes bin 3
+        ]
+        # spans tile each doc exactly
+        g = out.groupby("doc_id").apply(
+            lambda d: (d["tok_end"] - d["tok_start"]).sum(),
+            include_groups=False)
+        assert g.to_dict() == {1: 7, 2: 25, 50: 8}
