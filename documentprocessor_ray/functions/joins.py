@@ -41,6 +41,21 @@ JOIN_ROWS_PER_BUCKET = 65536
 _bucket_of = bucket_of_ints  # back-compat alias (tests import it)
 
 
+def _key_hash(arr, typ: pa.DataType) -> np.ndarray:
+    """int64 bucket-hash input for a join key column: ints pass through,
+    strings get a deterministic vectorized 64-bit hash (siphash via
+    pandas.util.hash_array, fixed key — identical across processes). The
+    hash is used for BUCKETING only; equality is always tested on the real
+    values inside the bucket, so a collision costs balance, never
+    correctness."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        import pandas as pd
+
+        v = arr.to_numpy(zero_copy_only=False)
+        return pd.util.hash_array(np.asarray(v, dtype=object)).view(np.int64)
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -52,7 +67,8 @@ def hash_join(
     right_schema=None,
     salt: int = 1,
 ) -> "ray.data.Dataset":
-    """Join two Datasets on an int64 key column (how: inner|left|right|full).
+    """Join two Datasets on an int64 or string key column
+    (how: inner|left|right|full).
 
     Non-key columns must be disjoint (rename before joining) so the padded
     union schema is unambiguous. ``size_hint`` (approx rows of the larger
@@ -83,7 +99,7 @@ def hash_join(
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            keys = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = _key_hash(batch[on].combine_chunks(), l_types[on])
             cols = {}
             for name, typ in all_fields:
                 if name in batch.column_names:
@@ -158,7 +174,7 @@ def semi_join(
     anti: bool = False,
 ) -> "ray.data.Dataset":
     """Distributed semi-join: rows of ``left`` whose ``left_on`` value appears
-    in ``keep[keep_on]`` (int64 keys). The scale-safe replacement for a
+    in ``keep[keep_on]`` (int64 or string keys). The scale-safe replacement for a
     driver-side keep-set + broadcast filter: both sides shuffle ONCE on the
     bucketed key and membership is tested vectorized (``pc.is_in``) inside
     each bucket — keep-list cardinality never lands on one machine.
@@ -174,20 +190,23 @@ def semi_join(
     l_names = list(ls.names)
     l_types = dict(zip(ls.names, ls.types))
 
+    key_typ = l_types[left_on]
+
     def tag_left(batch: pa.Table) -> pa.Table:
-        keys = batch[left_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        kh = _key_hash(batch[left_on].combine_chunks(), key_typ)
         cols = {c: batch[c] for c in l_names}
-        cols["__key"] = pa.array(keys, pa.int64())
-        cols["__pkey"] = pa.array(bucket_of_ints(keys, num_buckets), pa.int64())
+        cols["__key"] = pc.cast(batch[left_on].combine_chunks(), key_typ)
+        cols["__pkey"] = pa.array(bucket_of_ints(kh, num_buckets), pa.int64())
         cols["__side"] = pa.array(["l"] * batch.num_rows, pa.string())
         return pa.table(cols)
 
     def tag_keep(batch: pa.Table) -> pa.Table:
-        keys = batch[keep_on].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(keys)
+        vals = pc.cast(batch[keep_on].combine_chunks(), key_typ)
+        kh = _key_hash(vals, key_typ)
+        n = len(vals)
         cols = {c: pa.nulls(n, l_types[c]) for c in l_names}
-        cols["__key"] = pa.array(keys, pa.int64())
-        cols["__pkey"] = pa.array(bucket_of_ints(keys, num_buckets), pa.int64())
+        cols["__key"] = vals
+        cols["__pkey"] = pa.array(bucket_of_ints(kh, num_buckets), pa.int64())
         cols["__side"] = pa.array(["k"] * n, pa.string())
         return pa.table(cols)
 

@@ -100,6 +100,35 @@ def q_length_outliers(sf_dir: str) -> "ray.data.Dataset":
         .filter(expr=f"n_chars > {p99}")
 
 
+def q_source_enrich(sf_dir: str) -> "ray.data.Dataset":
+    """STRING-keyed distributed join: every document enriched with its
+    source's total doc count (big side x derived aggregate side). The key
+    is hashed only for co-bucketing (vectorized siphash); the in-bucket
+    Acero join matches on the actual strings, so a hash collision can
+    never mis-pair rows."""
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..functions.joins import hash_join
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"],
+                      "n_docs": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by("source").aggregate([("n_docs", "sum")])
+        return pa.table({"source": g["source"],
+                         "n_docs": pc.cast(g["n_docs_sum"], pa.int64())})
+
+    counts = bucketed_group_sum_multi(
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n_docs"])
+    return hash_join(
+        _read(sf_dir, "documents", ["doc_id", "source"]), counts,
+        on="source",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("source", pa.string())]),
+        right_schema=pa.schema([("source", pa.string()),
+                                ("n_docs", pa.int64())]))
+
+
 def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
     """GPT-style sequence packing over the documents table: token streams
     concatenated in doc_id order and cut into fixed 512-token bins; one row
@@ -2075,6 +2104,11 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
+    "source_enrich": """
+        SELECT d.doc_id, d.source, s.n_docs
+        FROM documents d JOIN (
+          SELECT source, count(*)::BIGINT AS n_docs
+          FROM documents GROUP BY source) s ON d.source = s.source""",
     "pack_sequences": r"""
         WITH tok AS (
           SELECT doc_id,
@@ -2552,6 +2586,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bigram_rarity": q_bigram_rarity,
     "source_lang_mode": q_source_lang_mode,
     "pack_sequences": q_pack_sequences,
+    "source_enrich": q_source_enrich,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -138,3 +138,28 @@ class TestOuterJoin:
         left, right = sides
         with pytest.raises(ValueError, match="inner/left"):
             hash_join(_ds(left), _ds(right), on="k", how="full", salt=4)
+
+
+class TestStringKeyJoin:
+    def test_inner_on_string_key(self, ray_session):
+        left = pd.DataFrame({"s": ["a", "b", "c", "a", "z"],
+                             "lv": np.arange(5, dtype="int64")})
+        right = pd.DataFrame({"s": ["a", "b", "b", "q"],
+                              "rv": np.arange(10, 14, dtype="int64")})
+        got = hash_join(_ds(left), _ds(right), on="s").to_pandas()
+        exp = left.merge(right, on="s", how="inner")
+        key = ["s", "lv", "rv"]
+        a = got[key].sort_values(key).reset_index(drop=True)
+        b = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_semi_anti_on_string_key(self, ray_session):
+        left = pd.DataFrame({"s": ["a", "b", "c", "d"],
+                             "lv": np.arange(4, dtype="int64")})
+        keep = pd.DataFrame({"k": ["b", "d", "x"]})
+        semi = semi_join(_ds(left), _ds(keep), left_on="s",
+                         keep_on="k").to_pandas()
+        anti = semi_join(_ds(left), _ds(keep), left_on="s", keep_on="k",
+                         anti=True).to_pandas()
+        assert sorted(semi["s"]) == ["b", "d"]
+        assert sorted(anti["s"]) == ["a", "c"]
