@@ -561,28 +561,31 @@ def bigram_rarity(ds: "ray.data.Dataset", rare_max: int = 2,
     Token identity is the 64-bit rolling hash (collision odds ~2^-64/pair,
     same trade as the Jaccard family; the DuckDB string twin hash-matches).
     """
-    from .dedup import _SHINGLE_B, _re2_tokens, _tok_hash64
     from ..sharding import auto_buckets, bucket_of_ints
     from .agg import bucketed_group_sum
 
     nb = num_buckets or auto_buckets(None)  # driver-resolved once
 
     def emit(batch: pa.Table) -> pa.Table:
+        # fully vectorized: Arrow lower+split, matrix FNV token hashes,
+        # rolling 2-shingle over the batch-flat token stream with a doc
+        # boundary mask (a <2-token doc can never form an in-doc bigram)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ids_out, hs_out = [], []
-        for i, text in enumerate(batch["text"].to_pylist()):
-            toks = _re2_tokens(text)
-            if len(toks) < 2:
-                continue
-            th = np.fromiter((_tok_hash64(t) for t in toks),
-                             dtype=np.uint64, count=len(toks))
-            bh = th[:-1] * _SHINGLE_B + th[1:]  # occurrences, with repeats
-            hs_out.append(bh)
-            ids_out.append(np.full(len(bh), ids[i], dtype=np.int64))
-        hs = (np.concatenate(hs_out).view(np.int64) if hs_out
-              else np.empty(0, np.int64))
-        dids = (np.concatenate(ids_out) if ids_out
-                else np.empty(0, np.int64))
+        split, _ = _tokens_list(
+            pc.utf8_lower(batch["text"].combine_chunks()))
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        th = _token_hashes(np.asarray(flat, dtype=object))
+        if len(th) >= 2:
+            doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            bh = shingle_hashes(th, 2)
+            valid = doc_of[:-1] == doc_of[1:]
+            hs = bh[valid].view(np.int64)
+            dids = ids[doc_of[:-1][valid]]
+        else:
+            hs = np.empty(0, np.int64)
+            dids = np.empty(0, np.int64)
         t = pa.table({"doc_id": pa.array(dids, pa.int64()),
                       "h": pa.array(hs, pa.int64())}) \
             .group_by(["doc_id", "h"]).aggregate([([], "count_all")])
