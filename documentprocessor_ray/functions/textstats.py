@@ -631,3 +631,48 @@ def bigram_rarity(ds: "ray.data.Dataset", rare_max: int = 2,
         .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
     return bucketed_group_sum(partials, "doc_id",
                               ["n_bigrams", "sum_freq", "n_rare"])
+
+
+def chunk_text_batch(batch: pa.Table, chunk_tokens: int = 64,
+                     stride: int = 48) -> pa.Table:
+    """Sliding token-window chunking (the RAG / context-window prep step):
+    each doc's whitespace tokens are cut into windows of ``chunk_tokens``
+    starting every ``stride`` tokens (overlap = chunk_tokens - stride); a
+    window is emitted while its start lies inside the doc, so tails may be
+    short. Output one row per (doc, chunk): doc_id, chunk_id, chunk_text
+    (tokens re-joined with single spaces), n_tokens.
+
+    Stateless and embarrassingly parallel — no shuffle at any scale. The
+    kernel is vectorized over the CHUNK INDEX: ceil(max_tokens/stride)
+    iterations of whole-column Arrow list_slice + binary_join, never a
+    per-doc Python loop."""
+    ids = batch["doc_id"]
+    split, empty = _tokens_list(batch["text"].combine_chunks())
+    n = pc.list_value_length(split).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n = np.where(empty.to_numpy(zero_copy_only=False), 0, n)
+    parts = []
+    max_n = int(n.max()) if len(n) else 0
+    k = 0
+    while k * stride < max_n:
+        start = k * stride
+        mask = n > start
+        if mask.any():
+            sel = pa.array(mask)
+            txt = pc.binary_join(
+                pc.list_slice(split.filter(sel), start,
+                              start + chunk_tokens), " ")
+            nt = np.minimum(n[mask] - start, chunk_tokens)
+            parts.append(pa.table({
+                "doc_id": ids.filter(sel),
+                "chunk_id": pa.array(
+                    np.full(int(mask.sum()), k, np.int64), pa.int64()),
+                "chunk_text": txt,
+                "n_tokens": pa.array(nt, pa.int64())}))
+        k += 1
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "chunk_text": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)

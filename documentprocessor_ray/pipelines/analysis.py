@@ -100,6 +100,16 @@ def q_length_outliers(sf_dir: str) -> "ray.data.Dataset":
         .filter(expr=f"n_chars > {p99}")
 
 
+def q_chunk_text(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding token-window chunking (64-token windows, stride 48): the
+    RAG / context-prep step. Stateless map_batches — zero shuffle; the
+    kernel iterates over chunk INDEX with whole-column Arrow slice+join
+    ops (see textstats.chunk_text_batch)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: T.chunk_text_batch(b, chunk_tokens=64, stride=48),
+        batch_format="pyarrow")
+
+
 def q_source_enrich(sf_dir: str) -> "ray.data.Dataset":
     """STRING-keyed distributed join: every document enriched with its
     source's total doc count (big side x derived aggregate side). The key
@@ -2104,6 +2114,25 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
+    "chunk_text": r"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(
+            regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+          FROM documents
+          WHERE regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
+        ), c AS (
+          SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tok
+        ), k AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0, (n - 1) // 48)) AS chunk_id
+          FROM c
+        )
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               array_to_string(list_slice(toks, chunk_id * 48 + 1,
+                   least(n, chunk_id * 48 + 64)), ' ') AS chunk_text,
+               (least(n, chunk_id * 48 + 64) - chunk_id * 48)::BIGINT
+                 AS n_tokens
+        FROM k""",
     "source_enrich": """
         SELECT d.doc_id, d.source, s.n_docs
         FROM documents d JOIN (
@@ -2587,6 +2616,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "source_lang_mode": q_source_lang_mode,
     "pack_sequences": q_pack_sequences,
     "source_enrich": q_source_enrich,
+    "chunk_text": q_chunk_text,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -825,3 +825,20 @@ class TestPackSequences:
             lambda d: (d["tok_end"] - d["tok_start"]).sum(),
             include_groups=False)
         assert g.to_dict() == {1: 7, 2: 25, 50: 8}
+
+
+class TestChunkText:
+    def test_windows_and_overlap(self):
+        toks = [f"t{i}" for i in range(10)]
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array([" ".join(toks), "a b", "  "])})
+        out = T.chunk_text_batch(t, chunk_tokens=4, stride=3).to_pandas() \
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        # doc1: starts 0,3,6,9 -> windows [0:4),[3:7),[6:10),[9:10)
+        d1 = out[out.doc_id == 1]
+        assert list(d1["chunk_text"]) == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"]
+        assert list(d1["n_tokens"]) == [4, 4, 4, 1]
+        # doc2: one short window; doc3 blank: nothing
+        assert list(out[out.doc_id == 2]["chunk_text"]) == ["a b"]
+        assert (out.doc_id != 3).all()
