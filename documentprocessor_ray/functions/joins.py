@@ -223,3 +223,36 @@ def semi_join(
         return lhs.filter(hit).select(l_names)
 
     return tagged.groupby("__pkey").map_groups(filter_bucket, batch_format="pyarrow")
+
+
+def broadcast_join(
+    left: "ray.data.Dataset",
+    small: pa.Table,
+    on: str,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """ZERO-shuffle join against a SMALL side (dimension tables, lookup
+    maps, top-k results): the small table is ``ray.put`` into the object
+    store ONCE and every map task Acero-joins its batch against the shared
+    zero-copy plasma object — the classic broadcast-hash-join, the first
+    choice whenever one side fits a worker's memory (the co-bucketed
+    ``hash_join`` is for two BIG sides). Non-key columns must be disjoint;
+    the key column must carry the same name on both sides (rename before
+    calling). how: inner|left."""
+    if how not in ("inner", "left"):
+        raise ValueError("broadcast_join supports inner/left")
+    ref = ray.put(small)
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+    small_value_cols = [c for c in small.column_names if c != on]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bad = (set(small_value_cols) & set(batch.column_names))
+        if bad:
+            raise ValueError(
+                f"rename overlapping columns before joining: {sorted(bad)}")
+        sm = ray.get(ref)  # zero-copy shared read, once per task
+        out_cols = list(batch.column_names) + small_value_cols
+        return batch.join(sm, keys=[on], join_type=join_type) \
+            .select(out_cols)
+
+    return left.map_batches(fn, batch_format="pyarrow")

@@ -100,6 +100,24 @@ def q_length_outliers(sf_dir: str) -> "ray.data.Dataset":
         .filter(expr=f"n_chars > {p99}")
 
 
+def q_customer_nation(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast dimension join as a first-class operator: every customer
+    enriched with its nation name. The 25-row nation table is ray.put once
+    and Acero-joined against each batch — zero shuffle (vs. hash_join's
+    one exchange), the right plan whenever a side fits worker memory."""
+    import pyarrow.parquet as pq
+
+    from ..functions.joins import broadcast_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nation = pa.table({"c_nationkey": nation["n_nationkey"],
+                       "n_name": nation["n_name"]})
+    return broadcast_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        nation, on="c_nationkey")
+
+
 def q_chunk_text(sf_dir: str) -> "ray.data.Dataset":
     """Sliding token-window chunking (64-token windows, stride 48): the
     RAG / context-prep step. Stateless map_batches — zero shuffle; the
@@ -2114,6 +2132,9 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
+    "customer_nation": """
+        SELECT c_custkey, c_nationkey, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey""",
     "chunk_text": r"""
         WITH tok AS (
           SELECT doc_id, regexp_split_to_array(
@@ -2617,6 +2638,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pack_sequences": q_pack_sequences,
     "source_enrich": q_source_enrich,
     "chunk_text": q_chunk_text,
+    "customer_nation": q_customer_nation,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

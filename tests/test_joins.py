@@ -163,3 +163,26 @@ class TestStringKeyJoin:
                          anti=True).to_pandas()
         assert sorted(semi["s"]) == ["b", "d"]
         assert sorted(anti["s"]) == ["a", "c"]
+
+
+class TestBroadcastJoin:
+    def test_inner_and_left(self, ray_session):
+        from documentprocessor_ray.functions.joins import broadcast_join
+        left = pd.DataFrame({"k": np.array([1, 2, 3, 2], dtype="int64"),
+                             "lv": np.arange(4, dtype="int64")})
+        dim = pa.table({"k": pa.array([1, 2], pa.int64()),
+                        "name": pa.array(["one", "two"])})
+        inner = broadcast_join(_ds(left), dim, on="k").to_pandas()
+        assert sorted(zip(inner["k"], inner["name"])) == \
+            [(1, "one"), (2, "two"), (2, "two")]
+        lj = broadcast_join(_ds(left), dim, on="k", how="left").to_pandas()
+        assert len(lj) == 4 and int(lj["name"].isna().sum()) == 1
+
+    def test_overlap_rejected(self, ray_session):
+        from documentprocessor_ray.functions.joins import broadcast_join
+        left = pd.DataFrame({"k": np.array([1], dtype="int64"),
+                             "name": ["x"]})
+        dim = pa.table({"k": pa.array([1], pa.int64()),
+                        "name": pa.array(["one"])})
+        with pytest.raises(Exception, match="rename overlapping"):
+            broadcast_join(_ds(left), dim, on="k").to_pandas()
