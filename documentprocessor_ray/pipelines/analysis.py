@@ -1005,6 +1005,30 @@ def q_lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
         q_names=["q25", "q50", "q75"])
 
 
+def q_price_quantiles_approx(sf_dir: str) -> "ray.data.Dataset":
+    """Bounded-state approximate quantiles over NEAR-UNIQUE values
+    (extendedprice cents per returnflag) — the scale companion to the exact
+    histogram op: per-group state is O(64*2^s) log-bin cells no matter how
+    many distinct prices exist. Rows-only in the driver (estimates are
+    lower bounds within 2^-5 relative error by construction); the pytest
+    gate proves the bound and shuffle-width merge invariance."""
+    from ..functions.agg import grouped_quantile_approx
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "price_cents": pa.array(
+                _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    return grouped_quantile_approx(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        keys=["l_returnflag"], value="price_cents", qs=[0.5, 0.9, 0.99],
+        q_names=["q50", "q90", "q99"])
+
+
 def q_quantity_quantiles(sf_dir: str) -> "ray.data.Dataset":
     """Exact grouped quantile_disc of l_quantity per (returnflag,
     linestatus): holistic aggregate via the distributed value histogram —
@@ -2666,6 +2690,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "revenue_rollup": q_revenue_rollup,
     "quantity_quantiles": q_quantity_quantiles,
     "lang_length_quantiles": q_lang_length_quantiles,
+    "price_quantiles_approx": q_price_quantiles_approx,
     "customer_price_quantiles": q_customer_price_quantiles,
     "top_customers": q_top_customers,
     "order_revenue_join": q_order_revenue_join,

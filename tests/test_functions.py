@@ -842,3 +842,49 @@ class TestChunkText:
         # doc2: one short window; doc3 blank: nothing
         assert list(out[out.doc_id == 2]["chunk_text"]) == ["a b"]
         assert (out.doc_id != 3).all()
+
+
+class TestApproxQuantiles:
+    def test_bin_roundtrip_bounds(self):
+        """from_bin(to_bin(v)) is a lower bound within relative 2^-s."""
+        from documentprocessor_ray.functions.agg import grouped_quantile_approx  # noqa: F401
+        # exercise via the public op on singleton groups: est <= v < est*(1+2^-s)+1
+        import ray.data as rd
+        rng = np.random.default_rng(3)
+        v = np.unique(np.concatenate([
+            rng.integers(1, 10**9, 3000),
+            np.array([1, 2, 31, 32, 33, 2**40, 2**62])]))
+        t = pa.table({"k": pa.array(np.arange(len(v)), pa.int64()),
+                      "v": pa.array(v.astype("int64"), pa.int64())})
+        out = grouped_quantile_approx(rd.from_arrow(t), ["k"], "v", [0.5],
+                                      q_names=["est"], num_buckets=8) \
+            .to_pandas().set_index("k").sort_index()
+        est = out["est"].to_numpy()
+        vv = v[out.index.to_numpy()]
+        assert (est <= vv).all()
+        assert (vv.astype(float) < est.astype(float) * (1 + 2**-5) + 1).all()
+
+    def test_quantile_close_to_exact_and_merge_invariant(self, ray_session):
+        from documentprocessor_ray.functions.agg import grouped_quantile_approx
+        rng = np.random.default_rng(7)
+        # heavy-tailed near-unique values, 3 groups
+        k = rng.integers(0, 3, 20000)
+        v = (np.exp(rng.normal(8, 2, 20000))).astype("int64") + 1
+        t = pa.table({"k": pa.array(k, pa.int64()),
+                      "v": pa.array(v, pa.int64())})
+        ds = ray.data.from_arrow(t)
+        outs = []
+        for nb in (4, 16):  # merge invariance across shuffle widths
+            out = grouped_quantile_approx(ds, ["k"], "v", [0.5, 0.9],
+                                          q_names=["q50", "q90"],
+                                          num_buckets=nb).to_pandas() \
+                .set_index("k").sort_index()
+            outs.append(out)
+        assert (outs[0] == outs[1]).all().all()
+        for g in range(3):
+            vs = np.sort(v[k == g])
+            for q, col in [(0.5, "q50"), (0.9, "q90")]:
+                exact = vs[max(1, int(np.ceil(q * len(vs)))) - 1]
+                est = outs[0].loc[g, col]
+                assert est <= exact
+                assert exact < est * (1 + 2**-5) + 1
