@@ -100,6 +100,41 @@ def q_length_outliers(sf_dir: str) -> "ray.data.Dataset":
         .filter(expr=f"n_chars > {p99}")
 
 
+def q_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental-ingest dedup: the md5-split 'incoming' docs that do NOT
+    already exist (by exact content hash) in the 'existing' corpus
+    partition — the daily-crawl-vs-index shape. Both sides stream; the
+    membership test is the distributed string-keyed anti semi-join (one
+    co-bucketed exchange on hash(text_hash), real-string equality
+    in-bucket). Nothing — not even the existing index — is collected or
+    broadcast."""
+    import hashlib as _hl
+
+    from ..functions.joins import semi_join
+
+    def with_hash(which: str):
+        def fn(b: pa.Table) -> pa.Table:
+            hs = [_hl.md5((t or "").encode()).hexdigest()
+                  for t in b["text"].to_pylist()]
+            ids = b["doc_id"].to_pylist()
+            inc = [_hl.md5(str(i).encode()).hexdigest()[0] in "0123"
+                   for i in ids]
+            mask = pa.array(inc if which == "incoming"
+                            else [not x for x in inc])
+            return pa.table({"doc_id": b["doc_id"],
+                             "text_hash": pa.array(hs, pa.string())}) \
+                .filter(mask)
+        return fn
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    incoming = docs.map_batches(with_hash("incoming"), batch_format="pyarrow")
+    existing = docs.map_batches(with_hash("existing"), batch_format="pyarrow") \
+        .select_columns(["text_hash"])
+    sch = pa.schema([("doc_id", pa.int64()), ("text_hash", pa.string())])
+    return semi_join(incoming, existing, left_on="text_hash",
+                     keep_on="text_hash", left_schema=sch, anti=True)
+
+
 def q_customer_nation(sf_dir: str) -> "ray.data.Dataset":
     """Broadcast dimension join as a first-class operator: every customer
     enriched with its nation name. The 25-row nation table is ray.put once
@@ -2156,6 +2191,15 @@ ORACLE_SQL: Dict[str, str] = {
         FROM inter
         JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
         WHERE 2 * c >= 1 * (sa.n + sb.n - c)""",
+    "incremental_dedup": """
+        SELECT i.doc_id, md5(i.text) AS text_hash
+        FROM documents i
+        WHERE substr(md5(CAST(i.doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+          AND NOT EXISTS (
+            SELECT 1 FROM documents e
+            WHERE substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 1)
+                    NOT IN ('0','1','2','3')
+              AND md5(e.text) = md5(i.text))""",
     "customer_nation": """
         SELECT c_custkey, c_nationkey, n_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
@@ -2663,6 +2707,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "source_enrich": q_source_enrich,
     "chunk_text": q_chunk_text,
     "customer_nation": q_customer_nation,
+    "incremental_dedup": q_incremental_dedup,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
