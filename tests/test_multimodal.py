@@ -264,3 +264,44 @@ class TestPngCodec:
             small_src = RealCodec().decode_image(
                 encode_png(img, filter_type=2), {})
             assert np.array_equal(small_src, img)
+
+
+class TestImagePhashPairs:
+    def test_near_dup_images_pair(self, ray_session):
+        import pyarrow as pa
+        from documentprocessor_ray.stages.multimodal import (
+            MEDIA_SCHEMA, Codec, image_phash_pairs)
+
+        class ArrCodec(Codec):
+            def decode_image(self, payload, meta):
+                a = np.frombuffer(payload, np.uint8)
+                return a.reshape(int(meta["height"]), int(meta["width"]), 3)
+
+        h = w = 32
+        yy = np.arange(h)[:, None] * 8 % 256
+        base = np.broadcast_to(yy[..., None], (h, w, 3)).astype(np.uint8)
+        near = base.copy()
+        near[0, 0] = 255 - near[0, 0]          # one-pixel change
+        far = (255 - base).copy()               # inverted gradient
+
+        def row(i, img):
+            return {"asset_id": f"asset-{i:05d}", "kind": "image",
+                    "payload": img.tobytes(),
+                    "meta": {"format": "raw", "width": w, "height": h,
+                             "sample_rate": 0, "n_frames": 0}}
+
+        t = pa.Table.from_pylist(
+            [row(1, base), row(2, near), row(3, far)], schema=MEDIA_SCHEMA)
+        out = image_phash_pairs(ray.data.from_arrow(t), max_hamming=3,
+                                codec=ArrCodec()).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_query_plants_recoverable_dups(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import q_image_phash_pairs
+        out = q_image_phash_pairs("/root/testdata/sf0.001").to_pandas()
+        # every planted duplicate (same payload+meta under a 9xxxx id) must
+        # be recovered at Hamming 0 with its original
+        assert len(out) >= 1
+        assert (out["hamming"] == 0).any()
