@@ -46,14 +46,18 @@ def asof_join(
     right_cols: Dict[str, str],
     tiebreak: Optional[str] = None,
     num_buckets: Optional[int] = None,
+    direction: str = "backward",
 ) -> "ray.data.Dataset":
-    """Backward as-of LEFT join: for every left row, the right row with the
-    same ``key`` and the greatest ``ts`` <= left ``ts`` (exact matches
-    allowed), or nulls. ``right_cols`` maps output name -> right column.
-    ``tiebreak``: right column ordering ties at equal (key, ts) — the row
-    with the LARGEST tiebreak wins (deterministic where DuckDB ASOF would
-    be free to pick either; pre-dedupe the right side the same way in any
-    SQL twin).
+    """As-of LEFT join: for every left row, the right row with the same
+    ``key`` and — ``direction="backward"`` — the greatest ``ts`` <= left
+    ``ts``, or — ``direction="forward"`` — the smallest ``ts`` >= left
+    ``ts`` (exact matches allowed either way), or nulls. Forward is the
+    backward algorithm run on NEGATED sort timestamps (the symmetry is
+    exact; output columns keep original values). ``right_cols`` maps output
+    name -> right column. ``tiebreak``: right column ordering ties at equal
+    (key, ts) — the row with the LARGEST tiebreak wins in both directions
+    (deterministic where DuckDB ASOF would be free to pick either;
+    pre-dedupe the right side the same way in any SQL twin).
 
     In-bucket algorithm: concat both sides, lexsort by (key, ts, side,
     tiebreak) with right rows ordered before left at equal ts; each right
@@ -62,6 +66,9 @@ def asof_join(
     automatic reset at key boundaries (offsets make cross-segment values
     unrecoverable), so every left row reads its match in O(1).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    sign = np.int64(-1 if direction == "forward" else 1)
     if num_buckets is None:
         num_buckets = auto_buckets(None)
     rs = right.schema()          # ray.data.Schema: names + pyarrow types
@@ -81,7 +88,7 @@ def asof_join(
             "pkey": pa.array(bucket_of_ints(k, num_buckets), pa.int64()),
             "side": pa.array(np.ones(n, np.int8)),
             "k": pa.array(k, pa.int64()),
-            "t": pa.array(_ts_us(b[ts]), pa.int64()),
+            "t": pa.array(sign * _ts_us(b[ts]), pa.int64()),
             "tb": pa.array(np.zeros(n, np.int64)),
             "_ts": pc.cast(b[ts], ts_type),
         }
@@ -100,7 +107,7 @@ def asof_join(
             "pkey": pa.array(bucket_of_ints(k, num_buckets), pa.int64()),
             "side": pa.array(np.zeros(n, np.int8)),
             "k": pa.array(k, pa.int64()),
-            "t": pa.array(_ts_us(b[ts]), pa.int64()),
+            "t": pa.array(sign * _ts_us(b[ts]), pa.int64()),
             "tb": pa.array(tb, pa.int64()),
             "_ts": pa.nulls(n, ts_type),
         }

@@ -1447,6 +1447,41 @@ def q_events_hopping(sf_dir: str) -> "ray.data.Dataset":
         cols=["sum_value_cents", "n_events"], size_hint=n_rows // 8)
 
 
+def q_next_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """FORWARD as-of join: each click matched to the user's NEXT purchase
+    at-or-after it (time-to-conversion shape) — the backward asof machinery
+    run on negated sort timestamps, same single co-bucketed shuffle."""
+    from ..functions.temporal import asof_join
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    left = _read(sf_dir, "events", cols).filter(
+        expr="event_type == 'click'")
+    right = _read(sf_dir, "events", cols).filter(
+        expr="event_type == 'purchase'")
+    j = asof_join(left, right, key="user_id", ts="ts",
+                  left_cols=["event_id"],
+                  right_cols={"purchase_event_id": "event_id",
+                              "purchase_ts": "ts"},
+                  tiebreak="event_id", direction="forward")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        pe = pc.fill_null(pc.cast(b["purchase_event_id"], pa.int64()), -1)
+        has = pc.greater_equal(pe, 0)
+        lts = pc.cast(b["ts"], pa.int64())
+        pts = pc.cast(b["purchase_ts"], pa.int64())
+        wait = pc.if_else(has, pc.subtract(pts, lts),
+                          pa.scalar(-1, pa.int64()))
+        return pa.table({
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "ts": b["ts"],
+            "purchase_event_id": pe,
+            "wait_us": pc.cast(wait, pa.int64()),
+        })
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_click_attribution(sf_dir: str) -> "ray.data.Dataset":
     """Backward as-of join: each click attributed to the user's most recent
     purchase at-or-before it (DuckDB ASOF JOIN semantics, ties broken by
@@ -2406,6 +2441,20 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT o_orderkey::BIGINT AS o_orderkey, cents,
                band_id::BIGINT AS band_id
         FROM pts JOIN bands ON cents >= lo AND cents < hi"""),
+    "next_purchase": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        r0 AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+        r AS (SELECT * FROM (
+                SELECT r0.*, row_number() OVER (
+                  PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM r0) WHERE rn = 1)
+        SELECT l.event_id::BIGINT AS event_id, l.user_id::BIGINT AS user_id,
+          l.ts,
+          COALESCE(r.event_id, -1)::BIGINT AS purchase_event_id,
+          COALESCE(date_diff('microsecond', l.ts, r.ts), -1)::BIGINT AS wait_us
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts""",
     "click_attribution": """
         WITH l AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_type = 'click'),
@@ -2730,6 +2779,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "customer_nation": q_customer_nation,
     "incremental_dedup": q_incremental_dedup,
     "image_phash_pairs": q_image_phash_pairs,
+    "next_purchase": q_next_purchase,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -181,3 +181,38 @@ class TestGlobalRank:
             .sort_values("rnk")
         assert out["k"].tolist() == [3, 7]
         assert out["quartile"].tolist() == [1, 2]
+
+
+class TestAsofForward:
+    def test_forward_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(17)
+        n_l, n_r = 300, 200
+        lk = rng.integers(0, 20, n_l)
+        lt = rng.integers(0, 1000, n_l)
+        rk = rng.integers(0, 20, n_r)
+        rt = rng.integers(0, 1000, n_r)
+        rtb = np.arange(n_r, dtype=np.int64)
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array(lk, pa.int64()), "ts": pa.array(lt, pa.int64()),
+            "lid": pa.array(np.arange(n_l), pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "k": pa.array(rk, pa.int64()), "ts": pa.array(rt, pa.int64()),
+            "rid": pa.array(rtb, pa.int64())}))
+        out = asof_join(left, right, key="k", ts="ts", left_cols=["lid"],
+                        right_cols={"rid": "rid", "rts": "ts"},
+                        tiebreak="rid", direction="forward").to_pandas() \
+            .set_index("lid").sort_index()
+
+        for i in range(n_l):
+            best = None
+            for j in range(n_r):
+                if rk[j] == lk[i] and rt[j] >= lt[i]:
+                    cand = (rt[j], -rtb[j])
+                    # smallest ts wins; at equal ts the LARGEST rid wins
+                    if best is None or cand < (rt[best], -rtb[best]):
+                        best = j
+            got = out.loc[i, "rid"]
+            if best is None:
+                assert np.isnan(got)
+            else:
+                assert int(got) == best, (i, best, got)
