@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "pii_redact", "redact_numbers", "props_extract", "repetition_stats",
     "doc_length_rank", "revenue_rollup", "event_pivot", "length_outliers",
     "user_activity_full", "funnel", "source_cap", "source_lang_mode",
-    "pack_sequences", "source_enrich", "chunk_text", "customer_nation",
+    "pack_sequences", "pack_shuffled", "source_enrich", "chunk_text",
+    "customer_nation",
     "inverted_index", "top_terms", "doc_top_terms", "bigram_rarity",
     "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean",
     "corpus_train_ready", "decontaminate", "minhash_pairs",

@@ -178,6 +178,7 @@ def global_rank(
 
 def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",
                    order_col: str = "doc_id", bin_size: int = 512,
+                   carry_cols: Optional[List[str]] = None,
                    num_buckets: Optional[int] = None) -> "ray.data.Dataset":
     """GPT-style sequence packing: concatenate the corpus's token streams in
     ``order_col`` order, cut the concatenation into fixed ``bin_size``-token
@@ -194,8 +195,12 @@ def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",
     offset, closed over by the reducer. Each slice then computes its docs'
     global cumsum locally and expands bin overlaps with one repeat/arange —
     no per-doc loop, no second pass over the text. Partitioning assumption:
-    ``order_col`` is roughly uniform over its range (true for dense ids);
-    replace the linear split with a sampled CDF for skewed keys."""
+    ``order_col`` is roughly uniform over its range (true for dense ids and
+    for hash-valued shuffle keys); replace the linear split with a sampled
+    CDF for skewed keys. ``carry_cols``: per-doc columns copied through to
+    every overlap row (e.g. the real doc_id when order_col is a shuffle
+    hash). ``order_col`` must be total (unique) — ties make the global
+    concatenation order ambiguous."""
     from ray.data.aggregate import Max, Min, Sum
 
     agg = ds.aggregate(Min(order_col), Max(order_col))
@@ -205,10 +210,17 @@ def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",
     nb = min(nb, span)
     B = np.int64(bin_size)
 
+    carry = carry_cols or []
+
+    chunk = np.int64(-(-span // nb))  # ceil: monotone, overflow-free for
+    #                                    hash-valued 60+ bit order keys
+    #                                    ((oid-lo)*nb would overflow int64)
+
     def add_pkey(b: pa.Table) -> pa.Table:
         oid = b[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pk = (oid - np.int64(lo)) * np.int64(nb) // np.int64(span)
+        pk = (oid - np.int64(lo)) // chunk
         return pa.table({order_col: b[order_col], n_col: b[n_col],
+                         **{c: b[c] for c in carry},
                          "pkey": pa.array(pk, pa.int64())})
 
     tagged = ds.map_batches(add_pkey, batch_format="pyarrow").materialize()
@@ -223,6 +235,7 @@ def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",
     def pack_bucket(g: pa.Table) -> pa.Table:
         empty = pa.table({
             order_col: pa.array([], pa.int64()),
+            **{c: pa.array([], g.schema.field(c).type) for c in carry},
             "bin_id": pa.array([], pa.int64()),
             "tok_start": pa.array([], pa.int64()),
             "tok_end": pa.array([], pa.int64())})
@@ -236,6 +249,7 @@ def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",
         m = n > 0
         if not m.any():
             return empty
+        pos = np.flatnonzero(m)  # row index into the sorted table
         oid, n, before = oid[m], n[m], before[m]
         lo_b = before // B
         hi_b = (before + n - 1) // B
@@ -245,8 +259,10 @@ def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",
         bin_id = lo_b[rows] + k
         tok_start = np.maximum(0, bin_id * B - before[rows])
         tok_end = np.minimum(n[rows], (bin_id + 1) * B - before[rows])
+        take = pa.array(pos[rows], pa.int64())
         return pa.table({
             order_col: pa.array(oid[rows], pa.int64()),
+            **{c: t[c].take(take) for c in carry},
             "bin_id": pa.array(bin_id, pa.int64()),
             "tok_start": pa.array(tok_start, pa.int64()),
             "tok_end": pa.array(tok_end, pa.int64())})

@@ -205,6 +205,31 @@ def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
                           bin_size=512)
 
 
+def q_pack_shuffled(sf_dir: str) -> "ray.data.Dataset":
+    """Shuffle-then-pack (the actual LM training layout): docs ordered by a
+    deterministic md5 shuffle key, concatenated and cut into 512-token
+    bins. The shuffle key is hash-valued, so pack_sequences' linear range
+    partition is perfectly balanced by construction; the real doc_id rides
+    through as a carry column. (60-bit keys: a tie is ~2^-61 per pair —
+    ordering is total at any test scale.)"""
+    import hashlib as _hl
+
+    from ..functions.window import pack_sequences
+
+    counts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.token_count_batch, batch_format="pyarrow")
+
+    def add_key(b: pa.Table) -> pa.Table:
+        sk = [int(_hl.md5(str(i).encode()).hexdigest()[:15], 16)
+              for i in b["doc_id"].to_pylist()]
+        return b.append_column("shuffle_key", pa.array(sk, pa.int64()))
+
+    return pack_sequences(
+        counts.map_batches(add_key, batch_format="pyarrow"),
+        n_col="n_tokens", order_col="shuffle_key", bin_size=512,
+        carry_cols=["doc_id"]).drop_columns(["shuffle_key"])
+
+
 def q_source_lang_mode(sf_dir: str) -> "ray.data.Dataset":
     """Grouped mode / argmax-by-aggregate: the most frequent language per
     source (deterministic tie-break: smaller lang string). Stage 1 is the
@@ -2305,6 +2330,29 @@ ORACLE_SQL: Dict[str, str] = {
                greatest(0, bin_id * 512 - before)::BIGINT AS tok_start,
                least(n, (bin_id + 1) * 512 - before)::BIGINT AS tok_end
         FROM b""",
+    "pack_shuffled": r"""
+        WITH tok AS (
+          SELECT doc_id,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS sk,
+            CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                 ELSE len(regexp_split_to_array(
+                          regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+            END::BIGINT AS n
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n, (sum(n) OVER (ORDER BY sk) - n)::BIGINT AS before
+          FROM tok
+        ), b AS (
+          SELECT doc_id, n, before,
+                 unnest(generate_series(before // 512,
+                                        (before + n - 1) // 512)) AS bin_id
+          FROM c WHERE n > 0
+        )
+        SELECT doc_id, bin_id::BIGINT AS bin_id,
+               greatest(0, bin_id * 512 - before)::BIGINT AS tok_start,
+               least(n, (bin_id + 1) * 512 - before)::BIGINT AS tok_end
+        FROM b""",
     "source_lang_mode": """
         SELECT source, top_lang, n_docs FROM (
           SELECT source, lang AS top_lang, count(*)::BIGINT AS n_docs,
@@ -2780,6 +2828,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "incremental_dedup": q_incremental_dedup,
     "image_phash_pairs": q_image_phash_pairs,
     "next_purchase": q_next_purchase,
+    "pack_shuffled": q_pack_shuffled,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
