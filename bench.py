@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "pricing_summary", "top_customers", "order_revenue_join",
     "events_rollup", "event_users_hll", "event_heavy_hitters", "events_tumbling", "events_hopping",
     "top_orders_per_customer", "sessionize", "click_attribution",
-    "next_purchase",
+    "next_purchase", "retention",
     "quantity_quantiles", "customer_price_quantiles", "lang_length_quantiles",
     "price_quantiles_approx",
     "order_price_bands",

@@ -317,6 +317,71 @@ def q_event_pivot(sf_dir: str) -> "ray.data.Dataset":
                               "user_id", cols)
 
 
+def q_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Retention cohorts: users grouped by their FIRST active day; one row
+    per (cohort_day, day_offset) with the distinct-user count active that
+    many days after their cohort day. ONE bucketed shuffle on hash(user)
+    does all per-user work (first day, per-day dedup) vectorized in-bucket
+    — a user's whole history co-locates — then the tiny (cohort, offset)
+    partial counts merge in a second, cardinality-bounded shuffle."""
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    DAY = np.int64(86400) * 1000000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    num_buckets = auto_buckets(ds.count(), rows_per_bucket=65536)
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // DAY
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(uid, num_buckets), pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table({"cohort_us": pa.array([], pa.int64()),
+                             "day_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.empty(len(uid), dtype=bool)  # distinct (user, day)
+        keep[0] = True
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        new_u = np.empty(len(uid), dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        # first day per user = the segment-start value broadcast to rows
+        # (sorted by (user, day), so each segment's first row is its min)
+        first = day[np.flatnonzero(new_u)][np.cumsum(new_u) - 1]
+        t = pa.table({"cohort_us": pa.array(first * DAY, pa.int64()),
+                      "day_offset": pa.array(day - first, pa.int64()),
+                      "n_users": pa.array(np.ones(len(uid), np.int64))})
+        t = t.group_by(["cohort_us", "day_offset"]).aggregate(
+            [("n_users", "sum")])
+        return pa.table({"cohort_us": t["cohort_us"],
+                         "day_offset": t["day_offset"],
+                         "n_users": pc.cast(t["n_users_sum"], pa.int64())})
+
+    partials = ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
+    merged = bucketed_group_sum_multi(partials, ["cohort_us", "day_offset"],
+                                      ["n_users"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": pc.cast(b["cohort_us"], pa.timestamp("us")),
+            "day_offset": b["day_offset"],
+            "n_users": b["n_users"]})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_user_activity_full(sf_dir: str) -> "ray.data.Dataset":
     """FULL OUTER join of two independent per-user aggregates (click counts
     vs purchase counts): users appearing on either side survive, missing
@@ -2059,6 +2124,14 @@ ORACLE_SQL: Dict[str, str] = {
     "length_outliers": """
         SELECT doc_id, n_chars FROM documents
         WHERE n_chars > (SELECT quantile_disc(n_chars, 0.99) FROM documents)""",
+    "retention": """
+        WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                   FROM events),
+        f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+        SELECT f.cohort AS cohort_day,
+               date_diff('day', f.cohort, d.day)::BIGINT AS day_offset,
+               count(*)::BIGINT AS n_users
+        FROM d JOIN f USING (user_id) GROUP BY 1, 2""",
     "user_activity_full": """
         WITH c AS (SELECT user_id, count(*)::BIGINT AS n_click
                    FROM events WHERE event_type = 'click' GROUP BY user_id),
@@ -2829,6 +2902,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "image_phash_pairs": q_image_phash_pairs,
     "next_purchase": q_next_purchase,
     "pack_shuffled": q_pack_shuffled,
+    "retention": q_retention,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
