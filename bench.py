@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "pack_sequences", "pack_shuffled", "source_enrich", "chunk_text",
     "customer_nation",
     "inverted_index", "top_terms", "doc_top_terms", "bigram_rarity",
-    "ngram_jaccard_pairs", "dedup_clusters", "corpus_clean",
+    "ngram_jaccard_pairs", "dedup_clusters", "pagerank_dups", "corpus_clean",
     "corpus_train_ready", "decontaminate", "minhash_pairs",
     "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",
     "knn_bruteforce", "knn_ivf",

@@ -1,0 +1,206 @@
+"""Iterative graph analytics over edge tables — the second iterative
+algorithm family next to dup clustering (dedup.cluster_pairs_distributed),
+built on the same ship-and-resolve exchange shape.
+
+INTEGER-EXACT PageRank: scores are fixed-point int64 micro-units and every
+step (teleport, damping, per-degree split) is integer arithmetic, so
+distributed partial sums are associative and the result is BIT-IDENTICAL to
+a single-machine reference regardless of bucket count, worker count, or
+summation order — the same exactness discipline the SQL-gated operators use,
+applied to an algorithm SQL can't express.
+
+Scale shape per iteration: the edge table is bucketed by hash(src) ONCE and
+materialized; each iteration ships only the score table (nodes, not edges)
+through 2 bucketed exchanges — join scores to edges in bucket(src), emit
+per-edge contributions pre-summed per (bucket, dst), then merge into the
+next score table in bucket(dst). Pairs/edges never touch the driver."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..sharding import auto_buckets, bucket_of_ints
+
+SCALE = np.int64(1_000_000)  # fixed-point micro-units
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    damping_ppm: int = 850_000,
+    n_iters: int = 10,
+    num_buckets: Optional[int] = None,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    small_graph_rows: Optional[int] = 1_000_000,
+) -> "ray.data.Dataset":
+    """Damped PageRank over an UNDIRECTED edge table (each input row links
+    both ways). Output: (node:int64, score_micro:int64) — fixed-point
+    scores summing to ~n_nodes * SCALE. ``damping_ppm`` is the damping
+    factor in parts-per-million (850_000 = 0.85).
+
+    Integer recurrence (bit-stable under any distribution):
+      contrib(e) = score[src] // deg[src]
+      raw[dst]   = sum(contrib over in-edges)
+      score'     = (SCALE - d_ppm) + (d_ppm * raw) // SCALE
+    Dangling nodes (none in an undirected graph with self-loops removed)
+    would keep the teleport term only."""
+    nb = num_buckets or auto_buckets(None)
+    d_ppm = np.int64(damping_ppm)
+
+    if small_graph_rows and edges.count() <= small_graph_rows:
+        # tiny-graph short-circuit (the dedup-clustering lesson: per-round
+        # session overhead dwarfs the work below ~1e6 edges): the SAME
+        # integer recurrence in ONE worker task — still off the driver,
+        # still bit-identical to the iterative path by construction
+        def one_task(b: pa.Table) -> pa.Table:
+            e = np.stack([
+                b[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            ], axis=1)
+            ref = pagerank_reference(e, damping_ppm=int(d_ppm),
+                                     n_iters=n_iters)
+            return pa.table({
+                "node": pa.array(list(ref), pa.int64()),
+                "score_micro": pa.array(list(ref.values()), pa.int64())})
+
+        return edges.repartition(1).map_batches(
+            one_task, batch_format="pyarrow", batch_size=None)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, c])
+        dst = np.concatenate([c, a])
+        keep = src != dst  # drop self-loops
+        src, dst = src[keep], dst[keep]
+        n = len(src)
+        # padded to the SAME schema the score rows use, so the per-iteration
+        # union is schema-aligned (the hash_join tagging pattern)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "node": pa.nulls(n, pa.int64()),
+            "score": pa.nulls(n, pa.int64()),
+            "deg": pa.nulls(n, pa.int64()),
+            "c": pa.nulls(n, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(src, nb), pa.int64())})
+
+    # static: edges grouped by bucket(src), materialized once
+    E = edges.map_batches(both_dirs, batch_format="pyarrow") \
+        .repartition(nb).materialize()
+
+    def init_scores(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        nodes, deg = np.unique(src, return_counts=True)
+        n = len(nodes)
+        return pa.table({
+            "src": pa.nulls(n, pa.int64()),
+            "dst": pa.nulls(n, pa.int64()),
+            "node": pa.array(nodes, pa.int64()),
+            "score": pa.array(np.full(n, SCALE), pa.int64()),
+            "deg": pa.array(deg.astype(np.int64), pa.int64()),
+            "c": pa.nulls(n, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(nodes, nb), pa.int64())})
+
+    # per-bucket degree is GLOBAL degree: all of a node's out-edges live in
+    # its bucket (bucketed by src = node)
+    scores = E.groupby("pkey").map_groups(init_scores,
+                                          batch_format="pyarrow") \
+        .materialize()
+
+    def _padded(n: int, **filled) -> dict:
+        cols = {c: pa.nulls(n, pa.int64())
+                for c in ("src", "dst", "node", "score", "deg", "c")}
+        cols.update(filled)
+        return cols
+
+    def contribs(g: pa.Table) -> pa.Table:
+        # bucket holds BOTH the score rows and edge rows for its src nodes
+        is_edge = pc.is_valid(g["dst"])
+        em = g.filter(is_edge)
+        sm = g.filter(pc.invert(is_edge))
+        if em.num_rows == 0 or sm.num_rows == 0:
+            return pa.table({**_padded(0),
+                             "pkey": pa.array([], pa.int64())})
+        nodes = sm["node"].to_numpy(zero_copy_only=False)
+        per_edge = (sm["score"].to_numpy(zero_copy_only=False)
+                    // sm["deg"].to_numpy(zero_copy_only=False))
+        order = np.argsort(nodes, kind="stable")
+        nodes_s, pe_s = nodes[order], per_edge[order]
+        src = em["src"].to_numpy(zero_copy_only=False)
+        dst = em["dst"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(nodes_s, src), len(nodes_s) - 1)
+        c = np.where(nodes_s[pos] == src, pe_s[pos], 0)
+        t = pa.table({"dst": pa.array(dst, pa.int64()),
+                      "c": pa.array(c, pa.int64())}) \
+            .group_by("dst").aggregate([("c", "sum")])
+        dstu = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            **_padded(t.num_rows, dst=pa.array(dstu, pa.int64()),
+                      c=pc.cast(t["c_sum"], pa.int64())),
+            "pkey": pa.array(bucket_of_ints(dstu, nb), pa.int64())})
+
+    def merge_zip(g: pa.Table) -> pa.Table:
+        # contribution partials (c valid) + static degree rows (node valid)
+        cm = pc.is_valid(g["c"])
+        ct = g.filter(cm)
+        dt = g.filter(pc.invert(cm))
+        t = ct.select(["dst", "c"]).group_by("dst").aggregate([("c", "sum")])
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        raw = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = (SCALE - d_ppm) + (d_ppm * raw) // SCALE
+        dn = dt["node"].to_numpy(zero_copy_only=False)
+        dg = dt["deg"].to_numpy(zero_copy_only=False)
+        o = np.argsort(dn, kind="stable")
+        dn_s, dg_s = dn[o], dg[o]
+        if len(dn_s):
+            pos = np.minimum(np.searchsorted(dn_s, dst), len(dn_s) - 1)
+            deg = dg_s[pos]
+        else:
+            deg = np.ones(len(dst), np.int64)
+        return pa.table({
+            **_padded(len(dst), node=pa.array(dst, pa.int64()),
+                      score=pa.array(new, pa.int64()),
+                      deg=pa.array(deg, pa.int64())),
+            "pkey": pa.array(bucket_of_ints(dst, nb), pa.int64())})
+
+    for _ in range(n_iters):
+        # exchange 1: scores into edge buckets (same pkey space: bucket(src))
+        contrib = E.union(scores).groupby("pkey").map_groups(
+            contribs, batch_format="pyarrow")
+        # exchange 2: contributions + static degrees into bucket(dst=node)
+        scores = contrib.union(scores).groupby("pkey").map_groups(
+            merge_zip, batch_format="pyarrow") \
+            .repartition(nb).materialize()
+
+    return scores.map_batches(
+        lambda b: pa.table({"node": b["node"], "score_micro": b["score"]}),
+        batch_format="pyarrow")
+
+
+def pagerank_reference(edges, damping_ppm=850_000, n_iters=10):
+    """Single-machine integer-recurrence twin (the exactness oracle)."""
+    src = np.concatenate([edges[:, 0], edges[:, 1]])
+    dst = np.concatenate([edges[:, 1], edges[:, 0]])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    nodes = np.unique(src)
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    deg = np.zeros(len(nodes), np.int64)
+    for s in src:
+        deg[idx[int(s)]] += 1
+    score = np.full(len(nodes), SCALE, np.int64)
+    d = np.int64(damping_ppm)
+    for _ in range(n_iters):
+        contrib = np.zeros(len(nodes), np.int64)
+        per = score // deg
+        for s, t in zip(src, dst):
+            contrib[idx[int(t)]] += per[idx[int(s)]]
+        score = (SCALE - d) + (d * contrib) // SCALE
+    return {int(n): int(s) for n, s in zip(nodes, score)}

@@ -663,6 +663,19 @@ def q_dedup_clusters(sf_dir: str) -> "ray.data.Dataset":
     return D.cluster_pairs_distributed(pairs.select_columns(["doc_a", "doc_b"]))
 
 
+def q_pagerank_dups(sf_dir: str) -> "ray.data.Dataset":
+    """Integer-exact distributed PageRank over the 3-gram near-dup pair
+    graph (fixed-point arithmetic -> bit-identical to the single-machine
+    reference at any bucket/worker count; see functions/graph.py). Central
+    docs in a duplication cluster score high — a dedup-representative
+    selection signal. Rows-only in the driver (iterative, not
+    SQL-expressible); pytest gates exact reference equality."""
+    from ..functions.graph import pagerank
+
+    pairs = _ngram_pairs_cached(sf_dir)
+    return pagerank(pairs.select_columns(["doc_a", "doc_b"]), n_iters=8)
+
+
 def q_corpus_clean(sf_dir: str) -> "ray.data.Dataset":
     """The canonical training-data cleaning flow as ONE composed pipeline:
     quality gate (length / token / alpha-ratio thresholds) + exact-dedup
@@ -2903,6 +2916,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "next_purchase": q_next_purchase,
     "pack_shuffled": q_pack_shuffled,
     "retention": q_retention,
+    "pagerank_dups": q_pagerank_dups,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

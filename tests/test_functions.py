@@ -888,3 +888,35 @@ class TestApproxQuantiles:
                 est = outs[0].loc[g, col]
                 assert est <= exact
                 assert exact < est * (1 + 2**-5) + 1
+
+
+class TestPagerank:
+    def test_matches_integer_reference_exactly(self, ray_session):
+        from documentprocessor_ray.functions.graph import (
+            pagerank, pagerank_reference)
+        rng = np.random.default_rng(21)
+        edges = rng.integers(0, 80, size=(400, 2)).astype("int64")
+        ds = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array(edges[:, 0]), "doc_b": pa.array(edges[:, 1])}))
+        ref = pagerank_reference(edges, n_iters=5)
+        # iterative path (short-circuit disabled): bit-exact at two
+        # different shuffle widths (merge invariance)
+        for nb in (4, 16):
+            out = pagerank(ds, n_iters=5, num_buckets=nb,
+                           small_graph_rows=0).to_pandas() \
+                .set_index("node")["score_micro"].to_dict()
+            assert out == ref
+        # small-graph single-task short-circuit: identical result
+        sc = pagerank(ds, n_iters=5).to_pandas() \
+            .set_index("node")["score_micro"].to_dict()
+        assert sc == ref
+
+    def test_hub_scores_higher(self, ray_session):
+        from documentprocessor_ray.functions.graph import pagerank
+        # star graph: center 0 linked to 1..6 -> center must score highest
+        t = pa.table({"doc_a": pa.array([0] * 6, pa.int64()),
+                      "doc_b": pa.array(list(range(1, 7)), pa.int64())})
+        out = pagerank(ray.data.from_arrow(t), n_iters=10, num_buckets=4) \
+            .to_pandas().set_index("node")["score_micro"]
+        assert out.idxmax() == 0
+        assert out[0] > 2 * out[1]
