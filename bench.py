@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "order_price_bands",
     "customer_running_revenue",
     "normalize_boxes", "raw_text_join", "vendor_topk", "doc_sample",
-    "lang_stats", "lang_balanced_sample", "low_order_customers", "customers_no_big_orders",
+    "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",
 ]

@@ -469,6 +469,30 @@ def q_funnel(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def q_quality_weighted_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Probability-proportional-to-quality sampling (corpus mixing): each
+    doc survives with probability = its alpha-character ratio, decided by
+    the deterministic md5 membership hash compared as an EXACT RATIONAL
+    (h32 * n_chars < n_alpha * 2^32 — products bounded < 2^63, pure int64,
+    no float on either side). Zero shuffle; stateless map."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.quality_stats_batch, batch_format="pyarrow")
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        h32 = np.array([int(_hl.md5(str(i).encode()).hexdigest()[:8], 16)
+                        for i in ids], dtype=np.int64)
+        n_chars = b["n_chars"].to_numpy(zero_copy_only=False)
+        n_alpha = b["n_alpha"].to_numpy(zero_copy_only=False)
+        mask = h32 * n_chars < n_alpha * (np.int64(1) << 32)
+        return b.select(["doc_id", "n_chars", "n_alpha"]) \
+            .filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_source_cap(sf_dir: str) -> "ray.data.Dataset":
     """Per-source document cap (domain throttling, the RefinedWeb/C4 move
     against boilerplate-heavy hosts): keep at most K docs per source, chosen
@@ -2174,6 +2198,15 @@ ORACLE_SQL: Dict[str, str] = {
         LEFT JOIN v ON u.user_id = v.user_id
         LEFT JOIN c ON u.user_id = c.user_id
         LEFT JOIN p ON u.user_id = p.user_id""",
+    "quality_weighted_sample": r"""
+        SELECT doc_id, length(text)::BIGINT AS n_chars,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT
+                 AS n_alpha
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                * length(text)
+              < length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                * 4294967296""",
     "source_cap": """
         SELECT doc_id, source FROM (
           SELECT doc_id, source,
@@ -2917,6 +2950,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pack_shuffled": q_pack_shuffled,
     "retention": q_retention,
     "pagerank_dups": q_pagerank_dups,
+    "quality_weighted_sample": q_quality_weighted_sample,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
