@@ -25,8 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        assert len(sqls) >= 25
-        assert len(qs) >= 35
+        # (end of round 3: 88 queries, 70 SQL-gated)
+        assert len(sqls) >= 70
+        assert len(qs) >= 88
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""
