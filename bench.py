@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "events_rollup", "event_users_hll", "event_heavy_hitters", "events_tumbling", "events_hopping",
     "top_orders_per_customer", "sessionize", "click_attribution",
     "next_purchase", "retention",
-    "quantity_quantiles", "customer_price_quantiles", "lang_length_quantiles",
+    "quantity_quantiles", "customer_price_quantiles", "lang_length_quantiles", "length_mad",
     "price_quantiles_approx",
     "order_price_bands",
     "customer_running_revenue",

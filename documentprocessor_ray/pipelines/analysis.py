@@ -1188,6 +1188,31 @@ def q_lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
         q_names=["q25", "q50", "q75"])
 
 
+def q_length_mad(sf_dir: str) -> "ray.data.Dataset":
+    """Robust dispersion: per-language median absolute deviation of doc
+    length — TWO composed holistic aggregates (median, then median of
+    absolute deviations). The per-lang medians are a 5-row result broadcast
+    into the deviation map; both quantile passes are the value-histogram
+    merge, so the composition stays integer-exact end to end."""
+    from ..functions.agg import grouped_quantile_disc
+
+    med = {r["lang"]: int(r["q50"]) for r in grouped_quantile_disc(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        ["lang"], "n_chars", [0.5]).take_all()}
+
+    def absdev(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pylist()
+        m = np.array([med[lg] for lg in langs], dtype=np.int64)
+        n = b["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({"lang": b["lang"],
+                         "dev": pa.array(np.abs(n - m), pa.int64())})
+
+    return grouped_quantile_disc(
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(absdev, batch_format="pyarrow"),
+        ["lang"], "dev", [0.5], q_names=["mad"])
+
+
 def q_price_quantiles_approx(sf_dir: str) -> "ray.data.Dataset":
     """Bounded-state approximate quantiles over NEAR-UNIQUE values
     (extendedprice cents per returnflag) — the scale companion to the exact
@@ -2637,6 +2662,13 @@ ORACLE_SQL: Dict[str, str] = {
           COALESCE(CAST(round(r.value * 100) AS BIGINT), -1) AS purchase_cents,
           COALESCE(date_diff('microsecond', r.ts, l.ts), -1)::BIGINT AS gap_us
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""",
+    "length_mad": """
+        WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+                   FROM documents GROUP BY lang)
+        SELECT d.lang,
+               quantile_disc(abs(d.n_chars - m.med), 0.5)::BIGINT AS mad,
+               count(*)::BIGINT AS n_vals
+        FROM documents d JOIN m ON d.lang = m.lang GROUP BY d.lang""",
     "lang_length_quantiles": """
         SELECT lang,
                quantile_cont(n_chars, 0.25) AS q25,
@@ -2951,6 +2983,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "retention": q_retention,
     "pagerank_dups": q_pagerank_dups,
     "quality_weighted_sample": q_quality_weighted_sample,
+    "length_mad": q_length_mad,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
