@@ -190,3 +190,32 @@ class TestRawCodecProps:
         out = RawCodec().decode_audio(encode_wav_pcm16(sig), {})
         assert len(out) == n
         assert np.abs(out - sig).max() < 1e-3
+
+
+class TestChunkTextProps:
+    @given(st.lists(st.lists(st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1, max_size=6), max_size=40), min_size=1, max_size=8),
+        st.integers(2, 10), st.integers(1, 10))
+    @settings(max_examples=60, deadline=None)
+    def test_every_chunk_is_the_exact_token_slice(self, docs, chunk, stride):
+        import pyarrow as pa
+        from documentprocessor_ray.functions.textstats import chunk_text_batch
+
+        stride = min(stride, chunk)  # overlap never exceeds the window
+        t = pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs], pa.string())})
+        out = chunk_text_batch(t, chunk_tokens=chunk, stride=stride) \
+            .to_pydict()
+        rows = list(zip(out["doc_id"], out["chunk_id"],
+                        out["chunk_text"], out["n_tokens"]))
+        for i, toks in enumerate(docs):
+            expected_starts = [s for s in range(0, max(len(toks), 1), stride)
+                               if s < len(toks)]
+            got = sorted(r for r in rows if r[0] == i)
+            assert [r[1] for r in got] == list(range(len(expected_starts)))
+            for (_, k, text, n) in got:
+                s = k * stride
+                assert text == " ".join(toks[s:s + chunk])
+                assert n == min(chunk, len(toks) - s)
