@@ -676,3 +676,22 @@ def chunk_text_batch(batch: pa.Table, chunk_tokens: int = 64,
                          "chunk_text": pa.array([], pa.string()),
                          "n_tokens": pa.array([], pa.int64())})
     return pa.concat_tables(parts)
+
+
+def compression_ratio_batch(batch: pa.Table, level: int = 6) -> pa.Table:
+    """Deflate-compressibility quality signal (the cheap perplexity proxy
+    web pipelines use to flag template/boilerplate text — highly
+    compressible — and binary junk — incompressible): per doc the utf-8
+    byte length and the zlib(level) compressed length, as raw integers so
+    the consumer thresholds exactly (no float ratio). Deterministic for a
+    fixed zlib level; stateless, zero shuffle."""
+    import zlib
+
+    raw = [(t or "").encode("utf-8")
+           for t in batch["text"].to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "raw_len": pa.array([len(b) for b in raw], pa.int64()),
+        "comp_len": pa.array([len(zlib.compress(b, level)) for b in raw],
+                             pa.int64()),
+    })

@@ -1188,6 +1188,14 @@ def q_lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
         q_names=["q25", "q50", "q75"])
 
 
+def q_compression_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Deflate-compressibility quality signal (cheap perplexity proxy):
+    per-doc raw vs zlib byte lengths, raw integers. Rows-only in the
+    driver (SQL has no deflate); determinism + ordering pytest-gated."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.compression_ratio_batch, batch_format="pyarrow")
+
+
 def q_length_mad(sf_dir: str) -> "ray.data.Dataset":
     """Robust dispersion: per-language median absolute deviation of doc
     length — TWO composed holistic aggregates (median, then median of
@@ -2984,6 +2992,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pagerank_dups": q_pagerank_dups,
     "quality_weighted_sample": q_quality_weighted_sample,
     "length_mad": q_length_mad,
+    "compression_ratio": q_compression_ratio,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -920,3 +920,18 @@ class TestPagerank:
             .to_pandas().set_index("node")["score_micro"]
         assert out.idxmax() == 0
         assert out[0] > 2 * out[1]
+
+
+class TestCompressionRatio:
+    def test_repetitive_compresses_smaller(self):
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["spam ham" * 200,
+                              "9f8a7b6c5d4e3210" * 100, ""])})
+        out = T.compression_ratio_batch(t).to_pydict()
+        assert out["raw_len"][0] == out["raw_len"][1] == 1600
+        assert out["comp_len"][0] < out["comp_len"][1]  # repetition wins
+        assert out["raw_len"][2] == 0 and out["comp_len"][2] > 0
+        # determinism
+        again = T.compression_ratio_batch(t).to_pydict()
+        assert again == out
