@@ -24,7 +24,7 @@ skew-join trade. Output is identical to the unsalted join.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Union
 
 import numpy as np
 import pyarrow as pa
@@ -59,7 +59,7 @@ def _key_hash(arr, typ: pa.DataType) -> np.ndarray:
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
-    on: str,
+    on: Union[str, List[str]],
     num_buckets: Optional[int] = None,
     how: str = "inner",
     size_hint: Optional[int] = None,
@@ -67,8 +67,10 @@ def hash_join(
     right_schema=None,
     salt: int = 1,
 ) -> "ray.data.Dataset":
-    """Join two Datasets on an int64 or string key column
-    (how: inner|left|right|full).
+    """Join two Datasets on one or more int64/string key columns
+    (how: inner|left|right|full). A composite key buckets on the combined
+    tuple hash (strings crc-hashed per distinct value); the in-bucket Acero
+    join always matches on the REAL key values.
 
     Non-key columns must be disjoint (rename before joining) so the padded
     union schema is unambiguous. ``size_hint`` (approx rows of the larger
@@ -81,25 +83,32 @@ def hash_join(
     aggregation once for the schema and again for the join (a measured 2x on
     the join benchmarks). The pipeline author statically knows these schemas.
     """
+    key_list = [on] if isinstance(on, str) else list(on)
     if num_buckets is None:
         num_buckets = auto_buckets(size_hint, rows_per_bucket=JOIN_ROWS_PER_BUCKET)
     l_schema = left_schema if left_schema is not None else left.schema()
     r_schema = right_schema if right_schema is not None else right.schema()
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)
-    overlap = (set(l_cols) & set(r_cols)) - {on}
+    overlap = (set(l_cols) & set(r_cols)) - set(key_list)
     if overlap:
         raise ValueError(f"rename overlapping columns before joining: {sorted(overlap)}")
 
     l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
     all_fields = [(c, l_types[c]) for c in l_cols] + \
-        [(c, r_types[c]) for c in r_cols if c != on]
+        [(c, r_types[c]) for c in r_cols if c not in key_list]
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            keys = _key_hash(batch[on].combine_chunks(), l_types[on])
+            if len(key_list) == 1:
+                keys = _key_hash(batch[key_list[0]].combine_chunks(),
+                                 l_types[key_list[0]])
+            else:
+                from .agg import _composite_key_hash
+
+                keys = _composite_key_hash(batch, key_list)
             cols = {}
             for name, typ in all_fields:
                 if name in batch.column_names:
@@ -140,7 +149,7 @@ def hash_join(
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow"))
 
-    r_value_cols = [c for c in r_cols if c != on]
+    r_value_cols = [c for c in r_cols if c not in key_list]
     out_cols = l_cols + r_value_cols
     join_type = {"inner": "inner", "left": "left outer",
                  "right": "right outer", "full": "full outer"}[how]
@@ -149,7 +158,7 @@ def hash_join(
         # right row unmatched everywhere would surface `salt` times
         raise ValueError("salt-based skew handling supports inner/left only")
 
-    join_keys = [on] if salt <= 1 else [on, "__salt"]
+    join_keys = key_list if salt <= 1 else key_list + ["__salt"]
 
     def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g["__side"], "l")

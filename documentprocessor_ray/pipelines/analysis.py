@@ -135,6 +135,54 @@ def q_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
                      keep_on="text_hash", left_schema=sch, anti=True)
 
 
+def q_line_flag_share(sf_dir: str) -> "ray.data.Dataset":
+    """COMPOSITE-key distributed join: every lineitem row joined to its
+    (orderkey, returnflag) group total — big side x derived aggregate on a
+    two-column key. Bucketing hashes the key TUPLE; the in-bucket Acero
+    join matches both real columns."""
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..functions.joins import hash_join
+
+    def left_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_returnflag": b["l_returnflag"],
+            "l_linenumber": b["l_linenumber"],
+            "cents": pa.array(
+                _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_returnflag": b["l_returnflag"],
+            "flag_cents": pa.array(
+                _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+        g = t.group_by(["l_orderkey", "l_returnflag"]).aggregate(
+            [("flag_cents", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_returnflag": g["l_returnflag"],
+                         "flag_cents": pc.cast(g["flag_cents_sum"],
+                                               pa.int64())})
+
+    li = ["l_orderkey", "l_returnflag", "l_extendedprice"]
+    totals = bucketed_group_sum_multi(
+        _read(sf_dir, "lineitem", li).map_batches(
+            partial, batch_format="pyarrow"),
+        ["l_orderkey", "l_returnflag"], ["flag_cents"])
+    return hash_join(
+        _read(sf_dir, "lineitem", li + ["l_linenumber"]).map_batches(
+            left_prep, batch_format="pyarrow"),
+        totals, on=["l_orderkey", "l_returnflag"],
+        left_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("l_returnflag", pa.string()),
+            ("l_linenumber", pa.int64()), ("cents", pa.int64())]),
+        right_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("l_returnflag", pa.string()),
+            ("flag_cents", pa.int64())]))
+
+
 def q_customer_nation(sf_dir: str) -> "ray.data.Dataset":
     """Broadcast dimension join as a first-class operator: every customer
     enriched with its nation name. The 25-row nation table is ray.put once
@@ -2433,6 +2481,17 @@ ORACLE_SQL: Dict[str, str] = {
             WHERE substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 1)
                     NOT IN ('0','1','2','3')
               AND md5(e.text) = md5(i.text))""",
+    "line_flag_share": """
+        WITH f AS (SELECT l_orderkey, l_returnflag,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                       AS flag_cents
+                   FROM lineitem GROUP BY 1, 2)
+        SELECT l.l_orderkey, l.l_returnflag, l.l_linenumber,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+               f.flag_cents
+        FROM lineitem l
+        JOIN f ON l.l_orderkey = f.l_orderkey
+              AND l.l_returnflag = f.l_returnflag""",
     "customer_nation": """
         SELECT c_custkey, c_nationkey, n_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey""",
@@ -2993,6 +3052,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "quality_weighted_sample": q_quality_weighted_sample,
     "length_mad": q_length_mad,
     "compression_ratio": q_compression_ratio,
+    "line_flag_share": q_line_flag_share,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

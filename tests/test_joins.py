@@ -186,3 +186,32 @@ class TestBroadcastJoin:
                         "name": pa.array(["one"])})
         with pytest.raises(Exception, match="rename overlapping"):
             broadcast_join(_ds(left), dim, on="k").to_pandas()
+
+
+class TestCompositeKeyJoin:
+    def test_two_key_inner_matches_pandas(self, ray_session):
+        rng = np.random.default_rng(31)
+        left = pd.DataFrame({
+            "k1": rng.integers(0, 8, 150).astype("int64"),
+            "k2": rng.choice(["x", "y", "z"], 150),
+            "lv": np.arange(150, dtype="int64")})
+        right = pd.DataFrame({
+            "k1": rng.integers(0, 8, 60).astype("int64"),
+            "k2": rng.choice(["x", "y", "z"], 60),
+            "rv": np.arange(500, 560, dtype="int64")})
+        got = hash_join(_ds(left), _ds(right), on=["k1", "k2"]).to_pandas()
+        exp = left.merge(right, on=["k1", "k2"], how="inner")
+        key = ["k1", "k2", "lv", "rv"]
+        a = got[key].sort_values(key).reset_index(drop=True)
+        b = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_two_key_left_nulls(self, ray_session):
+        left = pd.DataFrame({"k1": np.array([1, 1, 2], dtype="int64"),
+                             "k2": ["a", "b", "a"],
+                             "lv": np.arange(3, dtype="int64")})
+        right = pd.DataFrame({"k1": np.array([1], dtype="int64"),
+                              "k2": ["a"], "rv": np.array([9], dtype="int64")})
+        got = hash_join(_ds(left), _ds(right), on=["k1", "k2"],
+                        how="left").to_pandas()
+        assert len(got) == 3 and int(got["rv"].isna().sum()) == 2
