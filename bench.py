@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "quantity_quantiles", "customer_price_quantiles", "lang_length_quantiles", "length_mad",
     "price_quantiles_approx",
     "order_price_bands",
-    "customer_running_revenue",
+    "customer_running_revenue", "user_rolling_value",
     "normalize_boxes", "raw_text_join", "vendor_topk", "doc_sample",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",

@@ -269,3 +269,58 @@ def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",
 
     return tagged.groupby("pkey").map_groups(pack_bucket,
                                              batch_format="pyarrow")
+
+
+def rolling_sum(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: List[str],
+    sum_col: str,
+    window_rows: int = 3,
+    num_buckets: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Per distinct ``key``, ordered by ``order_cols`` (int64, unique per
+    partition): append ``rolling_<sum_col>`` — the inclusive sum of the
+    last ``window_rows`` rows (SQL ``ROWS BETWEEN window_rows-1 PRECEDING
+    AND CURRENT ROW``). Same one-shuffle plan as running_sum_lag; the
+    window is a cumsum difference with the lag index clamped at each
+    partition's start, so short heads sum what exists."""
+    if num_buckets is None:
+        num_buckets = auto_buckets(None)
+    w = int(window_rows)
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        k = b[key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return b.append_column(
+            "pkey", pa.array(bucket_of_ints(k, num_buckets), pa.int64()))
+
+    def local(g: pa.Table) -> pa.Table:
+        k = g[key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        okeys = [g[c].combine_chunks().to_numpy(zero_copy_only=False)
+                 .astype(np.int64) for c in order_cols]
+        order = np.lexsort(tuple(reversed(okeys)) + (k,))
+        g = g.take(pa.array(order))
+        sk = k[order]
+        n = len(sk)
+        if n == 0:
+            return g.drop_columns(["pkey"]).append_column(
+                f"rolling_{sum_col}", pa.array([], pa.int64()))
+        first = np.r_[True, sk[1:] != sk[:-1]]
+        s = g[sum_col].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        csum = np.cumsum(s)
+        starts = np.flatnonzero(first)
+        seg_id = np.cumsum(first) - 1
+        seg_start = starts[seg_id]
+        idx = np.arange(n, dtype=np.int64)
+        # exclusive lower bound: max(row - w, segment start - 1)
+        lo = np.maximum(idx - w, seg_start - 1)
+        rolling = csum - np.where(lo >= 0, csum[np.maximum(lo, 0)], 0)
+        cols = {c: g[c] for c in g.column_names if c != "pkey"}
+        cols[f"rolling_{sum_col}"] = pa.array(rolling, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(local, batch_format="pyarrow")

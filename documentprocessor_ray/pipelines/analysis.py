@@ -1690,6 +1690,27 @@ def q_next_purchase(sf_dir: str) -> "ray.data.Dataset":
     return j.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_user_rolling_value(sf_dir: str) -> "ray.data.Dataset":
+    """Moving-window aggregate: per user, the 3-row rolling sum of event
+    value cents ordered by (ts, event_id) — SQL ROWS BETWEEN 2 PRECEDING.
+    One shuffle on hash(user); the window is a cumsum difference with the
+    lag index clamped at each partition head (functions/window.py)."""
+    from ..functions.window import rolling_sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts": b["ts"],
+            "cents": pa.array(
+                _cents(b["value"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    return rolling_sum(ds, key="user_id", order_cols=["ts", "event_id"],
+                       sum_col="cents", window_rows=3)
+
+
 def q_click_attribution(sf_dir: str) -> "ray.data.Dataset":
     """Backward as-of join: each click attributed to the user's most recent
     purchase at-or-before it (DuckDB ASOF JOIN semantics, ties broken by
@@ -2700,6 +2721,14 @@ ORACLE_SQL: Dict[str, str] = {
         SELECT o_orderkey::BIGINT AS o_orderkey, cents,
                band_id::BIGINT AS band_id
         FROM pts JOIN bands ON cents >= lo AND cents < hi"""),
+    "user_rolling_value": """
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+                 AS rolling_cents
+        FROM events""",
     "next_purchase": """
         WITH l AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_type = 'click'),
@@ -3053,6 +3082,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "length_mad": q_length_mad,
     "compression_ratio": q_compression_ratio,
     "line_flag_share": q_line_flag_share,
+    "user_rolling_value": q_user_rolling_value,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -216,3 +216,23 @@ class TestAsofForward:
                 assert np.isnan(got)
             else:
                 assert int(got) == best, (i, best, got)
+
+
+class TestRollingSum:
+    def test_matches_pandas_rolling(self, ray_session):
+        from documentprocessor_ray.functions.window import rolling_sum
+        import pandas as pd
+        rng = np.random.default_rng(23)
+        n = 400
+        df = pd.DataFrame({
+            "k": rng.integers(0, 15, n).astype("int64"),
+            "o": rng.permutation(n).astype("int64"),
+            "v": rng.integers(-50, 50, n).astype("int64")})
+        out = rolling_sum(ray.data.from_arrow(pa.Table.from_pandas(
+            df, preserve_index=False)), key="k", order_cols=["o"],
+            sum_col="v", window_rows=4, num_buckets=8).to_pandas()
+        exp = df.sort_values(["k", "o"]).groupby("k")["v"] \
+            .rolling(4, min_periods=1).sum().astype("int64") \
+            .reset_index(drop=True)
+        got = out.sort_values(["k", "o"]).reset_index(drop=True)["rolling_v"]
+        assert (got.to_numpy() == exp.to_numpy()).all()
