@@ -695,3 +695,20 @@ def compression_ratio_batch(batch: pa.Table, level: int = 6) -> pa.Table:
         "comp_len": pa.array([len(zlib.compress(b, level)) for b in raw],
                              pa.int64()),
     })
+
+
+def nfc_normalize_batch(batch: pa.Table) -> pa.Table:
+    """Unicode NFC normalization (canonical composition — the standard
+    pre-tokenization step so 'e'+combining-acute and precomposed 'é' hash
+    identically downstream). Matches DuckDB ``nfc_normalize`` (probed on
+    composed/decomposed/ligature cases). Stateless, zero shuffle; already-
+    normalized text short-circuits via unicodedata.is_normalized."""
+    import unicodedata
+
+    out = []
+    for t in batch["text"].to_pylist():
+        t = t or ""
+        out.append(t if unicodedata.is_normalized("NFC", t)
+                   else unicodedata.normalize("NFC", t))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "nfc_text": pa.array(out, pa.string())})

@@ -1236,6 +1236,14 @@ def q_lang_length_quantiles(sf_dir: str) -> "ray.data.Dataset":
         q_names=["q25", "q50", "q75"])
 
 
+def q_nfc_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Unicode NFC canonical composition (pre-tokenization normalization);
+    DuckDB nfc_normalize twin probed byte-equal on composed/decomposed/
+    ligature inputs."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.nfc_normalize_batch, batch_format="pyarrow")
+
+
 def q_compression_ratio(sf_dir: str) -> "ray.data.Dataset":
     """Deflate-compressibility quality signal (cheap perplexity proxy):
     per-doc raw vs zlib byte lengths, raw integers. Rows-only in the
@@ -2758,6 +2766,8 @@ ORACLE_SQL: Dict[str, str] = {
           COALESCE(CAST(round(r.value * 100) AS BIGINT), -1) AS purchase_cents,
           COALESCE(date_diff('microsecond', r.ts, l.ts), -1)::BIGINT AS gap_us
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""",
+    "nfc_normalize": """
+        SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents""",
     "length_mad": """
         WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
                    FROM documents GROUP BY lang)
@@ -3083,6 +3093,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "compression_ratio": q_compression_ratio,
     "line_flag_share": q_line_flag_share,
     "user_rolling_value": q_user_rolling_value,
+    "nfc_normalize": q_nfc_normalize,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -935,3 +935,12 @@ class TestCompressionRatio:
         # determinism
         again = T.compression_ratio_batch(t).to_pydict()
         assert again == out
+
+
+class TestNfcNormalize:
+    def test_composes_and_preserves(self):
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["éclair", "éclair", "plain"])})
+        out = T.nfc_normalize_batch(t)["nfc_text"].to_pylist()
+        assert out[0] == out[1] == "éclair"
+        assert out[2] == "plain"
