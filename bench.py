@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "knn_bruteforce", "knn_ivf",
     "image_features", "audio_features", "video_framesample",
     "image_phash_pairs",
-    "pricing_summary", "top_customers", "order_revenue_join", "line_flag_share",
+    "pricing_summary", "top_customers", "order_revenue_join", "line_flag_share", "bloom_prefilter",
     "events_rollup", "event_users_hll", "event_heavy_hitters", "events_tumbling", "events_hopping",
     "top_orders_per_customer", "sessionize", "click_attribution",
     "next_purchase", "retention",

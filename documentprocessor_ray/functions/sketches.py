@@ -227,3 +227,65 @@ def cms_heavy_hitters(
                     "est_count": pa.array(est[order], pa.int64())})
     import ray.data as rd
     return rd.from_arrow(out)
+
+
+# ----------------------------------------------------------------- Bloom
+
+_BLOOM_SEED1 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_hashes(keys: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing h1 + i*h2 (Kirsch-
+    Mitzenmacher); pure integer splitmix-style mixes, deterministic
+    everywhere."""
+    x = keys.astype(np.uint64)
+    h1 = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h1 = (h1 ^ (h1 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h1 = h1 ^ (h1 >> np.uint64(31))
+    y = x + _BLOOM_SEED1
+    h2 = (y ^ (y >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h2 = (h2 ^ (h2 >> np.uint64(33))) | np.uint64(1)  # odd -> full cycle
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits))
+
+
+def bloom_build(ds: "ray.data.Dataset", key: str, m_bits: int = 1 << 20,
+                k: int = 5) -> np.ndarray:
+    """Build a Bloom filter over ``ds[key]`` (int64). Per-batch partials
+    emit only the NONZERO words of their local bit array; the driver ORs
+    them (the whole filter is m_bits/8 bytes — small BY DESIGN; that is
+    the point of the sketch) and the caller broadcasts it with ray.put.
+    Deterministic: same keys -> same bits, any batch order."""
+    n_words = m_bits // 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[key].combine_chunks().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        arr = np.zeros(n_words, dtype=np.uint64)
+        pos = _bloom_hashes(v, k, m_bits).ravel()
+        np.bitwise_or.at(arr, (pos // np.uint64(64)).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
+        nz = np.flatnonzero(arr)
+        return pa.table({
+            "w": pa.array(nz, pa.int64()),
+            "bits": pa.array(arr[nz].view(np.int64), pa.int64())})
+
+    out = np.zeros(n_words, dtype=np.uint64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        w = b["w"].to_numpy(zero_copy_only=False)
+        bits = b["bits"].to_numpy(zero_copy_only=False).view(np.uint64)
+        np.bitwise_or.at(out, w, bits)
+    return out
+
+
+def bloom_probe_mask(filter_bits: np.ndarray, keys: np.ndarray,
+                     k: int = 5) -> np.ndarray:
+    """Membership mask: True -> possibly present (false positives at the
+    configured rate), False -> DEFINITELY absent (no false negatives)."""
+    m_bits = len(filter_bits) * 64
+    pos = _bloom_hashes(keys.astype(np.int64), k, m_bits)
+    word = (pos // np.uint64(64)).astype(np.int64)
+    bit = np.uint64(1) << (pos % np.uint64(64))
+    hits = (filter_bits[word] & bit) != 0
+    return hits.all(axis=0)

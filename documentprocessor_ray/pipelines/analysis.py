@@ -135,6 +135,43 @@ def q_incremental_dedup(sf_dir: str) -> "ray.data.Dataset":
                      keep_on="text_hash", left_schema=sch, anti=True)
 
 
+def q_bloom_prefilter(sf_dir: str) -> "ray.data.Dataset":
+    """Bloom-prefiltered semi-join: orders whose customer is 'rich'
+    (acctbal cents > 500000). The rich-key Bloom filter (128 KiB, small BY
+    DESIGN) broadcasts once and drops definitely-absent orders inside the
+    map — at crawl scale this cuts the semi-join exchange to ~the match
+    rate — and the surviving candidates then pass the EXACT co-bucketed
+    membership test, so false positives are removed and the result equals
+    the plain semi-join (SQL-gated)."""
+    from ..functions.joins import semi_join
+    from ..functions.sketches import bloom_build, bloom_probe_mask
+
+    def rich_keys(b: pa.Table) -> pa.Table:
+        cents = _cents(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        return pa.table({"c_custkey": b["c_custkey"]}).filter(
+            pa.array(cents > 500000))
+
+    def rich_ds():
+        return _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]) \
+            .map_batches(rich_keys, batch_format="pyarrow")
+
+    filt = bloom_build(rich_ds(), "c_custkey", m_bits=1 << 20, k=5)
+    ref = ray.put(filt)
+
+    def probe(b: pa.Table) -> pa.Table:
+        f = ray.get(ref)  # zero-copy shared read
+        keys = b["o_custkey"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(bloom_probe_mask(f, keys)))
+
+    candidates = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(probe, batch_format="pyarrow")
+    return semi_join(
+        candidates, rich_ds(), left_on="o_custkey", keep_on="c_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64())]))
+
+
 def q_line_flag_share(sf_dir: str) -> "ray.data.Dataset":
     """COMPOSITE-key distributed join: every lineitem row joined to its
     (orderkey, returnflag) group total — big side x derived aggregate on a
@@ -2510,6 +2547,11 @@ ORACLE_SQL: Dict[str, str] = {
             WHERE substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 1)
                     NOT IN ('0','1','2','3')
               AND md5(e.text) = md5(i.text))""",
+    "bloom_prefilter": """
+        SELECT o.o_orderkey, o.o_custkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND round(c.c_acctbal * 100) > 500000)""",
     "line_flag_share": """
         WITH f AS (SELECT l_orderkey, l_returnflag,
                      sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
@@ -3094,6 +3136,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "line_flag_share": q_line_flag_share,
     "user_rolling_value": q_user_rolling_value,
     "nfc_normalize": q_nfc_normalize,
+    "bloom_prefilter": q_bloom_prefilter,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,

@@ -944,3 +944,23 @@ class TestNfcNormalize:
         out = T.nfc_normalize_batch(t)["nfc_text"].to_pylist()
         assert out[0] == out[1] == "éclair"
         assert out[2] == "plain"
+
+
+class TestBloom:
+    def test_no_false_negatives_and_bounded_fpr(self, ray_session):
+        from documentprocessor_ray.functions.sketches import (
+            bloom_build, bloom_probe_mask)
+        rng = np.random.default_rng(41)
+        members = np.unique(rng.integers(0, 10**12, 5000)).astype("int64")
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(members)}))
+        f = bloom_build(ds, "k", m_bits=1 << 17, k=5)
+        # every inserted key passes
+        assert bloom_probe_mask(f, members).all()
+        # false-positive rate near theory: (1-e^{-kn/m})^k ~ 0.6% here
+        probe = np.setdiff1d(
+            rng.integers(0, 10**12, 20000).astype("int64"), members)
+        fpr = bloom_probe_mask(f, probe).mean()
+        assert fpr < 0.05
+        # deterministic across rebuilds (different batch order irrelevant)
+        f2 = bloom_build(ds.random_shuffle(seed=1), "k", m_bits=1 << 17, k=5)
+        assert (f == f2).all()
