@@ -554,6 +554,67 @@ def q_funnel(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
+    smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
+    LOCAL top-100 (partial top-k, no global sort shuffle — candidate
+    volume is 100 x #batches, not corpus size), then one single-block
+    final top-100."""
+    import hashlib as _hl
+
+    n = 100
+
+    def local_topn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        h = [_hl.md5(str(i).encode()).hexdigest() for i in ids]
+        t = pa.table({"doc_id": b["doc_id"],
+                      "h": pa.array(h, pa.string())}) \
+            .sort_by([("h", "ascending"), ("doc_id", "ascending")])
+        return t.slice(0, n)
+
+    def final_topn(b: pa.Table) -> pa.Table:
+        return b.sort_by([("h", "ascending"),
+                          ("doc_id", "ascending")]).slice(0, n)
+
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(local_topn, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final_topn, batch_format="pyarrow", batch_size=None)
+
+
+def q_length_variance(sf_dir: str) -> "ray.data.Dataset":
+    """Integer-exact dispersion moments per language: n, sum, sum-of-
+    squares, and the variance NUMERATOR n*sumsq - sum^2 (population
+    variance = num / n^2) — all int64, so the combiner-first distributed
+    sum is associative and hash-exact; no float division on either side."""
+    from ..functions.agg import bucketed_group_sum_multi
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"lang": b["lang"],
+                      "n_docs": pa.array(np.ones(len(v), np.int64)),
+                      "sum_len": pa.array(v, pa.int64()),
+                      "sumsq_len": pa.array(v * v, pa.int64())})
+        g = t.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_len", "sum"), ("sumsq_len", "sum")])
+        return pa.table({"lang": g["lang"],
+                         **{c: pc.cast(g[f"{c}_sum"], pa.int64())
+                            for c in ("n_docs", "sum_len", "sumsq_len")}})
+
+    agg = bucketed_group_sum_multi(
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["lang"], ["n_docs", "sum_len", "sumsq_len"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_docs"].to_numpy(zero_copy_only=False)
+        s = b["sum_len"].to_numpy(zero_copy_only=False)
+        ss = b["sumsq_len"].to_numpy(zero_copy_only=False)
+        return b.append_column("var_num", pa.array(n * ss - s * s, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_quality_weighted_sample(sf_dir: str) -> "ray.data.Dataset":
     """Probability-proportional-to-quality sampling (corpus mixing): each
     doc survives with probability = its alpha-character ratio, decided by
@@ -2345,6 +2406,16 @@ ORACLE_SQL: Dict[str, str] = {
         LEFT JOIN v ON u.user_id = v.user_id
         LEFT JOIN c ON u.user_id = c.user_id
         LEFT JOIN p ON u.user_id = p.user_id""",
+    "doc_sample_n": """
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        ORDER BY h, doc_id LIMIT 100""",
+    "length_variance": """
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_len,
+               sum(n_chars * n_chars)::BIGINT AS sumsq_len,
+               (count(*) * sum(n_chars * n_chars)
+                - sum(n_chars) * sum(n_chars))::BIGINT AS var_num
+        FROM documents GROUP BY lang""",
     "quality_weighted_sample": r"""
         SELECT doc_id, length(text)::BIGINT AS n_chars,
                length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT
@@ -3137,6 +3208,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "user_rolling_value": q_user_rolling_value,
     "nfc_normalize": q_nfc_normalize,
     "bloom_prefilter": q_bloom_prefilter,
+    "doc_sample_n": q_doc_sample_n,
+    "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
     "winnow_fingerprint": q_winnow_fingerprint,
