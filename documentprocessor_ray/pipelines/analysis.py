@@ -554,6 +554,44 @@ def q_funnel(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def q_label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """Per-label embedding centroid SUMS (class prototypes / IVF centroid
+    recompute): each vector element quantized to integer micro-units with
+    DuckDB's exact half-away rounding (sign*floor(abs(x*1e6)+0.5) — NOT
+    np.rint, which is half-even), then combiner-first integer sums per
+    (label, dim) — associative, so the distributed result hash-matches.
+    The mean is left to the consumer (sum_q / n_vecs) to keep division
+    off the gate."""
+    from ..functions.agg import bucketed_group_sum_multi
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = flat * 1e6
+        q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        dim = np.concatenate([np.arange(1, n + 1) for n in lens]) \
+            if len(lens) else np.empty(0, np.int64)
+        t = pa.table({
+            "label": pa.array(np.repeat(labels, lens), pa.int64()),
+            "dim": pa.array(dim, pa.int64()),
+            "sum_q": pa.array(q, pa.int64()),
+            "n_vecs": pa.array(np.ones(len(q), np.int64))})
+        g = t.group_by(["label", "dim"]).aggregate(
+            [("sum_q", "sum"), ("n_vecs", "sum")])
+        return pa.table({"label": g["label"], "dim": g["dim"],
+                         "sum_q": pc.cast(g["sum_q_sum"], pa.int64()),
+                         "n_vecs": pc.cast(g["n_vecs_sum"], pa.int64())})
+
+    return bucketed_group_sum_multi(
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], ["sum_q", "n_vecs"])
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -2406,6 +2444,15 @@ ORACLE_SQL: Dict[str, str] = {
         LEFT JOIN v ON u.user_id = v.user_id
         LEFT JOIN c ON u.user_id = c.user_id
         LEFT JOIN p ON u.user_id = p.user_id""",
+    "label_centroids": """
+        SELECT CAST(label AS BIGINT) AS label, i AS dim,
+               sum(CAST(sign(x) * floor(abs(x * 1000000) + 0.5)
+                        AS BIGINT))::BIGINT AS sum_q,
+               count(*)::BIGINT AS n_vecs
+        FROM (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS t(i))
+        GROUP BY label, i""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -3209,6 +3256,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "nfc_normalize": q_nfc_normalize,
     "bloom_prefilter": q_bloom_prefilter,
     "doc_sample_n": q_doc_sample_n,
+    "label_centroids": q_label_centroids,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

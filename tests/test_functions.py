@@ -964,3 +964,32 @@ class TestBloom:
         # deterministic across rebuilds (different batch order irrelevant)
         f2 = bloom_build(ds.random_shuffle(seed=1), "k", m_bits=1 << 17, k=5)
         assert (f == f2).all()
+
+
+class TestLabelCentroids:
+    def test_sums_match_brute_force(self, ray_session):
+        """Distributed per-(label,dim) integer sums equal a single-process
+        numpy recomputation over the same parquet (quantization identical)."""
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+        from documentprocessor_ray.pipelines.analysis import q_label_centroids
+        sf = "/root/testdata/sf0.001"
+        df = q_label_centroids(sf).to_pandas()
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["embedding", "label"])
+        emb = t["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        labels = np.repeat(t["label"].to_numpy(zero_copy_only=False), lens)
+        dims = np.concatenate([np.arange(1, n + 1) for n in lens])
+        y = flat * 1e6
+        q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        brute = {}
+        for lb, d, v in zip(labels, dims, q):
+            key = (int(lb), int(d))
+            s, n = brute.get(key, (0, 0))
+            brute[key] = (s + int(v), n + 1)
+        assert len(df) == len(brute)
+        for _, r in df.iterrows():
+            s, n = brute[(int(r.label), int(r.dim))]
+            assert int(r.sum_q) == s and int(r.n_vecs) == n
