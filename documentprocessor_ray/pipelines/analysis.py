@@ -592,6 +592,195 @@ def q_label_centroids(sf_dir: str) -> "ray.data.Dataset":
         ["label", "dim"], ["sum_q", "n_vecs"])
 
 
+def q_label_scatter(sf_dir: str) -> "ray.data.Dataset":
+    """Within-class scatter (per-label, per-dim integer sum of SQUARED
+    quantized elements): with label_centroids' sum_q this yields the
+    per-class variance (scatter/n - (sum/n)^2) without any float on the
+    gate. Same quantization (sign*floor(abs(x*1e6)+0.5) on the float64
+    promotion of the float32 element) and the same combiner-first bucketed
+    integer sum, so the distributed result is associative and hash-exact."""
+    from ..functions.agg import bucketed_group_sum_multi
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = flat * 1e6
+        q = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+        dim = np.concatenate([np.arange(1, n + 1) for n in lens]) \
+            if len(lens) else np.empty(0, np.int64)
+        t = pa.table({
+            "label": pa.array(np.repeat(labels, lens), pa.int64()),
+            "dim": pa.array(dim, pa.int64()),
+            "sum_q2": pa.array(q * q, pa.int64())})
+        g = t.group_by(["label", "dim"]).aggregate([("sum_q2", "sum")])
+        return pa.table({"label": g["label"], "dim": g["dim"],
+                         "sum_q2": pc.cast(g["sum_q2_sum"], pa.int64())})
+
+    return bucketed_group_sum_multi(
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], ["sum_q2"])
+
+
+def q_grouped_comoments(sf_dir: str) -> "ray.data.Dataset":
+    """Two-variable integer comoments per (l_returnflag, l_linestatus):
+    n, sum/sum-of-squares of x=round(l_quantity) units and y=round(
+    l_extendedprice) WHOLE DOLLARS (dollars, not cents, keep sum_yy inside
+    int64 at sf>=1), plus the cross term sum_xy. Covariance / correlation
+    are left to the consumer as rational functions of these six integers —
+    the gate stays division-free and the distributed sum associative."""
+    from ..functions.agg import bucketed_group_sum_multi
+
+    cols = ["n_rows", "sum_x", "sum_y", "sum_xx", "sum_xy", "sum_yy"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        # floor(v + 0.5), not np.rint: rint is half-EVEN while the SQL twin
+        # uses the same floor formula — identical float64 ops on both sides
+        # (values are non-negative, so no sign term needed).
+        x = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) + 0.5).astype(np.int64)
+        y = np.floor(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) + 0.5).astype(np.int64)
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "l_linestatus": b["l_linestatus"],
+                      "n_rows": pa.array(np.ones(len(x), np.int64)),
+                      "sum_x": pa.array(x, pa.int64()),
+                      "sum_y": pa.array(y, pa.int64()),
+                      "sum_xx": pa.array(x * x, pa.int64()),
+                      "sum_xy": pa.array(x * y, pa.int64()),
+                      "sum_yy": pa.array(y * y, pa.int64())})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in cols])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "l_linestatus": g["l_linestatus"],
+                         **{c: pc.cast(g[f"{c}_sum"], pa.int64())
+                            for c in cols}})
+
+    return bucketed_group_sum_multi(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"], cols)
+
+
+def q_zscore_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Moments-based 2-sigma length outliers (the quantile-free twin of
+    length_outliers): pass 1 reduces global integer moments (n, S=sum len,
+    Q=sum len^2) to ONE tiny row; pass 2 re-streams the corpus and flags
+    each doc by the cross-multiplied INTEGER inequality
+        (n*len - S)^2 > 4 * (n*Q - S^2)
+    (i.e. (len-mean)^2 > 4*variance) — no division, no sqrt, no float on
+    either side, so the flag is hash-exact. The broadcast side is 3 ints."""
+    src = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([np.int64(len(v))]),
+                         "s": pa.array([v.sum()], pa.int64()),
+                         "q": pa.array([(v * v).sum()], pa.int64())})
+
+    m = src.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = np.int64(m["n"].sum()); s = np.int64(m["s"].sum())
+    qq = np.int64(m["q"].sum())
+    var4 = 4 * (n * qq - s * s)  # 4 * n^2 * variance
+
+    def flag(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dev = n * v - s
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chars": pa.array(v, pa.int64()),
+                         "is_outlier": pa.array(
+                             (dev * dev > var4).astype(np.int64),
+                             pa.int64())})
+
+    return src.map_batches(flag, batch_format="pyarrow")
+
+
+def q_forecast_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q6-shape forecast-revenue: filter pushed INTO the parquet read
+    (year-1996 shipdates, discount band, qty cap — only matching row
+    groups leave storage), then a single combiner-first integer reduction
+    of cents*discount_pct micro-units. One tiny output row."""
+    import pyarrow.dataset as pads
+    from datetime import datetime
+
+    f = ((pads.field("l_shipdate") >= datetime(1996, 1, 1))
+         & (pads.field("l_shipdate") < datetime(1997, 1, 1))
+         & (pads.field("l_discount") >= 0.0295)
+         & (pads.field("l_discount") <= 0.0705)
+         & (pads.field("l_quantity") < 24))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"], filter=f)
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        disc = np.rint(b["l_discount"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "revenue_micro": pa.array([np.int64((cents * disc).sum())]),
+            "n_rows": pa.array([np.int64(len(cents))])})
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_micro": pa.array(
+                [np.int64(b["revenue_micro"].to_numpy().sum())]),
+            "n_rows": pa.array([np.int64(b["n_rows"].to_numpy().sum())])})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def q_large_orders(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q18-shape large-volume orders: per-order quantity sums
+    (combiner-first, bucketed by orderkey), HAVING sum > 250 units (~top
+    1%), then a co-bucketed hash join back to orders for customer and
+    order price. The having-filter runs BEFORE the join so only the ~1%
+    survivor keys enter the exchange."""
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..functions.joins import hash_join
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) + 0.5).astype(np.int64)
+        t = pa.table({"o_orderkey": b["l_orderkey"],
+                      "total_qty": pa.array(q, pa.int64())})
+        g = t.group_by("o_orderkey").aggregate([("total_qty", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "total_qty": pc.cast(g["total_qty_sum"],
+                                              pa.int64())})
+
+    big = bucketed_group_sum_multi(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["o_orderkey"], ["total_qty"]) \
+        .filter(expr="total_qty > 250")
+
+    def order_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_total_cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(order_cents, batch_format="pyarrow")
+    return hash_join(
+        big, orders, on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("total_qty", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_total_cents", pa.int64())]))
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -2453,6 +2642,52 @@ ORACLE_SQL: Dict[str, str] = {
               FROM embeddings,
                    unnest(generate_series(1, len(embedding))) AS t(i))
         GROUP BY label, i""",
+    "label_scatter": """
+        SELECT label, dim, sum(q * q)::BIGINT AS sum_q2
+        FROM (SELECT CAST(label AS BIGINT) AS label, i AS dim,
+                     CAST(floor(abs(CAST(embedding[i] AS DOUBLE) * 1000000)
+                                + 0.5) AS BIGINT) AS q
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS t(i))
+        GROUP BY label, dim""",
+    "grouped_comoments": """
+        SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+               sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+               sum(x * x)::BIGINT AS sum_xx, sum(x * y)::BIGINT AS sum_xy,
+               sum(y * y)::BIGINT AS sum_yy
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+              FROM lineitem)
+        GROUP BY l_returnflag, l_linestatus""",
+    "zscore_outliers": """
+        WITH m AS (SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+                          sum(n_chars * n_chars)::BIGINT AS q
+                   FROM documents)
+        SELECT d.doc_id, d.n_chars::BIGINT AS n_chars,
+               (CASE WHEN (m.n * d.n_chars - m.s) * (m.n * d.n_chars - m.s)
+                          > 4 * (m.n * m.q - m.s * m.s)
+                     THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+        FROM documents d, m""",
+    "forecast_revenue": """
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT))::BIGINT
+                 AS revenue_micro,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount >= 0.0295 AND l_discount <= 0.0705
+          AND l_quantity < 24""",
+    "large_orders": """
+        SELECT b.o_orderkey, b.total_qty, o.o_custkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_total_cents
+        FROM (SELECT l_orderkey AS o_orderkey,
+                     sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT
+                       AS total_qty
+              FROM lineitem GROUP BY 1) b
+        JOIN orders o ON b.o_orderkey = o.o_orderkey
+        WHERE b.total_qty > 250""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -3257,6 +3492,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bloom_prefilter": q_bloom_prefilter,
     "doc_sample_n": q_doc_sample_n,
     "label_centroids": q_label_centroids,
+    "label_scatter": q_label_scatter,
+    "grouped_comoments": q_grouped_comoments,
+    "zscore_outliers": q_zscore_outliers,
+    "forecast_revenue": q_forecast_revenue,
+    "large_orders": q_large_orders,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

@@ -993,3 +993,42 @@ class TestLabelCentroids:
         for _, r in df.iterrows():
             s, n = brute[(int(r.label), int(r.dim))]
             assert int(r.sum_q) == s and int(r.n_vecs) == n
+
+
+class TestMomentsFamily:
+    def test_comoments_match_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import q_grouped_comoments
+        sf = "/root/testdata/sf0.001"
+        df = q_grouped_comoments(sf).to_pandas()
+        li = pq.read_table(
+            f"{sf}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice"]).to_pandas()
+        li["x"] = np.floor(li.l_quantity + 0.5).astype(np.int64)
+        li["y"] = np.floor(li.l_extendedprice + 0.5).astype(np.int64)
+        for (rf, ls), g in li.groupby(["l_returnflag", "l_linestatus"]):
+            row = df[(df.l_returnflag == rf) & (df.l_linestatus == ls)]
+            assert len(row) == 1
+            assert int(row.n_rows.iloc[0]) == len(g)
+            assert int(row.sum_xy.iloc[0]) == int((g.x * g.y).sum())
+            assert int(row.sum_yy.iloc[0]) == int((g.y * g.y).sum())
+
+    def test_zscore_outliers_flag(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import q_zscore_outliers
+        sf = "/root/testdata/sf0.001"
+        df = q_zscore_outliers(sf).to_pandas()
+        lens = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["n_chars"]).to_pandas().n_chars
+        mu, var = lens.mean(), lens.var(ddof=0)
+        want = ((lens - mu) ** 2 > 4 * var).sum()
+        assert len(df) == len(lens)
+        assert int(df.is_outlier.sum()) == int(want)
+
+    def test_large_orders_all_exceed_threshold(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import q_large_orders
+        df = q_large_orders("/root/testdata/sf0.001").to_pandas()
+        assert (df.total_qty > 250).all()
+        assert set(df.columns) == {"o_orderkey", "total_qty", "o_custkey",
+                                   "o_total_cents"}
