@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "normalize_boxes", "raw_text_join", "vendor_topk", "doc_sample", "doc_sample_n", "length_variance",
     "label_centroids", "label_scatter", "grouped_comoments", "zscore_outliers",
     "forecast_revenue", "large_orders",
+    "purchasers_minus_errors", "purchase_and_click_users",
+    "priority_region_matrix", "event_unpivot", "cube_revenue",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",

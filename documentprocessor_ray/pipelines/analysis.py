@@ -781,6 +781,175 @@ def q_large_orders(sf_dir: str) -> "ray.data.Dataset":
                                 ("o_total_cents", pa.int64())]))
 
 
+def q_purchasers_minus_errors(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct set EXCEPT as a first-class op: users with a high-value
+    (>150) purchase but no high-value error. One (key, tag) shuffle via
+    functions/setops.set_op — 16 bytes/row on the exchange regardless of
+    event width."""
+    from ..functions.setops import set_op
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    hi = ev.filter(expr="value > 150.0")
+    return set_op(hi.filter(expr="event_type == 'purchase'"),
+                  hi.filter(expr="event_type == 'error'"),
+                  "user_id", "except")
+
+
+def q_purchase_and_click_users(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct set INTERSECT: users present in BOTH the purchase and the
+    click streams (same single-exchange plan as the EXCEPT twin)."""
+    from ..functions.setops import set_op
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return set_op(ev.filter(expr="event_type == 'purchase'"),
+                  ev.filter(expr="event_type == 'click'"),
+                  "user_id", "intersect")
+
+
+def q_priority_region_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Fill-missing-combinations (cross join + zero-fill): order counts per
+    (region, priority) including explicit 0 rows for absent combos. Plan:
+    orders⨝customer by the co-bucketed hash join (both fact-sized at
+    scale), then nation→region resolved by a 25-int broadcast LOOKUP
+    ARRAY (never a shuffle), combiner-first counts, and the ≤|regions|x
+    |priorities| grid zero-filled inside one final single-block map."""
+    import pyarrow.parquet as pq_
+
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..functions.joins import hash_join
+
+    nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq_.read_table(os.path.join(sf_dir, "region.parquet"))
+    rname_of = dict(zip(region["r_regionkey"].to_pylist(),
+                        region["r_name"].to_pylist()))
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    lut = np.empty(int(nk.max()) + 1, dtype=object)
+    for k, rk in zip(nk, nation["n_regionkey"].to_pylist()):
+        lut[int(k)] = rname_of[rk]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda b: pa.table({
+            "custkey": b["o_custkey"],
+            "o_orderpriority": b["o_orderpriority"]}),
+            batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda b: pa.table({
+            "custkey": b["c_custkey"],
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64())}),
+            batch_format="pyarrow")
+    joined = hash_join(
+        orders, cust, on="custkey",
+        left_schema=pa.schema([("custkey", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("custkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nkeys = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "r_name": pa.array(lut[nkeys.astype(np.int64)], pa.string()),
+            "o_orderpriority": b["o_orderpriority"],
+            "n_orders": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["r_name", "o_orderpriority"]).aggregate(
+            [("n_orders", "sum")])
+        return pa.table({"r_name": g["r_name"],
+                         "o_orderpriority": g["o_orderpriority"],
+                         "n_orders": pc.cast(g["n_orders_sum"], pa.int64())})
+
+    cnt = bucketed_group_sum_multi(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["r_name", "o_orderpriority"], ["n_orders"])
+
+    def zero_fill(b: pa.Table) -> pa.Table:
+        rn = sorted(set(b["r_name"].to_pylist()))
+        pr = sorted(set(b["o_orderpriority"].to_pylist()))
+        have = {(r, p): n for r, p, n in zip(
+            b["r_name"].to_pylist(), b["o_orderpriority"].to_pylist(),
+            b["n_orders"].to_pylist())}
+        rows = [(r, p, have.get((r, p), 0)) for r in rn for p in pr]
+        return pa.table({
+            "r_name": pa.array([x[0] for x in rows], pa.string()),
+            "o_orderpriority": pa.array([x[1] for x in rows], pa.string()),
+            "n_orders": pa.array([x[2] for x in rows], pa.int64())})
+
+    return cnt.repartition(1).map_batches(zero_fill, batch_format="pyarrow")
+
+
+def q_event_unpivot(sf_dir: str) -> "ray.data.Dataset":
+    """UNPIVOT/melt: the wide per-user pivot folded back to long
+    (user_id, event_type, n) rows, zero rows dropped. Stateless columnar
+    melt over the pivot's output blocks — the only exchange is the one the
+    pivot itself already did. Gate: equals the direct long GROUP BY."""
+    wide = q_event_pivot(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for ty in _EVENT_TYPES:
+            parts.append(pa.table({
+                "user_id": b["user_id"],
+                "event_type": pa.array([ty] * b.num_rows, pa.string()),
+                "n": pc.cast(b[f"n_{ty}"], pa.int64())}))
+        t = pa.concat_tables(parts)
+        return t.filter(pc.greater(t["n"], 0))
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def q_cube_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY CUBE(priority, status): the rollup plan plus the by-status
+    grouping set — four levels, all re-aggregated from the ~15-row
+    materialized FINE result, never from the raw stream."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "o_orderstatus": b["o_orderstatus"],
+            "cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+        t = t.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "revenue_cents": pc.cast(t["cents_sum"], pa.int64()),
+            "n_orders": pc.cast(t["cents_count"], pa.int64())})
+
+    fine = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderpriority", "o_orderstatus"]) \
+        .aggregate(Sum("revenue_cents"), Sum("n_orders")).materialize()
+
+    def coarse(keep_prio: bool, keep_status: bool):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            allc = pa.array(["ALL"] * n, pa.string())
+            return pa.table({
+                "o_orderpriority": b["o_orderpriority"]
+                if keep_prio else allc,
+                "o_orderstatus": b["o_orderstatus"]
+                if keep_status else allc,
+                "revenue_cents": pc.cast(b[b.column_names[-2]], pa.int64()),
+                "n_orders": pc.cast(b[b.column_names[-1]], pa.int64())})
+        return f
+
+    lvl_fine = fine.map_batches(coarse(True, True), batch_format="pyarrow")
+    lvl_prio = fine.groupby("o_orderpriority") \
+        .aggregate(Sum("sum(revenue_cents)"), Sum("sum(n_orders)")) \
+        .map_batches(coarse(True, False), batch_format="pyarrow")
+    lvl_stat = fine.groupby("o_orderstatus") \
+        .aggregate(Sum("sum(revenue_cents)"), Sum("sum(n_orders)")) \
+        .map_batches(coarse(False, True), batch_format="pyarrow")
+    lvl_all = fine.map_batches(lambda b: pa.table({
+        "revenue_cents": pc.cast(b["sum(revenue_cents)"], pa.int64()),
+        "n_orders": pc.cast(b["sum(n_orders)"], pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby(None).aggregate(Sum("revenue_cents"), Sum("n_orders")) \
+        .map_batches(coarse(False, False), batch_format="pyarrow")
+    return lvl_fine.union(lvl_prio).union(lvl_stat).union(lvl_all)
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -2688,6 +2857,43 @@ ORACLE_SQL: Dict[str, str] = {
               FROM lineitem GROUP BY 1) b
         JOIN orders o ON b.o_orderkey = o.o_orderkey
         WHERE b.total_qty > 250""",
+    "purchasers_minus_errors": """
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 150.0
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'error' AND value > 150.0""",
+    "purchase_and_click_users": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'click'""",
+    "priority_region_matrix": """
+        WITH cnt AS (
+          SELECT r.r_name, o.o_orderpriority, count(*)::BIGINT AS n
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY 1, 2),
+        dims AS (
+          SELECT rn.r_name, pr.o_orderpriority
+          FROM (SELECT DISTINCT r_name FROM cnt) rn
+          CROSS JOIN (SELECT DISTINCT o_orderpriority FROM cnt) pr)
+        SELECT d.r_name, d.o_orderpriority,
+               COALESCE(c.n, 0)::BIGINT AS n_orders
+        FROM dims d
+        LEFT JOIN cnt c ON d.r_name = c.r_name
+                       AND d.o_orderpriority = c.o_orderpriority""",
+    "event_unpivot": """
+        SELECT user_id, event_type, count(*)::BIGINT AS n
+        FROM events GROUP BY user_id, event_type""",
+    "cube_revenue": """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                 AS revenue_cents,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -3497,6 +3703,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "zscore_outliers": q_zscore_outliers,
     "forecast_revenue": q_forecast_revenue,
     "large_orders": q_large_orders,
+    "purchasers_minus_errors": q_purchasers_minus_errors,
+    "purchase_and_click_users": q_purchase_and_click_users,
+    "priority_region_matrix": q_priority_region_matrix,
+    "event_unpivot": q_event_unpivot,
+    "cube_revenue": q_cube_revenue,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

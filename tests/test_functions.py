@@ -1032,3 +1032,33 @@ class TestMomentsFamily:
         assert (df.total_qty > 250).all()
         assert set(df.columns) == {"o_orderkey", "total_qty", "o_custkey",
                                    "o_total_cents"}
+
+
+class TestSetOps:
+    def _mk(self, vals):
+        return ray.data.from_arrow(
+            pa.table({"k": pa.array(vals, pa.int64())}))
+
+    def test_three_ops_match_python_sets(self, ray_session):
+        from documentprocessor_ray.functions.setops import set_op
+        import random
+        rng = random.Random(11)
+        a = [rng.randrange(200) for _ in range(500)]
+        b = [rng.randrange(200) for _ in range(300)]
+        for op, want in [
+            ("union", set(a) | set(b)),
+            ("intersect", set(a) & set(b)),
+            ("except", set(a) - set(b)),
+        ]:
+            got = set_op(self._mk(a), self._mk(b), "k", op).to_pandas()
+            assert set(got.k.tolist()) == want, op
+            assert len(got) == len(want), op  # distinct: no dup keys
+
+    def test_repartition_invariance(self, ray_session):
+        from documentprocessor_ray.functions.setops import set_op
+        a = self._mk(list(range(0, 120)))
+        b = self._mk(list(range(60, 180)))
+        one = set_op(a, b, "k", "intersect").to_pandas()
+        many = set_op(a.repartition(7), b.repartition(3),
+                      "k", "intersect").to_pandas()
+        assert sorted(one.k) == sorted(many.k) == list(range(60, 120))
