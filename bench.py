@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "forecast_revenue", "large_orders",
     "purchasers_minus_errors", "purchase_and_click_users",
     "priority_region_matrix", "event_unpivot", "cube_revenue",
+    "fuzzy_name_pairs", "winsorized_revenue", "nation_customer_rank",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",

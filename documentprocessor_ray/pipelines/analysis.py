@@ -950,6 +950,121 @@ def q_cube_revenue(sf_dir: str) -> "ray.data.Dataset":
     return lvl_fine.union(lvl_prio).union(lvl_stat).union(lvl_all)
 
 
+def q_fuzzy_name_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Fuzzy string-match pairs: distinct part names within Levenshtein
+    distance 3 and length band 2 (the string analog of embedding near-dup;
+    the reference fuzzily merges vendor spellings the same way). Distinct
+    pass -> exact-cover length blocking -> in-block banded DP; every
+    exchange is vocabulary-sized, never corpus-sized."""
+    from ..functions.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(_read(sf_dir, "part", ["p_name"]), "p_name",
+                       max_dist=3, len_band=2)
+
+
+def q_winsorized_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Winsorized (clamped-tail) revenue per order priority: order prices
+    clamped to the group's exact [p05, p95] discrete quantiles, then an
+    integer cents sum. Two passes: the value-histogram quantile reduce
+    (tiny result, broadcast as a dict closure) and a combiner-first
+    clamp+sum — robust aggregation without a global sort."""
+    from ..functions.agg import bucketed_group_sum_multi, \
+        grouped_quantile_disc
+
+    def cents_tab(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    src = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]) \
+        .map_batches(cents_tab, batch_format="pyarrow")
+    q = grouped_quantile_disc(src, ["o_orderpriority"], "cents",
+                              [0.05, 0.95], ["lo", "hi"]).to_pandas()
+    lims = {r.o_orderpriority: (int(r.lo), int(r.hi))
+            for r in q.itertuples()}
+
+    def partial(b: pa.Table) -> pa.Table:
+        prio = b["o_orderpriority"].to_pylist()
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        lo = np.array([lims[p][0] for p in prio], np.int64)
+        hi = np.array([lims[p][1] for p in prio], np.int64)
+        t = pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "wins_cents": pa.array(np.clip(c, lo, hi), pa.int64()),
+            "n_orders": pa.array(np.ones(len(c), np.int64))})
+        g = t.group_by("o_orderpriority").aggregate(
+            [("wins_cents", "sum"), ("n_orders", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "wins_cents": pc.cast(g["wins_cents_sum"],
+                                               pa.int64()),
+                         "n_orders": pc.cast(g["n_orders_sum"], pa.int64())})
+
+    return bucketed_group_sum_multi(
+        src.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"], ["wins_cents", "n_orders"])
+
+
+def q_nation_customer_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Per-group window ranks: every customer's row_number / rank /
+    dense_rank by account balance (cents, DESC) within its nation. Groups
+    co-locate via ONE bucketed shuffle on hash(nationkey); ranks are
+    computed per group with vectorized lexsort + run-length logic (no
+    Python over rows). Partitioning assumption: one nation's customers fit
+    a reducer — salt or range-split the group if a key is pathological."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+
+    def prep(b: pa.Table) -> pa.Table:
+        nk = pc.cast(b["c_nationkey"], pa.int64())
+        return pa.table({
+            "c_nationkey": nk,
+            "c_custkey": b["c_custkey"],
+            "bal_cents": pa.array(
+                _cents(b["c_acctbal"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+            "pkey": pa.array(bucket_of_ints(
+                nk.to_numpy(zero_copy_only=False), nb))})
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        nk = g["c_nationkey"].to_numpy(zero_copy_only=False)
+        ck = g["c_custkey"].to_numpy(zero_copy_only=False)
+        bal = g["bal_cents"].to_numpy(zero_copy_only=False)
+        # sort: nation ASC, balance DESC, custkey ASC (deterministic)
+        order = np.lexsort((ck, -bal, nk))
+        nk, ck, bal = nk[order], ck[order], bal[order]
+        n = len(nk)
+        idx = np.arange(n)
+        new_grp = np.empty(n, bool)
+        new_grp[:1] = True
+        new_grp[1:] = nk[1:] != nk[:-1]
+        new_val = np.empty(n, bool)
+        new_val[:1] = True
+        new_val[1:] = new_grp[1:] | (bal[1:] != bal[:-1])
+        # carry-forward via monotone start INDICES (safe across segments,
+        # unlike carrying values: a new group's rank restarts at 1)
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        run_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rn = idx - grp_start + 1
+        rank = rn[run_start]
+        cs = np.cumsum(new_val)
+        dense = cs - cs[grp_start] + 1
+        return pa.table({
+            "c_nationkey": pa.array(nk, pa.int64()),
+            "c_custkey": pa.array(ck, pa.int64()),
+            "bal_cents": pa.array(bal, pa.int64()),
+            "rn": pa.array(rn, pa.int64()),
+            "rnk": pa.array(rank, pa.int64()),
+            "dense_rnk": pa.array(dense, pa.int64())})
+
+    return _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(rank_bucket, batch_format="pyarrow")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -2894,6 +3009,42 @@ ORACLE_SQL: Dict[str, str] = {
                  AS revenue_cents,
                count(*)::BIGINT AS n_orders
         FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""",
+    "fuzzy_name_pairs": """
+        WITH d AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+        FROM d a JOIN d b
+          ON a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+    "winsorized_revenue": """
+        WITH c AS (SELECT o_orderpriority,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders),
+        q AS (SELECT o_orderpriority,
+                     quantile_disc(cents, 0.05) AS lo,
+                     quantile_disc(cents, 0.95) AS hi
+              FROM c GROUP BY 1)
+        SELECT c.o_orderpriority,
+               sum(CASE WHEN cents < lo THEN lo
+                        WHEN cents > hi THEN hi
+                        ELSE cents END)::BIGINT AS wins_cents,
+               count(*)::BIGINT AS n_orders
+        FROM c JOIN q USING (o_orderpriority)
+        GROUP BY c.o_orderpriority""",
+    "nation_customer_rank": """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               row_number() OVER w1 AS rn,
+               rank() OVER w2 AS rnk,
+               dense_rank() OVER w2 AS dense_rnk
+        FROM customer
+        WINDOW w1 AS (PARTITION BY c_nationkey
+                      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                               c_custkey),
+               w2 AS (PARTITION BY c_nationkey
+                      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)
+                               DESC)""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -3708,6 +3859,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "priority_region_matrix": q_priority_region_matrix,
     "event_unpivot": q_event_unpivot,
     "cube_revenue": q_cube_revenue,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "winsorized_revenue": q_winsorized_revenue,
+    "nation_customer_rank": q_nation_customer_rank,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 continuation: 107 queries, 88 SQL-gated)
-        assert len(sqls) >= 88
-        assert len(qs) >= 107
+        # (round 3 continuation: 110 queries, 91 SQL-gated)
+        assert len(sqls) >= 91
+        assert len(qs) >= 110
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

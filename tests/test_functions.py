@@ -1062,3 +1062,67 @@ class TestSetOps:
         many = set_op(a.repartition(7), b.repartition(3),
                       "k", "intersect").to_pandas()
         assert sorted(one.k) == sorted(many.k) == list(range(60, 120))
+
+
+class TestFuzzyPairs:
+    def _brute(self, vals, max_dist, band):
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                             prev + (ca != cb))
+            return dp[-1]
+        out = set()
+        vs = sorted(set(vals))
+        for i, a in enumerate(vs):
+            for b in vs[i + 1:]:
+                if abs(len(a) - len(b)) <= band and lev(a, b) <= max_dist:
+                    out.add((a, b, lev(a, b)))
+        return out
+
+    def test_matches_bruteforce_random(self, ray_session):
+        from documentprocessor_ray.functions.fuzzy import fuzzy_pairs
+        import random
+        rng = random.Random(5)
+        vals = ["".join(rng.choice("abc") for _ in range(rng.randint(2, 8)))
+                for _ in range(120)]
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(vals * 3, pa.string())}))
+        got = fuzzy_pairs(ds, "v", max_dist=2, len_band=1).to_pandas()
+        want = self._brute(vals, 2, 1)
+        have = set(zip(got.name_a, got.name_b, got.dist))
+        assert have == want
+        assert len(got) == len(have)  # each pair exactly once
+
+    def test_banded_lev_equals_full(self):
+        from documentprocessor_ray.functions.fuzzy import _lev_banded
+        import random
+        rng = random.Random(9)
+        for _ in range(200):
+            a = "".join(rng.choice("ab") for _ in range(rng.randint(0, 7)))
+            b = "".join(rng.choice("ab") for _ in range(rng.randint(0, 7)))
+            k = rng.randint(0, 4)
+            full = self._brute([a if a < b else b, b if a < b else a],
+                               99, 99)
+            d_true = next(iter(full))[2] if a != b and full else 0
+            got = _lev_banded(a, b, k)
+            if d_true <= k:
+                assert got == d_true, (a, b, k)
+            else:
+                assert got == k + 1, (a, b, k)
+
+
+class TestNationCustomerRank:
+    def test_rank_invariants(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import \
+            q_nation_customer_rank
+        df = q_nation_customer_rank("/root/testdata/sf0.001").to_pandas()
+        for nk, g in df.groupby("c_nationkey"):
+            g = g.sort_values("rn")
+            assert list(g.rn) == list(range(1, len(g) + 1))
+            assert (g.dense_rnk <= g.rnk).all()
+            assert g.rnk.iloc[0] == 1 and g.dense_rnk.iloc[0] == 1
+            # balances non-increasing in rank order
+            assert (np.diff(g.bal_cents.values) <= 0).all()
