@@ -1065,6 +1065,139 @@ def q_nation_customer_rank(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(rank_bucket, batch_format="pyarrow")
 
 
+def q_latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped ARGMAX with whole-row carry: each user's latest event (max
+    (ts, event_id)), the canonical-record / last-state-wins primitive.
+    Combiner-first: every batch reduces to <= distinct-users-in-batch rows
+    via one vectorized lexsort+take-last, then ONE bucketed shuffle merges
+    per-user candidates the same way — shuffle volume ~ users, not events."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+
+    def argmax_local(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        ts = b["ts_us"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        last = np.empty(len(uid), bool)
+        last[-1:] = True
+        u = uid[order]
+        last[:-1] = u[1:] != u[:-1]
+        keep = order[last]
+        return b.take(pa.array(np.sort(keep)))
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "value_cents": pa.array(
+                _cents(b["value"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+        t = argmax_local(t)
+        return t.append_column("pkey", pa.array(bucket_of_ints(
+            t["user_id"].to_numpy(zero_copy_only=False), nb)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return argmax_local(g).drop_columns(["pkey"])
+
+    return _read(sf_dir, "events",
+                 ["user_id", "ts", "event_id", "event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(merge, batch_format="pyarrow")
+
+
+def q_char_trigram_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Per-language character-trigram top-20 (the n-gram profile build that
+    trains the language-ID stage). Per batch: ONE sliding byte window over
+    the whole batch's concatenated text (docs separated by two NULs so no
+    window crosses a boundary), trigrams packed to int24 and counted with a
+    single np.unique — no Python over rows or chars. Then a bucketed
+    (lang, gram) integer-sum merge and a per-lang vectorized top-20."""
+    from ..functions.agg import bucketed_group_sum_multi
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        langs = b["lang"].to_pylist()
+        if not texts:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "g": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lang_idx = {l: i for i, l in enumerate(sorted(set(langs)))}
+        rev = {i: l for l, i in lang_idx.items()}
+        blob = "\x00\x00".join(texts).encode("ascii", "replace")
+        arr = np.frombuffer(blob, np.uint8)
+        win = np.lib.stride_tricks.sliding_window_view(arr, 3)
+        ok = (win != 0).all(axis=1)
+        # lang id per window start: repeat per doc (len) + 2 separators
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        li = np.fromiter((lang_idx[l] for l in langs), np.int64, len(langs))
+        per_doc = lens + 2
+        per_doc[-1] -= 2
+        owner = np.repeat(li, per_doc)[:len(win)]
+        g24 = (win[:, 0].astype(np.int64) << 16) | \
+              (win[:, 1].astype(np.int64) << 8) | win[:, 2].astype(np.int64)
+        key = (owner[ok] << 24) | g24[ok]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array([rev[int(k >> 24)] for k in uniq], pa.string()),
+            "g": pa.array(uniq & np.int64(0xFFFFFF), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = bucketed_group_sum_multi(
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["lang", "g"], ["n"])
+
+    def topk(g: pa.Table) -> pa.Table:
+        gi = g["g"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gi, -n))[:20]
+        gi, n = gi[order], n[order]
+        grams = ["".join(chr(int(x)) for x in
+                         ((v >> 16) & 255, (v >> 8) & 255, v & 255))
+                 for v in gi]
+        return pa.table({
+            "lang": g["lang"].take(pa.array(order)),
+            "gram": pa.array(grams, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "rn": pa.array(np.arange(1, len(n) + 1), pa.int64())})
+
+    return agg.groupby("lang").map_groups(topk, batch_format="pyarrow")
+
+
+def q_qty_discount_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """2-D histogram (heatmap feed): lineitem counts and revenue cents per
+    (quantity unit, discount pct) cell. Pure combiner-first integer sums —
+    the exchange carries <=50x11 cells per batch regardless of row count."""
+    from ..functions.agg import bucketed_group_sum_multi
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) + 0.5).astype(np.int64)
+        d = np.floor(b["l_discount"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 100 + 0.5).astype(np.int64)
+        cents = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        t = pa.table({"qty_bin": pa.array(q, pa.int64()),
+                      "disc_pct": pa.array(d, pa.int64()),
+                      "n_rows": pa.array(np.ones(len(q), np.int64)),
+                      "cents": pa.array(cents, pa.int64())})
+        g = t.group_by(["qty_bin", "disc_pct"]).aggregate(
+            [("n_rows", "sum"), ("cents", "sum")])
+        return pa.table({"qty_bin": g["qty_bin"],
+                         "disc_pct": g["disc_pct"],
+                         "n_rows": pc.cast(g["n_rows_sum"], pa.int64()),
+                         "cents": pc.cast(g["cents_sum"], pa.int64())})
+
+    return bucketed_group_sum_multi(
+        _read(sf_dir, "lineitem",
+              ["l_quantity", "l_discount", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["qty_bin", "disc_pct"], ["n_rows", "cents"])
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -3045,6 +3178,34 @@ ORACLE_SQL: Dict[str, str] = {
                w2 AS (PARTITION BY c_nationkey
                       ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)
                                DESC)""",
+    "latest_event_per_user": """
+        SELECT user_id,
+               CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                    AS BIGINT) AS ts_us,
+               event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1""",
+    "char_trigram_topk": """
+        WITH g AS (
+          SELECT lang, substr(text, i, 3) AS gram, count(*)::BIGINT AS n
+          FROM documents,
+               unnest(generate_series(1, length(text) - 2)) AS t(i)
+          GROUP BY 1, 2),
+        r AS (SELECT lang, gram, n, row_number() OVER (
+                  PARTITION BY lang ORDER BY n DESC, gram) AS rn
+              FROM g)
+        SELECT lang, gram, n, rn FROM r WHERE rn <= 20""",
+    "qty_discount_histogram": """
+        SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty_bin,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                 AS cents
+        FROM lineitem GROUP BY 1, 2""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -3862,6 +4023,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "winsorized_revenue": q_winsorized_revenue,
     "nation_customer_rank": q_nation_customer_rank,
+    "latest_event_per_user": q_latest_event_per_user,
+    "char_trigram_topk": q_char_trigram_topk,
+    "qty_discount_histogram": q_qty_discount_histogram,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

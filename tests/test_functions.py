@@ -1126,3 +1126,32 @@ class TestNationCustomerRank:
             assert g.rnk.iloc[0] == 1 and g.dense_rnk.iloc[0] == 1
             # balances non-increasing in rank order
             assert (np.diff(g.bal_cents.values) <= 0).all()
+
+
+class TestArgmaxAndTrigrams:
+    def test_latest_event_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import \
+            q_latest_event_per_user
+        sf = "/root/testdata/sf0.001"
+        df = q_latest_event_per_user(sf).to_pandas()
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev["ts_us"] = ev.ts.astype("int64")
+        want = ev.sort_values(["user_id", "ts_us", "event_id"]) \
+            .groupby("user_id").tail(1)
+        assert len(df) == len(want)
+        m = df.set_index("user_id")
+        for r in want.itertuples():
+            assert int(m.loc[r.user_id, "event_id"]) == int(r.event_id)
+
+    def test_trigram_topk_shape(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import \
+            q_char_trigram_topk
+        df = q_char_trigram_topk("/root/testdata/sf0.001").to_pandas()
+        for lang, g in df.groupby("lang"):
+            g = g.sort_values("rn")
+            assert list(g.rn) == list(range(1, len(g) + 1))
+            assert len(g) <= 20
+            # counts non-increasing in rank order
+            assert (np.diff(g.n.values) <= 0).all()
+            assert (g.gram.str.len() == 3).all()
