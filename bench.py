@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "priority_region_matrix", "event_unpivot", "cube_revenue",
     "fuzzy_name_pairs", "winsorized_revenue", "nation_customer_rank",
     "latest_event_per_user", "char_trigram_topk", "qty_discount_histogram",
+    "user_growth_daily", "purchase_ohlc_hourly",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",

@@ -1198,6 +1198,155 @@ def q_qty_discount_histogram(sf_dir: str) -> "ray.data.Dataset":
         ["qty_bin", "disc_pct"], ["n_rows", "cents"])
 
 
+def q_user_growth_daily(sf_dir: str) -> "ray.data.Dataset":
+    """New-user and cumulative-user counts per day (the DAU-growth curve):
+    per-user FIRST event day via a combiner-first bucketed MIN (shuffle ~
+    users, not events), per-day new-user counts, then one single-block
+    cumulative sum over the tiny day series (days ~ corpus age, never data-
+    sized)."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+    us_per_day = np.int64(86_400_000_000)
+
+    def first_day_local(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(
+                pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+                // us_per_day, pa.int64())})
+        g = t.group_by("user_id").aggregate([("day", "min")])
+        out = pa.table({"user_id": g["user_id"],
+                        "day": pc.cast(g["day_min"], pa.int64())})
+        return out.append_column("pkey", pa.array(bucket_of_ints(
+            out["user_id"].to_numpy(zero_copy_only=False), nb)))
+
+    def merge_min(g: pa.Table) -> pa.Table:
+        a = g.group_by("user_id").aggregate([("day", "min")])
+        t = pa.table({"day": pc.cast(a["day_min"], pa.int64()),
+                      "new_users": pa.array(
+                          np.ones(a.num_rows, np.int64))})
+        c = t.group_by("day").aggregate([("new_users", "sum")])
+        return pa.table({"day": c["day"],
+                         "new_users": pc.cast(c["new_users_sum"],
+                                              pa.int64())})
+
+    per_day = _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(first_day_local, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(merge_min, batch_format="pyarrow")
+
+    def cumulate(b: pa.Table) -> pa.Table:
+        g = b.group_by("day").aggregate([("new_users", "sum")])
+        day = g["day"].to_numpy(zero_copy_only=False)
+        nu = g["new_users_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(day)
+        day, nu = day[order], nu[order]
+        return pa.table({"day": pa.array(day, pa.int64()),
+                         "new_users": pa.array(nu, pa.int64()),
+                         "cum_users": pa.array(np.cumsum(nu), pa.int64())})
+
+    return per_day.repartition(1).map_batches(cumulate,
+                                              batch_format="pyarrow")
+
+
+def _ohlc_reduce(t: pa.Table) -> pa.Table:
+    """Merge OHLC partial states per hour, fully vectorized: open/close by
+    lexsorted first/last-per-hour, high/low/n by one Arrow group_by."""
+    hour = t["hour"].to_numpy(zero_copy_only=False)
+    o_ts = t["o_ts"].to_numpy(zero_copy_only=False)
+    o_eid = t["o_eid"].to_numpy(zero_copy_only=False)
+    o_c = t["o_c"].to_numpy(zero_copy_only=False)
+    c_ts = t["c_ts"].to_numpy(zero_copy_only=False)
+    c_eid = t["c_eid"].to_numpy(zero_copy_only=False)
+    c_c = t["c_c"].to_numpy(zero_copy_only=False)
+
+    oo = np.lexsort((o_eid, o_ts, hour))
+    hh = hour[oo]
+    first = np.empty(len(hh), bool)
+    first[:1] = True
+    first[1:] = hh[1:] != hh[:-1]
+    open_hour = hh[first]
+    open_ts, open_eid, open_c = o_ts[oo][first], o_eid[oo][first], \
+        o_c[oo][first]
+
+    co = np.lexsort((c_eid, c_ts, hour))
+    hh2 = hour[co]
+    last = np.empty(len(hh2), bool)
+    last[-1:] = True
+    last[:-1] = hh2[1:] != hh2[:-1]
+    close_ts, close_eid, close_c = c_ts[co][last], c_eid[co][last], \
+        c_c[co][last]
+
+    g = t.group_by("hour").aggregate(
+        [("high", "max"), ("low", "min"), ("n", "sum")])
+    gh = g["hour"].to_numpy(zero_copy_only=False)
+    pos = {int(h): i for i, h in enumerate(gh)}
+    sel = np.fromiter((pos[int(h)] for h in open_hour), np.int64,
+                      len(open_hour))
+    return pa.table({
+        "hour": pa.array(open_hour, pa.int64()),
+        "o_ts": pa.array(open_ts, pa.int64()),
+        "o_eid": pa.array(open_eid, pa.int64()),
+        "o_c": pa.array(open_c, pa.int64()),
+        "c_ts": pa.array(close_ts, pa.int64()),
+        "c_eid": pa.array(close_eid, pa.int64()),
+        "c_c": pa.array(close_c, pa.int64()),
+        "high": pa.array(pc.cast(g["high_max"], pa.int64()).to_numpy(
+            zero_copy_only=False)[sel], pa.int64()),
+        "low": pa.array(pc.cast(g["low_min"], pa.int64()).to_numpy(
+            zero_copy_only=False)[sel], pa.int64()),
+        "n": pa.array(pc.cast(g["n_sum"], pa.int64()).to_numpy(
+            zero_copy_only=False)[sel], pa.int64())})
+
+
+def q_purchase_ohlc_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Hourly OHLC bars over purchase values (open/close = value of the
+    first/last event by (ts, event_id); high/low = extremes; n = trades).
+    The OHLC state is a 10-int mergeable partial, reduced per batch first
+    and merged by ONE bucketed shuffle on hash(hour) — the time-series
+    downsampling primitive."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+    us_per_hour = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        cents = _cents(b["value"].to_numpy(zero_copy_only=False))
+        t = pa.table({
+            "hour": pa.array(ts // us_per_hour, pa.int64()),
+            "o_ts": pa.array(ts, pa.int64()),
+            "o_eid": pa.array(eid, pa.int64()),
+            "o_c": pa.array(cents, pa.int64()),
+            "c_ts": pa.array(ts, pa.int64()),
+            "c_eid": pa.array(eid, pa.int64()),
+            "c_c": pa.array(cents, pa.int64()),
+            "high": pa.array(cents, pa.int64()),
+            "low": pa.array(cents, pa.int64()),
+            "n": pa.array(np.ones(len(ts), np.int64))})
+        t = _ohlc_reduce(t)
+        return t.append_column("pkey", pa.array(bucket_of_ints(
+            t["hour"].to_numpy(zero_copy_only=False), nb)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        r = _ohlc_reduce(g.drop_columns(["pkey"]))
+        return pa.table({
+            "hour": r["hour"],
+            "open_cents": r["o_c"],
+            "close_cents": r["c_c"],
+            "high_cents": r["high"],
+            "low_cents": r["low"],
+            "n_trades": r["n"]})
+
+    return _read(sf_dir, "events", ["ts", "event_id", "event_type",
+                                    "value"]) \
+        .filter(expr="event_type == 'purchase'") \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(merge, batch_format="pyarrow")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -3206,6 +3355,37 @@ ORACLE_SQL: Dict[str, str] = {
                sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
                  AS cents
         FROM lineitem GROUP BY 1, 2""",
+    "user_growth_daily": """
+        WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS d
+                   FROM events GROUP BY 1),
+        c AS (SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01', d)
+                          AS BIGINT) AS day,
+                     count(*)::BIGINT AS new_users
+              FROM f GROUP BY 1)
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                 AS cum_users
+        FROM c""",
+    "purchase_ohlc_hourly": """
+        WITH p AS (SELECT date_trunc('hour', ts) AS h, ts, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT h, cents,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY ts DESC, event_id DESC)
+                       AS rn_d
+              FROM p)
+        SELECT CAST(date_diff('hour', TIMESTAMP '1970-01-01', h) AS BIGINT)
+                 AS hour,
+               max(CASE WHEN rn_a = 1 THEN cents END)::BIGINT AS open_cents,
+               max(CASE WHEN rn_d = 1 THEN cents END)::BIGINT
+                 AS close_cents,
+               max(cents)::BIGINT AS high_cents,
+               min(cents)::BIGINT AS low_cents,
+               count(*)::BIGINT AS n_trades
+        FROM w GROUP BY h""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -4026,6 +4206,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "latest_event_per_user": q_latest_event_per_user,
     "char_trigram_topk": q_char_trigram_topk,
     "qty_discount_histogram": q_qty_discount_histogram,
+    "user_growth_daily": q_user_growth_daily,
+    "purchase_ohlc_hourly": q_purchase_ohlc_hourly,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

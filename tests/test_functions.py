@@ -1155,3 +1155,35 @@ class TestArgmaxAndTrigrams:
             # counts non-increasing in rank order
             assert (np.diff(g.n.values) <= 0).all()
             assert (g.gram.str.len() == 3).all()
+
+
+class TestGrowthAndOhlc:
+    def test_growth_cumsum_monotone(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import \
+            q_user_growth_daily
+        df = q_user_growth_daily("/root/testdata/sf0.001").to_pandas()
+        df = df.sort_values("day")
+        assert (df.new_users > 0).all()
+        assert list(df.cum_users) == list(df.new_users.cumsum())
+
+    def test_ohlc_invariants_and_pandas_parity(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import \
+            q_purchase_ohlc_hourly
+        sf = "/root/testdata/sf0.001"
+        df = q_purchase_ohlc_hourly(sf).to_pandas()
+        assert (df.low_cents <= df.open_cents).all()
+        assert (df.low_cents <= df.close_cents).all()
+        assert (df.high_cents >= df.open_cents).all()
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev = ev[ev.event_type == "purchase"].copy()
+        ev["cents"] = np.rint(ev.value * 100).astype(np.int64)
+        ev["hour"] = ev.ts.astype("int64") // 3_600_000_000
+        for h, g in ev.groupby("hour"):
+            row = df[df.hour == h]
+            assert len(row) == 1, h
+            g = g.sort_values(["ts", "event_id"])
+            assert int(row.open_cents.iloc[0]) == int(g.cents.iloc[0])
+            assert int(row.close_cents.iloc[0]) == int(g.cents.iloc[-1])
+            assert int(row.high_cents.iloc[0]) == int(g.cents.max())
+            assert int(row.n_trades.iloc[0]) == len(g)
