@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "fuzzy_name_pairs", "winsorized_revenue", "nation_customer_rank",
     "latest_event_per_user", "char_trigram_topk", "qty_discount_histogram",
     "user_growth_daily", "purchase_ohlc_hourly",
+    "cluster_canonical", "lang_sample_n", "lang_sources_concat",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",

@@ -1347,6 +1347,124 @@ def q_purchase_ohlc_hourly(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(merge, batch_format="pyarrow")
 
 
+def q_cluster_canonical(sf_dir: str) -> "ray.data.Dataset":
+    """Survivorship: one canonical document per near-dup cluster (longest
+    text, ties to the smallest doc_id) plus the cluster size — the
+    keep-best step that completes find-pairs -> cluster -> select ->
+    drop. Cluster labels come from the distributed min-label propagation;
+    lengths arrive via the co-bucketed hash join; the per-cluster argmax
+    is the same mergeable-partial pattern as latest_event_per_user."""
+    from ..functions.joins import hash_join
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+    clusters = q_dedup_clusters(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    j = hash_join(
+        clusters, docs, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("cluster_rep", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_chars", pa.int64())]))
+
+    def best_local(t: pa.Table) -> pa.Table:
+        rep = t["cluster_rep"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        ln = t["n_chars"].to_numpy(zero_copy_only=False)
+        sz = t["sz"].to_numpy(zero_copy_only=False) \
+            if "sz" in t.column_names else np.ones(len(rep), np.int64)
+        # order: rep ASC, n_chars DESC, doc ASC -> first per rep is best
+        order = np.lexsort((doc, -ln, rep))
+        r = rep[order]
+        first = np.empty(len(r), bool)
+        first[:1] = True
+        first[1:] = r[1:] != r[:-1]
+        sizes = pa.table({"cluster_rep": pa.array(rep, pa.int64()),
+                          "sz": pa.array(sz, pa.int64())}) \
+            .group_by("cluster_rep").aggregate([("sz", "sum")])
+        pos = {int(k): i for i, k in enumerate(
+            sizes["cluster_rep"].to_numpy(zero_copy_only=False))}
+        reps = r[first]
+        sel = np.fromiter((pos[int(x)] for x in reps), np.int64, len(reps))
+        return pa.table({
+            "cluster_rep": pa.array(reps, pa.int64()),
+            "canonical_doc": pa.array(doc[order][first], pa.int64()),
+            "n_chars": pa.array(ln[order][first], pa.int64()),
+            "sz": pa.array(pc.cast(sizes["sz_sum"], pa.int64()).to_numpy(
+                zero_copy_only=False)[sel], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = best_local(b)
+        return t.rename_columns(
+            ["cluster_rep", "doc_id", "n_chars", "sz"]).append_column(
+            "pkey", pa.array(bucket_of_ints(
+                t["cluster_rep"].to_numpy(zero_copy_only=False), nb)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = best_local(g.drop_columns(["pkey"]))
+        return t.rename_columns(
+            ["cluster_rep", "canonical_doc", "n_chars", "cluster_size"])
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(merge, batch_format="pyarrow")
+
+
+def q_lang_sample_n(sf_dir: str) -> "ray.data.Dataset":
+    """Per-stratum EXACT-N sample: the 20 docs with the smallest
+    md5(doc_id) within every language — fixed quotas per stratum (vs the
+    rational-threshold balanced sampler). Per-batch local top-20 per lang
+    prunes candidates to 20 x langs x batches before the tiny per-lang
+    final selection."""
+    import hashlib as _hl
+
+    n = 20
+
+    def local_topn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        h = [_hl.md5(str(i).encode()).hexdigest() for i in ids]
+        t = pa.table({"lang": b["lang"], "doc_id": b["doc_id"],
+                      "h": pa.array(h, pa.string())})
+        t = t.sort_by([("lang", "ascending"), ("h", "ascending"),
+                       ("doc_id", "ascending")])
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        new = np.empty(len(lang), bool)
+        new[:1] = True
+        new[1:] = lang[1:] != lang[:-1]
+        idx = np.arange(len(lang))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        keep = (idx - start) < n
+        return t.filter(pa.array(keep))
+
+    def final_topn(g: pa.Table) -> pa.Table:
+        t = local_topn(g)
+        return t
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]) \
+        .map_batches(local_topn, batch_format="pyarrow") \
+        .groupby("lang").map_groups(final_topn, batch_format="pyarrow")
+
+
+def q_lang_sources_concat(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped ordered string aggregation: per language, the comma-joined
+    SORTED distinct sources (deterministic string_agg). Distinct (lang,
+    source) pairs reduce per batch first; the concat runs over the tiny
+    distinct domain."""
+    def local_distinct(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "source": b["source"]})
+        return t.group_by(["lang", "source"]).aggregate([])
+
+    def concat(g: pa.Table) -> pa.Table:
+        srcs = sorted(set(g["source"].to_pylist()))
+        return pa.table({
+            "lang": pa.array([g["lang"][0].as_py()], pa.string()),
+            "sources": pa.array([",".join(srcs)], pa.string()),
+            "n_sources": pa.array([len(srcs)], pa.int64())})
+
+    return _read(sf_dir, "documents", ["lang", "source"]) \
+        .map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby("lang").map_groups(concat, batch_format="pyarrow")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -3386,6 +3504,31 @@ ORACLE_SQL: Dict[str, str] = {
                min(cents)::BIGINT AS low_cents,
                count(*)::BIGINT AS n_trades
         FROM w GROUP BY h""",
+    "cluster_canonical": """
+        WITH clusters AS ({CLUSTERS}),
+        j AS (SELECT c.cluster_rep, c.doc_id, d.n_chars
+              FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+        r AS (SELECT cluster_rep, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY cluster_rep
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rn,
+                     count(*) OVER (PARTITION BY cluster_rep) AS sz
+              FROM j)
+        SELECT cluster_rep, doc_id AS canonical_doc, n_chars,
+               sz::BIGINT AS cluster_size
+        FROM r WHERE rn = 1""",
+    "lang_sample_n": """
+        SELECT lang, doc_id, h FROM (
+          SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) WHERE rn <= 20""",
+    "lang_sources_concat": """
+        SELECT lang, string_agg(source, ',' ORDER BY source) AS sources,
+               count(*)::BIGINT AS n_sources
+        FROM (SELECT DISTINCT lang, source FROM documents)
+        GROUP BY lang""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -4102,6 +4245,8 @@ ORACLE_SQL: Dict[str, str] = {
 # transitive closure over the same exact pair set)
 ORACLE_SQL["dedup_clusters"] = ORACLE_SQL["dedup_clusters"].replace(
     "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
+ORACLE_SQL["cluster_canonical"] = ORACLE_SQL["cluster_canonical"].replace(
+    "{CLUSTERS}", ORACLE_SQL["dedup_clusters"])
 
 # main-content extraction twin: same construction + block/link-density spec
 # as functions/boilerplate.py (BLOCK_TAG_PATTERN / ANCHOR_PATTERN /
@@ -4208,6 +4353,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "qty_discount_histogram": q_qty_discount_histogram,
     "user_growth_daily": q_user_growth_daily,
     "purchase_ohlc_hourly": q_purchase_ohlc_hourly,
+    "cluster_canonical": q_cluster_canonical,
+    "lang_sample_n": q_lang_sample_n,
+    "lang_sources_concat": q_lang_sources_concat,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

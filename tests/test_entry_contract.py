@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 continuation: 115 queries, 96 SQL-gated)
-        assert len(sqls) >= 96
-        assert len(qs) >= 115
+        # (round 3 continuation: 118 queries, 99 SQL-gated)
+        assert len(sqls) >= 99
+        assert len(qs) >= 118
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

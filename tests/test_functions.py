@@ -1187,3 +1187,24 @@ class TestGrowthAndOhlc:
             assert int(row.close_cents.iloc[0]) == int(g.cents.iloc[-1])
             assert int(row.high_cents.iloc[0]) == int(g.cents.max())
             assert int(row.n_trades.iloc[0]) == len(g)
+
+
+class TestCanonicalAndStrata:
+    def test_cluster_canonical_invariants(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import \
+            q_cluster_canonical, q_dedup_clusters
+        sf = "/root/testdata/sf0.001"
+        can = q_cluster_canonical(sf).to_pandas()
+        cl = q_dedup_clusters(sf).to_pandas()
+        sizes = cl.groupby("cluster_rep").size()
+        assert len(can) == len(sizes)
+        for r in can.itertuples():
+            assert int(sizes[r.cluster_rep]) == int(r.cluster_size)
+            members = set(cl[cl.cluster_rep == r.cluster_rep].doc_id)
+            assert r.canonical_doc in members
+
+    def test_lang_sample_quota(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import q_lang_sample_n
+        df = q_lang_sample_n("/root/testdata/sf0.001").to_pandas()
+        for lang, g in df.groupby("lang"):
+            assert len(g) <= 20
