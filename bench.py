@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "latest_event_per_user", "char_trigram_topk", "qty_discount_histogram",
     "user_growth_daily", "purchase_ohlc_hourly",
     "cluster_canonical", "lang_sample_n", "lang_sources_concat",
+    "monthly_revenue", "events_dow_hour", "small_quantity_revenue",
+    "brand_type_share",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",

@@ -1462,6 +1462,189 @@ def q_lang_sources_concat(sf_dir: str) -> "ray.data.Dataset":
         .groupby("lang").map_groups(concat, batch_format="pyarrow")
 
 
+def q_monthly_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Calendar-month rollup: orders per month with integer cents revenue.
+    Month derives from the epoch-us timestamp via numpy datetime64[M]
+    (exact calendar math, no float) and is keyed as months-since-epoch —
+    the same integer DuckDB's date_diff('month', ...) produces."""
+    from ..functions.agg import bucketed_group_sum_multi
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        month = us.astype("datetime64[us]").astype("datetime64[M]") \
+            .astype(np.int64)
+        t = pa.table({
+            "month": pa.array(month, pa.int64()),
+            "n_orders": pa.array(np.ones(len(us), np.int64)),
+            "revenue_cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+        g = t.group_by("month").aggregate(
+            [("n_orders", "sum"), ("revenue_cents", "sum")])
+        return pa.table({"month": g["month"],
+                         "n_orders": pc.cast(g["n_orders_sum"], pa.int64()),
+                         "revenue_cents": pc.cast(g["revenue_cents_sum"],
+                                                  pa.int64())})
+
+    return bucketed_group_sum_multi(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["month"], ["n_orders", "revenue_cents"])
+
+
+def q_events_dow_hour(sf_dir: str) -> "ray.data.Dataset":
+    """Day-of-week × hour-of-day activity heatmap. Both coordinates are
+    pure int64 expressions of the epoch-us timestamp ((days+3)%7 pins
+    Monday=0 on BOTH sides; hour = (us//3600e6)%24) so the grid is
+    hash-exact; combiner-first counts, exchange ≤ 168 cells per batch."""
+    from ..functions.agg import bucketed_group_sum_multi
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) + 3) % 7  # epoch day 0 = Thursday
+        hod = (us // 3_600_000_000) % 24
+        t = pa.table({"dow": pa.array(dow, pa.int64()),
+                      "hod": pa.array(hod, pa.int64()),
+                      "n_events": pa.array(np.ones(len(us), np.int64))})
+        g = t.group_by(["dow", "hod"]).aggregate([("n_events", "sum")])
+        return pa.table({"dow": g["dow"], "hod": g["hod"],
+                         "n_events": pc.cast(g["n_events_sum"], pa.int64())})
+
+    return bucketed_group_sum_multi(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["dow", "hod"], ["n_events"])
+
+
+def q_small_quantity_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q17 shape, division-free: revenue of lineitems whose quantity
+    is below 20% of their part's average quantity. Pass 1: per-part
+    integer moments (n, Σqty) via a bucketed sum; pass 2 re-streams
+    lineitem co-bucketed with the moments (hash join on partkey) and
+    filters by the cross-multiplied INTEGER inequality
+        5 * qty * n_part < sum_qty
+    — no division, no float, so the one-row result is hash-exact."""
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..functions.joins import hash_join
+
+    def moments(b: pa.Table) -> pa.Table:
+        q = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) + 0.5).astype(np.int64)
+        t = pa.table({"l_partkey": b["l_partkey"],
+                      "n_part": pa.array(np.ones(len(q), np.int64)),
+                      "sum_qty": pa.array(q, pa.int64())})
+        g = t.group_by("l_partkey").aggregate(
+            [("n_part", "sum"), ("sum_qty", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "n_part": pc.cast(g["n_part_sum"], pa.int64()),
+                         "sum_qty": pc.cast(g["sum_qty_sum"], pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    avg = bucketed_group_sum_multi(
+        li.map_batches(moments, batch_format="pyarrow"),
+        ["l_partkey"], ["n_part", "sum_qty"])
+
+    def fact(b: pa.Table) -> pa.Table:
+        q = np.floor(b["l_quantity"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) + 0.5).astype(np.int64)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty": pa.array(q, pa.int64()),
+            "cents": pa.array(
+                _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    j = hash_join(
+        li.map_batches(fact, batch_format="pyarrow"), avg, on="l_partkey",
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("qty", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("n_part", pa.int64()),
+                                ("sum_qty", pa.int64())]))
+
+    def reduce_local(b: pa.Table) -> pa.Table:
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        n = b["n_part"].to_numpy(zero_copy_only=False)
+        s = b["sum_qty"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        keep = 5 * qty * n < s
+        return pa.table({
+            "revenue_cents": pa.array([np.int64(c[keep].sum())]),
+            "n_rows": pa.array([np.int64(keep.sum())])})
+
+    def total(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": pa.array(
+                [np.int64(b["revenue_cents"].to_numpy().sum())]),
+            "n_rows": pa.array([np.int64(b["n_rows"].to_numpy().sum())])})
+
+    return j.map_batches(reduce_local, batch_format="pyarrow") \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
+
+
+def q_brand_type_share(sf_dir: str) -> "ray.data.Dataset":
+    """Revenue share of each brand WITHIN its part type, as exact integers
+    (brand_cents, type_cents): the percent-of-parent window pattern.
+    lineitem⨝part co-bucketed on partkey (both fact-sized at crawl
+    scale), combiner-first (type, brand) sums, then the per-type total
+    joined back to the ~|brands×types| rows in one tiny single-block
+    pass."""
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]) \
+        .map_batches(lambda b: pa.table({
+            "l_partkey": b["l_partkey"],
+            "cents": pa.array(
+                _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())}), batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]) \
+        .map_batches(lambda b: pa.table({
+            "l_partkey": b["p_partkey"],
+            "p_brand": b["p_brand"],
+            "p_type": b["p_type"]}), batch_format="pyarrow")
+    j = hash_join(
+        li, part, on="l_partkey",
+        left_schema=pa.schema([("l_partkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=pa.schema([("l_partkey", pa.int64()),
+                                ("p_brand", pa.string()),
+                                ("p_type", pa.string())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"p_type": b["p_type"], "p_brand": b["p_brand"],
+                      "brand_cents": b["cents"]})
+        g = t.group_by(["p_type", "p_brand"]).aggregate(
+            [("brand_cents", "sum")])
+        return pa.table({"p_type": g["p_type"], "p_brand": g["p_brand"],
+                         "brand_cents": pc.cast(g["brand_cents_sum"],
+                                                pa.int64())})
+
+    fine = bucketed_group_sum_multi(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["p_type", "p_brand"], ["brand_cents"])
+
+    def add_type_total(b: pa.Table) -> pa.Table:
+        g = b.group_by(["p_type", "p_brand"]).aggregate(
+            [("brand_cents", "sum")])
+        ty = g["p_type"].to_pylist()
+        bc = pc.cast(g["brand_cents_sum"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        totals: Dict[str, int] = {}
+        for t_, c_ in zip(ty, bc):
+            totals[t_] = totals.get(t_, 0) + int(c_)
+        return pa.table({
+            "p_type": g["p_type"], "p_brand": g["p_brand"],
+            "brand_cents": pa.array(bc, pa.int64()),
+            "type_cents": pa.array([totals[t_] for t_ in ty], pa.int64())})
+
+    return fine.repartition(1).map_batches(add_type_total,
+                                           batch_format="pyarrow")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -3513,6 +3696,41 @@ ORACLE_SQL: Dict[str, str] = {
                count(*)::BIGINT AS n_sources
         FROM (SELECT DISTINCT lang, source FROM documents)
         GROUP BY lang""",
+    "monthly_revenue": """
+        SELECT CAST(date_diff('month', TIMESTAMP '1970-01-01', o_orderdate)
+                    AS BIGINT) AS month,
+               count(*)::BIGINT AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                 AS revenue_cents
+        FROM orders GROUP BY 1""",
+    "events_dow_hour": """
+        SELECT ((us // 86400000000) + 3) % 7 AS dow,
+               (us // 3600000000) % 24 AS hod,
+               count(*)::BIGINT AS n_events
+        FROM (SELECT CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+                                    ts) AS BIGINT) AS us FROM events)
+        GROUP BY 1, 2""",
+    "small_quantity_revenue": """
+        WITH m AS (SELECT l_partkey, count(*)::BIGINT AS n_part,
+                          sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                            ::BIGINT AS sum_qty
+                   FROM lineitem GROUP BY 1)
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                 AS revenue_cents,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey
+        WHERE 5 * CAST(floor(l_quantity + 0.5) AS BIGINT) * m.n_part
+              < m.sum_qty""",
+    "brand_type_share": """
+        WITH f AS (SELECT p.p_type, p.p_brand,
+                          sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                            ::BIGINT AS brand_cents
+                   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                   GROUP BY 1, 2)
+        SELECT p_type, p_brand, brand_cents,
+               CAST(sum(brand_cents) OVER (PARTITION BY p_type) AS BIGINT)
+                 AS type_cents
+        FROM f""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -4340,6 +4558,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "cluster_canonical": q_cluster_canonical,
     "lang_sample_n": q_lang_sample_n,
     "lang_sources_concat": q_lang_sources_concat,
+    "monthly_revenue": q_monthly_revenue,
+    "events_dow_hour": q_events_dow_hour,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "brand_type_share": q_brand_type_share,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

@@ -1208,3 +1208,31 @@ class TestCanonicalAndStrata:
         df = q_lang_sample_n("/root/testdata/sf0.001").to_pandas()
         for lang, g in df.groupby("lang"):
             assert len(g) <= 20
+
+
+class TestCalendarAndShare:
+    def test_monthly_revenue_against_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import \
+            q_monthly_revenue
+        sf = "/root/testdata/sf0.001"
+        df = q_monthly_revenue(sf).to_pandas()
+        o = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+        o["month"] = o.o_orderdate.values.astype("datetime64[M]") \
+            .astype(np.int64)
+        o["cents"] = np.rint(o.o_totalprice * 100).astype(np.int64)
+        want = o.groupby("month").agg(n=("cents", "size"),
+                                      c=("cents", "sum"))
+        assert len(df) == len(want)
+        m = df.set_index("month")
+        for month, r in want.iterrows():
+            assert int(m.loc[month, "n_orders"]) == int(r.n)
+            assert int(m.loc[month, "revenue_cents"]) == int(r.c)
+
+    def test_brand_share_sums_to_type_total(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import \
+            q_brand_type_share
+        df = q_brand_type_share("/root/testdata/sf0.001").to_pandas()
+        for ty, g in df.groupby("p_type"):
+            assert g.type_cents.nunique() == 1
+            assert int(g.brand_cents.sum()) == int(g.type_cents.iloc[0])
