@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "user_growth_daily", "purchase_ohlc_hourly",
     "cluster_canonical", "lang_sample_n", "lang_sources_concat",
     "monthly_revenue", "events_dow_hour", "small_quantity_revenue",
-    "brand_type_share",
+    "brand_type_share", "activity_streaks", "customer_order_gaps",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",

@@ -1645,6 +1645,112 @@ def q_brand_type_share(sf_dir: str) -> "ray.data.Dataset":
                                            batch_format="pyarrow")
 
 
+def q_activity_streaks(sf_dir: str) -> "ray.data.Dataset":
+    """Gaps-and-islands: per user, the count of distinct active days and
+    the LONGEST run of consecutive days (day - rank collapses a run to a
+    constant — the classic islands trick, vectorized). One hash(user)
+    shuffle; per-batch distinct (user, day) combiner bounds the exchange
+    by active-days, not events."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+    us_per_day = np.int64(86_400_000_000)
+
+    def distinct_local(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(
+                pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+                // us_per_day, pa.int64())})
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g.append_column("pkey", pa.array(bucket_of_ints(
+            g["user_id"].to_numpy(zero_copy_only=False), nb)))
+
+    def streaks(g: pa.Table) -> pa.Table:
+        t = g.group_by(["user_id", "day"]).aggregate([])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        n = len(uid)
+        idx = np.arange(n)
+        new_u = np.empty(n, bool)
+        new_u[:1] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        ustart = np.maximum.accumulate(np.where(new_u, idx, 0))
+        rank_in_user = idx - ustart  # 0-based, days unique per user
+        island = day - rank_in_user  # constant within a consecutive run
+        new_run = np.empty(n, bool)
+        new_run[:1] = True
+        new_run[1:] = new_u[1:] | (island[1:] != island[:-1])
+        rstart = np.maximum.accumulate(np.where(new_run, idx, 0))
+        run_len = idx - rstart + 1
+        # longest streak per user = max run_len; active days = count
+        s = pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "run_len": pa.array(run_len, pa.int64()),
+            "one": pa.array(np.ones(n, np.int64))})
+        a = s.group_by("user_id").aggregate(
+            [("run_len", "max"), ("one", "sum")])
+        return pa.table({
+            "user_id": a["user_id"],
+            "active_days": pc.cast(a["one_sum"], pa.int64()),
+            "longest_streak": pc.cast(a["run_len_max"], pa.int64())})
+
+    return _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(distinct_local, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(streaks, batch_format="pyarrow")
+
+
+def q_customer_order_gaps(sf_dir: str) -> "ray.data.Dataset":
+    """Inter-order gaps per customer: total days between consecutive
+    orders (ordered by date then orderkey) plus the order count — the
+    LAG/diff pattern as exact integers (avg gap = total/(n-1) left
+    rational). One hash(customer) shuffle; per-bucket one lexsort and one
+    masked diff answer every customer at once."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+    us_per_day = np.int64(86_400_000_000)
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "day": pa.array(
+                pc.cast(b["o_orderdate"], pa.int64())
+                .to_numpy(zero_copy_only=False) // us_per_day, pa.int64()),
+            "o_orderkey": b["o_orderkey"]})
+        return t.append_column("pkey", pa.array(bucket_of_ints(
+            t["o_custkey"].to_numpy(zero_copy_only=False), nb)))
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, day, ck))
+        ck, day = ck[order], day[order]
+        n = len(ck)
+        same = np.zeros(n, bool)
+        same[1:] = ck[1:] == ck[:-1]
+        diff = np.zeros(n, np.int64)
+        diff[1:] = day[1:] - day[:-1]
+        t = pa.table({
+            "o_custkey": pa.array(ck, pa.int64()),
+            "gap": pa.array(np.where(same, diff, 0), pa.int64()),
+            "one": pa.array(np.ones(n, np.int64))})
+        a = t.group_by("o_custkey").aggregate(
+            [("gap", "sum"), ("one", "sum")])
+        return pa.table({
+            "o_custkey": a["o_custkey"],
+            "total_gap_days": pc.cast(a["gap_sum"], pa.int64()),
+            "n_orders": pc.cast(a["one_sum"], pa.int64())})
+
+    return _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_orderkey"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(gaps, batch_format="pyarrow")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -3731,6 +3837,36 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(brand_cents) OVER (PARTITION BY p_type) AS BIGINT)
                  AS type_cents
         FROM f""",
+    "activity_streaks": """
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                                         date_trunc('day', ts)) AS BIGINT)
+                            AS day
+                   FROM events),
+        r AS (SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS island
+              FROM d),
+        runs AS (SELECT user_id, island, count(*)::BIGINT AS run_len
+                 FROM r GROUP BY 1, 2)
+        SELECT user_id, sum(run_len)::BIGINT AS active_days,
+               max(run_len)::BIGINT AS longest_streak
+        FROM runs GROUP BY user_id""",
+    "customer_order_gaps": """
+        WITH o AS (SELECT o_custkey,
+                          CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                                         date_trunc('day', o_orderdate))
+                               AS BIGINT) AS day,
+                          o_orderkey
+                   FROM orders),
+        l AS (SELECT o_custkey, day,
+                     lag(day) OVER (PARTITION BY o_custkey
+                                    ORDER BY day, o_orderkey) AS prev
+              FROM o)
+        SELECT o_custkey,
+               COALESCE(sum(day - prev), 0)::BIGINT AS total_gap_days,
+               count(*)::BIGINT AS n_orders
+        FROM l GROUP BY o_custkey""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -4562,6 +4698,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "events_dow_hour": q_events_dow_hour,
     "small_quantity_revenue": q_small_quantity_revenue,
     "brand_type_share": q_brand_type_share,
+    "activity_streaks": q_activity_streaks,
+    "customer_order_gaps": q_customer_order_gaps,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

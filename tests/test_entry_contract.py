@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 continuation: 122 queries, 103 SQL-gated)
-        assert len(sqls) >= 103
-        assert len(qs) >= 122
+        # (round 3 continuation: 124 queries, 105 SQL-gated)
+        assert len(sqls) >= 105
+        assert len(qs) >= 124
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

@@ -1236,3 +1236,36 @@ class TestCalendarAndShare:
         for ty, g in df.groupby("p_type"):
             assert g.type_cents.nunique() == 1
             assert int(g.brand_cents.sum()) == int(g.type_cents.iloc[0])
+
+
+class TestStreaksAndGaps:
+    def test_streaks_match_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import \
+            q_activity_streaks
+        sf = "/root/testdata/sf0.001"
+        df = q_activity_streaks(sf).to_pandas().set_index("user_id")
+        ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+        ev["day"] = ev.ts.astype("int64") // 86_400_000_000
+        for uid, g in ev.groupby("user_id"):
+            days = sorted(set(g.day))
+            best = run = 1
+            for a, b in zip(days, days[1:]):
+                run = run + 1 if b == a + 1 else 1
+                best = max(best, run)
+            assert int(df.loc[uid, "active_days"]) == len(days)
+            assert int(df.loc[uid, "longest_streak"]) == best
+
+    def test_gaps_total_equals_span_for_sorted_days(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import \
+            q_customer_order_gaps
+        sf = "/root/testdata/sf0.001"
+        df = q_customer_order_gaps(sf).to_pandas().set_index("o_custkey")
+        o = pq.read_table(f"{sf}/orders.parquet").to_pandas()
+        o["day"] = o.o_orderdate.astype("int64") // 86_400_000_000
+        for ck, g in o.groupby("o_custkey"):
+            days = sorted(g.day)
+            # consecutive diffs telescope to max-min
+            assert int(df.loc[ck, "total_gap_days"]) == days[-1] - days[0]
+            assert int(df.loc[ck, "n_orders"]) == len(g)
