@@ -1751,6 +1751,101 @@ def q_customer_order_gaps(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(gaps, batch_format="pyarrow")
 
 
+def q_table_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Data-quality audit (expectations report): per audited lineitem
+    column, one row with null count, integer min/max (cents for prices)
+    and row count. Mergeable (n_null, min, max, n) partials per batch —
+    the audit of a 100-TB table exchanges #columns rows per block."""
+    cols = [("l_quantity", 1), ("l_extendedprice", 100),
+            ("l_discount", 100), ("l_tax", 100)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, nn, mn, mx, n = [], [], [], [], []
+        for c, scale in cols:
+            arr = b[c]
+            v = np.floor(arr.to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * scale + 0.5).astype(np.int64)
+            names.append(c)
+            nn.append(int(arr.null_count))
+            mn.append(int(v.min()) if len(v) else np.iinfo(np.int64).max)
+            mx.append(int(v.max()) if len(v) else np.iinfo(np.int64).min)
+            n.append(len(v))
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "n_null": pa.array(nn, pa.int64()),
+                         "min_q": pa.array(mn, pa.int64()),
+                         "max_q": pa.array(mx, pa.int64()),
+                         "n_rows": pa.array(n, pa.int64())})
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by("column").aggregate(
+            [("n_null", "sum"), ("min_q", "min"), ("max_q", "max"),
+             ("n_rows", "sum")])
+        return pa.table({"column": g["column"],
+                         "n_null": pc.cast(g["n_null_sum"], pa.int64()),
+                         "min_q": pc.cast(g["min_q_min"], pa.int64()),
+                         "max_q": pc.cast(g["max_q_max"], pa.int64()),
+                         "n_rows": pc.cast(g["n_rows_sum"], pa.int64())})
+
+    return _read(sf_dir, "lineitem", [c for c, _ in cols]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
+def q_dataset_split(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic train/val/test split (80/10/10 by md5(doc_id) bucket
+    mod 100) with per-(split, lang) counts — the reproducible-split
+    primitive every training pipeline needs. Stateless assignment, then a
+    combiner-first count; exchange ∝ 3 x langs per batch."""
+    import hashlib as _hl
+
+    from ..functions.agg import bucketed_group_sum_multi
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        hb = np.fromiter(
+            (int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), np.int64, len(ids))
+        split = np.where(hb < 80, "train", np.where(hb < 90, "val", "test"))
+        t = pa.table({"split": pa.array(split, pa.string()),
+                      "lang": b["lang"],
+                      "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                      "sum_chars": pc.cast(b["n_chars"], pa.int64())})
+        g = t.group_by(["split", "lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return pa.table({"split": g["split"], "lang": g["lang"],
+                         "n_docs": pc.cast(g["n_docs_sum"], pa.int64()),
+                         "sum_chars": pc.cast(g["sum_chars_sum"],
+                                              pa.int64())})
+
+    return bucketed_group_sum_multi(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["split", "lang"], ["n_docs", "sum_chars"])
+
+
+def q_fk_orphans(sf_dir: str) -> "ray.data.Dataset":
+    """Referential-integrity audit: orphan counts for the two fact FKs
+    (orders.o_custkey -> customer, lineitem.l_orderkey -> orders) via the
+    distributed anti semi-join, reduced to one row per relation. The
+    audit's exchange is the anti-join's (key, tag) hop, never full rows."""
+    from ..functions.joins import semi_join
+
+    orphan_orders = semi_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        _read(sf_dir, "customer", ["c_custkey"]),
+        left_on="o_custkey", keep_on="c_custkey", anti=True)
+    orphan_lines = semi_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]),
+        _read(sf_dir, "orders", ["o_orderkey"]),
+        left_on="l_orderkey", keep_on="o_orderkey", anti=True)
+    n_oo = orphan_orders.count()
+    n_ol = orphan_lines.count()
+    return ray.data.from_arrow(pa.table({
+        "relation": pa.array(["lineitem->orders", "orders->customer"],
+                             pa.string()),
+        "n_orphans": pa.array([n_ol, n_oo], pa.int64())}))
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -3867,6 +3962,56 @@ ORACLE_SQL: Dict[str, str] = {
                COALESCE(sum(day - prev), 0)::BIGINT AS total_gap_days,
                count(*)::BIGINT AS n_orders
         FROM l GROUP BY o_custkey""",
+    "table_audit": """
+        SELECT * FROM (
+          SELECT 'l_quantity' AS column,
+                 (count(*) - count(l_quantity))::BIGINT AS n_null,
+                 min(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT)) AS min_q,
+                 max(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT)) AS max_q,
+                 count(l_quantity)::BIGINT AS n_rows
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice',
+                 (count(*) - count(l_extendedprice))::BIGINT,
+                 min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)),
+                 max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)),
+                 count(l_extendedprice)::BIGINT
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', (count(*) - count(l_discount))::BIGINT,
+                 min(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)),
+                 max(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)),
+                 count(l_discount)::BIGINT
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_tax', (count(*) - count(l_tax))::BIGINT,
+                 min(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)),
+                 max(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)),
+                 count(l_tax)::BIGINT
+          FROM lineitem)""",
+    "dataset_split": """
+        SELECT CASE WHEN hb < 80 THEN 'train'
+                    WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
+               lang, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM (SELECT lang, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8))::BIGINT % 100 AS BIGINT)
+                       AS hb
+              FROM documents)
+        GROUP BY 1, 2""",
+    "fk_orphans": """
+        SELECT * FROM (
+          SELECT 'lineitem->orders' AS relation,
+                 (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+                   AS n_orphans
+          UNION ALL
+          SELECT 'orders->customer',
+                 (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey))::BIGINT)""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -4700,6 +4845,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "brand_type_share": q_brand_type_share,
     "activity_streaks": q_activity_streaks,
     "customer_order_gaps": q_customer_order_gaps,
+    "table_audit": q_table_audit,
+    "dataset_split": q_dataset_split,
+    "fk_orphans": q_fk_orphans,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

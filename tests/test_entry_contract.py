@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 continuation: 124 queries, 105 SQL-gated)
-        assert len(sqls) >= 105
-        assert len(qs) >= 124
+        # (round 3 continuation: 127 queries, 108 SQL-gated)
+        assert len(sqls) >= 108
+        assert len(qs) >= 127
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

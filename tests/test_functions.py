@@ -1269,3 +1269,32 @@ class TestStreaksAndGaps:
             # consecutive diffs telescope to max-min
             assert int(df.loc[ck, "total_gap_days"]) == days[-1] - days[0]
             assert int(df.loc[ck, "n_orders"]) == len(g)
+
+
+class TestAuditAndSplit:
+    def test_split_partitions_complete(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import q_dataset_split
+        sf = "/root/testdata/sf0.001"
+        df = q_dataset_split(sf).to_pandas()
+        total = pq.read_table(f"{sf}/documents.parquet").num_rows
+        assert int(df.n_docs.sum()) == total
+        assert set(df.split) <= {"train", "val", "test"}
+        by = df.groupby("split").n_docs.sum()
+        assert by.get("train", 0) > by.get("val", 0)
+        assert by.get("train", 0) > by.get("test", 0)
+
+    def test_fk_orphans_zero_on_synthetic(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import q_fk_orphans
+        df = q_fk_orphans("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 2
+        assert (df.n_orphans == 0).all()  # synthetic data has intact FKs
+
+    def test_table_audit_bounds(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import q_table_audit
+        df = q_table_audit("/root/testdata/sf0.001").to_pandas() \
+            .set_index("column")
+        assert int(df.loc["l_quantity", "min_q"]) >= 1
+        assert int(df.loc["l_quantity", "max_q"]) <= 50
+        assert int(df.loc["l_discount", "max_q"]) <= 10
+        assert (df.n_null == 0).all()
