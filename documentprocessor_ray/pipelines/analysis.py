@@ -1846,6 +1846,121 @@ def q_fk_orphans(sf_dir: str) -> "ray.data.Dataset":
         "n_orphans": pa.array([n_ol, n_oo], pa.int64())}))
 
 
+def q_weighted_sample_n(sf_dir: str) -> "ray.data.Dataset":
+    """Efraimidis-Spirakis weighted sampling without replacement (exact-N):
+    the 50 docs with the largest ln(u)/weight where u = (md5_32+1)/2^32
+    and weight = n_chars — longer docs proportionally likelier, selection
+    deterministic and mergeable (per-batch local top-50, one-block final).
+    The sort key is the identical float64 expression on both sides, so the
+    top-50 set hash-matches; the key itself stays out of the output."""
+    import hashlib as _hl
+
+    n = 50
+
+    def local_topn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        h32 = np.fromiter(
+            (int(_hl.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids), np.int64, len(ids))
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = np.log((h32 + 1) / 4294967296.0) / w
+        order = np.lexsort((np.asarray(ids, np.int64), -k))[:n]
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)[order], pa.int64()),
+            "n_chars": pa.array(
+                b["n_chars"].to_numpy(zero_copy_only=False)[order],
+                pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(local_topn, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(local_topn, batch_format="pyarrow")
+
+
+_BM25_TERMS = ("table", "merge", "fast")
+
+
+def q_bm25_topk(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed BM25 ranking (k1=1.2, b=0.75) for a fixed query, as
+    EXACT INTEGERS: with tf, dl, N, total all ints, the per-term score
+    reduces to the integer floor division
+        (idf_micro * 22*tf*total) // (10*total*tf + 3*total + 9*dl*N)
+    (22/10/3/9 absorb k1=6/5, b=3/4); idf_micro quantizes the one float op
+    (ln) identically on both sides. Pass 1 reduces corpus stats (N, total
+    tokens, per-term df) to a handful of broadcast ints; pass 2 scores
+    per batch vectorized and keeps a local top-50."""
+    split_args = dict(batch_format="pyarrow")
+
+    def toks(b: pa.Table):
+        txt = pc.utf8_lower(b["text"].combine_chunks())
+        trimmed = pc.replace_substring_regex(txt, r"^\s+|\s+$", "")
+        split = pc.split_pattern_regex(trimmed, r"\s+")
+        return split
+
+    def stats(b: pa.Table) -> pa.Table:
+        split = toks(b)
+        dl = pc.list_value_length(split).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split) \
+            .to_numpy(zero_copy_only=False)
+        out = {"n": pa.array([np.int64(len(dl))]),
+               "total": pa.array([dl.sum()], pa.int64())}
+        for t in _BM25_TERMS:
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[m], minlength=len(dl))
+            out[f"df_{t}"] = pa.array([np.int64((tf > 0).sum())])
+        return pa.table(out)
+
+    st = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(stats, **split_args).to_pandas().sum()
+    n_docs = np.int64(st["n"])
+    total = np.int64(st["total"])
+    idf = {}
+    for t in _BM25_TERMS:
+        df = np.float64(st[f"df_{t}"])
+        idf[t] = np.int64(np.floor(
+            1e6 * np.log(1 + (n_docs - df + 0.5) / (df + 0.5)) + 0.5))
+
+    k = 50
+
+    def score(b: pa.Table) -> pa.Table:
+        split = toks(b)
+        dl = pc.list_value_length(split).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(split)
+        parents = pc.list_parent_indices(split) \
+            .to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sc = np.zeros(len(dl), np.int64)
+        hit = np.zeros(len(dl), bool)
+        den_base = 3 * total + 9 * dl * n_docs
+        for t in _BM25_TERMS:
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[m], minlength=len(dl)) \
+                .astype(np.int64)
+            has = tf > 0
+            hit |= has
+            num = idf[t] * 22 * tf * total
+            den = 10 * total * tf + den_base
+            sc += np.where(has, num // den, 0)
+        ids, sc = ids[hit], sc[hit]
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score_micro": pa.array(sc[order], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        sc = b["score_micro"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score_micro": pa.array(sc[order], pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(score, **split_args) \
+        .repartition(1).map_batches(final, **split_args)
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -4012,6 +4127,38 @@ ORACLE_SQL: Dict[str, str] = {
                  (SELECT count(*) FROM orders o WHERE NOT EXISTS
                    (SELECT 1 FROM customer c
                     WHERE c.c_custkey = o.o_custkey))::BIGINT)""",
+    "weighted_sample_n": """
+        SELECT doc_id, n_chars::BIGINT AS n_chars
+        FROM (SELECT doc_id, n_chars,
+                     ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8))::BIGINT + 1)
+                        / 4294967296.0) / n_chars AS k
+              FROM documents)
+        ORDER BY k DESC, doc_id LIMIT 50""",
+    "bm25_topk": r"""
+        WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+                       lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                       '\s+')) AS w
+                     FROM documents),
+        dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+        tot AS (SELECT sum(dl)::BIGINT AS total, count(*)::BIGINT AS n
+                FROM dl),
+        df AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+               WHERE w IN ('table', 'merge', 'fast') GROUP BY 1),
+        idf AS (SELECT w, CAST(floor(1000000 * ln(1 + (tot.n - df.df + 0.5)
+                           / (df.df + 0.5)) + 0.5) AS BIGINT) AS idf_micro
+                FROM df, tot),
+        tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok
+               WHERE w IN ('table', 'merge', 'fast') GROUP BY 1, 2),
+        sc AS (SELECT tf.doc_id,
+                      sum((idf.idf_micro * 22 * tf.tf * tot.total)
+                          // (10 * tot.total * tf.tf + 3 * tot.total
+                              + 9 * dl.dl * tot.n))::BIGINT AS score_micro
+               FROM tf
+               JOIN idf USING (w) JOIN dl USING (doc_id), tot
+               GROUP BY 1)
+        SELECT doc_id, score_micro FROM sc
+        ORDER BY score_micro DESC, doc_id LIMIT 50""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -4848,6 +4995,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "table_audit": q_table_audit,
     "dataset_split": q_dataset_split,
     "fk_orphans": q_fk_orphans,
+    "weighted_sample_n": q_weighted_sample_n,
+    "bm25_topk": q_bm25_topk,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

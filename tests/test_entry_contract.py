@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 continuation: 127 queries, 108 SQL-gated)
-        assert len(sqls) >= 108
-        assert len(qs) >= 127
+        # (round 3 continuation: 129 queries, 110 SQL-gated)
+        assert len(sqls) >= 110
+        assert len(qs) >= 129
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

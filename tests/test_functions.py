@@ -1298,3 +1298,28 @@ class TestAuditAndSplit:
         assert int(df.loc["l_quantity", "max_q"]) <= 50
         assert int(df.loc["l_discount", "max_q"]) <= 10
         assert (df.n_null == 0).all()
+
+
+class TestWeightedSampleAndBM25:
+    def test_weighted_sample_matches_bruteforce(self, ray_session):
+        import hashlib
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import \
+            q_weighted_sample_n
+        sf = "/root/testdata/sf0.001"
+        df = q_weighted_sample_n(sf).to_pandas()
+        d = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "n_chars"]).to_pandas()
+        h = d.doc_id.map(lambda i: int(
+            hashlib.md5(str(i).encode()).hexdigest()[:8], 16))
+        d["k"] = np.log((h + 1) / 4294967296.0) / d.n_chars
+        want = d.sort_values(["k", "doc_id"],
+                             ascending=[False, True]).head(50)
+        assert list(df.doc_id) == list(want.doc_id)
+
+    def test_bm25_scores_positive_and_sorted(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import q_bm25_topk
+        df = q_bm25_topk("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 50
+        assert (df.score_micro > 0).all()
+        assert (np.diff(df.score_micro.values) <= 0).all()
