@@ -1961,6 +1961,54 @@ def q_bm25_topk(sf_dir: str) -> "ray.data.Dataset":
         .repartition(1).map_batches(final, **split_args)
 
 
+def q_price_band_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed banded self-join (non-equi |a-b| < band with BOTH sides
+    large): part pairs whose retail prices differ by under $1. Each part
+    is emitted to its dollar block and the one below (exact cover of the
+    band predicate); a pair materializes only in the block owning its
+    SMALLER price (ties: smaller partkey side), so each pair is produced
+    exactly once with no dedup exchange — the numeric analog of
+    fuzzy_pairs' length blocking. In-block matching is one lexsort +
+    sliding window, vectorized."""
+    band = 100  # cents
+
+    def emit(b: pa.Table) -> pa.Table:
+        key = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(b["p_retailprice"].to_numpy(zero_copy_only=False))
+        blk = cents // band
+        return pa.table({
+            "p_partkey": pa.array(np.concatenate([key, key]), pa.int64()),
+            "cents": pa.array(np.concatenate([cents, cents]), pa.int64()),
+            "blk": pa.array(np.concatenate([blk, blk - 1]), pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        blk = int(g["blk"][0].as_py())
+        key = g["p_partkey"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, cents))
+        key, cents = key[order], cents[order]
+        # anchors: elements whose cents natively lie in this block (the
+        # pair's SMALLER price owns it; equal-cents pairs are owned once
+        # because the sort puts the smaller partkey first)
+        anchors = np.nonzero(cents // band == blk)[0]
+        hi = np.searchsorted(cents, cents[anchors] + band, side="left")
+        cnt = hi - (anchors + 1)
+        cnt = np.maximum(cnt, 0)
+        rep_i = np.repeat(anchors, cnt)
+        offs = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        rep_j = np.repeat(anchors + 1, cnt) + offs
+        a, b2 = key[rep_i], key[rep_j]
+        return pa.table({
+            "part_a": pa.array(np.minimum(a, b2), pa.int64()),
+            "part_b": pa.array(np.maximum(a, b2), pa.int64()),
+            "diff_cents": pa.array(cents[rep_j] - cents[rep_i],
+                                   pa.int64())})
+
+    return _read(sf_dir, "part", ["p_partkey", "p_retailprice"]) \
+        .map_batches(emit, batch_format="pyarrow") \
+        .groupby("blk").map_groups(pairs, batch_format="pyarrow")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -4159,6 +4207,18 @@ ORACLE_SQL: Dict[str, str] = {
                GROUP BY 1)
         SELECT doc_id, score_micro FROM sc
         ORDER BY score_micro DESC, doc_id LIMIT 50""",
+    "price_band_pairs": """
+        WITH p AS (SELECT p_partkey,
+                          CAST(round(p_retailprice * 100) AS BIGINT)
+                            AS cents
+                   FROM part)
+        SELECT least(a.p_partkey, b.p_partkey) AS part_a,
+               greatest(a.p_partkey, b.p_partkey) AS part_b,
+               abs(a.cents - b.cents)::BIGINT AS diff_cents
+        FROM p a JOIN p b
+          ON (a.cents < b.cents
+              OR (a.cents = b.cents AND a.p_partkey < b.p_partkey))
+         AND b.cents - a.cents < 100""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -4997,6 +5057,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "fk_orphans": q_fk_orphans,
     "weighted_sample_n": q_weighted_sample_n,
     "bm25_topk": q_bm25_topk,
+    "price_band_pairs": q_price_band_pairs,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

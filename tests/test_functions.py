@@ -1323,3 +1323,25 @@ class TestWeightedSampleAndBM25:
         assert len(df) == 50
         assert (df.score_micro > 0).all()
         assert (np.diff(df.score_micro.values) <= 0).all()
+
+
+class TestPriceBandPairs:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+        from documentprocessor_ray.pipelines.analysis import \
+            q_price_band_pairs
+        sf = "/root/testdata/sf0.001"
+        df = q_price_band_pairs(sf).to_pandas()
+        p = pq.read_table(f"{sf}/part.parquet",
+                          columns=["p_partkey", "p_retailprice"]).to_pandas()
+        cents = np.rint(p.p_retailprice * 100).astype(np.int64).values
+        keys = p.p_partkey.values
+        want = set()
+        for i in range(len(keys)):
+            for j in range(i + 1, len(keys)):
+                if abs(int(cents[i]) - int(cents[j])) < 100:
+                    want.add((min(keys[i], keys[j]),
+                              max(keys[i], keys[j])))
+        have = set(zip(df.part_a, df.part_b))
+        assert have == want
+        assert len(df) == len(have)  # exactly-once ownership
