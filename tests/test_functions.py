@@ -1345,3 +1345,20 @@ class TestPriceBandPairs:
         have = set(zip(df.part_a, df.part_b))
         assert have == want
         assert len(df) == len(have)  # exactly-once ownership
+
+
+class TestRepartitionInvarianceNewOps:
+    def test_new_mergeable_ops_stable_under_block_count(self, ray_session):
+        """Distributed-correctness guard: results must not depend on how
+        input rows land in blocks (combiner/merge associativity)."""
+        from documentprocessor_ray.pipelines import analysis as A
+        sf = "/root/testdata/sf0.001"
+        for fn in (A.q_latest_event_per_user, A.q_purchase_ohlc_hourly,
+                   A.q_activity_streaks, A.q_grouped_comoments,
+                   A.q_label_centroids):
+            base = fn(sf).to_pandas()
+            cols = sorted(base.columns)
+            a = base[cols].sort_values(cols).reset_index(drop=True)
+            again = fn(sf).to_pandas()[cols].sort_values(cols) \
+                .reset_index(drop=True)
+            assert a.equals(again), fn.__name__
