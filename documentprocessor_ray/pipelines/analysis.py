@@ -2009,6 +2009,58 @@ def q_price_band_pairs(sf_dir: str) -> "ray.data.Dataset":
         .groupby("blk").map_groups(pairs, batch_format="pyarrow")
 
 
+def q_activity_feed(sf_dir: str) -> "ray.data.Dataset":
+    """Heterogeneous-source union (activity feed): purchases and orders
+    harmonized to one (ts_us, kind, entity_id, cents) schema and unioned —
+    Ray Data's union is a zero-copy block concatenation, so mixing N
+    sources costs nothing beyond their own reads."""
+    def from_events(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "kind": pa.array(["event"] * b.num_rows, pa.string()),
+            "entity_id": b["event_id"],
+            "cents": pa.array(
+                _cents(b["value"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    def from_orders(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "ts_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "kind": pa.array(["order"] * b.num_rows, pa.string()),
+            "entity_id": b["o_orderkey"],
+            "cents": pa.array(
+                _cents(b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    ev = _read(sf_dir, "events", ["ts", "event_id", "event_type", "value"]) \
+        .filter(expr="event_type == 'purchase'") \
+        .map_batches(from_events, batch_format="pyarrow")
+    od = _read(sf_dir, "orders",
+               ["o_orderdate", "o_orderkey", "o_totalprice"]) \
+        .map_batches(from_orders, batch_format="pyarrow")
+    return ev.union(od)
+
+
+def q_lang_dict_encode(sf_dir: str) -> "ray.data.Dataset":
+    """Dictionary encoding (categorical -> dense id): every doc's language
+    replaced by its alphabetical dense rank. The dictionary is a distinct
+    pass reduced to a tiny broadcast map; the encode is a stateless
+    vectorized lookup — the feature-store categorical primitive."""
+    langs = sorted(r["lang"] for r in _read(sf_dir, "documents", ["lang"])
+                   .groupby("lang").count().select_columns(["lang"])
+                   .take_all())
+    lut = {l: i + 1 for i, l in enumerate(langs)}
+
+    def encode(b: pa.Table) -> pa.Table:
+        ids = np.fromiter((lut[l] for l in b["lang"].to_pylist()),
+                          np.int64, b.num_rows)
+        return pa.table({"doc_id": b["doc_id"],
+                         "lang_id": pa.array(ids, pa.int64())})
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]) \
+        .map_batches(encode, batch_format="pyarrow")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -4219,6 +4271,23 @@ ORACLE_SQL: Dict[str, str] = {
           ON (a.cents < b.cents
               OR (a.cents = b.cents AND a.p_partkey < b.p_partkey))
          AND b.cents - a.cents < 100""",
+    "activity_feed": """
+        SELECT CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                    AS BIGINT) AS ts_us,
+               'event' AS kind, event_id AS entity_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT CAST(date_diff('microsecond', TIMESTAMP '1970-01-01',
+                              o_orderdate) AS BIGINT),
+               'order', o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM orders""",
+    "lang_dict_encode": """
+        SELECT d.doc_id,
+               CAST(dense_rank() OVER (ORDER BY d.lang) AS BIGINT)
+                 AS lang_id
+        FROM documents d""",
     "doc_sample_n": """
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         ORDER BY h, doc_id LIMIT 100""",
@@ -5058,6 +5127,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "weighted_sample_n": q_weighted_sample_n,
     "bm25_topk": q_bm25_topk,
     "price_band_pairs": q_price_band_pairs,
+    "activity_feed": q_activity_feed,
+    "lang_dict_encode": q_lang_dict_encode,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 continuation: 130 queries, 111 SQL-gated)
-        assert len(sqls) >= 111
-        assert len(qs) >= 130
+        # (round 3 continuation: 132 queries, 113 SQL-gated)
+        assert len(sqls) >= 113
+        assert len(qs) >= 132
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""
