@@ -2562,6 +2562,15 @@ def q_video_framesample(sf_dir: str) -> "ray.data.Dataset":
     return build_media_pipeline(_media_ds(sf_dir), "video")
 
 
+def q_audio_spectral(sf_dir: str) -> "ray.data.Dataset":
+    """FFT spectral features per audio asset (dominant bin + centroid):
+    real numpy DSP on the actor pool. Rows-only (no SQL FFT); the pytest
+    gate feeds encoded sine waves through the REAL PCM-WAV codec and
+    checks the dominant bin lands exactly on the sine's frequency."""
+    from ..stages.multimodal import build_media_pipeline
+    return build_media_pipeline(_media_ds(sf_dir), "audio_spectral")
+
+
 def q_audio_features(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.multimodal import build_media_pipeline
     return build_media_pipeline(_media_ds(sf_dir), "audio")
@@ -5152,6 +5161,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "knn_ivf": q_knn_ivf,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
+    "audio_spectral": q_audio_spectral,
     "video_framesample": q_video_framesample,
     "pricing_summary": q_pricing_summary,
     "revenue_rollup": q_revenue_rollup,

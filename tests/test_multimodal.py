@@ -305,3 +305,42 @@ class TestImagePhashPairs:
         # be recovered at Hamming 0 with its original
         assert len(out) >= 1
         assert (out["hamming"] == 0).any()
+
+
+class TestAudioSpectral:
+    def test_sine_dominant_bin_exact(self, ray_session):
+        """A pure sine at FFT-bin frequency k must dominate bin k through
+        the REAL PCM-WAV codec + Hann-windowed rfft."""
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        from documentprocessor_ray.stages.multimodal import (
+            AudioSpectralStage, RawCodec, encode_wav_pcm16)
+        frame = 1024
+        rows = []
+        for k in (5, 37, 200):
+            t = np.arange(frame * 4)
+            wav = 0.5 * np.sin(2 * np.pi * k * t / frame)
+            rows.append({"asset_id": f"sine-{k}",
+                         "kind": "audio",
+                         "payload": encode_wav_pcm16(wav),
+                         "meta": {"format": "wav"}})
+        batch = pa.Table.from_pylist(rows)
+        out = AudioSpectralStage(codec=RawCodec(), frame=frame)(batch)
+        got = {r["asset_id"]: r for r in out.to_pylist()}
+        for k in (5, 37, 200):
+            r = got[f"sine-{k}"]
+            assert r["error"] is None
+            assert r["n_frames"] == 4
+            assert r["dom_bin"] == k
+            # centroid of a pure tone sits on the tone (milli-bins)
+            assert abs(r["centroid_millibin"] - 1000 * k) <= 100
+
+    def test_query_runs_and_is_deterministic(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import q_audio_spectral
+        a = q_audio_spectral("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("asset_id").reset_index(drop=True)
+        b = q_audio_spectral("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("asset_id").reset_index(drop=True)
+        assert a.equals(b)
+        assert len(a) > 0
