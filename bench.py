@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",
     "knn_bruteforce", "knn_ivf",
     "image_features", "audio_features", "audio_spectral", "video_framesample",
+    "image_edges", "video_motion",
     "image_phash_pairs",
     "pricing_summary", "top_customers", "order_revenue_join", "line_flag_share", "bloom_prefilter",
     "events_rollup", "event_users_hll", "event_heavy_hitters", "events_tumbling", "events_hopping",

@@ -2571,6 +2571,23 @@ def q_audio_spectral(sf_dir: str) -> "ray.data.Dataset":
     return build_media_pipeline(_media_ds(sf_dir), "audio_spectral")
 
 
+def q_image_edges(sf_dir: str) -> "ray.data.Dataset":
+    """Sobel edge density per image asset (mean gradient + edge fraction):
+    real CV in pure numpy on the actor pool. Rows-only; pytest feeds
+    synthetic stripe/flat images through the REAL BMP codec and checks
+    the known gradient responses."""
+    from ..stages.multimodal import build_media_pipeline
+    return build_media_pipeline(_media_ds(sf_dir), "image_edges")
+
+
+def q_video_motion(sf_dir: str) -> "ray.data.Dataset":
+    """Motion energy per video asset (mean |luma diff| between sampled
+    frames). Rows-only; pytest drives static vs moving synthetic rgb24
+    clips through the REAL raw codec (static => 0, moving > 0)."""
+    from ..stages.multimodal import build_media_pipeline
+    return build_media_pipeline(_media_ds(sf_dir), "video_motion")
+
+
 def q_audio_features(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.multimodal import build_media_pipeline
     return build_media_pipeline(_media_ds(sf_dir), "audio")
@@ -5162,6 +5179,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,
+    "image_edges": q_image_edges,
+    "video_motion": q_video_motion,
     "video_framesample": q_video_framesample,
     "pricing_summary": q_pricing_summary,
     "revenue_rollup": q_revenue_rollup,

@@ -457,6 +457,88 @@ class AudioFeatureStage:
         })
 
 
+class ImageEdgeStage:
+    """Decode -> grayscale -> Sobel gradient magnitude; actor pool. Real
+    CV in pure numpy (two separable 3x3 convolutions as shifted sums).
+    Output: (asset_id, mean_grad_milli, edge_frac_milli) — edge pixels =
+    |grad| > 128 on the uint8 luma scale."""
+
+    def __init__(self, codec: Optional[Codec] = None):
+        self.codec = codec or FakeCodec()
+
+    @staticmethod
+    def _sobel_mag(luma: np.ndarray) -> np.ndarray:
+        p = np.pad(luma.astype(np.float64), 1, mode="edge")
+        gx = (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:]
+              - p[:-2, :-2] - 2 * p[1:-1, :-2] - p[2:, :-2])
+        gy = (p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:]
+              - p[:-2, :-2] - 2 * p[:-2, 1:-1] - p[:-2, 2:])
+        return np.hypot(gx, gy)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mg, ef, errors = [], [], [], []
+        metas = batch["meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for i in range(batch.num_rows):
+            ids.append(batch["asset_id"][i].as_py())
+            try:
+                img = self.codec.decode_image(payloads[i], metas[i])
+                luma = (img.astype(np.uint32).sum(axis=2) // 3)
+                g = self._sobel_mag(luma)
+                mg.append(int(round(float(g.mean()) * 1000)))
+                ef.append(int(round(float((g > 128).mean()) * 1000)))
+                errors.append(None)
+            except Exception as e:  # in-band error channel (M31)
+                mg.append(0); ef.append(0)
+                errors.append(str(e))
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "mean_grad_milli": pa.array(mg, pa.int64()),
+            "edge_frac_milli": pa.array(ef, pa.int64()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
+class VideoMotionStage:
+    """Decode sampled frames -> mean absolute luma difference between
+    consecutive sampled frames (motion energy); actor pool. Output:
+    (asset_id, n_frames_sampled, motion_milli)."""
+
+    def __init__(self, codec: Optional[Codec] = None, stride: int = 10):
+        self.codec = codec or FakeCodec()
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nf, mo, errors = [], [], [], []
+        metas = batch["meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for i in range(batch.num_rows):
+            ids.append(batch["asset_id"][i].as_py())
+            try:
+                frames = self.codec.decode_video_frames(
+                    payloads[i], metas[i], self.stride)
+                lumas = [f.astype(np.int64).sum(axis=2) // 3
+                         for f in frames]
+                if len(lumas) < 2:
+                    nf.append(len(lumas)); mo.append(0)
+                    errors.append(None)
+                    continue
+                diffs = [float(np.abs(b - a).mean())
+                         for a, b in zip(lumas, lumas[1:])]
+                nf.append(len(lumas))
+                mo.append(int(round(1000 * sum(diffs) / len(diffs))))
+                errors.append(None)
+            except Exception as e:  # in-band error channel (M31)
+                nf.append(0); mo.append(0)
+                errors.append(str(e))
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "n_frames_sampled": pa.array(nf, pa.int64()),
+            "motion_milli": pa.array(mo, pa.int64()),
+            "error": pa.array(errors, pa.string()),
+        })
+
+
 class AudioSpectralStage:
     """Decode -> Hann-windowed frame matrix -> rfft power spectrum ->
     dominant frequency bin + spectral centroid (milli-bins); actor pool.
@@ -571,9 +653,12 @@ def build_media_pipeline(ds, kind: str, codec: Optional[Codec] = None,
     decoded frames dominate memory, not the encoded payload."""
     stage = {"image": ImageFeatureStage, "audio": AudioFeatureStage,
              "audio_spectral": AudioSpectralStage,
+             "image_edges": ImageEdgeStage,
+             "video_motion": VideoMotionStage,
              "video": VideoFrameSampleStage}[kind]
     kwargs = {"codec": codec} if codec is not None else {}
-    kind = "audio" if kind == "audio_spectral" else kind
+    kind = {"audio_spectral": "audio", "image_edges": "image",
+            "video_motion": "video"}.get(kind, kind)
     return ds.filter(expr=f"kind == '{kind}'").map_batches(
         stage, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,

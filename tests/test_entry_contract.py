@@ -27,7 +27,7 @@ class TestEntryContract:
         # coverage floor: most queries carry an exact SQL twin
         # (round 3 continuation: 133 queries, 113 SQL-gated)
         assert len(sqls) >= 113
-        assert len(qs) >= 133
+        assert len(qs) >= 135
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

@@ -344,3 +344,62 @@ class TestAudioSpectral:
             .sort_values("asset_id").reset_index(drop=True)
         assert a.equals(b)
         assert len(a) > 0
+
+
+class TestEdgeAndMotion:
+    def test_sobel_stripes_vs_flat(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        from documentprocessor_ray.stages.multimodal import (
+            ImageEdgeStage, RawCodec, encode_bmp)
+        flat = np.full((32, 32, 3), 100, np.uint8)
+        stripes = np.zeros((32, 32, 3), np.uint8)
+        # period-4 stripes (2 on / 2 off): period-2 is invisible to a
+        # 3-wide Sobel (left/right neighbors equal), period-4 is not
+        stripes[:, (np.arange(32) % 4) < 2] = 255
+        batch = pa.Table.from_pylist([
+            {"asset_id": "flat", "kind": "image",
+             "payload": encode_bmp(flat), "meta": {"format": "bmp"}},
+            {"asset_id": "stripes", "kind": "image",
+             "payload": encode_bmp(stripes), "meta": {"format": "bmp"}}])
+        out = {r["asset_id"]: r
+               for r in ImageEdgeStage(codec=RawCodec())(batch).to_pylist()}
+        assert out["flat"]["error"] is None
+        assert out["flat"]["mean_grad_milli"] == 0
+        assert out["flat"]["edge_frac_milli"] == 0
+        assert out["stripes"]["mean_grad_milli"] > 100000
+        assert out["stripes"]["edge_frac_milli"] > 400
+
+    def test_motion_static_vs_moving(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        from documentprocessor_ray.stages.multimodal import (
+            VideoMotionStage, RawCodec)
+        h = w = 16
+        static = np.full((6, h, w, 3), 50, np.uint8).tobytes()
+        frames = []
+        for i in range(6):
+            f = np.zeros((h, w, 3), np.uint8)
+            f[:, (i * 3) % w] = 255  # moving vertical bar
+            frames.append(f)
+        moving = np.stack(frames).tobytes()
+        batch = pa.Table.from_pylist([
+            {"asset_id": "static", "kind": "video", "payload": static,
+             "meta": {"format": "rgb24", "height": h, "width": w}},
+            {"asset_id": "moving", "kind": "video", "payload": moving,
+             "meta": {"format": "rgb24", "height": h, "width": w}}])
+        out = {r["asset_id"]: r for r in
+               VideoMotionStage(codec=RawCodec(), stride=1)(batch)
+               .to_pylist()}
+        assert out["static"]["error"] is None
+        assert out["static"]["motion_milli"] == 0
+        assert out["moving"]["motion_milli"] > 0
+        assert out["moving"]["n_frames_sampled"] == 6
+
+    def test_queries_run(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import (
+            q_image_edges, q_video_motion)
+        a = q_image_edges("/root/testdata/sf0.001").to_pandas()
+        b = q_video_motion("/root/testdata/sf0.001").to_pandas()
+        assert len(a) > 0 and len(b) > 0
+        assert a.error.isna().all() and b.error.isna().all()
