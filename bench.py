@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "brand_type_share", "activity_streaks", "customer_order_gaps",
     "table_audit", "dataset_split", "fk_orphans",
     "weighted_sample_n", "bm25_topk", "price_band_pairs",
-    "activity_feed", "lang_dict_encode",
+    "activity_feed", "lang_dict_encode", "rolling_active_users",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",

@@ -2061,6 +2061,47 @@ def q_lang_dict_encode(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(encode, batch_format="pyarrow")
 
 
+def q_rolling_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """Rolling 7-day distinct active users per day (windowed COUNT
+    DISTINCT — not a cumsum, distinct doesn't difference): each distinct
+    (user, day) pair is EXPANDED to the 7 window-end days it feeds, then
+    one bucketed distinct-and-count on (window_day). Exchange = 7 x
+    distinct pairs — bounded by activity, never event rows."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+    us_per_day = np.int64(86_400_000_000)
+
+    def expand(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(
+                pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+                // us_per_day, pa.int64())})
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        wday = (day[:, None] + np.arange(7)[None, :]).ravel()
+        uid7 = np.repeat(uid, 7)
+        out = pa.table({"day": pa.array(wday, pa.int64()),
+                        "user_id": pa.array(uid7, pa.int64())})
+        return out.append_column("pkey", pa.array(
+            bucket_of_ints(wday, nb)))
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        d = g.group_by(["day", "user_id"]).aggregate([])
+        t = pa.table({"day": d["day"],
+                      "n": pa.array(np.ones(d.num_rows, np.int64))})
+        a = t.group_by("day").aggregate([("n", "sum")])
+        return pa.table({"day": a["day"],
+                         "active_users_7d": pc.cast(a["n_sum"],
+                                                    pa.int64())})
+
+    return _read(sf_dir, "events", ["user_id", "ts"]) \
+        .map_batches(expand, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(count_distinct, batch_format="pyarrow")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -4173,6 +4214,16 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(brand_cents) OVER (PARTITION BY p_type) AS BIGINT)
                  AS type_cents
         FROM f""",
+    "rolling_active_users": """
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                                         date_trunc('day', ts)) AS BIGINT)
+                            AS day
+                   FROM events),
+        w AS (SELECT user_id, day + o AS day
+              FROM d, unnest(generate_series(0, 6)) AS t(o))
+        SELECT day, count(DISTINCT user_id)::BIGINT AS active_users_7d
+        FROM w GROUP BY day""",
     "activity_streaks": """
         WITH d AS (SELECT DISTINCT user_id,
                           CAST(date_diff('day', TIMESTAMP '1970-01-01',
@@ -5155,6 +5206,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "price_band_pairs": q_price_band_pairs,
     "activity_feed": q_activity_feed,
     "lang_dict_encode": q_lang_dict_encode,
+    "rolling_active_users": q_rolling_active_users,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,
