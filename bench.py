@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "table_audit", "dataset_split", "fk_orphans",
     "weighted_sample_n", "bm25_topk", "price_band_pairs",
     "activity_feed", "lang_dict_encode", "rolling_active_users",
+    "late_ship_orders",
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",

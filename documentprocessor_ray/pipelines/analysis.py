@@ -2102,6 +2102,69 @@ def q_rolling_active_users(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(count_distinct, batch_format="pyarrow")
 
 
+def q_late_ship_orders(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q4 shape — EXISTS with a cross-table inequality: orders (per
+    priority) having any lineitem shipped >60 days after the order date.
+    The EXISTS collapses algebraically to max(l_shipdate) per order — a
+    combiner-first bucketed MAX — so the exchange ships one row per order,
+    and the predicate evaluates after a co-bucketed join."""
+    from ..functions.joins import hash_join
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+    late_us = np.int64(60) * 86_400_000_000
+
+    def ship_max_local(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": b["l_orderkey"],
+                      "ship_us": pc.cast(b["l_shipdate"], pa.int64())})
+        g = t.group_by("o_orderkey").aggregate([("ship_us", "max")])
+        out = pa.table({"o_orderkey": g["o_orderkey"],
+                        "ship_us": pc.cast(g["ship_us_max"], pa.int64())})
+        return out.append_column("pkey", pa.array(bucket_of_ints(
+            out["o_orderkey"].to_numpy(zero_copy_only=False), nb)))
+
+    def ship_max_merge(g: pa.Table) -> pa.Table:
+        a = g.group_by("o_orderkey").aggregate([("ship_us", "max")])
+        return pa.table({"o_orderkey": a["o_orderkey"],
+                         "max_ship_us": pc.cast(a["ship_us_max"],
+                                                pa.int64())})
+
+    ship = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(ship_max_local, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(ship_max_merge, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "odate_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "o_orderpriority": b["o_orderpriority"]}),
+            batch_format="pyarrow")
+
+    j = hash_join(
+        ship, orders, on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("max_ship_us", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("odate_us", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
+
+    def count_late(b: pa.Table) -> pa.Table:
+        late = b["max_ship_us"].to_numpy(zero_copy_only=False) > \
+            b["odate_us"].to_numpy(zero_copy_only=False) + late_us
+        t = pa.table({"o_orderpriority": b["o_orderpriority"],
+                      "n_late": pa.array(late.astype(np.int64), pa.int64())})
+        g = t.group_by("o_orderpriority").aggregate([("n_late", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n_late": pc.cast(g["n_late_sum"], pa.int64())})
+
+    from ..functions.agg import bucketed_group_sum_multi
+    return bucketed_group_sum_multi(
+        j.map_batches(count_late, batch_format="pyarrow"),
+        ["o_orderpriority"], ["n_late"]) \
+        .filter(expr="n_late > 0")
+
+
 def q_doc_sample_n(sf_dir: str) -> "ray.data.Dataset":
     """EXACT-N deterministic sample (reservoir twin): the 100 docs with the
     smallest md5(doc_id) — a stable pseudo-random draw. Plan: per-batch
@@ -4214,6 +4277,14 @@ ORACLE_SQL: Dict[str, str] = {
                CAST(sum(brand_cents) OVER (PARTITION BY p_type) AS BIGINT)
                  AS type_cents
         FROM f""",
+    "late_ship_orders": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_late
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                                           + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority""",
     "rolling_active_users": """
         WITH d AS (SELECT DISTINCT user_id,
                           CAST(date_diff('day', TIMESTAMP '1970-01-01',
@@ -5207,6 +5278,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "activity_feed": q_activity_feed,
     "lang_dict_encode": q_lang_dict_encode,
     "rolling_active_users": q_rolling_active_users,
+    "late_ship_orders": q_late_ship_orders,
     "length_variance": q_length_variance,
     "redact_numbers": q_redact_numbers,
     "props_extract": q_props_extract,

@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 continuation: 136 queries, 114 SQL-gated)
-        assert len(sqls) >= 114
-        assert len(qs) >= 136
+        # (round 3 continuation: 137 queries, 115 SQL-gated)
+        assert len(sqls) >= 115
+        assert len(qs) >= 137
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""
