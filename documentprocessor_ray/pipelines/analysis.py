@@ -1969,7 +1969,10 @@ def q_price_band_pairs(sf_dir: str) -> "ray.data.Dataset":
     SMALLER price (ties: smaller partkey side), so each pair is produced
     exactly once with no dedup exchange — the numeric analog of
     fuzzy_pairs' length blocking. In-block matching is one lexsort +
-    sliding window, vectorized."""
+    searchsorted window expansion, fully vectorized. Scale caveat: output
+    is inherently quadratic in per-block value density — at crawl scale,
+    shrink the band or pre-aggregate to distinct values (as fuzzy_pairs
+    does) before pairing."""
     band = 100  # cents
 
     def emit(b: pa.Table) -> pa.Table:
