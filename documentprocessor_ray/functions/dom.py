@@ -1,0 +1,184 @@
+"""DOM-heuristics main-content extraction (north rule: "DOM heuristics").
+
+Complements functions/boilerplate.py's flat block/link-density strip with a
+real DOM pass: a stack-based tag-tree parse, per-element visible-text and
+anchor-text lengths, and Readability-style candidate scoring (public
+algorithmic lineage: Arc90 Readability / Kohlschütter WSDM'10), reduced to
+an EXACT integer spec so the DuckDB twin verifies it bit-for-bit:
+
+1. Tokenize: comments, close tags, open/self-closing tags (void elements
+   never push), text nodes. ``<script>``/``<style>`` subtrees are parsed
+   but invisible.
+2. Per element: ``raw`` = descendant text nodes joined by one space in
+   document order (invisible subtrees skipped); ``tlen`` =
+   len(normalize(raw)) via the engine's shared normalize chain;
+   ``alen`` = sum over descendant ``<a>`` of len(normalize(raw(a))).
+3. Candidates: elements whose tag is in CANDIDATE_TAGS. ``score`` =
+   ``2*tlen - 6*alen`` (integer form of text*(1 - 3*link_density)).
+4. Winner: max score; ties go to the LATER element in document order
+   (prefers the deeper/more specific container).
+
+The normalize calls are batched: every candidate/anchor raw string across
+the batch goes through ONE vectorized RE2 pass (oracle/textnorm).
+Stateless task-pool stage; compiled regexes at module import.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..oracle.textnorm import normalize_text_arrow
+
+VOID_TAGS = frozenset((
+    "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+))
+INVISIBLE_TAGS = frozenset(("script", "style"))
+CANDIDATE_TAGS = frozenset(("body", "div", "article", "section", "main",
+                            "td"))
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->|</([A-Za-z][A-Za-z0-9]*)[^>]*>|"
+    r"<([A-Za-z][A-Za-z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    re.S)
+
+
+class _El:
+    __slots__ = ("tag", "order", "depth", "t_lo", "t_hi", "anchors",
+                 "parent")
+
+    def __init__(self, tag: str, order: int, depth: int, t_lo: int,
+                 parent: Optional["_El"]):
+        self.tag = tag
+        self.order = order
+        self.depth = depth
+        self.t_lo = t_lo      # first text-node index in the subtree
+        self.t_hi = t_lo      # one past the last (filled on close)
+        self.anchors: List["_El"] = []
+        self.parent = parent
+
+
+def parse_dom(html: str) -> Tuple[List[_El], List[str]]:
+    """-> (elements in document order, visible text nodes in order).
+
+    Unmatched close tags are ignored; unclosed elements are closed at EOF.
+    """
+    elements: List[_El] = []
+    texts: List[str] = []
+    stack: List[_El] = []
+    invisible = 0
+    pos = 0
+    for m in _TOKEN_RE.finditer(html):
+        if m.start() > pos:
+            t = html[pos:m.start()]
+            if invisible == 0 and t.strip():
+                texts.append(t)
+        pos = m.end()
+        close, open_, attrs = m.group(1), m.group(2), m.group(3)
+        if close is not None:
+            tag = close.lower()
+            # pop to the nearest matching open element (ignore strays)
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i].tag == tag:
+                    while len(stack) > i:
+                        el = stack.pop()
+                        el.t_hi = len(texts)
+                        if el.tag in INVISIBLE_TAGS:
+                            invisible -= 1
+                    break
+        elif open_ is not None:
+            tag = open_.lower()
+            el = _El(tag, len(elements), len(stack), len(texts),
+                     stack[-1] if stack else None)
+            elements.append(el)
+            if tag == "a":
+                for anc in stack:
+                    anc.anchors.append(el)
+            self_closing = attrs.rstrip().endswith("/")
+            if tag in VOID_TAGS or self_closing:
+                el.t_hi = len(texts)
+            else:
+                stack.append(el)
+                if tag in INVISIBLE_TAGS:
+                    invisible += 1
+        # comments: skipped
+    if pos < len(html):
+        t = html[pos:]
+        if invisible == 0 and t.strip():
+            texts.append(t)
+    while stack:
+        el = stack.pop()
+        el.t_hi = len(texts)
+    return elements, texts
+
+
+def extract_dom_main_batch(batch: pa.Table,
+                           html_col: str = "html") -> pa.Table:
+    """(doc_id, html) ->
+    (doc_id, main_text, score, winner_tag, n_elements, n_candidates)."""
+    htmls: List[str] = batch[html_col].to_pylist()
+
+    # pass 1: parse every doc; collect raw strings needing normalization
+    parsed = []
+    raw_strings: List[str] = []
+
+    def raw_of(el: _El, texts: List[str]) -> str:
+        return " ".join(texts[el.t_lo:el.t_hi])
+
+    for h in htmls:
+        elements, texts = parse_dom(h or "")
+        cands = [e for e in elements if e.tag in CANDIDATE_TAGS]
+        # index into raw_strings for each candidate and its anchors
+        c_idx, a_idx = [], []
+        for e in cands:
+            c_idx.append(len(raw_strings))
+            raw_strings.append(raw_of(e, texts))
+            my_anchors = []
+            for a in e.anchors:
+                my_anchors.append(len(raw_strings))
+                raw_strings.append(raw_of(a, texts))
+            a_idx.append(my_anchors)
+        parsed.append((len(elements), cands, c_idx, a_idx))
+
+    # pass 2: ONE vectorized normalize over every collected string
+    if raw_strings:
+        norm = normalize_text_arrow(pa.array(raw_strings, pa.string()))
+        norm_len = pc.utf8_length(norm).to_numpy(zero_copy_only=False)
+        norm_py = norm.to_pylist()
+    else:
+        norm_len = np.zeros(0, np.int64)
+        norm_py = []
+
+    out_text, out_score, out_tag, out_nel, out_ncand = [], [], [], [], []
+    for n_elements, cands, c_idx, a_idx in parsed:
+        best = None  # (score, order, text_idx, tag)
+        for e, ci, ais in zip(cands, c_idx, a_idx):
+            tlen = int(norm_len[ci])
+            alen = int(sum(norm_len[ai] for ai in ais))
+            score = 2 * tlen - 6 * alen
+            key = (score, e.order)
+            if best is None or key >= (best[0], best[1]):
+                best = (score, e.order, ci, e.tag)
+        if best is None:
+            out_text.append("")
+            out_score.append(0)
+            out_tag.append("")
+        else:
+            out_text.append(norm_py[best[2]])
+            out_score.append(best[0])
+            out_tag.append(best[3])
+        out_nel.append(n_elements)
+        out_ncand.append(len(cands))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "main_text": pa.array(out_text, pa.string()),
+        "score": pa.array(out_score, pa.int64()),
+        "winner_tag": pa.array(out_tag, pa.string()),
+        "n_elements": pa.array(out_nel, pa.int64()),
+        "n_candidates": pa.array(out_ncand, pa.int64()),
+    })

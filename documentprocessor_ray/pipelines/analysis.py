@@ -2530,6 +2530,58 @@ def q_main_content(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(extract_main_content_batch, batch_format="pyarrow")
 
 
+def q_pdf_extract(sf_dir: str) -> "ray.data.Dataset":
+    """North-rule PDF/layout parse: each document's token stream is rendered
+    into REAL PDF bytes (valid xref, FlateDecode content streams, Tj/TJ/Tm
+    text operators, two-column multi-page grid, lines emitted in a shuffled
+    order), then the parser inflates the streams, tokenizes the operators
+    and reconstructs reading order from the PARSED coordinates
+    (functions/pdf.py spec). The oracle recomputes the text join plus the
+    line/page counts and coordinate sums in closed form — a wrong inflate,
+    string-unescape, matrix track or ordering breaks the hash."""
+    from ..functions.pdf import build_pdf_batch, extract_pdf_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(build_pdf_batch, batch_format="pyarrow") \
+        .map_batches(extract_pdf_text_batch, batch_format="pyarrow")
+
+
+def q_dom_main(sf_dir: str) -> "ray.data.Dataset":
+    """North-rule DOM heuristics: deterministic HTML (link-farm nav, a
+    two-paragraph content div, a link-only footer) is parsed into a REAL
+    tag tree; per-element visible/anchor text lengths score every candidate
+    container (2*tlen - 6*alen, Readability-style) and the winner's text is
+    emitted (functions/dom.py spec). By construction the content div beats
+    <body> strictly (the nav/footer anchors tax it), so the oracle can
+    verify winner score, element counts and the exact extracted text."""
+    from ..functions.dom import extract_dom_main_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build_html(batch: pa.Table) -> pa.Table:
+        split, empty = T._tokens_list(batch["text"].combine_chunks())
+        toks_py = split.to_pylist()
+        empties = empty.to_pylist()
+        htmls = []
+        for toks, e in zip(toks_py, empties):
+            toks = [] if e else (toks or [])
+            nav = " ".join(f'<a href="#">{w}</a>' for w in toks[:10])
+            rest = toks[10:]
+            h = (len(rest) + 1) // 2
+            p1, p2 = " ".join(rest[:h]), " ".join(rest[h:])
+            htmls.append(
+                f'<html><body><nav>{nav}</nav>'
+                f'<div class="content"><p>{p1}</p><p>{p2}</p></div>'
+                f'<footer><a href="/">home</a></footer></body></html>')
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "html": pa.array(htmls, pa.string()),
+        })
+
+    return ds.map_batches(build_html, batch_format="pyarrow") \
+        .map_batches(extract_dom_main_batch, batch_format="pyarrow")
+
+
 def q_corpus_train_ready(sf_dir: str) -> "ray.data.Dataset":
     """The FULL training-data cleaning composition, end-to-end distributed
     and end-to-end SQL-verified: quality gate -> exact-dedup keep-list
@@ -5199,6 +5251,53 @@ ORACLE_SQL["main_content"] = rf"""
       len(list_filter(vis, {_KEEP_LAMBDA}))::BIGINT AS n_kept
     FROM v"""
 
+# PDF/layout-parse twin: functions/pdf.py's grid spec in closed form
+# (TOKENS_PER_LINE=8, ROWS_PER_COL=45 -> 90 lines/page, x = 72 + 234*col,
+# y = 720 - 14*row); pdf_text round-trips to the token join
+ORACLE_SQL["pdf_extract"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents),
+    l AS (SELECT doc_id, toks, (len(toks) + 7) // 8 AS n_lines FROM t)
+    SELECT doc_id,
+      coalesce(array_to_string(toks, ' '), '') AS pdf_text,
+      n_lines::BIGINT AS n_lines,
+      greatest(1, (n_lines + 89) // 90)::BIGINT AS n_pages,
+      coalesce(list_sum(list_transform(generate_series(0, n_lines - 1),
+        i -> 72 + 234 * ((i % 90) // 45))), 0)::BIGINT AS xsum,
+      coalesce(list_sum(list_transform(generate_series(0, n_lines - 1),
+        i -> 720 - 14 * (i % 45))), 0)::BIGINT AS ysum
+    FROM l"""
+
+# DOM-heuristics twin: with the q_dom_main construction the content <div>
+# wins strictly (proof in the docstring), so winner text/score and the
+# parse's element counts are closed-form: n_elements = html, body, nav,
+# min(10,n) nav anchors, div, p, p, footer, footer anchor = 8 + min(10,n)
+ORACLE_SQL["dom_main"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents),
+    m AS (SELECT doc_id, toks,
+            coalesce(array_to_string(
+              list_slice(toks, 11, len(toks)), ' '), '') AS main_text
+          FROM t)
+    SELECT doc_id, main_text,
+      CAST(2 * length(main_text) AS BIGINT) AS score,
+      'div' AS winner_tag,
+      (8 + least(10, len(toks)))::BIGINT AS n_elements,
+      CAST(2 AS BIGINT) AS n_candidates
+    FROM m"""
+
 # full cleaning composition: corpus_clean's quality+exact-dedup SQL minus
 # the non-representative members of the recursive-CTE near-dup clusters
 ORACLE_SQL["corpus_train_ready"] = f"""
@@ -5212,6 +5311,8 @@ ORACLE_SQL["corpus_train_ready"] = f"""
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "normalize_text": q_normalize_text,
     "main_content": q_main_content,
+    "pdf_extract": q_pdf_extract,
+    "dom_main": q_dom_main,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "fingerprint": q_fingerprint,
