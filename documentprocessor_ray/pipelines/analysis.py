@@ -2582,6 +2582,19 @@ def q_dom_main(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(extract_dom_main_batch, batch_format="pyarrow")
 
 
+def q_substring_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Exact duplicated-substring detection (Lee et al. 2022 shape): every
+    40-char window is rolling-hashed (one vectorized byte pass per batch),
+    candidates pre-aggregated per (hash, doc) on the map side, bucketed by
+    hash, and windows whose content appears in >= 2 distinct documents are
+    counted back per document. The SQL twin compares REAL substrings — a
+    hash that merged two different windows would break the gate."""
+    from ..functions.contamination import substring_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dedup(ds, k=40)
+
+
 def q_corpus_train_ready(sf_dir: str) -> "ray.data.Dataset":
     """The FULL training-data cleaning composition, end-to-end distributed
     and end-to-end SQL-verified: quality gate -> exact-dedup keep-list
@@ -5298,6 +5311,23 @@ ORACLE_SQL["dom_main"] = r"""
       CAST(2 AS BIGINT) AS n_candidates
     FROM m"""
 
+# substring-dedup twin: real substrings where the engine uses 64-bit
+# rolling hashes (collision tradeoff documented in functions/contamination)
+ORACLE_SQL["substring_dedup"] = r"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(0, length(text) - 39)),
+        i -> substr(text, i, 40))) AS kg
+      FROM documents),
+    d AS (SELECT kg FROM g GROUP BY kg
+          HAVING count(DISTINCT doc_id) >= 2),
+    per AS (SELECT g.doc_id, count(*) AS n_dup
+            FROM g JOIN d USING (kg) GROUP BY g.doc_id)
+    SELECT doc.doc_id,
+      greatest(0, length(doc.text) - 39)::BIGINT AS n_kgrams,
+      coalesce(per.n_dup, 0)::BIGINT AS n_dup
+    FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id"""
+
 # full cleaning composition: corpus_clean's quality+exact-dedup SQL minus
 # the non-representative members of the recursive-CTE near-dup clusters
 ORACLE_SQL["corpus_train_ready"] = f"""
@@ -5313,6 +5343,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "main_content": q_main_content,
     "pdf_extract": q_pdf_extract,
     "dom_main": q_dom_main,
+    "substring_dedup": q_substring_dedup,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "fingerprint": q_fingerprint,
