@@ -712,3 +712,45 @@ def nfc_normalize_batch(batch: pa.Table) -> pa.Table:
                    else unicodedata.normalize("NFC", t))
     return pa.table({"doc_id": batch["doc_id"],
                      "nfc_text": pa.array(out, pa.string())})
+
+
+def phrase_count_batch(batch: pa.Table, phrase: List[str]) -> pa.Table:
+    """(doc_id, n_matches): occurrences of the exact token phrase per doc.
+
+    Vectorized across the batch: all docs' tokens are flattened into ONE
+    object array; each phrase position is a shifted elementwise equality,
+    AND-ed together; matches whose window crosses a document boundary are
+    masked; per-doc counts come from one reduceat over the segment starts.
+    The positional scan is the map side of phrase search — at corpus scale
+    it composes with ``inverted_index`` to prune candidate docs first.
+    """
+    p = len(phrase)
+    split, empty = _tokens_list(batch["text"].combine_chunks())
+    counts_per_doc = pc.list_value_length(split).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    counts_per_doc[np.asarray(empty.to_pylist())] = 0
+    flat_vals = []
+    for toks, e in zip(split.to_pylist(), empty.to_pylist()):
+        if not e and toks:
+            flat_vals.extend(toks)
+    flat = np.asarray(flat_vals, dtype=object)
+    n = len(flat)
+    n_matches = np.zeros(len(counts_per_doc), np.int64)
+    if n >= p:
+        m = flat[: n - p + 1] == phrase[0]
+        for j in range(1, p):
+            m &= flat[j: n - p + 1 + j] == phrase[j]
+        # mask windows crossing a doc boundary: window at flat position i
+        # belongs to the doc owning i AND i+p-1
+        starts = np.zeros(len(counts_per_doc) + 1, np.int64)
+        np.cumsum(counts_per_doc, out=starts[1:])
+        doc_of = np.repeat(np.arange(len(counts_per_doc)), counts_per_doc)
+        valid = doc_of[: n - p + 1] == doc_of[p - 1:]
+        m &= valid
+        hits = np.flatnonzero(m)
+        if len(hits):
+            np.add.at(n_matches, doc_of[hits], 1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_matches": pa.array(n_matches, pa.int64()),
+    })

@@ -2595,6 +2595,78 @@ def q_substring_dedup(sf_dir: str) -> "ray.data.Dataset":
     return substring_dedup(ds, k=40)
 
 
+def q_phrase_search(sf_dir: str) -> "ray.data.Dataset":
+    """Positional phrase search: count exact occurrences of a 3-token
+    phrase per document and keep matching docs. The probe phrase is the
+    first 3 tokens of doc 0 — BOTH sides derive it from the data (the Ray
+    side reads one row driver-side; the SQL twin uses a scalar subquery),
+    so the gate checks the positional scan, not a hardcoded constant."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.textstats import phrase_count_batch
+
+    t0 = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "=", 0)])
+    phrase = (t0["text"][0].as_py() or "").split()[:3]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = phrase_count_batch(batch, phrase)
+        return out.filter(pc.greater(out["n_matches"], 0))
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def q_split_leakage(sf_dir: str) -> "ray.data.Dataset":
+    """Train/test leakage audit: how many near-duplicate pairs (the 3-gram
+    Jaccard >= 1/2 set, reused from the memoized pair Dataset) cross the
+    deterministic 80/10/10 split (same md5 split as dataset_split). A
+    cross-split near-dup pair IS evaluation leakage — this is the check a
+    training pipeline runs after splitting. Combiner-first: per-batch
+    (split_a, split_b) counts, then a tiny groupby."""
+    import hashlib as _hl
+
+    pairs = _ngram_pairs_cached(sf_dir)
+
+    def classify(b: pa.Table) -> pa.Table:
+        def split_of(ids):
+            hb = np.fromiter(
+                (int(_hl.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                 for i in ids), np.int64, len(ids))
+            return np.where(hb < 80, "train",
+                            np.where(hb < 90, "val", "test"))
+        sa = split_of(b["doc_a"].to_pylist())
+        sb = split_of(b["doc_b"].to_pylist())
+        t = pa.table({
+            "split_a": pa.array(sa, pa.string()),
+            "split_b": pa.array(sb, pa.string()),
+            "n_pairs": pa.array(np.ones(len(sa), np.int64)),
+            "n_cross": pa.array((sa != sb).astype(np.int64)),
+        })
+        g = t.group_by(["split_a", "split_b"]).aggregate(
+            [("n_pairs", "sum"), ("n_cross", "sum")])
+        return pa.table({
+            "split_a": g["split_a"], "split_b": g["split_b"],
+            "n_pairs": pc.cast(g["n_pairs_sum"], pa.int64()),
+            "n_cross": pc.cast(g["n_cross_sum"], pa.int64()),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = g.group_by(["split_a", "split_b"]).aggregate(
+            [("n_pairs", "sum"), ("n_cross", "sum")])
+        return pa.table({
+            "split_a": t["split_a"], "split_b": t["split_b"],
+            "n_pairs": pc.cast(t["n_pairs_sum"], pa.int64()),
+            "n_cross": pc.cast(t["n_cross_sum"], pa.int64()),
+        })
+
+    # <=9 (split_a, split_b) groups: one-block final merge is exact and flat
+    return pairs.map_batches(classify, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
 def q_corpus_train_ready(sf_dir: str) -> "ray.data.Dataset":
     """The FULL training-data cleaning composition, end-to-end distributed
     and end-to-end SQL-verified: quality gate -> exact-dedup keep-list
@@ -5328,6 +5400,49 @@ ORACLE_SQL["substring_dedup"] = r"""
       coalesce(per.n_dup, 0)::BIGINT AS n_dup
     FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id"""
 
+# phrase-search twin: the probe phrase is doc 0's first 3 tokens on both
+# sides (scalar subqueries here, a driver-side one-row read in the engine)
+ORACLE_SQL["phrase_search"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents),
+    p AS (SELECT toks[1] AS p1, toks[2] AS p2, toks[3] AS p3
+          FROM t WHERE doc_id = 0),
+    m AS (
+      SELECT t.doc_id,
+        len(list_filter(generate_series(1, len(toks) - 2),
+          i -> toks[i] = p.p1 AND toks[i+1] = p.p2 AND toks[i+2] = p.p3))
+          ::BIGINT AS n_matches
+      FROM t, p)
+    SELECT doc_id, n_matches FROM m WHERE n_matches > 0"""
+
+# split-leakage twin: the ngram pair SQL composed with the md5 split
+# (same {NGRAM_PAIRS} substitution as dedup_clusters)
+ORACLE_SQL["split_leakage"] = """
+    WITH pairs AS ({NGRAM_PAIRS}),
+    s AS (
+      SELECT doc_a, doc_b,
+        CASE WHEN ha < 80 THEN 'train' WHEN ha < 90 THEN 'val'
+             ELSE 'test' END AS split_a,
+        CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val'
+             ELSE 'test' END AS split_b
+      FROM (SELECT doc_a, doc_b,
+              ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8))::BIGINT
+                % 100 AS ha,
+              ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT
+                % 100 AS hb
+            FROM pairs))
+    SELECT split_a, split_b,
+      count(*)::BIGINT AS n_pairs,
+      sum(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)::BIGINT AS n_cross
+    FROM s GROUP BY split_a, split_b""".replace(
+    "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
+
 # full cleaning composition: corpus_clean's quality+exact-dedup SQL minus
 # the non-representative members of the recursive-CTE near-dup clusters
 ORACLE_SQL["corpus_train_ready"] = f"""
@@ -5344,6 +5459,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pdf_extract": q_pdf_extract,
     "dom_main": q_dom_main,
     "substring_dedup": q_substring_dedup,
+    "phrase_search": q_phrase_search,
+    "split_leakage": q_split_leakage,
     "token_count": q_token_count,
     "quality_stats": q_quality_stats,
     "fingerprint": q_fingerprint,

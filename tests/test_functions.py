@@ -1362,3 +1362,35 @@ class TestRepartitionInvarianceNewOps:
             again = fn(sf).to_pandas()[cols].sort_values(cols) \
                 .reset_index(drop=True)
             assert a.equals(again), fn.__name__
+
+
+def test_phrase_count_batch():
+    import pyarrow as pa
+
+    from documentprocessor_ray.functions.textstats import phrase_count_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c a b c a b",   # two full "a b c", trailing "a b" ignored
+            "x a b c y",         # one
+            "a b x c",           # zero (not contiguous)
+            "",                  # empty doc
+        ], pa.string()),
+    })
+    out = phrase_count_batch(batch, ["a", "b", "c"]).to_pylist()
+    assert [r["n_matches"] for r in out] == [2, 1, 0, 0]
+
+
+def test_phrase_count_batch_no_cross_doc_match():
+    import pyarrow as pa
+
+    from documentprocessor_ray.functions.textstats import phrase_count_batch
+
+    # "a b" ends doc0 and "c" starts doc1: must NOT count as a match
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["z a b", "c z z"], pa.string()),
+    })
+    out = phrase_count_batch(batch, ["a", "b", "c"]).to_pylist()
+    assert [r["n_matches"] for r in out] == [0, 0]
