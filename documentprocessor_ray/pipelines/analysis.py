@@ -2452,8 +2452,10 @@ def q_pagerank_dups(sf_dir: str) -> "ray.data.Dataset":
     graph (fixed-point arithmetic -> bit-identical to the single-machine
     reference at any bucket/worker count; see functions/graph.py). Central
     docs in a duplication cluster score high — a dedup-representative
-    selection signal. Rows-only in the driver (iterative, not
-    SQL-expressible); pytest gates exact reference equality."""
+    selection signal. SQL-gated: the fixed 8-iteration integer recurrence
+    unrolls as chained DuckDB CTEs over the same exact pair SQL (see the
+    ORACLE_SQL["pagerank_dups"] construction); pytest additionally gates
+    bit-equality of the distributed path vs the single-machine reference."""
     from ..functions.graph import pagerank
 
     pairs = _ngram_pairs_cached(sf_dir)
@@ -5294,6 +5296,32 @@ ORACLE_SQL["dedup_clusters"] = ORACLE_SQL["dedup_clusters"].replace(
     "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
 ORACLE_SQL["cluster_canonical"] = ORACLE_SQL["cluster_canonical"].replace(
     "{CLUSTERS}", ORACLE_SQL["dedup_clusters"])
+
+# PageRank twin: the recurrence is fixed-point int64 arithmetic with a FIXED
+# iteration count (functions/graph.py docstring), so the "iterative, not
+# SQL-expressible" framing is actually wrong for a known n_iters — unroll the
+# 8 iterations as chained CTEs doing the same integer steps:
+#   contrib[dst] = sum(score[src] // deg[src]);
+#   score' = (SCALE - d) + (d * contrib) // SCALE
+# over the symmetrized exact 3-gram pair graph (pair SQL reused verbatim).
+_PR_ITER = """s{k} AS (
+      SELECT d.node,
+             CAST((1000000 - 850000)
+                  + (850000 * c.contrib) // 1000000 AS BIGINT) AS score,
+             d.deg
+      FROM (SELECT e.dst AS node, sum(s.score // s.deg) AS contrib
+            FROM sym e JOIN s{p} s ON e.src = s.node GROUP BY e.dst) c
+      JOIN deg d ON d.node = c.node)"""
+ORACLE_SQL["pagerank_dups"] = (
+    "WITH pairs AS ({PAIRS}),\n"
+    "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+    "        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),\n"
+    "deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym"
+    " GROUP BY src),\n"
+    "s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score, deg FROM deg),\n"
+    + ",\n".join(_PR_ITER.format(k=i, p=i - 1) for i in range(1, 9))
+    + "\nSELECT node::BIGINT AS node, score::BIGINT AS score_micro FROM s8"
+).replace("{PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
 
 # main-content extraction twin: same construction + block/link-density spec
 # as functions/boilerplate.py (BLOCK_TAG_PATTERN / ANCHOR_PATTERN /
