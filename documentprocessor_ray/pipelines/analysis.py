@@ -5297,6 +5297,16 @@ ORACLE_SQL["dedup_clusters"] = ORACLE_SQL["dedup_clusters"].replace(
 ORACLE_SQL["cluster_canonical"] = ORACLE_SQL["cluster_canonical"].replace(
     "{CLUSTERS}", ORACLE_SQL["dedup_clusters"])
 
+# WARC ingestion twin: every output column is a pure function of the
+# documents row the shard writer serialized, so DuckDB re-derives them
+# without touching the shards — a hash match proves the byte round-trip.
+ORACLE_SQL["warc_ingest"] = """
+    SELECT doc_id,
+      'https://example.org/' || source || '/' || doc_id AS target_uri,
+      strlen(text)::BIGINT AS n_bytes,
+      md5(text) AS payload_md5
+    FROM documents"""
+
 # PageRank twin: the recurrence is fixed-point int64 arithmetic with a FIXED
 # iteration count (functions/graph.py docstring), so the "iterative, not
 # SQL-expressible" framing is actually wrong for a known n_iters — unroll the
@@ -5481,7 +5491,61 @@ ORACLE_SQL["corpus_train_ready"] = f"""
       (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)"""
 
 
+def q_warc_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """WARC crawl-shard ingestion (sources/warc.py): deterministic WARC/1.0
+    shards are synthesized once per sf from documents.parquet, then read
+    back DISTRIBUTED (read_binary_files -> Content-Length record walk) and
+    reduced to (doc_id, target_uri, n_bytes, payload_md5). The DuckDB twin
+    re-derives all four columns from documents directly, so a hash match
+    proves the write -> shard -> parse -> payload round-trip is lossless —
+    the driver gate covers the source format itself."""
+    import hashlib
+
+    from ..sources.warc import read_warc, write_warc_shards
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    shard_dir = write_warc_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join("/tmp/dpray_warc", sfname), num_shards=8)
+    recs = read_warc(shard_dir)
+
+    def ex(batch: pa.Table) -> pa.Table:
+        ids = [int(r.rsplit(":", 1)[-1].rstrip(">"))
+               for r in batch["record_id"].to_pylist()]
+        pays = batch["payload"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "target_uri": batch["target_uri"],
+            "n_bytes": pa.array([len(p) for p in pays], pa.int64()),
+            "payload_md5": pa.array(
+                [hashlib.md5(p).hexdigest() for p in pays], pa.string()),
+        })
+
+    return recs.map_batches(ex, batch_format="pyarrow")
+
+
+def q_bpe_merges(sf_dir: str) -> pa.Table:
+    """Tokenizer training: learn 12 BPE merges over documents.text with
+    exact integer pair counts (functions/bpe.py — vocab-level iteration,
+    combiner-first pair counting, deterministic lexicographic tiebreak).
+    Rows-only in the driver (greedy data-dependent iteration is not
+    SQL-expressible); pytest gates bit-equality vs the single-machine
+    reference at two parallelism levels."""
+    from ..functions.bpe import learn_bpe
+
+    merges = learn_bpe(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       n_merges=12)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "warc_ingest": q_warc_ingest,
+    "bpe_merges": q_bpe_merges,
     "normalize_text": q_normalize_text,
     "main_content": q_main_content,
     "pdf_extract": q_pdf_extract,

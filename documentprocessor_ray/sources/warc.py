@@ -1,0 +1,131 @@
+"""WARC record source — the web-crawl ingestion format a 100-TB corpus
+actually arrives in (ISO 28500 WARC/1.0; cf. Common Crawl's WARC layout).
+
+Two halves:
+
+* ``write_warc_shards`` synthesizes deterministic WARC shards from a
+  ``documents``-shaped parquet table (test/bench scaffolding — at production
+  scale the shards already exist on object storage). One shard per
+  ``doc_id % num_shards``, records in ascending doc_id order, so the byte
+  stream is a pure function of the input table.
+
+* ``read_warc`` ingests a shard directory as a Ray Dataset:
+  ``read_binary_files`` (each shard = one block, shards are the natural
+  parallelism unit exactly as in a real crawl bucket) -> a ``map_batches``
+  parser that walks records by ``Content-Length`` — NOT by splitting on
+  blank lines, because an HTTP payload may legally contain ``\r\n\r\n``.
+  Output rows: (record_id, warc_type, target_uri, payload: binary).
+
+Scale notes: parsing is per-file sequential (records are length-prefixed so
+this is inherent) but files are the parallel grain; payload bytes stay in
+Arrow binary columns end to end (no Python str until a consumer decodes).
+The round-trip is hash-gated by the ``warc_ingest`` query: payload bytes
+re-derived from documents.parquet must md5-match in DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+_CRLF = b"\r\n"
+
+
+def _record_bytes(doc_id: int, source: str, payload: bytes) -> bytes:
+    """One WARC/1.0 response record. Header order is fixed so shard bytes
+    are deterministic."""
+    uri = f"https://example.org/{source}/{doc_id}"
+    header = (
+        b"WARC/1.0\r\n"
+        + f"WARC-Type: response\r\n".encode()
+        + f"WARC-Record-ID: <urn:doc:{doc_id:08d}>\r\n".encode()
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + f"Content-Length: {len(payload)}\r\n".encode()
+    )
+    return header + _CRLF + payload + _CRLF + _CRLF
+
+
+def write_warc_shards(documents_parquet: str, out_dir: str,
+                      num_shards: int = 8) -> str:
+    """Deterministic WARC shards from a documents table (idempotent via a
+    _COMPLETE marker). Shard k holds doc_id % num_shards == k in ascending
+    doc_id order."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(documents_parquet,
+                      columns=["doc_id", "text", "source"])
+    t = t.sort_by("doc_id")
+    doc_ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    sources = t["source"].to_pylist()
+    shards: list[list[bytes]] = [[] for _ in range(num_shards)]
+    for did, text, src in zip(doc_ids, texts, sources):
+        shards[did % num_shards].append(
+            _record_bytes(did, src, (text or "").encode("utf-8")))
+    for k, recs in enumerate(shards):
+        with open(os.path.join(out_dir, f"shard-{k:05d}.warc"), "wb") as f:
+            f.write(b"".join(recs))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def parse_warc_bytes(blob: bytes) -> dict:
+    """Parse one WARC file's bytes into columnar record fields. Walks
+    records via Content-Length (payloads may contain blank lines)."""
+    rec_ids: list[str] = []
+    types: list[str] = []
+    uris: list[str] = []
+    payloads: list[bytes] = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        head_end = blob.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            break  # trailing garbage / truncated record: stop cleanly
+        header = blob[pos:head_end].decode("utf-8", errors="replace")
+        fields = {}
+        for line in header.split("\r\n")[1:]:  # [0] is the version line
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        clen = int(fields.get("content-length", "0"))
+        body_start = head_end + 4
+        payload = blob[body_start:body_start + clen]
+        rec_ids.append(fields.get("warc-record-id", ""))
+        types.append(fields.get("warc-type", ""))
+        uris.append(fields.get("warc-target-uri", ""))
+        payloads.append(payload)
+        pos = body_start + clen + 4  # skip payload + record-final CRLFCRLF
+    return {"record_id": rec_ids, "warc_type": types,
+            "target_uri": uris, "payload": payloads}
+
+
+def read_warc(shard_dir: str,
+              parallelism: Optional[int] = None) -> "ray.data.Dataset":
+    """Shard files -> parsed record rows. One file per input block keeps the
+    parse embarrassingly parallel; payload stays a binary column."""
+    files = ray.data.read_binary_files(
+        shard_dir, file_extensions=["warc"],
+        **({"override_num_blocks": parallelism} if parallelism else {}))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols = {"record_id": [], "warc_type": [], "target_uri": [],
+                "payload": []}
+        for blob in batch["bytes"].to_pylist():
+            one = parse_warc_bytes(blob)
+            for k in cols:
+                cols[k].extend(one[k])
+        return pa.table({
+            "record_id": pa.array(cols["record_id"], pa.string()),
+            "warc_type": pa.array(cols["warc_type"], pa.string()),
+            "target_uri": pa.array(cols["target_uri"], pa.string()),
+            "payload": pa.array(cols["payload"], pa.binary()),
+        })
+
+    return files.map_batches(parse, batch_format="pyarrow")

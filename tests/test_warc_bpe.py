@@ -1,0 +1,105 @@
+"""WARC source round-trip + distributed BPE merge learning."""
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from documentprocessor_ray.functions.bpe import (
+    learn_bpe, learn_bpe_reference, _merge_row)
+from documentprocessor_ray.sources.warc import (
+    _record_bytes, parse_warc_bytes, read_warc, write_warc_shards)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestWarcParse:
+    def test_single_record_roundtrip(self):
+        payload = "hello world".encode()
+        rec = _record_bytes(7, "web", payload)
+        out = parse_warc_bytes(rec)
+        assert out["record_id"] == ["<urn:doc:00000007>"]
+        assert out["warc_type"] == ["response"]
+        assert out["target_uri"] == ["https://example.org/web/7"]
+        assert out["payload"] == [payload]
+
+    def test_payload_containing_blank_lines(self):
+        # the reason the parser walks Content-Length instead of splitting
+        # on CRLFCRLF: record boundaries may appear INSIDE a payload
+        tricky = b"line1\r\n\r\nWARC/1.0\r\n\r\nline2"
+        blob = _record_bytes(1, "a", tricky) + _record_bytes(2, "b", b"x")
+        out = parse_warc_bytes(blob)
+        assert out["payload"] == [tricky, b"x"]
+        assert out["target_uri"] == ["https://example.org/a/1",
+                                     "https://example.org/b/2"]
+
+    def test_empty_payload(self):
+        out = parse_warc_bytes(_record_bytes(3, "s", b""))
+        assert out["payload"] == [b""]
+
+    def test_truncated_tail_stops_cleanly(self):
+        blob = _record_bytes(1, "a", b"data") + b"WARC/1.0\r\nWARC-T"
+        out = parse_warc_bytes(blob)
+        assert out["payload"] == [b"data"]
+
+
+class TestWarcDistributed:
+    def test_shards_deterministic_and_lossless(self, ray_session, tmp_path):
+        docs = os.path.join(SF, "documents.parquet")
+        d1 = write_warc_shards(docs, str(tmp_path / "w1"), num_shards=4)
+        d2 = write_warc_shards(docs, str(tmp_path / "w2"), num_shards=4)
+        for k in range(4):
+            f = f"shard-{k:05d}.warc"
+            with open(os.path.join(d1, f), "rb") as a, \
+                 open(os.path.join(d2, f), "rb") as b:
+                assert a.read() == b.read()
+
+        rows = read_warc(d1).take_all()
+        src = pq.read_table(docs, columns=["doc_id", "text"])
+        want = {int(i): hashlib.md5((t or "").encode()).hexdigest()
+                for i, t in zip(src["doc_id"].to_pylist(),
+                                src["text"].to_pylist())}
+        got = {int(r["record_id"].rsplit(":", 1)[-1].rstrip(">")):
+               hashlib.md5(r["payload"]).hexdigest() for r in rows}
+        assert got == want
+        assert all(r["warc_type"] == "response" for r in rows)
+
+
+class TestBpe:
+    def test_merge_row(self):
+        assert _merge_row(list("aabab"), "a", "b") == ["a", "ab", "ab"]
+        assert _merge_row(["ab", "ab"], "ab", "ab") == ["abab"]
+        assert _merge_row(list("aaa"), "a", "a") == ["aa", "a"]
+
+    def test_reference_known_merges(self):
+        # "abab" x3, "abc" x2 -> ('a','b') count 8 wins round 1;
+        # round 2: ('ab','ab') 3 vs ('ab','c') 2 -> ('ab','ab')
+        texts = ["abab abab abab abc abc"]
+        m = learn_bpe_reference(texts, n_merges=2)
+        assert m == [("a", "b", 8), ("ab", "ab", 3)]
+
+    def test_reference_tiebreak_lexicographic(self):
+        # "xy" and "ab" both occur twice -> ('a','b') wins the tie
+        m = learn_bpe_reference(["xy xy ab ab"], n_merges=1)
+        assert m == [("a", "b", 2)]
+
+    def test_distributed_equals_reference_sf(self, ray_session):
+        import ray.data
+        docs = ray.data.read_parquet(os.path.join(SF, "documents.parquet"),
+                                     columns=["doc_id", "text"])
+        texts = pq.read_table(os.path.join(SF, "documents.parquet"),
+                              columns=["text"])["text"].to_pylist()
+        want = learn_bpe_reference(texts, n_merges=8)
+        got = learn_bpe(docs, n_merges=8)
+        assert got == want
+
+    def test_distributed_parallelism_invariant(self, ray_session):
+        import ray.data
+        rows = [{"text": t} for t in
+                ["the cat sat", "the cat", "a mat the cat sat on", ""]] * 5
+        a = learn_bpe(ray.data.from_items(rows).repartition(1), n_merges=6)
+        b = learn_bpe(ray.data.from_items(rows).repartition(7), n_merges=6)
+        ref = learn_bpe_reference([r["text"] for r in rows], n_merges=6)
+        assert a == b == ref
