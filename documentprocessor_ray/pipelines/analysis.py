@@ -5307,6 +5307,29 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# link-graph twin: edges derived logically from documents.text (anchor i of
+# doc d targets (d + i) % 1000 with token i as anchor text) — the Ray side
+# builds the HTML and regex-parses it back, so a hash match gates the parse
+ORACLE_SQL["link_graph"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents),
+    e AS (
+      SELECT doc_id AS src, u.x['dst'] AS dst_doc, u.x['w'] AS anchor
+      FROM t, unnest(list_transform(
+        range(1, least(10, len(toks)) + 1),
+        i -> {'dst': (doc_id + i) % 1000, 'w': toks[i]})) AS u(x))
+    SELECT dst_doc::BIGINT AS dst_doc,
+           count(*)::BIGINT AS n_inlinks,
+           count(DISTINCT src)::BIGINT AS n_src,
+           min(anchor) AS min_anchor
+    FROM e GROUP BY dst_doc"""
+
 # PageRank twin: the recurrence is fixed-point int64 arithmetic with a FIXED
 # iteration count (functions/graph.py docstring), so the "iterative, not
 # SQL-expressible" framing is actually wrong for a known n_iters — unroll the
@@ -5491,6 +5514,68 @@ ORACLE_SQL["corpus_train_ready"] = f"""
       (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)"""
 
 
+def q_link_graph(sf_dir: str) -> "ray.data.Dataset":
+    """Web-link-graph construction (crawl-side op): deterministic HTML is
+    built per document (first 10 tokens become anchors whose hrefs target
+    doc (doc_id + i) % 1000), outlinks are extracted by a REAL href/anchor
+    regex parse of the HTML, and in-links aggregate per target in ONE
+    bucketed shuffle: map_batches pre-reduces to distinct (dst, src) rows
+    carrying partial counts + min anchor, then groupby(dst).map_groups
+    finishes (n_inlinks, n_distinct_src, min_anchor). The DuckDB twin
+    derives the same edges logically from documents.text, so the hash gate
+    verifies the HTML parse, not a pass-through."""
+    import re as _re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    href_re = _re.compile(
+        r'<a href="https://example\.org/doc/(\d+)">([^<]*)</a>')
+
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        split, empty = T._tokens_list(batch["text"].combine_chunks())
+        toks_py = split.to_pylist()
+        empties = empty.to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # build html, then PARSE it back (the regex is the operator)
+        srcs, dsts, anchors = [], [], []
+        for did, toks, e in zip(ids, toks_py, empties):
+            toks = [] if e else (toks or [])
+            html = "<body>" + " ".join(
+                f'<a href="https://example.org/doc/{(int(did) + i + 1) % 1000}">'
+                f"{w}</a>" for i, w in enumerate(toks[:10])) \
+                + " " + " ".join(toks[10:]) + "</body>"
+            for m in href_re.finditer(html):
+                srcs.append(int(did))
+                dsts.append(int(m.group(1)))
+                anchors.append(m.group(2))
+        t = pa.table({
+            "dst_doc": pa.array(dsts, pa.int64()),
+            "src": pa.array(srcs, pa.int64()),
+            "anchor": pa.array(anchors, pa.string())})
+        # batch-local pre-reduce: distinct (dst, src) + count + min anchor
+        t = t.group_by(["dst_doc", "src"]).aggregate(
+            [("anchor", "count"), ("anchor", "min")]).rename_columns(
+            ["dst_doc", "src", "c", "min_anchor"])
+        dst = t["dst_doc"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pkey", pa.array(bucket_of_ints(dst, nb), pa.int64()))
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = g.group_by("dst_doc").aggregate(
+            [("c", "sum"), ("src", "count_distinct"), ("min_anchor", "min")])
+        return pa.table({
+            "dst_doc": t["dst_doc"],
+            "n_inlinks": pc.cast(t["c_sum"], pa.int64()),
+            "n_src": pc.cast(t["src_count_distinct"], pa.int64()),
+            "min_anchor": t["min_anchor_min"]})
+
+    return ds.map_batches(edges, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(finish, batch_format="pyarrow")
+
+
 def q_warc_ingest(sf_dir: str) -> "ray.data.Dataset":
     """WARC crawl-shard ingestion (sources/warc.py): deterministic WARC/1.0
     shards are synthesized once per sf from documents.parquet, then read
@@ -5546,6 +5631,7 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
+    "link_graph": q_link_graph,
     "normalize_text": q_normalize_text,
     "main_content": q_main_content,
     "pdf_extract": q_pdf_extract,
