@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # its sf0.1 output is quadratic in near-identical word-soup docs, which is a
 # property of the synthetic corpus, not the operator)
 BENCH_QUERIES = [
-    "normalize_text", "nfc_normalize", "main_content", "token_count", "token_count_bpe", "quality_stats",
+    "normalize_text", "nfc_normalize", "main_content", "pdf_extract",
+    "dom_main", "substring_dedup", "phrase_search", "split_leakage",
+    "warc_ingest", "bpe_merges", "link_graph",
+    "token_count", "token_count_bpe", "quality_stats",
     "fingerprint", "langid", "winnow_fingerprint", "exact_dedup", "chunk_dedup",
     "incremental_dedup",
     "pii_redact", "redact_numbers", "compression_ratio", "props_extract", "repetition_stats",
