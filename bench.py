@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs", "dedup_clusters", "pagerank_dups", "corpus_clean",
     "corpus_train_ready", "decontaminate", "minhash_pairs",
     "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",
-    "knn_bruteforce", "knn_ivf",
+    "knn_bruteforce", "knn_ivf", "knn_int8",
     "image_features", "audio_features", "audio_spectral", "video_framesample",
     "image_edges", "video_motion",
     "image_phash_pairs",

@@ -92,6 +92,76 @@ def knn_bruteforce(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10) -> p
     return partials.groupby("qid").map_groups(global_topk, batch_format="pyarrow")
 
 
+def knn_int8(ds: "ray.data.Dataset", n_queries: int = 8,
+             k: int = 10) -> "ray.data.Dataset":
+    """Int8-quantized exact top-k by dot product — the 4x-memory scale path
+    for embedding search (quantize once, integer arithmetic after).
+
+    Quantization is EXACT-reproducible: q = floor(x/maxabs*127 + 0.5)
+    evaluated in float64 in that operation order, where maxabs is the global
+    max |component| (a one-pass distributed max broadcast as one scalar).
+    Scores are int64 dot products — associative, so local-top-k partials +
+    a tiny global reduce give bit-stable results at any parallelism, and
+    the DuckDB twin replays the identical expression (list_dot_product over
+    integral doubles is exact below 2^53). Returns
+    (qid, vec_id, rank, score) with (score desc, vec_id) tiebreak."""
+    def block_absmax(batch: pa.Table) -> pa.Table:
+        m = np.abs(np.array(batch["embedding"].to_pylist(),
+                            dtype=np.float32)).max()
+        return pa.table({"m": pa.array([float(m)], pa.float64())})
+
+    maxabs = ds.map_batches(block_absmax, batch_format="pyarrow").max("m")
+    if not maxabs:
+        maxabs = 1.0
+
+    def _quant(m32: np.ndarray) -> np.ndarray:
+        return np.floor(m32.astype(np.float64) / maxabs * 127 + 0.5) \
+            .astype(np.int64)
+
+    q = ds.filter(expr=f"vec_id < {int(n_queries)}").take_all()
+    q.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    qm = _quant(np.array([list(r["embedding"]) for r in q],
+                         dtype=np.float32))
+    shared = ray.put((qids, qm))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(shared)
+        emb = _quant(np.array(batch["embedding"].to_pylist(),
+                              dtype=np.float32))
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        scores = q_mat @ emb.T  # (Q, B) int64
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = vids != q_ids[qi]
+            v, s = vids[mask], scores[qi][mask]
+            idx = np.lexsort((v, -s))[:k]
+            out_q.extend([int(q_ids[qi])] * len(idx))
+            out_v.extend(int(x) for x in v[idx])
+            out_s.extend(int(x) for x in s[idx])
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.int64()),
+        })
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=1024)
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(),
+                      key=lambda r: (-r["score"], r["vec_id"]))[:k]
+        return pa.table({
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "score": pa.array([r["score"] for r in rows], pa.int64()),
+        })
+
+    return partials.groupby("qid").map_groups(global_topk,
+                                              batch_format="pyarrow")
+
+
 # --- IVF-flat ---
 
 def _kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 10, seed: int = 11) -> np.ndarray:

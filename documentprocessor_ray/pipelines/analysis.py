@@ -2736,6 +2736,15 @@ def q_knn_bruteforce(sf_dir: str) -> "ray.data.Dataset":
                             n_queries=4, k=10)
 
 
+def q_knn_int8(sf_dir: str) -> "ray.data.Dataset":
+    """Int8-quantized ANN (functions/similarity.knn_int8): global |max|
+    scalar broadcast, floor(x/m*127+0.5) quantization replayed bit-for-bit
+    by the DuckDB twin, int64 dot-product scores — the 4x-memory embedding
+    search path, fully hash-gated."""
+    return S.knn_int8(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      n_queries=8, k=10)
+
+
 def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
     return S.knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                      n_queries=4, k=10)
@@ -5307,6 +5316,31 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# int8-ANN twin: identical float64 quantization expression (same operation
+# order), then exact integer dot products via list_dot_product over integral
+# doubles (< 2^53, exact); row_number replays the (score desc, vec_id) ties
+ORACLE_SQL["knn_int8"] = """
+    WITH mm AS (
+      SELECT CAST(max(abs(u)) AS DOUBLE) AS m
+      FROM (SELECT unnest(embedding) AS u FROM embeddings)),
+    qt AS (
+      SELECT vec_id, list_transform(
+        embedding,
+        x -> floor(CAST(x AS DOUBLE) / m * 127 + 0.5)) AS qv
+      FROM embeddings, mm),
+    s AS (
+      SELECT q.vec_id AS qid, v.vec_id AS vec_id,
+        CAST(list_dot_product(q.qv, v.qv) AS BIGINT) AS score
+      FROM qt q JOIN qt v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id < 8),
+    r AS (
+      SELECT qid, vec_id, score,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+    SELECT qid, vec_id, rank::BIGINT AS rank, score
+    FROM r WHERE rank <= 10"""
+
 # link-graph twin: edges derived logically from documents.text (anchor i of
 # doc d targets (d + i) % 1000 with token i as anchor text) — the Ray side
 # builds the HTML and regex-parses it back, so a hash match gates the parse
@@ -5729,6 +5763,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_int8": q_knn_int8,
     "knn_ivf": q_knn_ivf,
     "image_features": q_image_features,
     "audio_features": q_audio_features,

@@ -320,6 +320,26 @@ class TestSimilarity:
             b = ivf[ivf["qid"] == q].sort_values("rank")["vec_id"].tolist()
             assert a == b
 
+    def test_int8_matches_numpy_and_parallelism(self, emb_ds):
+        ds, m = emb_ds
+        maxabs = float(np.abs(m).max())
+        qm = np.floor(m.astype(np.float64) / maxabs * 127 + 0.5) \
+            .astype(np.int64)
+        scores = qm[:2] @ qm.T
+        out = S.knn_int8(ds, n_queries=2, k=5).to_pandas()
+        for q in (0, 1):
+            ids = np.array([i for i in range(60) if i != q])
+            s = scores[q][ids]
+            order = ids[np.lexsort((ids, -s))[:5]]
+            g = out[out["qid"] == q].sort_values("rank")
+            assert g["vec_id"].tolist() == [int(x) for x in order]
+            assert g["score"].tolist() == [int(scores[q][i]) for i in order]
+        # block-count invariance (partial top-k merge is associative)
+        out7 = S.knn_int8(ds.repartition(7), n_queries=2, k=5).to_pandas()
+        a = out.sort_values(["qid", "rank"]).reset_index(drop=True)
+        b = out7.sort_values(["qid", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
+
 
 class TestDistributedClustersRandom:
     def test_random_graph_matches_union_find(self, ray_session):
