@@ -5316,6 +5316,28 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# nested-serialization twin: the ORDER BY inside string_agg replays the
+# in-bucket total sort order, so the concatenated doc is byte-identical
+ORACLE_SQL["orders_nested"] = """
+    WITH it AS (
+      SELECT l_orderkey,
+        CAST(l_linenumber AS BIGINT) AS ln,
+        l_partkey AS part,
+        CAST(round(l_quantity) AS BIGINT) AS qty,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    agg AS (
+      SELECT l_orderkey AS o_orderkey, count(*)::BIGINT AS n_items,
+        string_agg('item ' || ln || ' part ' || part || ' qty ' || qty ||
+                   ' price_cents ' || cents, ' ; '
+                   ORDER BY ln, part, qty, cents) AS body
+      FROM it GROUP BY l_orderkey)
+    SELECT o.o_orderkey, a.n_items,
+      'order ' || o.o_orderkey || ' status ' || o.o_orderstatus ||
+      ' total_cents ' || CAST(round(o.o_totalprice * 100) AS BIGINT) ||
+      ' | ' || a.body AS doc
+    FROM orders o JOIN agg a ON o.o_orderkey = a.o_orderkey"""
+
 # int8-ANN twin: identical float64 quantization expression (same operation
 # order), then exact integer dot products via list_dot_product over integral
 # doubles (< 2^53, exact); row_number replays the (score desc, vec_id) ties
@@ -5610,6 +5632,106 @@ def q_link_graph(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(finish, batch_format="pyarrow")
 
 
+def q_orders_nested(sf_dir: str) -> "ray.data.Dataset":
+    """Relational -> training-text serialization (the 'flatten a star schema
+    into LLM documents' step): each order and its lineitems become ONE
+    deterministic text record. Both sides co-bucket on hash(o_orderkey) and
+    reduce in a single exchange: item rows sort by (linenumber, partkey,
+    qty, price) — a TOTAL order even with duplicate (orderkey, linenumber)
+    rows — then segment-sliced joins build 'header | item ; item ; ...'.
+    All numerics are integerized (cents / rounded qty) so the serialized
+    string is hash-exact against the DuckDB string_agg twin."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+                "l_extendedprice"])
+    nb = auto_buckets(li.count(), rows_per_bucket=65536)
+
+    def item_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "ln": pc.cast(batch["l_linenumber"], pa.int64()),
+            "part": batch["l_partkey"],
+            "qty": pa.array(np.rint(
+                batch["l_quantity"].to_numpy(zero_copy_only=False))
+                .astype(np.int64), pa.int64()),
+            "cents": pa.array(_cents(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+            "status": pa.nulls(len(ok), pa.string()),
+            "total_cents": pa.nulls(len(ok), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(ok, nb), pa.int64()),
+        })
+
+    def header_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        n = len(ok)
+        return pa.table({
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "ln": pa.nulls(n, pa.int64()),
+            "part": pa.nulls(n, pa.int64()),
+            "qty": pa.nulls(n, pa.int64()),
+            "cents": pa.nulls(n, pa.int64()),
+            "status": batch["o_orderstatus"],
+            "total_cents": pa.array(_cents(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+            "pkey": pa.array(bucket_of_ints(ok, nb), pa.int64()),
+        })
+
+    items = li.map_batches(item_rows, batch_format="pyarrow")
+    heads = _read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(header_rows, batch_format="pyarrow")
+
+    def assemble(g: pa.Table) -> pa.Table:
+        is_item = pc.is_valid(g["ln"])
+        it = g.filter(is_item).sort_by([
+            ("o_orderkey", "ascending"), ("ln", "ascending"),
+            ("part", "ascending"), ("qty", "ascending"),
+            ("cents", "ascending")])
+        hd = g.filter(pc.invert(is_item))
+        ok = it["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(ok) == 0 or hd.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "n_items": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.string())})
+        ln = it["ln"].to_numpy(zero_copy_only=False)
+        part = it["part"].to_numpy(zero_copy_only=False)
+        qty = it["qty"].to_numpy(zero_copy_only=False)
+        cents = it["cents"].to_numpy(zero_copy_only=False)
+        segs = np.empty(len(ok), dtype=bool)
+        segs[0] = True
+        segs[1:] = ok[1:] != ok[:-1]
+        starts = np.where(segs)[0]
+        bounds = np.append(starts, len(ok))
+        head_map = {int(k): (s, int(t)) for k, s, t in zip(
+            hd["o_orderkey"].to_pylist(), hd["status"].to_pylist(),
+            hd["total_cents"].to_pylist())}
+        out_k, out_n, out_doc = [], [], []
+        for si in range(len(starts)):
+            lo, hi = starts[si], bounds[si + 1]
+            key = int(ok[lo])
+            if key not in head_map:
+                continue  # item rows whose order header is absent
+            st, tc = head_map[key]
+            body = " ; ".join(
+                f"item {ln[j]} part {part[j]} qty {qty[j]} "
+                f"price_cents {cents[j]}" for j in range(lo, hi))
+            out_k.append(key)
+            out_n.append(int(hi - lo))
+            out_doc.append(
+                f"order {key} status {st} total_cents {tc} | {body}")
+        return pa.table({"o_orderkey": pa.array(out_k, pa.int64()),
+                         "n_items": pa.array(out_n, pa.int64()),
+                         "doc": pa.array(out_doc, pa.string())})
+
+    return items.union(heads).groupby("pkey") \
+        .map_groups(assemble, batch_format="pyarrow")
+
+
 def q_warc_ingest(sf_dir: str) -> "ray.data.Dataset":
     """WARC crawl-shard ingestion (sources/warc.py): deterministic WARC/1.0
     shards are synthesized once per sf from documents.parquet, then read
@@ -5663,6 +5785,7 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
+    "orders_nested": q_orders_nested,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,
