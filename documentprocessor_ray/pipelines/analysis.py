@@ -5316,6 +5316,30 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# end-to-end crawl-clean twin: corpus_clean's gate/dedup logic over the
+# SAME text the WARC round-trip carries (lossless by the warc_ingest gate),
+# plus the md5 fingerprint of the decoded payload
+ORACLE_SQL["crawl_clean"] = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, text,
+        CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(tt, '\s+') END AS toks
+      FROM t
+    ), q AS (
+      SELECT doc_id, text,
+        length(text)::BIGINT AS n_chars,
+        len(toks)::BIGINT AS n_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha
+      FROM tok
+    ), keep AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text)
+    SELECT q.doc_id, q.n_chars, q.n_tokens, md5(q.text) AS fingerprint
+    FROM q JOIN keep ON q.doc_id = keep.keep_id
+    WHERE n_chars >= 100 AND n_tokens >= 20 AND 5 * n_alpha >= 3 * n_chars"""
+
 # nested-serialization twin: the ORDER BY inside string_agg replays the
 # in-bucket total sort order, so the concatenated doc is byte-identical
 ORACLE_SQL["orders_nested"] = """
@@ -5632,6 +5656,80 @@ def q_link_graph(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(finish, batch_format="pyarrow")
 
 
+def q_crawl_clean(sf_dir: str) -> "ray.data.Dataset":
+    """END-TO-END crawl pipeline composition over the WARC source: shard
+    bytes -> record parse -> payload UTF-8 decode -> quality gate
+    (corpus_clean thresholds) -> exact-dedup keep-first semi-join ->
+    surviving (doc_id, n_chars, n_tokens, fingerprint). Every stage is the
+    production operator (sources/warc.py, textstats.quality_stats_batch,
+    dedup.exact_dedup, joins.semi_join); the DuckDB twin derives the same
+    result from documents.parquet directly, so the hash gate covers the
+    whole source->clean composition, not any one stage."""
+    import hashlib
+
+    from ..functions.dedup import exact_dedup
+    from ..functions.joins import semi_join
+    from ..sources.warc import read_warc, write_warc_shards
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    shard_dir = write_warc_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join("/tmp/dpray_warc", sfname), num_shards=8)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        ids = [int(r.rsplit(":", 1)[-1].rstrip(">"))
+               for r in batch["record_id"].to_pylist()]
+        texts = [p.decode("utf-8") for p in batch["payload"].to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = read_warc(shard_dir).map_batches(decode, batch_format="pyarrow")
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
+
+    stats = docs.map_batches(T.quality_stats_batch, batch_format="pyarrow")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        n_tokens = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        n_alpha = batch["n_alpha"].to_numpy(zero_copy_only=False)
+        mask = ((n_chars >= 100) & (n_tokens >= 20)
+                & (5 * n_alpha >= 3 * n_chars))
+        return batch.filter(pa.array(mask))
+
+    gated = stats.map_batches(gate, batch_format="pyarrow")
+    keep = exact_dedup(docs).select_columns(["keep_id"])
+    stats_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+        ("n_tokens", pa.int64()), ("n_alpha", pa.int64()),
+        ("n_stop", pa.int64()),
+    ])
+    survivors = semi_join(gated, keep, left_on="doc_id", keep_on="keep_id",
+                          size_hint=n_docs, left_schema=stats_schema)
+
+    # re-join the fingerprint from the decoded text (id-keyed broadcast is
+    # wrong at scale; just recompute the md5 inside the final projection
+    # via a co-bucketed join with the decoded docs)
+    from ..functions.joins import hash_join
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in batch["text"].to_pylist()], pa.string())})
+
+    fps = docs.map_batches(fp, batch_format="pyarrow")
+    out = hash_join(
+        survivors.select_columns(["doc_id", "n_chars", "n_tokens"]), fps,
+        on="doc_id", size_hint=n_docs,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_chars", pa.int64()),
+                               ("n_tokens", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("fingerprint", pa.string())]))
+    return out
+
+
 def q_orders_nested(sf_dir: str) -> "ray.data.Dataset":
     """Relational -> training-text serialization (the 'flatten a star schema
     into LLM documents' step): each order and its lineitems become ONE
@@ -5786,6 +5884,7 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "orders_nested": q_orders_nested,
+    "crawl_clean": q_crawl_clean,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,
