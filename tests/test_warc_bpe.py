@@ -8,7 +8,11 @@ import pyarrow.parquet as pq
 import pytest
 
 from documentprocessor_ray.functions.bpe import (
-    learn_bpe, learn_bpe_reference, _merge_row)
+    encode_word as _enc_word, learn_bpe, learn_bpe_reference, _merge_row)
+
+
+def _merge_apply(word, ranks):
+    return _enc_word(word, ranks)
 from documentprocessor_ray.sources.warc import (
     _record_bytes, parse_warc_bytes, read_warc, write_warc_shards)
 
@@ -92,14 +96,50 @@ class TestBpe:
         texts = pq.read_table(os.path.join(SF, "documents.parquet"),
                               columns=["text"])["text"].to_pylist()
         want = learn_bpe_reference(texts, n_merges=8)
-        got = learn_bpe(docs, n_merges=8)
-        assert got == want
+        # short-circuit path (default) AND the full iterative path
+        assert learn_bpe(docs, n_merges=8) == want
+        assert learn_bpe(docs, n_merges=8, small_vocab_rows=None) == want
+
+    def test_encode_word(self):
+        ranks = {("a", "b"): 0, ("ab", "c"): 1, ("c", "d"): 2}
+        # rank order wins: 'ab' merges first, then 'ab'+'c', leftover 'd'
+        assert _merge_apply("abcd", ranks) == ["abc", "d"]
+        assert _merge_apply("xyz", ranks) == ["x", "y", "z"]
+        assert _merge_apply("", ranks) == []
+
+    def test_encoder_stage_matches_reference(self, ray_session):
+        import re
+
+        import ray.data
+
+        from documentprocessor_ray.functions.bpe import BpeEncoder, encode_word
+        texts = ["the cat sat", "the cat", "  ", "a mat the cat sat on"] * 3
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        merges = learn_bpe_reference(texts, n_merges=6)
+        ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+        ws = re.compile(r"[\t\n\f\r ]+")
+
+        def want(t):
+            t = (t or "").strip("\t\n\f\r ").lower()
+            wsp = ws.split(t) if t else []
+            return sum(len(encode_word(w, ranks)) for w in wsp), len(wsp)
+
+        for nparts in (1, 5):
+            out = ray.data.from_items(rows).repartition(nparts).map_batches(
+                BpeEncoder, fn_constructor_kwargs={"merges": merges},
+                batch_format="pyarrow", concurrency=2).take_all()
+            got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+                   for r in out}
+            assert got == {i: want(t) for i, t in enumerate(texts)}
 
     def test_distributed_parallelism_invariant(self, ray_session):
         import ray.data
         rows = [{"text": t} for t in
                 ["the cat sat", "the cat", "a mat the cat sat on", ""]] * 5
-        a = learn_bpe(ray.data.from_items(rows).repartition(1), n_merges=6)
-        b = learn_bpe(ray.data.from_items(rows).repartition(7), n_merges=6)
         ref = learn_bpe_reference([r["text"] for r in rows], n_merges=6)
-        assert a == b == ref
+        for sv in (None, 1_000_000):
+            a = learn_bpe(ray.data.from_items(rows).repartition(1),
+                          n_merges=6, small_vocab_rows=sv)
+            b = learn_bpe(ray.data.from_items(rows).repartition(7),
+                          n_merges=6, small_vocab_rows=sv)
+            assert a == b == ref
