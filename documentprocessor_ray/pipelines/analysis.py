@@ -5316,6 +5316,20 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# crawl URL-parse twins: host/section/doc_id re-derived from documents
+ORACLE_SQL["domain_stats"] = """
+    SELECT 'example.org' AS host, source AS section,
+      count(*)::BIGINT AS n_pages,
+      sum(strlen(text))::BIGINT AS total_bytes,
+      min(doc_id)::BIGINT AS min_doc_id
+    FROM documents GROUP BY source"""
+ORACLE_SQL["robots_filter"] = """
+    SELECT doc_id,
+      'https://example.org/' || source || '/' || doc_id AS target_uri,
+      strlen(text)::BIGINT AS n_bytes
+    FROM documents
+    WHERE substr(md5(source), 1, 1) NOT IN ('0','1','2','3')"""
+
 # end-to-end crawl-clean twin: corpus_clean's gate/dedup logic over the
 # SAME text the WARC round-trip carries (lossless by the warc_ingest gate),
 # plus the md5 fingerprint of the decoded payload
@@ -5687,6 +5701,96 @@ def q_bpe_encode(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
 
 
+def _warc_records(sf_dir: str) -> "ray.data.Dataset":
+    from ..sources.warc import read_warc, write_warc_shards
+
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    shard_dir = write_warc_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join("/tmp/dpray_warc", sfname), num_shards=8)
+    return read_warc(shard_dir)
+
+
+def q_domain_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-side per-domain rollup: the WARC target_uri is parsed by a
+    compiled URL regex (scheme://host/segment/...) and pages aggregate per
+    (host, first path segment): page count + total payload bytes +
+    min doc_id — combiner-first (pyarrow group_by per batch), ONE small
+    groupby over the partials. The twin re-derives the URI fields from
+    documents, so the hash gate checks the URL parse."""
+    import re as _re
+
+    url_re = _re.compile(r"^https://([^/]+)/([^/]+)/(\d+)$")
+    recs = _warc_records(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hosts, segs, ids, nb = [], [], [], []
+        pays = batch["payload"].to_pylist()
+        for uri, p in zip(batch["target_uri"].to_pylist(), pays):
+            m = url_re.match(uri)
+            hosts.append(m.group(1))
+            segs.append(m.group(2))
+            ids.append(int(m.group(3)))
+            nb.append(len(p))
+        t = pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "section": pa.array(segs, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64())})
+        return t.group_by(["host", "section"]).aggregate(
+            [("doc_id", "count"), ("n_bytes", "sum"), ("doc_id", "min")]) \
+            .rename_columns(["host", "section", "n", "b", "mn"])
+
+    partials = recs.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["host", "section"]).aggregate(
+        Sum("n", alias_name="n_pages"), Sum("b", alias_name="total_bytes"),
+        ray.data.aggregate.Min("mn", alias_name="min_doc_id"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": batch["host"],
+            "section": batch["section"],
+            "n_pages": pc.cast(batch["n_pages"], pa.int64()),
+            "total_bytes": pc.cast(batch["total_bytes"], pa.int64()),
+            "min_doc_id": pc.cast(batch["min_doc_id"], pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def q_robots_filter(sf_dir: str) -> "ray.data.Dataset":
+    """Robots/blocklist gate over the crawl: a deterministic disallow set
+    (sections whose md5 starts with hex 0-3 — a stand-in for fetched
+    robots.txt rules) is BROADCAST as a frozenset in the task closure (the
+    small-side-lookup pattern: no shuffle), and records from disallowed
+    sections are dropped in-stream. Output: surviving (doc_id, target_uri,
+    n_bytes)."""
+    import hashlib
+    import re as _re
+
+    url_re = _re.compile(r"^https://([^/]+)/([^/]+)/(\d+)$")
+    # rule derivation is itself deterministic from the section name
+    blocked = frozenset("0123")
+    recs = _warc_records(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids, uris, nb = [], [], []
+        for uri, p in zip(batch["target_uri"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            m = url_re.match(uri)
+            sec = m.group(2)
+            if hashlib.md5(sec.encode()).hexdigest()[0] in blocked:
+                continue
+            ids.append(int(m.group(3)))
+            uris.append(uri)
+            nb.append(len(p))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "target_uri": pa.array(uris, pa.string()),
+            "n_bytes": pa.array(nb, pa.int64())})
+
+    return recs.map_batches(keep, batch_format="pyarrow")
+
+
 def q_crawl_clean(sf_dir: str) -> "ray.data.Dataset":
     """END-TO-END crawl pipeline composition over the WARC source: shard
     bytes -> record parse -> payload UTF-8 decode -> quality gate
@@ -5916,6 +6020,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "orders_nested": q_orders_nested,
     "crawl_clean": q_crawl_clean,
     "bpe_encode": q_bpe_encode,
+    "domain_stats": q_domain_stats,
+    "robots_filter": q_robots_filter,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,
