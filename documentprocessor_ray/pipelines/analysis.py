@@ -5439,16 +5439,45 @@ _PR_ITER = """s{k} AS (
       FROM (SELECT e.dst AS node, sum(s.score // s.deg) AS contrib
             FROM sym e JOIN s{p} s ON e.src = s.node GROUP BY e.dst) c
       JOIN deg d ON d.node = c.node)"""
-ORACLE_SQL["pagerank_dups"] = (
-    "WITH pairs AS ({PAIRS}),\n"
-    "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
-    "        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),\n"
-    "deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym"
-    " GROUP BY src),\n"
-    "s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score, deg FROM deg),\n"
-    + ",\n".join(_PR_ITER.format(k=i, p=i - 1) for i in range(1, 9))
-    + "\nSELECT node::BIGINT AS node, score::BIGINT AS score_micro FROM s8"
-).replace("{PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
+
+
+def _pagerank_sql(pairs_sql: str, n_iters: int = 8) -> str:
+    """Unrolled fixed-point PageRank CTE chain over a (doc_a, doc_b) pair
+    query — the reusable SQL twin of functions/graph.pagerank."""
+    return (
+        "WITH pairs AS ({PAIRS}),\n"
+        "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+        "        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),\n"
+        "deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM sym"
+        " GROUP BY src),\n"
+        "s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score, deg"
+        " FROM deg),\n"
+        + ",\n".join(_PR_ITER.format(k=i, p=i - 1)
+                     for i in range(1, n_iters + 1))
+        + f"\nSELECT node::BIGINT AS node, score::BIGINT AS score_micro"
+          f" FROM s{n_iters}"
+    ).replace("{PAIRS}", pairs_sql)
+
+
+ORACLE_SQL["pagerank_dups"] = _pagerank_sql(ORACLE_SQL["ngram_jaccard_pairs"])
+
+# link-graph PageRank: the SAME unrolled recurrence over the regex-extracted
+# outlink edges (co-citation/undirected interpretation; self-loops can't
+# occur because 1 <= i <= 10 < 1000)
+_LINK_EDGES_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents)
+    SELECT doc_id AS doc_a, u.x AS doc_b
+    FROM t, unnest(list_transform(
+      range(1, least(10, len(toks)) + 1),
+      i -> (doc_id + i) % 1000)) AS u(x)"""
+ORACLE_SQL["link_pagerank"] = _pagerank_sql(_LINK_EDGES_SQL)
 
 # main-content extraction twin: same construction + block/link-density spec
 # as functions/boilerplate.py (BLOCK_TAG_PATTERN / ANCHOR_PATTERN /
@@ -5965,6 +5994,41 @@ def q_orders_nested(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(assemble, batch_format="pyarrow")
 
 
+def q_link_pagerank(sf_dir: str) -> "ray.data.Dataset":
+    """Graph analytics over EXTRACTED structure: the link_graph outlink
+    edges (regex href parse of deterministic HTML) feed the integer-exact
+    PageRank — link-based document centrality, the composition a crawl
+    ranking pipeline actually runs. Same unrolled-CTE SQL twin as
+    pagerank_dups over the logically-derived edge set."""
+    import re as _re
+
+    from ..functions.graph import pagerank
+
+    href_re = _re.compile(
+        r'<a href="https://example\.org/doc/(\d+)">([^<]*)</a>')
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        split, empty = T._tokens_list(batch["text"].combine_chunks())
+        toks_py = split.to_pylist()
+        empties = empty.to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs, dsts = [], []
+        for did, toks, e in zip(ids, toks_py, empties):
+            toks = [] if e else (toks or [])
+            html = " ".join(
+                f'<a href="https://example.org/doc/{(int(did) + i + 1) % 1000}">'
+                f"{w}</a>" for i, w in enumerate(toks[:10]))
+            for m in href_re.finditer(html):
+                srcs.append(int(did))
+                dsts.append(int(m.group(1)))
+        return pa.table({"doc_a": pa.array(srcs, pa.int64()),
+                         "doc_b": pa.array(dsts, pa.int64())})
+
+    return pagerank(ds.map_batches(edges, batch_format="pyarrow"),
+                    n_iters=8)
+
+
 def q_warc_ingest(sf_dir: str) -> "ray.data.Dataset":
     """WARC crawl-shard ingestion (sources/warc.py): deterministic WARC/1.0
     shards are synthesized once per sf from documents.parquet, then read
@@ -6022,6 +6086,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bpe_encode": q_bpe_encode,
     "domain_stats": q_domain_stats,
     "robots_filter": q_robots_filter,
+    "link_pagerank": q_link_pagerank,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,
