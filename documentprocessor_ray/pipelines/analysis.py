@@ -5316,6 +5316,23 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# watermark twin: the strictly-prior running max is exactly SQL's
+# ROWS UNBOUNDED PRECEDING .. 1 PRECEDING window over arrival order
+ORACLE_SQL["late_events"] = """
+    WITH o AS (
+      SELECT event_type,
+        CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+             AS BIGINT) AS us,
+        max(CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+                 AS BIGINT))
+          OVER (ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      FROM events)
+    SELECT event_type, count(*)::BIGINT AS n_events,
+      sum(CASE WHEN wm IS NOT NULL AND us < wm - 300000000
+               THEN 1 ELSE 0 END)::BIGINT AS n_late
+    FROM o GROUP BY event_type"""
+
 # crawl URL-parse twins: host/section/doc_id re-derived from documents
 ORACLE_SQL["domain_stats"] = """
     SELECT 'example.org' AS host, source AS section,
@@ -5994,6 +6011,80 @@ def q_orders_nested(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(assemble, batch_format="pyarrow")
 
 
+def q_late_events(sf_dir: str) -> "ray.data.Dataset":
+    """Streaming watermark semantics: arrival order = event_id, watermark
+    after each event = max(ts so far) - 5 min; an event is LATE if its ts
+    is below the watermark formed by STRICTLY PRIOR events. The global
+    sequential definition decomposes exactly: range-partition on event_id
+    into contiguous slices (one materialized narrow pass), per-slice
+    max-ts partials prefix-max into each slice's carry-in watermark (nb
+    ints on the driver), then each slice flags its rows locally with one
+    sorted cumulative-max — no global sort, no second pass. Output:
+    (event_type, n_events, n_late), exactly SQL's running-max window."""
+    from ray.data.aggregate import Max as AMax
+    from ..sharding import auto_buckets
+
+    LATENESS_US = np.int64(5 * 60 * 1_000_000)
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    agg = ds.aggregate(ray.data.aggregate.Min("event_id"),
+                       AMax("event_id"))
+    lo, hi = int(agg["min(event_id)"]), int(agg["max(event_id)"])
+    span = max(1, hi - lo + 1)
+    nb = min(auto_buckets(None), span)
+    chunk = np.int64(-(-span // nb))
+
+    def tag(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "us": pa.array(us, pa.int64()),
+            "event_type": b["event_type"],
+            "pkey": pa.array((eid - np.int64(lo)) // chunk, pa.int64())})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    # per-slice max ts -> carry-in watermark per slice (nb ints, driver)
+    slice_max = tagged.groupby("pkey").aggregate(
+        AMax("us", alias_name="mx")).take_all()
+    slice_max.sort(key=lambda r: r["pkey"])
+    carry: Dict[int, int] = {}
+    run = None
+    for r in slice_max:
+        carry[int(r["pkey"])] = -(1 << 62) if run is None else run
+        run = max(run, int(r["mx"])) if run is not None else int(r["mx"])
+
+    def flag(g: pa.Table) -> pa.Table:
+        pk = int(g["pkey"][0].as_py())
+        t = g.sort_by([("event_id", "ascending")])
+        us = t["us"].to_numpy(zero_copy_only=False)
+        prior = np.empty(len(us), np.int64)
+        prior[0] = carry[pk]
+        if len(us) > 1:
+            np.maximum.accumulate(us[:-1], out=prior[1:])
+            prior[1:] = np.maximum(prior[1:], carry[pk])
+        late = us < prior - LATENESS_US
+        out = pa.table({"event_type": t["event_type"],
+                        "late": pa.array(late.astype(np.int64), pa.int64())})
+        return out.group_by("event_type").aggregate(
+            [("late", "sum"), ("late", "count")]).rename_columns(
+            ["event_type", "l", "n"])
+
+    partials = tagged.groupby("pkey").map_groups(flag,
+                                                 batch_format="pyarrow")
+    agg2 = partials.groupby("event_type").aggregate(
+        Sum("n", alias_name="n_events"), Sum("l", alias_name="n_late"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "n_late": pc.cast(b["n_late"], pa.int64())})
+
+    return agg2.map_batches(fin, batch_format="pyarrow")
+
+
 def q_link_pagerank(sf_dir: str) -> "ray.data.Dataset":
     """Graph analytics over EXTRACTED structure: the link_graph outlink
     edges (regex href parse of deterministic HTML) feed the integer-exact
@@ -6087,6 +6178,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "domain_stats": q_domain_stats,
     "robots_filter": q_robots_filter,
     "link_pagerank": q_link_pagerank,
+    "late_events": q_late_events,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,
