@@ -5316,6 +5316,29 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# CDC-compaction twin: latest-op-per-key with tombstone filtering
+ORACLE_SQL["cdc_compact"] = """
+    WITH o AS (
+      SELECT user_id,
+        CAST(date_diff('microsecond', TIMESTAMP '1970-01-01', ts)
+             AS BIGINT) AS us,
+        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del,
+        CAST(round(value * 100) AS BIGINT) AS value_cents,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, value_cents, us AS updated_us
+    FROM o WHERE rn = 1 AND is_del = 0"""
+
+# shard-audit twin: the writer assigns doc_id % 8
+ORACLE_SQL["warc_audit"] = """
+    SELECT doc_id % 8 AS shard,
+      count(*)::BIGINT AS n_records,
+      sum(strlen(text))::BIGINT AS n_bytes,
+      min(doc_id)::BIGINT AS min_doc_id,
+      max(doc_id)::BIGINT AS max_doc_id
+    FROM documents GROUP BY doc_id % 8"""
+
 # watermark twin: the strictly-prior running max is exactly SQL's
 # ROWS UNBOUNDED PRECEDING .. 1 PRECEDING window over arrival order
 ORACLE_SQL["late_events"] = """
@@ -6011,6 +6034,94 @@ def q_orders_nested(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(assemble, batch_format="pyarrow")
 
 
+def q_cdc_compact(sf_dir: str) -> "ray.data.Dataset":
+    """Changelog compaction (merge-on-read table maintenance): the events
+    stream is read as CDC ops per user — 'error' rows are DELETE
+    tombstones, everything else UPSERTs value_cents — and the latest op
+    per key wins by (ts, event_id). One bucketed shuffle on hash(user_id);
+    in-bucket lexsort + take-last; users whose final op is a tombstone
+    vanish from the compacted state. The exact shape Iceberg/Delta
+    compaction jobs run, expressed as a Ray Data exchange."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    nb = auto_buckets(None)
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        is_del = pc.equal(b["event_type"], "error")
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "us": pa.array(us, pa.int64()),
+            "event_id": b["event_id"],
+            "is_del": pc.cast(is_del, pa.int64()),
+            "value_cents": pa.array(_cents(
+                b["value"].to_numpy(zero_copy_only=False)), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(uid, nb), pa.int64())})
+
+    def compact(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))  # per user, last = latest op
+        uid_s = uid[order]
+        last = np.flatnonzero(np.r_[uid_s[1:] != uid_s[:-1], True])
+        w = order[last]
+        alive = g["is_del"].to_numpy(zero_copy_only=False)[w] == 0
+        w = w[alive]
+        return pa.table({
+            "user_id": pa.array(uid[w], pa.int64()),
+            "value_cents": pa.array(
+                g["value_cents"].to_numpy(zero_copy_only=False)[w],
+                pa.int64()),
+            "updated_us": pa.array(us[w], pa.int64())})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(compact, batch_format="pyarrow")
+
+
+def q_warc_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Per-shard ingestion audit (the metrics a resumable crawl loader
+    keeps per input file): records parsed, payload bytes, min/max doc_id
+    per WARC shard — computed inside the same parse pass, one row per
+    file, no shuffle beyond the tiny per-file rollup."""
+    recs = _warc_records(sf_dir)
+
+    def audit(batch: pa.Table) -> pa.Table:
+        ids = np.array([int(r.rsplit(":", 1)[-1].rstrip(">"))
+                        for r in batch["record_id"].to_pylist()],
+                       dtype=np.int64)
+        nb = np.array([len(p) for p in batch["payload"].to_pylist()],
+                      dtype=np.int64)
+        shard = ids % 8  # the writer's shard assignment
+        t = pa.table({"shard": pa.array(shard, pa.int64()),
+                      "ids": pa.array(ids, pa.int64()),
+                      "nb": pa.array(nb, pa.int64())})
+        return t.group_by("shard").aggregate(
+            [("ids", "count"), ("nb", "sum"), ("ids", "min"),
+             ("ids", "max")]).rename_columns(
+            ["shard", "n", "b", "mn", "mx"])
+
+    partials = recs.map_batches(audit, batch_format="pyarrow")
+    agg = partials.groupby("shard").aggregate(
+        Sum("n", alias_name="n_records"), Sum("b", alias_name="n_bytes"),
+        ray.data.aggregate.Min("mn", alias_name="min_doc_id"),
+        ray.data.aggregate.Max("mx", alias_name="max_doc_id"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard": b["shard"],
+            "n_records": pc.cast(b["n_records"], pa.int64()),
+            "n_bytes": pc.cast(b["n_bytes"], pa.int64()),
+            "min_doc_id": pc.cast(b["min_doc_id"], pa.int64()),
+            "max_doc_id": pc.cast(b["max_doc_id"], pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_late_events(sf_dir: str) -> "ray.data.Dataset":
     """Streaming watermark semantics: arrival order = event_id, watermark
     after each event = max(ts so far) - 5 min; an event is LATE if its ts
@@ -6179,6 +6290,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "robots_filter": q_robots_filter,
     "link_pagerank": q_link_pagerank,
     "late_events": q_late_events,
+    "cdc_compact": q_cdc_compact,
+    "warc_audit": q_warc_audit,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,
