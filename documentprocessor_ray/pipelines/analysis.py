@@ -5316,6 +5316,23 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# rendezvous-hash twin: argmax over md5 hex strings (128-bit — ties are
+# impossible), 1-based list_position converted to the 0-based shard id
+ORACLE_SQL["reshard_plan"] = """
+    WITH h AS (
+      SELECT doc_id,
+        list_transform(range(0, 12),
+          s -> md5(doc_id || '|' || s)) AS hs
+      FROM documents)
+    SELECT doc_id,
+      (list_position(hs[1:8], list_aggregate(hs[1:8], 'max')) - 1)::BIGINT
+        AS old_shard,
+      (list_position(hs, list_aggregate(hs, 'max')) - 1)::BIGINT
+        AS new_shard,
+      list_position(hs[1:8], list_aggregate(hs[1:8], 'max'))
+        <> list_position(hs, list_aggregate(hs, 'max')) AS moved
+    FROM h"""
+
 # CDC-compaction twin: latest-op-per-key with tombstone filtering
 ORACLE_SQL["cdc_compact"] = """
     WITH o AS (
@@ -6034,6 +6051,36 @@ def q_orders_nested(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(assemble, batch_format="pyarrow")
 
 
+def q_reshard_plan(sf_dir: str) -> "ray.data.Dataset":
+    """Cluster-resize planning via rendezvous (HRW) consistent hashing:
+    each doc's shard under N shards is argmax over s of md5(doc_id|s), so
+    growing 8 -> 12 shards moves only the docs whose winning shard is one
+    of the 4 new ones (~1/3 here) instead of ~everything under mod-N.
+    Stateless per-row compute, no shuffle; the twin replays the identical
+    hex-string argmax in DuckDB. Output: (doc_id, old_shard, new_shard,
+    moved)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plan(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        old_s, new_s = [], []
+        for d in ids:
+            hs = [hashlib.md5(f"{d}|{s}".encode()).hexdigest()
+                  for s in range(12)]
+            old_s.append(max(range(8), key=lambda s: hs[s]))
+            new_s.append(max(range(12), key=lambda s: hs[s]))
+        moved = [a != b for a, b in zip(old_s, new_s)]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "old_shard": pa.array(old_s, pa.int64()),
+            "new_shard": pa.array(new_s, pa.int64()),
+            "moved": pa.array(moved, pa.bool_())})
+
+    return ds.map_batches(plan, batch_format="pyarrow")
+
+
 def q_cdc_compact(sf_dir: str) -> "ray.data.Dataset":
     """Changelog compaction (merge-on-read table maintenance): the events
     stream is read as CDC ops per user — 'error' rows are DELETE
@@ -6292,6 +6339,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "late_events": q_late_events,
     "cdc_compact": q_cdc_compact,
     "warc_audit": q_warc_audit,
+    "reshard_plan": q_reshard_plan,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,
