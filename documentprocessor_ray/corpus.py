@@ -96,7 +96,20 @@ def receipt_lines(rng: np.random.Generator) -> List[str]:
     return lines
 
 
-def _doc_spans(rng: np.random.Generator, doc_id: str, heavy: bool) -> List[Dict]:
+def _html_snippet(rng: np.random.Generator) -> str:
+    """Deterministic boilerplate-laden HTML: a link-farm nav (dies of link
+    density), a long content paragraph (survives), a short footer (dies of
+    MIN_BLOCK_CHARS) — so the strip is observable, not a pass-through."""
+    body = " ".join(
+        _TEXT_SNIPPETS[int(rng.integers(0, len(_TEXT_SNIPPETS)))]
+        for _ in range(3))
+    nav = " ".join(f'<a href="#{k}">nav{k}</a>' for k in range(6))
+    return (f"<div>{nav}</div><p>{body}</p>"
+            f'<footer><a href="/">home</a></footer>')
+
+
+def _doc_spans(rng: np.random.Generator, doc_id: str, heavy: bool,
+               html_frac: float = 0.0) -> List[Dict]:
     if heavy:
         n_media = int(rng.integers(20, 51))
         n_text = int(rng.integers(0, 3))
@@ -104,6 +117,11 @@ def _doc_spans(rng: np.random.Generator, doc_id: str, heavy: bool) -> List[Dict]
         n_media = int(rng.integers(0, 3))
         n_text = int(rng.integers(1, 4))
     kinds = ["media"] * n_media + ["text"] * n_text
+    if html_frac > 0:
+        # drawn ONLY when the feature is on, so html_frac=0 corpora keep
+        # byte-identical rng sequences with pre-html generator versions
+        n_html = int(rng.integers(1, 3)) if rng.random() < html_frac else 0
+        kinds += ["html"] * n_html
     rng.shuffle(kinds)
     spans = []
     for off, kind in enumerate(kinds):
@@ -111,6 +129,13 @@ def _doc_spans(rng: np.random.Generator, doc_id: str, heavy: bool) -> List[Dict]
             spans.append({
                 "kind": "text",
                 "text": _TEXT_SNIPPETS[int(rng.integers(0, len(_TEXT_SNIPPETS)))],
+                "media_ref": "",
+                "offset": off,
+            })
+        elif kind == "html":
+            spans.append({
+                "kind": "html",
+                "text": _html_snippet(rng),
                 "media_ref": "",
                 "offset": off,
             })
@@ -136,6 +161,7 @@ def generate_corpus(
     heavy_frac: float = 0.01,
     num_partitions: int = 8,
     noise_density: float = 0.0,
+    html_frac: float = 0.0,
 ) -> Tuple[str, str]:
     """Write documents/ (hash-partitioned parquet) + media/ (npy pages).
 
@@ -151,7 +177,7 @@ def generate_corpus(
         doc_id = f"doc-{i:06d}"
         rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
         heavy = rng.random() < heavy_frac
-        spans = _doc_spans(rng, doc_id, heavy)
+        spans = _doc_spans(rng, doc_id, heavy, html_frac=html_frac)
         for s in spans:
             if s["kind"] == "media":
                 lines = receipt_lines(rng)

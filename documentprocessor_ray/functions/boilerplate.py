@@ -48,6 +48,22 @@ _BLOCK_RE = re.compile(BLOCK_TAG_PATTERN)
 _ANCHOR_RE = re.compile(ANCHOR_PATTERN)
 
 
+def main_text_of(html: str) -> str:
+    """Scalar twin of extract_main_content_batch for one HTML string (the
+    flagship's per-span path; html spans are a small fraction of a batch,
+    so the scalar call reuses the compiled module regexes + the scalar
+    normalize chain instead of a second Arrow pass)."""
+    from ..oracle.textnorm import normalize_text
+
+    kept: List[str] = []
+    for b in _BLOCK_RE.split(html or ""):
+        vis = normalize_text(b)
+        n_link = sum(len(m) for m in _ANCHOR_RE.findall(b))
+        if len(vis) >= MIN_BLOCK_CHARS and 3 * n_link <= len(vis):
+            kept.append(vis)
+    return " ".join(kept)
+
+
 def extract_main_content_batch(batch: pa.Table,
                                html_col: str = "html") -> pa.Table:
     """(doc_id, html) -> (doc_id, main_text, n_blocks, n_kept)."""

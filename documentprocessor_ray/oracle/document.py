@@ -87,6 +87,19 @@ def process_document(
                     "order": order,
                 })
                 order += 1
+            elif span["kind"] == "html":
+                # north rule: interleaved html spans take the boilerplate-
+                # strip path (block split + link-density keep, then the
+                # same normalize chain) and emit ONE main-content span
+                from ..functions.boilerplate import main_text_of
+
+                spans_out.append({
+                    "kind": "html",
+                    "text": main_text_of(span["text"]),
+                    "media_ref": "",
+                    "order": order,
+                })
+                order += 1
             elif span["kind"] == "media":
                 image = load_media(span["media_ref"])
                 if image is None:

@@ -194,11 +194,21 @@ class SpanProcessor:
         # pay the per-image OCR. Single operator — no dataset-level branch,
         # so the plan stays one fused pass with no union barrier.
         norm_all = normalize_text_arrow(batch["text"].combine_chunks()).to_pylist()
+        raw_texts = None  # lazily pulled only when the batch has html spans
         for i in range(n):
             kind = out["kind"][i]
             try:
                 if kind == "text":
                     out["norm_text"][i] = norm_all[i]
+                elif kind == "html":
+                    # boilerplate strip (north rule): html spans are a
+                    # small fraction of a batch, so the scalar helper
+                    # (compiled module regexes) beats a second Arrow pass
+                    if raw_texts is None:
+                        raw_texts = batch["text"].to_pylist()
+                    from ..functions.boilerplate import main_text_of
+
+                    out["norm_text"][i] = main_text_of(raw_texts[i])
                 elif kind == "media":
                     ref = out["media_ref"][i]
                     image = self.store.load(ref)
@@ -320,8 +330,8 @@ def _assemble_doc(doc_id: str, kinds: List[str], norm_texts: List[str],
     raw_words: List[Dict[str, Any]] = []
     order = 0
     for k in range(len(kinds)):
-        if kinds[k] == "text":
-            spans_out.append({"kind": "text", "text": norm_texts[k],
+        if kinds[k] in ("text", "html"):
+            spans_out.append({"kind": kinds[k], "text": norm_texts[k],
                               "media_ref": "", "order": order})
             order += 1
         elif kinds[k] == "media":

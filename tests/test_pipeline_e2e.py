@@ -155,3 +155,71 @@ class TestErrorChannel:
         assert out["doc-ok"]["spans_out"][0]["text"] == "hello world"
         assert out["doc-empty"]["status"] == "done"
         assert out["doc-empty"]["spans_out"] == []
+
+
+class TestHtmlSpans:
+    """North-rule interleaved html spans: boilerplate strip inside the
+    flagship, span-equal with the oracle."""
+
+    @pytest.fixture(scope="class")
+    def html_corpus(self, ray_session, tmp_path_factory):
+        from documentprocessor_ray.corpus import generate_corpus
+
+        out = str(tmp_path_factory.mktemp("html_corpus"))
+        return generate_corpus(out, n_docs=40, seed=11, heavy_frac=0.05,
+                               num_partitions=4, html_frac=0.6)
+
+    def test_corpus_has_html_spans(self, html_corpus):
+        import pyarrow.dataset as pads
+
+        docs_dir, _ = html_corpus
+        table = pads.dataset(docs_dir, partitioning="hive").to_table()
+        kinds = {s["kind"] for row in table.to_pylist() for s in row["spans"]}
+        assert "html" in kinds
+
+    def test_span_equality_with_html(self, ray_session, html_corpus):
+        docs_dir, media_dir = html_corpus
+        ds = run_extraction(docs_dir, media_dir, batch_size=8)
+        ray_rows = {r["doc_id"]: r for r in ds.take_all()}
+        oracle = _oracle_results(docs_dir, media_dir)
+        assert set(ray_rows) == set(oracle)
+        n_html_spans = 0
+        for did, o in oracle.items():
+            got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                   for s in ray_rows[did]["spans_out"]]
+            want = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                    for s in o["spans_out"]]
+            assert got == want, did
+            n_html_spans += sum(1 for s in want if s[0] == "html")
+        assert n_html_spans > 0
+
+    def test_html_strip_is_observable(self, ray_session, html_corpus):
+        """The nav/footer must actually die: no output html span contains
+        the nav anchor text, and main text is non-empty."""
+        docs_dir, media_dir = html_corpus
+        ds = run_extraction(docs_dir, media_dir, batch_size=8)
+        found = 0
+        for r in ds.take_all():
+            for s in r["spans_out"]:
+                if s["kind"] == "html":
+                    found += 1
+                    assert "nav0" not in s["text"]
+                    assert "home" not in s["text"].split()
+                    assert len(s["text"]) >= 50
+        assert found > 0
+
+    def test_scalar_matches_batch_helper(self):
+        import pyarrow as pa
+
+        from documentprocessor_ray.corpus import _html_snippet
+        from documentprocessor_ray.functions.boilerplate import (
+            extract_main_content_batch, main_text_of)
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        htmls = [_html_snippet(rng) for _ in range(8)] + ["", "<p>x</p>"]
+        batch = pa.table({"doc_id": pa.array(range(len(htmls)), pa.int64()),
+                          "html": pa.array(htmls, pa.string())})
+        out = extract_main_content_batch(batch)
+        for h, m in zip(htmls, out["main_text"].to_pylist()):
+            assert main_text_of(h) == m
