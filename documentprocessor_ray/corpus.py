@@ -109,7 +109,7 @@ def _html_snippet(rng: np.random.Generator) -> str:
 
 
 def _doc_spans(rng: np.random.Generator, doc_id: str, heavy: bool,
-               html_frac: float = 0.0) -> List[Dict]:
+               html_frac: float = 0.0, pdf_frac: float = 0.0) -> List[Dict]:
     if heavy:
         n_media = int(rng.integers(20, 51))
         n_text = int(rng.integers(0, 3))
@@ -122,6 +122,9 @@ def _doc_spans(rng: np.random.Generator, doc_id: str, heavy: bool,
         # byte-identical rng sequences with pre-html generator versions
         n_html = int(rng.integers(1, 3)) if rng.random() < html_frac else 0
         kinds += ["html"] * n_html
+    if pdf_frac > 0:
+        n_pdf = int(rng.integers(1, 3)) if rng.random() < pdf_frac else 0
+        kinds += ["pdf"] * n_pdf
     rng.shuffle(kinds)
     spans = []
     for off, kind in enumerate(kinds):
@@ -137,6 +140,13 @@ def _doc_spans(rng: np.random.Generator, doc_id: str, heavy: bool,
                 "kind": "html",
                 "text": _html_snippet(rng),
                 "media_ref": "",
+                "offset": off,
+            })
+        elif kind == "pdf":
+            spans.append({
+                "kind": "pdf",
+                "text": "",
+                "media_ref": f"{doc_id}-s{off:03d}",
                 "offset": off,
             })
         else:
@@ -162,6 +172,7 @@ def generate_corpus(
     num_partitions: int = 8,
     noise_density: float = 0.0,
     html_frac: float = 0.0,
+    pdf_frac: float = 0.0,
 ) -> Tuple[str, str]:
     """Write documents/ (hash-partitioned parquet) + media/ (npy pages).
 
@@ -177,9 +188,18 @@ def generate_corpus(
         doc_id = f"doc-{i:06d}"
         rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
         heavy = rng.random() < heavy_frac
-        spans = _doc_spans(rng, doc_id, heavy, html_frac=html_frac)
+        spans = _doc_spans(rng, doc_id, heavy, html_frac=html_frac,
+                           pdf_frac=pdf_frac)
         for s in spans:
-            if s["kind"] == "media":
+            if s["kind"] == "pdf":
+                from .functions.pdf import make_pdf
+
+                snippet = _TEXT_SNIPPETS[int(rng.integers(
+                    0, len(_TEXT_SNIPPETS)))]
+                with open(os.path.join(media_dir,
+                                       s["media_ref"] + ".pdf"), "wb") as f:
+                    f.write(make_pdf(snippet.split()))
+            elif s["kind"] == "media":
                 lines = receipt_lines(rng)
                 img = render_page(
                     lines,
@@ -208,6 +228,15 @@ class MediaStore:
 
     def __init__(self, media_dir: str):
         self.media_dir = media_dir
+
+    def load_bytes(self, media_ref: str,
+                   ext: str = ".pdf") -> Optional[bytes]:
+        """Raw blob fetch (pdf spans and other non-image media)."""
+        path = os.path.join(self.media_dir, media_ref + ext)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return f.read()
+        return None
 
     def load(self, media_ref: str) -> Optional[np.ndarray]:
         path = os.path.join(self.media_dir, media_ref + ".npz8")

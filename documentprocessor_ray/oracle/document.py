@@ -64,6 +64,7 @@ def process_document(
     load_media,  # Callable[[str], Optional[np.ndarray]]
     kernel: Optional[OcrKernel] = None,
     cfg: PreprocessConfig = PreprocessConfig(),
+    load_blob=None,  # Callable[[str], Optional[bytes]] — pdf spans
 ) -> Dict[str, Any]:
     """Full per-document result: spans_out + heuristic fields + status/error."""
     kernel = kernel or OcrKernel()
@@ -100,6 +101,24 @@ def process_document(
                     "order": order,
                 })
                 order += 1
+            elif span["kind"] == "pdf":
+                # north rule: pdf spans take the layout-parse path — one
+                # output span per reading-order text run
+                from ..functions.pdf import parse_pdf_text
+
+                blob = load_blob(span["media_ref"]) if load_blob else None
+                if blob is None:
+                    raise FileNotFoundError(
+                        f"media not found: {span['media_ref']}")
+                runs, _ = parse_pdf_text(blob)
+                for r in runs:
+                    spans_out.append({
+                        "kind": "pdf",
+                        "text": r[3],
+                        "media_ref": span["media_ref"],
+                        "order": order,
+                    })
+                    order += 1
             elif span["kind"] == "media":
                 image = load_media(span["media_ref"])
                 if image is None:

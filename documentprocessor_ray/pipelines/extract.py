@@ -209,6 +209,17 @@ class SpanProcessor:
                     from ..functions.boilerplate import main_text_of
 
                     out["norm_text"][i] = main_text_of(raw_texts[i])
+                elif kind == "pdf":
+                    # PDF layout parse (north rule): blob from the media
+                    # store, runs in reading order, one output span per run
+                    from ..functions.pdf import parse_pdf_text
+
+                    blob = self.store.load_bytes(out["media_ref"][i])
+                    if blob is None:
+                        raise FileNotFoundError(
+                            f"media not found: {out['media_ref'][i]}")
+                    runs, _ = parse_pdf_text(blob)
+                    out["line_texts"][i] = [r[3] for r in runs]
                 elif kind == "media":
                     ref = out["media_ref"][i]
                     image = self.store.load(ref)
@@ -334,6 +345,11 @@ def _assemble_doc(doc_id: str, kinds: List[str], norm_texts: List[str],
             spans_out.append({"kind": kinds[k], "text": norm_texts[k],
                               "media_ref": "", "order": order})
             order += 1
+        elif kinds[k] == "pdf":
+            for line_text in line_texts[k] or []:
+                spans_out.append({"kind": "pdf", "text": line_text,
+                                  "media_ref": refs[k], "order": order})
+                order += 1
         elif kinds[k] == "media":
             wds = words_col[k] or []
             if keep_words:

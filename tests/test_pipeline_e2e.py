@@ -223,3 +223,57 @@ class TestHtmlSpans:
         out = extract_main_content_batch(batch)
         for h, m in zip(htmls, out["main_text"].to_pylist()):
             assert main_text_of(h) == m
+
+
+class TestPdfSpans:
+    """North-rule interleaved pdf spans: layout parse inside the flagship,
+    one output span per reading-order run, span-equal with the oracle."""
+
+    @pytest.fixture(scope="class")
+    def pdf_corpus(self, ray_session, tmp_path_factory):
+        from documentprocessor_ray.corpus import generate_corpus
+
+        out = str(tmp_path_factory.mktemp("pdf_corpus"))
+        return generate_corpus(out, n_docs=40, seed=13, heavy_frac=0.05,
+                               num_partitions=4, html_frac=0.4, pdf_frac=0.6)
+
+    def test_span_equality_with_pdf(self, ray_session, pdf_corpus):
+        import pyarrow.dataset as pads
+
+        docs_dir, media_dir = pdf_corpus
+        ds = run_extraction(docs_dir, media_dir, batch_size=8)
+        ray_rows = {r["doc_id"]: r for r in ds.take_all()}
+        table = pads.dataset(docs_dir, partitioning="hive").to_table()
+        store = MediaStore(media_dir)
+        n_pdf = 0
+        for row in table.to_pylist():
+            o = process_document(row["doc_id"], row["spans"], store.load,
+                                 load_blob=store.load_bytes)
+            got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                   for s in ray_rows[row["doc_id"]]["spans_out"]]
+            want = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                    for s in o["spans_out"]]
+            assert got == want, row["doc_id"]
+            n_pdf += sum(1 for s in want if s[0] == "pdf")
+        assert n_pdf > 0
+
+    def test_missing_pdf_blob_fails_in_band(self, ray_session, pdf_corpus):
+        import glob
+        import os as _os
+
+        docs_dir, media_dir = pdf_corpus
+        victims = sorted(glob.glob(_os.path.join(media_dir, "*.pdf")))
+        assert victims
+        victim = victims[0]
+        ref = _os.path.basename(victim)[:-4]
+        doc_of = ref.rsplit("-s", 1)[0]
+        _os.rename(victim, victim + ".bak")
+        try:
+            ds = run_extraction(docs_dir, media_dir, batch_size=8)
+            rows = {r["doc_id"]: r for r in ds.take_all()}
+            assert rows[doc_of]["status"] == "failed"
+            assert f"media not found: {ref}" in rows[doc_of]["error"]
+            ok = [r for d, r in rows.items() if d != doc_of]
+            assert all(r["status"] == "done" for r in ok)
+        finally:
+            _os.rename(victim + ".bak", victim)
