@@ -130,6 +130,55 @@ def entry() -> Any:
     return _run_extract("/root/testdata/sf0.001")
 
 
+def _run_extract_mixed(sf_dir: str) -> Any:
+    """Flagship over a corpus carrying ALL FOUR span kinds (text, media,
+    html, pdf): html spans go through the boilerplate strip, pdf spans
+    through the layout parse, inside the same fused span stage. Rows-only
+    in the driver (the OCR/layout oracle is pytest-gated:
+    tests/test_pipeline_e2e.py html/pdf span-equality classes)."""
+    from documentprocessor_ray.corpus import generate_corpus
+    from documentprocessor_ray.pipelines.extract import run_extraction
+
+    n_docs = max(40, int(4000 * _sf_of(sf_dir)))
+    out = os.path.join(_CORPUS_ROOT, f"mixed_n{n_docs}_s42")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate_corpus(out, n_docs=n_docs, seed=42, heavy_frac=0.02,
+                        html_frac=0.4, pdf_frac=0.4)
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = run_extraction(os.path.join(out, "documents"),
+                        os.path.join(out, "media"))
+
+    def slim(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        spans = batch["spans_out"].combine_chunks()
+        flat_kind = pa.compute.struct_field(
+            pa.compute.list_flatten(spans), "kind")
+        parents = pa.compute.list_parent_indices(spans) \
+            .to_numpy(zero_copy_only=False)
+
+        def count_kind(k: str):
+            eq = pa.compute.equal(flat_kind, k) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            c = np.zeros(batch.num_rows, np.int64)
+            np.add.at(c, parents, eq)
+            return pa.array(c, pa.int64())
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "status": batch["status"],
+            "n_spans_out": pa.compute.cast(
+                pa.compute.list_value_length(batch["spans_out"]),
+                pa.int64()),
+            "n_html_spans": count_kind("html"),
+            "n_pdf_spans": count_kind("pdf"),
+        })
+
+    return ds.map_batches(slim, batch_format="pyarrow")
+
+
 def _run_extract_sftext(sf_dir: str) -> Any:
     """Flagship pipeline restricted to the sf-derived TEXT-doc partition:
     the SQL-checkable projection of the flagship. Per doc, the pipeline
@@ -265,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_scored_idefics": lambda sf: _run_scored_extract(sf, model="idefics2"),
         "extract_sftext": _run_extract_sftext,
         "extract_scored_sftext": _run_scored_sftext,
+        "extract_mixed_kinds": _run_extract_mixed,
     }
     out.update(QUERIES)
     return out
