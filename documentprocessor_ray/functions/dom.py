@@ -117,6 +117,26 @@ def parse_dom(html: str) -> Tuple[List[_El], List[str]]:
     return elements, texts
 
 
+def dom_main_text_of(html: str) -> str:
+    """Scalar twin of extract_dom_main_batch's winner text for one HTML
+    string (the flagship's per-span DOM-heuristics path)."""
+    from ..oracle.textnorm import normalize_text
+
+    elements, texts = parse_dom(html or "")
+    best = None  # (score, order, text)
+    for e in elements:
+        if e.tag not in CANDIDATE_TAGS:
+            continue
+        raw = " ".join(texts[e.t_lo:e.t_hi])
+        vis = normalize_text(raw)
+        alen = sum(len(normalize_text(" ".join(texts[a.t_lo:a.t_hi])))
+                   for a in e.anchors)
+        score = 2 * len(vis) - 6 * alen
+        if best is None or (score, e.order) >= (best[0], best[1]):
+            best = (score, e.order, vis)
+    return "" if best is None else best[2]
+
+
 def extract_dom_main_batch(batch: pa.Table,
                            html_col: str = "html") -> pa.Table:
     """(doc_id, html) ->

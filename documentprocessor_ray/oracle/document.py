@@ -65,6 +65,7 @@ def process_document(
     kernel: Optional[OcrKernel] = None,
     cfg: PreprocessConfig = PreprocessConfig(),
     load_blob=None,  # Callable[[str], Optional[bytes]] — pdf spans
+    html_mode: str = "blocks",  # blocks | dom (north-rule html operators)
 ) -> Dict[str, Any]:
     """Full per-document result: spans_out + heuristic fields + status/error."""
     kernel = kernel or OcrKernel()
@@ -90,13 +91,16 @@ def process_document(
                 order += 1
             elif span["kind"] == "html":
                 # north rule: interleaved html spans take the boilerplate-
-                # strip path (block split + link-density keep, then the
-                # same normalize chain) and emit ONE main-content span
-                from ..functions.boilerplate import main_text_of
+                # strip path (block split + link-density keep) or the DOM
+                # heuristics path, and emit ONE main-content span
+                if html_mode == "dom":
+                    from ..functions.dom import dom_main_text_of as _mt
+                else:
+                    from ..functions.boilerplate import main_text_of as _mt
 
                 spans_out.append({
                     "kind": "html",
-                    "text": main_text_of(span["text"]),
+                    "text": _mt(span["text"]),
                     "media_ref": "",
                     "order": order,
                 })

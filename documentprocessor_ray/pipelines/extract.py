@@ -165,7 +165,7 @@ class SpanProcessor:
 
     def __init__(self, media_dir: str, cfg: Optional[PreprocessConfig] = None,
                  debug_dir: Optional[str] = None, log_dir: Optional[str] = None,
-                 engine=None):
+                 engine=None, html_mode: str = "blocks"):
         from ..ocr_kernel import get_engine
 
         self.store = MediaStore(media_dir)
@@ -175,6 +175,12 @@ class SpanProcessor:
         self.cfg = cfg or PreprocessConfig()
         self.debug_dir = debug_dir  # S7 tee sink, off by default
         self.log_dir = log_dir      # S8 telemetry, off by default
+        # html span extraction: 'blocks' = flat block/link-density strip,
+        # 'dom' = tag-tree Readability-style scoring (north rule's third
+        # extraction operator, selectable per pipeline)
+        if html_mode not in ("blocks", "dom"):
+            raise ValueError(f"html_mode must be blocks|dom, got {html_mode}")
+        self.html_mode = html_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -206,9 +212,14 @@ class SpanProcessor:
                     # (compiled module regexes) beats a second Arrow pass
                     if raw_texts is None:
                         raw_texts = batch["text"].to_pylist()
-                    from ..functions.boilerplate import main_text_of
+                    if self.html_mode == "dom":
+                        from ..functions.dom import dom_main_text_of
 
-                    out["norm_text"][i] = main_text_of(raw_texts[i])
+                        out["norm_text"][i] = dom_main_text_of(raw_texts[i])
+                    else:
+                        from ..functions.boilerplate import main_text_of
+
+                        out["norm_text"][i] = main_text_of(raw_texts[i])
                 elif kind == "pdf":
                     # PDF layout parse (north rule): blob from the media
                     # store, runs in reading order, one output span per run
@@ -271,14 +282,17 @@ _PROCESSOR_CACHE: Dict[tuple, "SpanProcessor"] = {}
 def _cached_processor(media_dir: str, cfg: Optional["PreprocessConfig"],
                       debug_dir: Optional[str] = None,
                       log_dir: Optional[str] = None,
-                      engine=None) -> "SpanProcessor":
+                      engine=None,
+                      html_mode: str = "blocks") -> "SpanProcessor":
     from ..ocr_kernel import engine_key
 
-    key = (media_dir, repr(cfg), debug_dir, log_dir, engine_key(engine))
+    key = (media_dir, repr(cfg), debug_dir, log_dir, engine_key(engine),
+           html_mode)
     proc = _PROCESSOR_CACHE.get(key)
     if proc is None:
         proc = _PROCESSOR_CACHE[key] = SpanProcessor(
-            media_dir, cfg, debug_dir, log_dir, engine=engine)
+            media_dir, cfg, debug_dir, log_dir, engine=engine,
+            html_mode=html_mode)
     return proc
 
 
@@ -416,6 +430,7 @@ def build_pipeline(
     num_buckets: Optional[int] = None,
     size_hint: Optional[int] = None,
     engine=None,
+    html_mode: str = "blocks",
 ) -> "ray.data.Dataset":
     """Compose the lazy pipeline over an already-loaded documents Dataset.
 
@@ -485,7 +500,7 @@ def build_pipeline(
         actor_kwargs = dict(
             fn_constructor_kwargs={"media_dir": media_dir, "cfg": cfg,
                                    "debug_dir": debug_dir, "log_dir": log_dir,
-                                   "engine": engine},
+                                   "engine": engine, "html_mode": html_mode},
             batch_format="pyarrow",
             concurrency=concurrency,
             num_cpus=1,
@@ -505,8 +520,10 @@ def build_pipeline(
                 SpanProcessor, batch_size=batch_size, **actor_kwargs)
     else:
         def span_task(batch: pa.Table, _m=media_dir, _c=cfg,
-                      _d=debug_dir, _l=log_dir, _e=engine) -> pa.Table:
-            return _cached_processor(_m, _c, _d, _l, engine=_e)(batch)
+                      _d=debug_dir, _l=log_dir, _e=engine,
+                      _h=html_mode) -> pa.Table:
+            return _cached_processor(_m, _c, _d, _l, engine=_e,
+                                     html_mode=_h)(batch)
 
         if split_heavy_cost is not None:
             light = spans.filter(expr=f"cost <= {int(split_heavy_cost)}")

@@ -277,3 +277,47 @@ class TestPdfSpans:
             assert all(r["status"] == "done" for r in ok)
         finally:
             _os.rename(victim + ".bak", victim)
+
+
+class TestDomModeSpans:
+    def test_span_equality_dom_mode(self, ray_session, tmp_path_factory):
+        """html_mode='dom' routes html spans through the tag-tree
+        Readability scorer; pipeline and oracle stay span-equal."""
+        import pyarrow.dataset as pads
+
+        from documentprocessor_ray.corpus import generate_corpus
+
+        out = str(tmp_path_factory.mktemp("dom_corpus"))
+        docs_dir, media_dir = generate_corpus(
+            out, n_docs=30, seed=17, heavy_frac=0.0, num_partitions=4,
+            html_frac=0.7)
+        ds = run_extraction(docs_dir, media_dir, batch_size=8,
+                            html_mode="dom")
+        ray_rows = {r["doc_id"]: r for r in ds.take_all()}
+        table = pads.dataset(docs_dir, partitioning="hive").to_table()
+        store = MediaStore(media_dir)
+        n_html = 0
+        differs_from_blocks = 0
+        for row in table.to_pylist():
+            o = process_document(row["doc_id"], row["spans"], store.load,
+                                 html_mode="dom")
+            ob = process_document(row["doc_id"], row["spans"], store.load,
+                                  html_mode="blocks")
+            got = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                   for s in ray_rows[row["doc_id"]]["spans_out"]]
+            want = [(s["kind"], s["text"], s["media_ref"], s["order"])
+                    for s in o["spans_out"]]
+            assert got == want, row["doc_id"]
+            n_html += sum(1 for s in want if s[0] == "html")
+            if o["spans_out"] != ob["spans_out"]:
+                differs_from_blocks += 1
+        assert n_html > 0
+        # the two html operators are genuinely different extractors: the
+        # mode flag must be observable on this corpus (dom keeps only the
+        # winning container's text; blocks keeps every surviving block)
+        assert differs_from_blocks > 0
+
+    def test_bad_mode_rejected(self):
+        from documentprocessor_ray.pipelines.extract import SpanProcessor
+        with pytest.raises(ValueError):
+            SpanProcessor("/tmp", html_mode="nope")
