@@ -30,6 +30,7 @@ class JobConfig:
     max_partitions: Optional[int] = None
     debug_dir: Optional[str] = None      # S7 debug sink, off by default
     engine: Optional[str] = None         # OCR engine registry name (None = kernel)
+    html_mode: str = "blocks"            # html spans: blocks | dom extractor
     preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
 
 

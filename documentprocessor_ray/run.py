@@ -34,6 +34,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--target-blocks", type=int,
                     help="repartition span stream to this many blocks")
     ap.add_argument("--debug-dir", help="S7 per-page debug image sink")
+    ap.add_argument("--html-mode", choices=["blocks", "dom"],
+                    help="html-span extractor: flat block strip or DOM heuristics")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="standalone only; ignored when Ray is already initialised")
     # per-step preprocess toggles (reference args.py:127-341 knob surface)
@@ -75,6 +77,7 @@ def main(argv=None) -> int:
         "use_actors": args.use_actors,
         "target_blocks": args.target_blocks,
         "debug_dir": args.debug_dir,
+        "html_mode": args.html_mode,
         **({"preprocess": pre_overrides} if pre_overrides else {}),
     })
     if not cfg.documents_dir or not cfg.media_dir or not cfg.output_dir:
@@ -97,7 +100,7 @@ def main(argv=None) -> int:
         max_partitions=cfg.max_partitions,
         model=cfg.model, use_actors=cfg.use_actors,
         target_blocks=cfg.target_blocks, debug_dir=cfg.debug_dir,
-        engine=cfg.engine,
+        engine=cfg.engine, html_mode=cfg.html_mode,
     )
     print(json.dumps(summary))
     return 0

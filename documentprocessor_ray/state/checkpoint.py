@@ -92,6 +92,7 @@ def run_partitioned(
     target_blocks: Optional[int] = None,
     debug_dir: Optional[str] = None,
     engine=None,
+    html_mode: str = "blocks",
 ) -> Dict[str, Any]:
     """Run (or resume) the extraction over all input partitions.
 
@@ -139,6 +140,7 @@ def run_partitioned(
         n_docs = raw.count()  # metadata-only on a fresh read
         docs = raw.select_columns(["doc_id", "spans"])
         ds = build_pipeline(docs, media_dir, cfg=cfg, batch_size=batch_size,
+                            html_mode=html_mode,
                             size_hint=n_docs, use_actors=use_actors,
                             target_blocks=target_blocks, debug_dir=debug_dir,
                             engine=engine, keep_words=model is not None)
