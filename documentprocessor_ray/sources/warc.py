@@ -77,33 +77,64 @@ def write_warc_shards(documents_parquet: str, out_dir: str,
     return out_dir
 
 
+_MAGIC = b"WARC/1.0\r\n"
+
+
 def parse_warc_bytes(blob: bytes) -> dict:
     """Parse one WARC file's bytes into columnar record fields. Walks
-    records via Content-Length (payloads may contain blank lines)."""
+    records via Content-Length (payloads may contain blank lines).
+
+    Corruption policy (a crawl loader must not lose a whole shard tail to
+    one bad record): a record whose header is malformed — no version
+    magic, unparsable Content-Length, or a truncated header — is SKIPPED
+    by resyncing to the next ``WARC/1.0`` magic, and ``n_skipped`` counts
+    the resyncs. A record whose declared payload overruns the file is
+    dropped as truncated."""
     rec_ids: list[str] = []
     types: list[str] = []
     uris: list[str] = []
     payloads: list[bytes] = []
+    n_skipped = 0
     pos, n = 0, len(blob)
+
+    def resync(p: int) -> int:
+        nxt = blob.find(_MAGIC, p)
+        return nxt if nxt >= 0 else n
+
     while pos < n:
+        if not blob.startswith(_MAGIC, pos):
+            n_skipped += 1
+            pos = resync(pos + 1)
+            continue
         head_end = blob.find(_CRLF + _CRLF, pos)
         if head_end < 0:
-            break  # trailing garbage / truncated record: stop cleanly
+            n_skipped += 1  # truncated header at EOF
+            break
         header = blob[pos:head_end].decode("utf-8", errors="replace")
         fields = {}
         for line in header.split("\r\n")[1:]:  # [0] is the version line
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
-        clen = int(fields.get("content-length", "0"))
+        try:
+            clen = int(fields["content-length"])
+            if clen < 0:
+                raise ValueError
+        except (KeyError, ValueError):
+            n_skipped += 1
+            pos = resync(pos + 1)
+            continue
         body_start = head_end + 4
-        payload = blob[body_start:body_start + clen]
+        if body_start + clen > n:
+            n_skipped += 1  # declared payload overruns the file
+            break
         rec_ids.append(fields.get("warc-record-id", ""))
         types.append(fields.get("warc-type", ""))
         uris.append(fields.get("warc-target-uri", ""))
-        payloads.append(payload)
+        payloads.append(blob[body_start:body_start + clen])
         pos = body_start + clen + 4  # skip payload + record-final CRLFCRLF
     return {"record_id": rec_ids, "warc_type": types,
-            "target_uri": uris, "payload": payloads}
+            "target_uri": uris, "payload": payloads,
+            "n_skipped": n_skipped}
 
 
 def read_warc(shard_dir: str,

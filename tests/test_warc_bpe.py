@@ -47,6 +47,31 @@ class TestWarcParse:
         blob = _record_bytes(1, "a", b"data") + b"WARC/1.0\r\nWARC-T"
         out = parse_warc_bytes(blob)
         assert out["payload"] == [b"data"]
+        assert out["n_skipped"] == 1
+
+    def test_corrupt_record_resyncs_to_next_magic(self):
+        # a record with garbage Content-Length must not take the shard
+        # tail with it: the parser skips to the next WARC/1.0 magic
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: banana\r\n\r\njunk\r\n\r\n")
+        blob = _record_bytes(1, "a", b"first") + bad \
+            + _record_bytes(2, "b", b"second")
+        out = parse_warc_bytes(blob)
+        assert out["payload"] == [b"first", b"second"]
+        assert out["n_skipped"] == 1
+
+    def test_garbage_prefix_resyncs(self):
+        blob = b"\x00\x01garbage" + _record_bytes(5, "s", b"ok")
+        out = parse_warc_bytes(blob)
+        assert out["payload"] == [b"ok"]
+        assert out["n_skipped"] == 1
+
+    def test_overrun_payload_dropped(self):
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"Content-Length: 99999\r\n\r\nshort")
+        out = parse_warc_bytes(_record_bytes(1, "a", b"x") + rec)
+        assert out["payload"] == [b"x"]
+        assert out["n_skipped"] == 1
 
 
 class TestWarcDistributed:
