@@ -133,6 +133,11 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
             for _ in range(max(1, reps)):
                 if name == "ngram_jaccard_pairs":
                     A._PAIR_CACHE.clear()
+                if name == "bpe_merges":
+                    # same honesty rule as the pair cache: the query that
+                    # BUILDS the memoized merges must pay the build every
+                    # rep; bpe_encode then measures with a warm cache
+                    A._BPE_MERGE_CACHE.clear()
                 t0 = time.time()
                 _consume(qs[name](sf_dir))
                 times.append(time.time() - t0)
