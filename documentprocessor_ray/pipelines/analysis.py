@@ -5316,6 +5316,30 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# quantile-binning twin: identical strictly-below tie rule via list_filter
+ORACLE_SQL["price_bins"] = """
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    ed AS (
+      SELECT [CAST(quantile_disc(cents, 0.1) AS BIGINT),
+              CAST(quantile_disc(cents, 0.2) AS BIGINT),
+              CAST(quantile_disc(cents, 0.3) AS BIGINT),
+              CAST(quantile_disc(cents, 0.4) AS BIGINT),
+              CAST(quantile_disc(cents, 0.5) AS BIGINT),
+              CAST(quantile_disc(cents, 0.6) AS BIGINT),
+              CAST(quantile_disc(cents, 0.7) AS BIGINT),
+              CAST(quantile_disc(cents, 0.8) AS BIGINT),
+              CAST(quantile_disc(cents, 0.9) AS BIGINT)] AS edges
+      FROM c),
+    b AS (
+      SELECT cents,
+        len(list_filter(edges, e -> e < cents))::BIGINT AS bin
+      FROM c, ed)
+    SELECT bin, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents,
+      min(cents)::BIGINT AS min_cents, max(cents)::BIGINT AS max_cents
+    FROM b GROUP BY bin"""
+
 # rendezvous-hash twin: argmax over md5 hex strings (128-bit — ties are
 # impossible), 1-based list_position converted to the 0-based shard id
 ORACLE_SQL["reshard_plan"] = """
@@ -6051,6 +6075,59 @@ def q_orders_nested(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(assemble, batch_format="pyarrow")
 
 
+def q_price_bins(sf_dir: str) -> "ray.data.Dataset":
+    """Feature bucketization for training (quantile binning): exact global
+    decile edges of price cents via the distributed value histogram
+    (functions/agg.grouped_quantile_disc — shuffle ∝ distinct values), the
+    9-int edge vector broadcast in the task closure, rows assigned by
+    vectorized searchsorted, per-bin stats combiner-first. Tie rule is
+    explicit and integer-exact: bin = #edges strictly below the value
+    (np.searchsorted side='left' == SQL's count of e < cents)."""
+    from ..functions.agg import grouped_quantile_disc
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array(np.zeros(b.num_rows, np.int64)),
+            "cents": pa.array(_cents(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+
+    cents_ds = li.map_batches(to_cents, batch_format="pyarrow")
+    qs = [round(0.1 * i, 1) for i in range(1, 10)]
+    names = [f"e{i}" for i in range(1, 10)]
+    erow = grouped_quantile_disc(cents_ds, keys=["k"], value="cents",
+                                 qs=qs, q_names=names).take_all()[0]
+    edges = np.array([int(erow[n]) for n in names], dtype=np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        bins = np.searchsorted(edges, cents, side="left").astype(np.int64)
+        t = pa.table({"bin": pa.array(bins, pa.int64()),
+                      "cents": pa.array(cents, pa.int64())})
+        return t.group_by("bin").aggregate(
+            [("cents", "count"), ("cents", "sum"), ("cents", "min"),
+             ("cents", "max")]).rename_columns(
+            ["bin", "n", "s", "mn", "mx"])
+
+    partials = cents_ds.map_batches(assign, batch_format="pyarrow")
+    agg = partials.groupby("bin").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="sum_cents"),
+        ray.data.aggregate.Min("mn", alias_name="min_cents"),
+        ray.data.aggregate.Max("mx", alias_name="max_cents"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bin": b["bin"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            "min_cents": pc.cast(b["min_cents"], pa.int64()),
+            "max_cents": pc.cast(b["max_cents"], pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def q_reshard_plan(sf_dir: str) -> "ray.data.Dataset":
     """Cluster-resize planning via rendezvous (HRW) consistent hashing:
     each doc's shard under N shards is argmax over s of md5(doc_id|s), so
@@ -6340,6 +6417,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "cdc_compact": q_cdc_compact,
     "warc_audit": q_warc_audit,
     "reshard_plan": q_reshard_plan,
+    "price_bins": q_price_bins,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,

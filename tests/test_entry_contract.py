@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 final: 157 queries, 133 SQL-gated)
-        assert len(sqls) >= 133
-        assert len(qs) >= 157
+        # (round 3 final: 158 queries, 134 SQL-gated)
+        assert len(sqls) >= 134
+        assert len(qs) >= 158
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""
