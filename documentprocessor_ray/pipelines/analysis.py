@@ -5316,6 +5316,25 @@ ORACLE_SQL["warc_ingest"] = """
       md5(text) AS payload_md5
     FROM documents"""
 
+# negative-sampling twin: same md5 candidate order, same exclusion set
+# (the knn_int8 SQL nests as a CTE — DuckDB allows WITH inside a CTE body,
+# the same pattern dedup_clusters uses)
+ORACLE_SQL["negative_samples"] = """
+    WITH nn AS ({KNN}),
+    ex AS (SELECT qid, vec_id FROM nn
+           UNION SELECT DISTINCT qid, qid FROM nn),
+    c AS (
+      SELECT q.qid, e.vec_id,
+             md5(q.qid || '|' || e.vec_id) AS k
+      FROM (SELECT DISTINCT qid FROM nn) q, embeddings e
+      WHERE NOT EXISTS (SELECT 1 FROM ex
+                        WHERE ex.qid = q.qid AND ex.vec_id = e.vec_id)),
+    r AS (SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid ORDER BY k) AS neg_rank
+          FROM c)
+    SELECT qid, neg_rank::BIGINT AS neg_rank, vec_id AS neg_id
+    FROM r WHERE neg_rank <= 5"""
+
 # quantile-binning twin: identical strictly-below tie rule via list_filter
 ORACLE_SQL["price_bins"] = """
     WITH c AS (
@@ -5481,6 +5500,8 @@ ORACLE_SQL["knn_int8"] = """
       FROM s)
     SELECT qid, vec_id, rank::BIGINT AS rank, score
     FROM r WHERE rank <= 10"""
+ORACLE_SQL["negative_samples"] = ORACLE_SQL["negative_samples"].replace(
+    "{KNN}", ORACLE_SQL["knn_int8"])
 
 # link-graph twin: edges derived logically from documents.text (anchor i of
 # doc d targets (d + i) % 1000 with token i as anchor text) — the Ray side
@@ -6075,6 +6096,62 @@ def q_orders_nested(sf_dir: str) -> "ray.data.Dataset":
         .map_groups(assemble, batch_format="pyarrow")
 
 
+def q_negative_samples(sf_dir: str) -> "ray.data.Dataset":
+    """Contrastive-training negative sampling: for each of the 8 anchor
+    vectors, the 5 pseudo-random negatives are the non-neighbor vec_ids
+    with the lexicographically smallest md5(anchor|vec_id) — a seedless,
+    platform-stable 'random' order both engines can replay. The top-10
+    int8 neighbors + self form the exclusion set (80 ids, broadcast in
+    the task closure); candidates stream through map_batches with a
+    per-batch partial top-5 per anchor, so the global reduce sees at most
+    5 x anchors x batches tiny rows."""
+    import hashlib
+
+    nn = S.knn_int8(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    n_queries=8, k=10).take_all()  # 80 rows: tiny metadata
+    excl: Dict[int, set] = {}
+    for r in nn:
+        excl.setdefault(int(r["qid"]), {int(r["qid"])}).add(int(r["vec_id"]))
+    anchors = sorted(excl)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        out_q, out_v, out_k = [], [], []
+        for a in anchors:
+            ex = excl[a]
+            cand = [(hashlib.md5(f"{a}|{v}".encode()).hexdigest(), int(v))
+                    for v in vids if int(v) not in ex]
+            cand.sort()
+            for k, v in cand[:5]:
+                out_q.append(a)
+                out_v.append(v)
+                out_k.append(k)
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "neg_id": pa.array(out_v, pa.int64()),
+                         "k": pa.array(out_k, pa.string())})
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("qid", "ascending"), ("k", "ascending")])
+        q = t["qid"].to_numpy(zero_copy_only=False)
+        new = np.r_[True, q[1:] != q[:-1]]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(q)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(q)])) + 1
+        keep = rank <= 5
+        return pa.table({
+            "qid": pa.array(q[keep], pa.int64()),
+            "neg_rank": pa.array(rank[keep], pa.int64()),
+            "neg_id": pa.array(
+                t["neg_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(finish, batch_format="pyarrow",
+                                    batch_size=None)
+
+
 def q_price_bins(sf_dir: str) -> "ray.data.Dataset":
     """Feature bucketization for training (quantile binning): exact global
     decile edges of price cents via the distributed value histogram
@@ -6418,6 +6495,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "warc_audit": q_warc_audit,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
+    "negative_samples": q_negative_samples,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,

@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 final: 158 queries, 134 SQL-gated)
-        assert len(sqls) >= 134
-        assert len(qs) >= 158
+        # (round 3 final: 159 queries, 135 SQL-gated)
+        assert len(sqls) >= 135
+        assert len(qs) >= 159
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""
