@@ -104,13 +104,30 @@ def _combined_corpus(sf_dir: str, n_docs: int, seed: int = 42):
     return docs_dir, media_dir
 
 
+def _dump_extract_oracle(name: str, docs_dir: str, media_dir: str,
+                         build) -> None:
+    """Driver twin for the extraction family: the single-process oracle
+    (oracle/document.process_document in a plain loop — the same reference
+    the pytest e2e gate compares against) is dumped as a parquet table the
+    DuckDB twin SELECTs, upgrading these queries from rows-only to
+    rows+schema+hash. Memoized on a corpus-dir fingerprint."""
+    from documentprocessor_ray.pipelines import oracle_dump as OD
+
+    OD.dump(name, OD.file_fingerprint(docs_dir, media_dir),
+            lambda: build(docs_dir, media_dir))
+
+
 def _run_extract(sf_dir: str) -> Any:
     """Flagship pipeline over the interleaved corpus (sf-derived text docs +
-    synthetic media docs); slim projection out."""
+    synthetic media docs); slim projection out. Driver twin: single-process
+    oracle dump (per-doc status/n_words/n_spans_out)."""
+    from documentprocessor_ray.pipelines import oracle_dump as OD
     from documentprocessor_ray.pipelines.extract import run_extraction
 
     n_docs = max(40, int(4000 * _sf_of(sf_dir)))
     docs_dir, media_dir = _combined_corpus(sf_dir, n_docs)
+    _dump_extract_oracle("extract_receipts", docs_dir, media_dir,
+                         OD.extract_receipts_expected)
     ds = run_extraction(docs_dir, media_dir)
 
     def slim(batch: pa.Table) -> pa.Table:
@@ -133,10 +150,11 @@ def entry() -> Any:
 def _run_extract_mixed(sf_dir: str) -> Any:
     """Flagship over a corpus carrying ALL FOUR span kinds (text, media,
     html, pdf): html spans go through the boilerplate strip, pdf spans
-    through the layout parse, inside the same fused span stage. Rows-only
-    in the driver (the OCR/layout oracle is pytest-gated:
-    tests/test_pipeline_e2e.py html/pdf span-equality classes)."""
+    through the layout parse, inside the same fused span stage. Driver
+    twin: single-process oracle dump of per-doc html/pdf span counts (the
+    same oracle the tests/test_pipeline_e2e.py span-equality classes use)."""
     from documentprocessor_ray.corpus import generate_corpus
+    from documentprocessor_ray.pipelines import oracle_dump as OD
     from documentprocessor_ray.pipelines.extract import run_extraction
 
     n_docs = max(40, int(4000 * _sf_of(sf_dir)))
@@ -147,6 +165,9 @@ def _run_extract_mixed(sf_dir: str) -> Any:
                         html_frac=0.4, pdf_frac=0.4)
         with open(marker, "w") as f:
             f.write("ok")
+    _dump_extract_oracle("extract_mixed_kinds", os.path.join(out, "documents"),
+                         os.path.join(out, "media"),
+                         OD.extract_mixed_expected)
     ds = run_extraction(os.path.join(out, "documents"),
                         os.path.join(out, "media"))
 
@@ -222,11 +243,21 @@ _SFTEXT_ORACLE_SQL = r"""
 def _run_scored_extract(sf_dir: str, model: str = "rule") -> Any:
     """Extraction + deterministic scorer actor pool (model path, M26/M30).
     model='donut'/'idefics2' routes through the generation+parse scorers
-    (M27/M28 decode running inside the actor pool)."""
+    (M27/M28 decode running inside the actor pool). Driver twin:
+    single-process oracle dump (per-doc oracle words scored by the same
+    model class in a plain loop — no actor pool)."""
+    from documentprocessor_ray.pipelines import oracle_dump as OD
     from documentprocessor_ray.pipelines.extract import run_scored_extraction
 
     n_docs = max(40, int(4000 * _sf_of(sf_dir)))
     docs_dir, media_dir = _combined_corpus(sf_dir, n_docs)
+    dump_name = {"rule": "extract_scored",
+                 "donut": "extract_scored_donut",
+                 "idefics2": "extract_scored_idefics"}.get(model)
+    if dump_name:
+        _dump_extract_oracle(
+            dump_name, docs_dir, media_dir,
+            lambda d, m: OD.extract_scored_expected(d, m, model))
     ds = run_scored_extraction(docs_dir, media_dir, model=model)
 
     def slim(batch: pa.Table) -> pa.Table:
@@ -321,14 +352,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from documentprocessor_ray.pipelines import oracle_dump as OD
     from documentprocessor_ray.pipelines.analysis import ORACLE_SQL
 
-    # extract_receipts / langid / winnow_fingerprint / minhash_pairs /
-    # simhash_pairs / knn_ivf / extract_scored* are genuinely
-    # non-SQL-expressible (stateful kernels, LSH banding, iterative k-means,
-    # generation models) -> rows-only checks. extract_sftext is the flagship's
-    # SQL-checkable projection (same code path, text-doc partition).
+    # Non-SQL-expressible operators carry oracle-DUMP twins: the queries()
+    # callable writes the expected table (computed by the independent
+    # single-process oracle — pipelines/oracle_dump.py) and the SQL twin
+    # SELECTs it, so the driver still gets rows+schema+hash.
+    # winnow_fingerprint / minhash_pairs / simhash_pairs / knn_ivf remain
+    # rows-only (banding/k-means internals; subset-property pytest gates).
+    # extract_sftext / extract_scored_sftext are pure-SQL projections of the
+    # flagship code paths.
     out = dict(ORACLE_SQL)
     out["extract_sftext"] = _SFTEXT_ORACLE_SQL
     out["extract_scored_sftext"] = _SCORED_SFTEXT_ORACLE_SQL
+    for name in ("extract_receipts", "extract_mixed_kinds", "extract_scored",
+                 "extract_scored_donut", "extract_scored_idefics"):
+        out[name] = OD.sql_for(name)
     return out

@@ -24,6 +24,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Benchmarks time the DISTRIBUTED pipelines only: the single-process
+# oracle-dump twins (pipelines/oracle_dump.py) are correctness-gate
+# scaffolding and are skipped on the bench path.
+os.environ.setdefault("DPRAY_SKIP_ORACLE_DUMP", "1")
+
 # queries cheap enough to run per-round at sf0.1 (jaccard_pairs is excluded:
 # its sf0.1 output is quadratic in near-identical word-soup docs, which is a
 # property of the synthetic corpus, not the operator)

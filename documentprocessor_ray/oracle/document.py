@@ -66,6 +66,7 @@ def process_document(
     cfg: PreprocessConfig = PreprocessConfig(),
     load_blob=None,  # Callable[[str], Optional[bytes]] — pdf spans
     html_mode: str = "blocks",  # blocks | dom (north-rule html operators)
+    keep_words: bool = False,  # attach the accumulated normalized words
 ) -> Dict[str, Any]:
     """Full per-document result: spans_out + heuristic fields + status/error."""
     kernel = kernel or OcrKernel()
@@ -139,6 +140,8 @@ def process_document(
                     order += 1
         result["spans_out"] = spans_out
         result["n_words"] = len(all_words)
+        if keep_words:
+            result["words"] = all_words
         fields = F.extract_fields_heuristic(all_words) if all_words else {}
         for name in ["vendor_name", "date", "total_amount", "subtotal",
                      "tax_amount", "currency", "merchant_address"]:
@@ -149,6 +152,8 @@ def process_document(
         result["error"] = str(e)
         result["spans_out"] = []
         result["line_items"] = []
+        if keep_words:
+            result["words"] = []
         for name in ["vendor_name", "date", "total_amount", "subtotal",
                      "tax_amount", "currency", "merchant_address"]:
             result[name] = None

@@ -71,7 +71,14 @@ def q_fingerprint(sf_dir: str) -> "ray.data.Dataset":
 
 def q_langid(sf_dir: str) -> "ray.data.Dataset":
     # autoscaling pool (1, 4): small inputs use one actor without warning,
-    # big inputs scale out
+    # big inputs scale out. Driver twin: single-process scorer dump
+    # (pipelines/oracle_dump.py) — gates that the distributed pool didn't
+    # change any per-doc prediction.
+    from . import oracle_dump as OD
+
+    OD.dump("langid",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.langid_expected(sf_dir))
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.LangIdModel, batch_format="pyarrow", concurrency=(1, 4))
 
@@ -2795,21 +2802,35 @@ def q_image_phash_pairs(sf_dir: str) -> "ray.data.Dataset":
     """Perceptual (aHash) image near-dup pairs: actor-pool decode+hash
     stage feeding the SAME banded Hamming exchange as text simhash
     (dedup.hamming_sig_pairs). The corpus plants exact-payload duplicate
-    assets under new ids so the expected pairs are deterministic; rows-only
-    in the driver (signature-dependent), pytest proves pair recovery."""
-    from ..stages.multimodal import image_phash_pairs, synth_media_table
+    assets under new ids so the expected pairs are deterministic. Driver
+    twin: single-process aHash + all-pairs Hamming dump
+    (pipelines/oracle_dump.py) — gates the actor-pool decode AND that the
+    banded exchange recovers exactly the all-pairs answer (guaranteed for
+    max_hamming=3 with 4x16 bands); pytest additionally proves recovery."""
+    from ..stages.multimodal import image_phash_pairs
+    from . import oracle_dump as OD
 
-    base = synth_media_table(
-        n_assets=max(30, int(3000 * _sf_of_dir(sf_dir))), seed=5)
-    # plant near-dups: every 10th row re-emitted under a shifted asset id
-    # (same payload + meta -> identical decode -> Hamming 0)
+    n_assets = max(30, int(3000 * _sf_of_dir(sf_dir)))
+    media = _phash_media_table(n_assets)
+    OD.dump("image_phash_pairs", f"phash:v1:n{n_assets}:seed5",
+            lambda: OD.image_phash_pairs_expected(media))
+    return image_phash_pairs(ray.data.from_arrow(media))
+
+
+def _phash_media_table(n_assets: int) -> pa.Table:
+    """Deterministic media table with planted exact-payload duplicates:
+    every 10th asset re-emitted under a shifted id (same payload + meta ->
+    identical decode -> Hamming 0). Shared by the Ray query and its
+    single-process oracle dump."""
+    from ..stages.multimodal import synth_media_table
+
+    base = synth_media_table(n_assets=n_assets, seed=5)
     idx = [i for i in range(base.num_rows) if i % 10 == 0]
     dup = base.take(idx)
     dup = dup.set_column(
         0, "asset_id",
         pa.array([f"asset-{90000 + i:05d}" for i in idx], pa.string()))
-    return image_phash_pairs(
-        ray.data.from_arrow(pa.concat_tables([base, dup])))
+    return pa.concat_tables([base, dup])
 
 
 def q_video_framesample(sf_dir: str) -> "ray.data.Dataset":
@@ -5821,11 +5842,18 @@ def q_bpe_encode(sf_dir: str) -> "ray.data.Dataset":
     """Tokenizer APPLY path: encode the corpus with the merges q_bpe_merges
     learns (memoized per (session, sf) like the pair cache) on a stateful
     actor pool — the merge table is constructor state, a bounded per-actor
-    word->len cache amortizes repeated words. Rows-only (the greedy merge
-    application is not SQL-expressible); pytest gates equality with the
-    single-machine reference encode at two parallelism levels."""
+    word->len cache amortizes repeated words. The greedy merge application
+    is not SQL-expressible, so the driver twin is a single-process
+    reference encode dump (pipelines/oracle_dump.py: reference-learned
+    merges + one plain encode pass); pytest additionally gates equality at
+    two parallelism levels."""
     from ..functions.bpe import BpeEncoder
 
+    from . import oracle_dump as OD
+
+    OD.dump("bpe_encode",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.bpe_encode_expected(sf_dir))
     merges = _bpe_merges_cached(sf_dir)
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         BpeEncoder, fn_constructor_kwargs={"merges": merges},
@@ -6470,10 +6498,17 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
     exact integer pair counts (functions/bpe.py — vocab-level iteration,
     combiner-first pair counting, deterministic lexicographic tiebreak;
     small-vocab short-circuit runs all rounds in one worker task).
-    Rows-only in the driver (greedy data-dependent iteration is not
-    SQL-expressible); pytest gates bit-equality vs the single-machine
-    reference at two parallelism levels on BOTH paths. Merges are memoized
-    per (session, sf) and shared with q_bpe_encode."""
+    The greedy data-dependent iteration is not SQL-expressible, so the
+    driver twin is a single-process learn_bpe_reference dump
+    (pipelines/oracle_dump.py) — rows+schema+hash against the independent
+    Counter-loop implementation; pytest additionally gates bit-equality at
+    two parallelism levels on BOTH paths. Merges are memoized per
+    (session, sf) and shared with q_bpe_encode."""
+    from . import oracle_dump as OD
+
+    OD.dump("bpe_merges",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.bpe_merges_expected(sf_dir))
     merges = _bpe_merges_cached(sf_dir)
     return pa.table({
         "rank": pa.array(range(len(merges)), pa.int64()),
@@ -6481,6 +6516,16 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
         "right": pa.array([m[1] for m in merges], pa.string()),
         "pair_count": pa.array([m[2] for m in merges], pa.int64()),
     })
+
+
+# Oracle-dump twins (pipelines/oracle_dump.py): operators whose semantics are
+# not SQL-expressible get a rows+schema+hash gate against a parquet table an
+# INDEPENDENT single-process implementation writes when the query is invoked.
+from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
+
+for _dump_name in ("langid", "bpe_merges", "bpe_encode",
+                   "image_phash_pairs"):
+    ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
 
 QUERIES: Dict[str, Callable[[str], Any]] = {

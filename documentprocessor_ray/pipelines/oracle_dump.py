@@ -1,0 +1,259 @@
+"""Single-process oracle dumps: driver-checkable twins for non-SQL operators.
+
+The driver's correctness gate runs each ``queries()`` entry side-by-side with
+its ``oracle_sql()`` DuckDB twin (rows + schema + value-hash compare). For
+operators whose semantics are not expressible in SQL — the stateful OCR
+extraction chain, BPE's greedy data-dependent iteration, perceptual image
+hashing, trigram language scoring — the twin instead SELECTs from a parquet
+file that an INDEPENDENT single-process implementation writes when the query
+is invoked: the same "one implementation, two harnesses" discipline the
+pytest e2e gate already uses (oracle/document.py vs pipelines/extract.py),
+surfaced to the driver as a rows+schema+hash gate instead of rows-only.
+
+What the dump side deliberately does NOT use: Ray, actor pools, the
+explode/shuffle/assemble pipeline, the banded Hamming exchange, the
+distributed BPE vocab iteration. A hash match therefore proves the
+distributed orchestration did not change the answer computed by the plain
+per-document/per-word reference loops.
+
+``DPRAY_SKIP_ORACLE_DUMP=1`` (set by bench.py) skips dumping so benchmark
+timings measure only the distributed pipeline. Dumps are memoized on a
+fingerprint of their inputs (size+mtime), so repeated driver invocations at
+the same sf are free.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DUMP_DIR = "/tmp/dpray_oracle"
+
+
+def dump_path(name: str) -> str:
+    return os.path.join(DUMP_DIR, f"{name}.parquet")
+
+
+def sql_for(name: str) -> str:
+    """The DuckDB twin: read the expected table the dump wrote."""
+    return f"SELECT * FROM read_parquet('{dump_path(name)}')"
+
+
+def skip_dump() -> bool:
+    return os.environ.get("DPRAY_SKIP_ORACLE_DUMP") == "1"
+
+
+def file_fingerprint(*paths: str) -> str:
+    """size+mtime_ns fingerprint over files (dirs use their newest file) —
+    the cache key that invalidates a dump when its inputs are regenerated
+    (same discipline the round-3 ADVICE asked of the WARC shard cache)."""
+    parts: List[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            newest = 0
+            total = 0
+            for root, _, files in os.walk(p):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    newest = max(newest, st.st_mtime_ns)
+                    total += st.st_size
+            parts.append(f"{p}:dir:{total}:{newest}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            parts.append(f"{p}:absent")
+    return "|".join(parts)
+
+
+def dump(name: str, fingerprint: str, build: Callable[[], pa.Table]) -> None:
+    """Write the expected table for ``name`` unless the current dump already
+    matches ``fingerprint``. Atomic (tmp + rename) so a concurrent DuckDB
+    read never sees a torn file."""
+    if skip_dump():
+        return
+    os.makedirs(DUMP_DIR, exist_ok=True)
+    path = dump_path(name)
+    fp_path = path + ".fp"
+    if os.path.exists(path) and os.path.exists(fp_path):
+        try:
+            with open(fp_path) as f:
+                if f.read() == fingerprint:
+                    return
+        except OSError:
+            pass
+    table = build()
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    with open(fp_path, "w") as f:
+        f.write(fingerprint)
+
+
+# --- shared single-process extraction oracle (per corpus dir) ---
+
+_EXTRACT_CACHE: Dict[Tuple[str, str], List[dict]] = {}
+
+
+def extraction_oracle_rows(docs_dir: str, media_dir: str) -> List[dict]:
+    """Run oracle/document.process_document over every row of a corpus in a
+    plain loop (one OcrKernel instance, no Ray). Memoized per corpus dir so
+    the extract_* dump family shares one OCR pass."""
+    import pyarrow.dataset as pads
+
+    from ..corpus import MediaStore
+    from ..ocr_kernel import OcrKernel
+    from ..oracle.document import process_document
+
+    key = (os.path.normpath(docs_dir), os.path.normpath(media_dir))
+    cached = _EXTRACT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table = pads.dataset(docs_dir, partitioning="hive").to_table()
+    store = MediaStore(media_dir)
+    kernel = OcrKernel()
+    rows = [
+        process_document(r["doc_id"], r["spans"], store.load, kernel=kernel,
+                         load_blob=store.load_bytes, keep_words=True)
+        for r in table.to_pylist()
+    ]
+    _EXTRACT_CACHE.clear()  # bound memory: one corpus at a time
+    _EXTRACT_CACHE[key] = rows
+    return rows
+
+
+def extract_receipts_expected(docs_dir: str, media_dir: str) -> pa.Table:
+    """Twin of __ray_entry__._run_extract's slim projection."""
+    rows = extraction_oracle_rows(docs_dir, media_dir)
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "status": pa.array([r["status"] for r in rows], pa.string()),
+        "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+        "n_spans_out": pa.array([len(r["spans_out"]) for r in rows],
+                                pa.int64()),
+    })
+
+
+def extract_mixed_expected(docs_dir: str, media_dir: str) -> pa.Table:
+    """Twin of __ray_entry__._run_extract_mixed's slim projection (html/pdf
+    span counts per doc)."""
+    rows = extraction_oracle_rows(docs_dir, media_dir)
+
+    def n_kind(r: dict, kind: str) -> int:
+        return sum(1 for s in r["spans_out"] if s["kind"] == kind)
+
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "status": pa.array([r["status"] for r in rows], pa.string()),
+        "n_spans_out": pa.array([len(r["spans_out"]) for r in rows],
+                                pa.int64()),
+        "n_html_spans": pa.array([n_kind(r, "html") for r in rows],
+                                 pa.int64()),
+        "n_pdf_spans": pa.array([n_kind(r, "pdf") for r in rows], pa.int64()),
+    })
+
+
+def extract_scored_expected(docs_dir: str, media_dir: str,
+                            model: str) -> pa.Table:
+    """Twin of __ray_entry__._run_scored_extract's slim projection: the
+    scorer model applied per doc to the oracle's accumulated words in a
+    plain loop (no actor pool)."""
+    from ..stages.scorer import get_scorer
+
+    rows = extraction_oracle_rows(docs_dir, media_dir)
+    scorer = get_scorer(model)
+    vendor_vals: List[Optional[str]] = []
+    n_items: List[int] = []
+    for r in rows:
+        ents = scorer.predict(r["words"]) if r["words"] else {}
+        v = ents.get("vendor")
+        vendor_vals.append(v["value"] if v else None)
+        n_items.append(len(ents.get("items", [])))
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "status": pa.array([r["status"] for r in rows], pa.string()),
+        "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+        "model_vendor_value": pa.array(vendor_vals, pa.string()),
+        "model_n_items": pa.array(n_items, pa.int64()),
+    })
+
+
+# --- text / tokenizer / image oracles over the sf tables ---
+
+def _documents_table(sf_dir: str, columns: List[str]) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=columns)
+
+
+def langid_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_langid: the trigram scorer run once, single-process, over
+    the whole table (vs the distributed autoscaling actor pool)."""
+    from ..functions.textstats import LangIdModel
+
+    return LangIdModel()(_documents_table(sf_dir, ["doc_id", "text"]))
+
+
+def bpe_merges_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_bpe_merges: learn_bpe_reference (single-machine Counter
+    loop) vs the distributed vocab-level iteration."""
+    from ..functions.bpe import learn_bpe_reference
+
+    texts = _documents_table(sf_dir, ["text"])["text"].to_pylist()
+    merges = learn_bpe_reference(texts, n_merges=12)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
+def bpe_encode_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_bpe_encode: encode with the REFERENCE-learned merges in one
+    single-process pass — gates both the distributed merge learning (equal
+    merge table) and the distributed encode."""
+    from ..functions.bpe import BpeEncoder, learn_bpe_reference
+
+    docs = _documents_table(sf_dir, ["doc_id", "text"])
+    merges = learn_bpe_reference(docs["text"].to_pylist(), n_merges=12)
+    return BpeEncoder(merges)(docs)
+
+
+def image_phash_pairs_expected(media_table: pa.Table,
+                               max_hamming: int = 3) -> pa.Table:
+    """Twin of q_image_phash_pairs: aHash per image via a plain loop over
+    the SAME codec/hash math, then an all-pairs O(n^2) Hamming scan — no
+    actor pool, no banded exchange. The distinct-pair output matches
+    functions.dedup.hamming_sig_pairs' (doc_a, doc_b, hamming) schema."""
+    from ..stages.multimodal import ImageAHashStage
+
+    stage = ImageAHashStage()
+    imgs = media_table.filter(
+        pa.compute.equal(media_table["kind"], "image"))
+    sigs = stage(imgs)
+    ids = sigs["doc_id"].to_pylist()
+    hs = sigs["simhash"].to_pylist()
+    seen = set()
+    a_out, b_out, d_out = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] == ids[j]:
+                continue
+            d = bin(hs[i] ^ hs[j]).count("1")
+            if d <= max_hamming:
+                a, b = sorted((ids[i], ids[j]))
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                a_out.append(a)
+                b_out.append(b)
+                d_out.append(d)
+    return pa.table({
+        "doc_a": pa.array(a_out, pa.int64()),
+        "doc_b": pa.array(b_out, pa.int64()),
+        "hamming": pa.array(d_out, pa.int64()),
+    })
