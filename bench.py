@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "normalize_text", "nfc_normalize", "main_content", "pdf_extract",
     "dom_main", "substring_dedup", "phrase_search", "split_leakage",
     "warc_ingest", "bpe_merges", "link_graph", "orders_nested",
-    "crawl_clean", "bpe_encode", "domain_stats", "robots_filter", "link_pagerank", "late_events", "cdc_compact", "warc_audit", "reshard_plan", "price_bins", "negative_samples",
+    "crawl_clean", "bpe_encode", "domain_stats", "robots_filter", "link_pagerank", "late_events", "cdc_compact", "warc_audit", "warc_skips", "reshard_plan", "price_bins", "negative_samples",
     "token_count", "token_count_bpe", "quality_stats",
     "fingerprint", "langid", "winnow_fingerprint", "exact_dedup", "chunk_dedup",
     "incremental_dedup",

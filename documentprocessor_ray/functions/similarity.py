@@ -106,10 +106,14 @@ def knn_int8(ds: "ray.data.Dataset", n_queries: int = 8,
     integral doubles is exact below 2^53). Returns
     (qid, vec_id, rank, score) with (score desc, vec_id) tiebreak."""
     def block_absmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: identity for the max reduce
+            return pa.table({"m": pa.array([0.0], pa.float64())})
         m = np.abs(np.array(batch["embedding"].to_pylist(),
                             dtype=np.float32)).max()
         return pa.table({"m": pa.array([float(m)], pa.float64())})
 
+    # all-zero corpus: quantize with divisor 1.0 (everything maps to 0)
+    # rather than dividing by 0; the DuckDB twin mirrors this fallback
     maxabs = ds.map_batches(block_absmax, batch_format="pyarrow").max("m")
     if not maxabs:
         maxabs = 1.0

@@ -53,10 +53,13 @@ def _record_bytes(doc_id: int, source: str, payload: bytes) -> bytes:
 def write_warc_shards(documents_parquet: str, out_dir: str,
                       num_shards: int = 8) -> str:
     """Deterministic WARC shards from a documents table (idempotent via a
-    _COMPLETE marker). Shard k holds doc_id % num_shards == k in ascending
-    doc_id order."""
+    _COMPLETE marker; the marker is ignored — and shards regenerated — when
+    the source parquet is newer than it, so a regenerated table at the same
+    path never serves stale shard bytes). Shard k holds
+    doc_id % num_shards == k in ascending doc_id order."""
     marker = os.path.join(out_dir, "_COMPLETE")
-    if os.path.exists(marker):
+    if os.path.exists(marker) and \
+            os.stat(marker).st_mtime_ns >= os.stat(documents_parquet).st_mtime_ns:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     t = pq.read_table(documents_parquet,
@@ -137,10 +140,17 @@ def parse_warc_bytes(blob: bytes) -> dict:
             "n_skipped": n_skipped}
 
 
-def read_warc(shard_dir: str,
-              parallelism: Optional[int] = None) -> "ray.data.Dataset":
+def read_warc(shard_dir: str, parallelism: Optional[int] = None,
+              include_skips: bool = False) -> "ray.data.Dataset":
     """Shard files -> parsed record rows. One file per input block keeps the
-    parse embarrassingly parallel; payload stays a binary column."""
+    parse embarrassingly parallel; payload stays a binary column.
+
+    Ingestion loss is observable: every record row carries
+    ``n_skipped_in_file`` — the number of corrupt/truncated records the
+    parser resynced past in that record's shard file — when
+    ``include_skips=True``; a loader can aggregate it per file (see
+    ``q_warc_skips``) instead of silently losing records. Default output
+    schema is unchanged for existing consumers."""
     files = ray.data.read_binary_files(
         shard_dir, file_extensions=["warc"],
         **({"override_num_blocks": parallelism} if parallelism else {}))
@@ -148,15 +158,49 @@ def read_warc(shard_dir: str,
     def parse(batch: pa.Table) -> pa.Table:
         cols = {"record_id": [], "warc_type": [], "target_uri": [],
                 "payload": []}
+        skips: list[int] = []
         for blob in batch["bytes"].to_pylist():
             one = parse_warc_bytes(blob)
             for k in cols:
                 cols[k].extend(one[k])
-        return pa.table({
+            skips.extend([one["n_skipped"]] * len(one["record_id"]))
+        out = {
             "record_id": pa.array(cols["record_id"], pa.string()),
             "warc_type": pa.array(cols["warc_type"], pa.string()),
             "target_uri": pa.array(cols["target_uri"], pa.string()),
             "payload": pa.array(cols["payload"], pa.binary()),
-        })
+        }
+        if include_skips:
+            out["n_skipped_in_file"] = pa.array(skips, pa.int64())
+        return pa.table(out)
 
     return files.map_batches(parse, batch_format="pyarrow")
+
+
+def read_warc_file_audit(shard_dir: str,
+                         parallelism: Optional[int] = None
+                         ) -> "ray.data.Dataset":
+    """Per-FILE ingestion audit: one row per shard file with the parsed
+    record count and the number of corrupt/truncated records the parser
+    resynced past — so ingestion loss is observable even for a file whose
+    every record is corrupt (which contributes no record rows and would be
+    invisible to a per-record column)."""
+    files = ray.data.read_binary_files(
+        shard_dir, file_extensions=["warc"], include_paths=True,
+        **({"override_num_blocks": parallelism} if parallelism else {}))
+
+    def audit(batch: pa.Table) -> pa.Table:
+        names, nrec, nskip = [], [], []
+        for path, blob in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            one = parse_warc_bytes(blob)
+            names.append(os.path.basename(path))
+            nrec.append(len(one["record_id"]))
+            nskip.append(one["n_skipped"])
+        return pa.table({
+            "shard_file": pa.array(names, pa.string()),
+            "n_records": pa.array(nrec, pa.int64()),
+            "n_skipped": pa.array(nskip, pa.int64()),
+        })
+
+    return files.map_batches(audit, batch_format="pyarrow")

@@ -1,0 +1,153 @@
+"""Round-4 fix regressions: HTML-escape parity in the link graph, WARC
+corruption observability + cache invalidation, knn_int8 degenerate inputs,
+single-execution fk_orphans, Arrow-native M14/M15."""
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+
+@pytest.fixture()
+def adversarial_sf(tmp_path):
+    """A documents table whose tokens include '<', '&' and a literal '&lt;'
+    — the cases that used to break the anchor regex match (round-3 ADVICE:
+    dropped edges diverge from the logical DuckDB twin)."""
+    texts = [
+        "alpha b<c d&e &lt;f normal tokens follow here now one two three",
+        "plain words only here nothing special at all in this document",
+        "",
+    ]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+class TestLinkGraphEscaping:
+    def test_link_graph_matches_logical_twin_on_angle_brackets(
+            self, ray_session, adversarial_sf):
+        import duckdb
+
+        from documentprocessor_ray.pipelines.analysis import (
+            ORACLE_SQL, q_link_graph)
+
+        mine = q_link_graph(adversarial_sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{adversarial_sf}/documents.parquet')")
+        exp = con.execute(ORACLE_SQL["link_graph"]).df()
+        key = ["dst_doc"]
+        mine = mine.sort_values(key).reset_index(drop=True)
+        exp = exp.sort_values(key).reset_index(drop=True)
+        assert len(mine) == len(exp)
+        for c in ["dst_doc", "n_inlinks", "n_src", "min_anchor"]:
+            assert list(mine[c]) == list(exp[c]), c
+
+    def test_escape_roundtrip(self):
+        from documentprocessor_ray.pipelines.analysis import (
+            _html_escape, _html_unescape)
+
+        for w in ["a<b", "a&b", "&lt;", "&amp;lt;", "plain", "<", "&"]:
+            assert _html_unescape(_html_escape(w)) == w
+            assert "<" not in _html_escape(w)
+
+
+class TestWarcObservability:
+    def _mk_shards(self, tmp_path, n=20):
+        t = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"doc number {i} body" for i in range(n)]),
+            "source": pa.array(["web"] * n, pa.string()),
+        })
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(t, src)
+        from documentprocessor_ray.sources.warc import write_warc_shards
+
+        out = write_warc_shards(src, str(tmp_path / "warc"), num_shards=2)
+        return src, out
+
+    def test_file_audit_counts_corruption(self, ray_session, tmp_path):
+        from documentprocessor_ray.sources.warc import read_warc_file_audit
+
+        _, out = self._mk_shards(tmp_path)
+        p = os.path.join(out, "shard-00000.warc")
+        with open(p, "rb") as f:
+            blob = f.read()
+        with open(p, "wb") as f:
+            f.write(blob.replace(b"Content-Length: ", b"Content-Xength: ", 1))
+        rows = {r["shard_file"]: r
+                for r in read_warc_file_audit(out).take_all()}
+        assert rows["shard-00000.warc"]["n_skipped"] == 1
+        assert rows["shard-00000.warc"]["n_records"] == 9  # 10 evens - 1
+        assert rows["shard-00001.warc"]["n_skipped"] == 0
+        assert rows["shard-00001.warc"]["n_records"] == 10
+
+    def test_read_warc_include_skips_column(self, ray_session, tmp_path):
+        from documentprocessor_ray.sources.warc import read_warc
+
+        _, out = self._mk_shards(tmp_path)
+        ds = read_warc(out, include_skips=True)
+        first = ds.take(1)[0]
+        assert first["n_skipped_in_file"] == 0
+
+    def test_shards_regenerate_when_source_newer(self, tmp_path):
+        from documentprocessor_ray.sources.warc import write_warc_shards
+
+        src, out = self._mk_shards(tmp_path, n=4)
+        shard0 = os.path.join(out, "shard-00000.warc")
+        size_before = os.path.getsize(shard0)
+        # regenerate the source with more rows; same path
+        time.sleep(0.01)
+        t = pa.table({
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array([f"longer doc {i} with more text" for i in range(8)]),
+            "source": pa.array(["web"] * 8, pa.string()),
+        })
+        pq.write_table(t, src)
+        write_warc_shards(src, out, num_shards=2)
+        assert os.path.getsize(shard0) != size_before
+
+
+class TestKnnInt8Degenerate:
+    def test_all_zero_embeddings_no_nan(self, ray_session):
+        from documentprocessor_ray.functions.similarity import knn_int8
+
+        n, d = 12, 4
+        t = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([[0.0] * d] * n,
+                                  pa.list_(pa.float32())),
+        })
+        out = knn_int8(ray.data.from_arrow(t), n_queries=2, k=3).take_all()
+        assert out  # ran without ZeroDivision/NaN
+        assert all(r["score"] == 0 for r in out)
+
+
+class TestFkOrphansSingleExecution:
+    def test_rows_and_values(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import q_fk_orphans
+
+        rows = {r["relation"]: r["n_orphans"]
+                for r in q_fk_orphans("/root/testdata/sf0.001").take_all()}
+        assert set(rows) == {"lineitem->orders", "orders->customer"}
+        assert all(v == 0 for v in rows.values())
+
+
+class TestArrowNativeM14M15:
+    def test_comma_grouping_matches_python_format(self):
+        from documentprocessor_ray.pipelines.analysis import (
+            _comma_group_dollars)
+
+        vals = np.array([0, 5, 999, 1000, 1234, 999999, 1000000, 123456789],
+                        dtype=np.int64)
+        got = _comma_group_dollars(vals).to_pylist()
+        assert got == [f"{v:,}" for v in vals]
