@@ -9,10 +9,12 @@ Input shape: ``embeddings(vec_id: int64, embedding: list<float>, label)``.
   num_batches * Q * k tiny rows — a classic partial-aggregate pattern; the
   full corpus is never collected anywhere.
 - ``knn_ivf`` — IVF-flat scale path: deterministic k-means centroids are fit
-  on a driver-side sample, broadcast, each row is assigned to its nearest
-  centroid (one batch pass), and queries probe only the ``nprobe`` closest
-  lists. At 10^12 rows the assignment doubles as the partitioning key for a
-  Lance/parquet layout so probes become partition-pruned reads.
+  on a distributed hash-sample, broadcast, each row is assigned to its
+  nearest centroid on an actor pool, and the assignment is MATERIALIZED as
+  a ``list_id=``-partitioned parquet layout (``build_ivf_index``). Queries
+  then read ONLY the ``nprobe`` probed list directories — partition-pruned
+  I/O, not a full-corpus scan with a mask: at 10^12 rows a probe touches
+  nprobe/n_lists of the bytes.
 
 Similarity values are rounded to 6 decimals and ties broken by vec_id so
 results are stable across summation orders (and match the DuckDB oracle).
@@ -20,17 +22,30 @@ results are stable across summation orders (and match the DuckDB oracle).
 
 from __future__ import annotations
 
-from typing import Optional
+import os
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
 
-def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+def _to_matrix(col) -> np.ndarray:
+    """Arrow ``list<float>`` -> (B, d) float64 matrix via the flat values
+    buffer (list_flatten -> to_numpy -> reshape) — no per-row Python, no
+    to_pylist. Assumes fixed-dimension embeddings (an IVF/brute-force
+    precondition anyway)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    return flat.reshape(n, -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -197,36 +212,148 @@ class IvfAssigner:
         return batch.append_column("list_id", pa.array(lists, pa.int64()))
 
 
-def knn_ivf(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
-            n_lists: int = 16, nprobe: int = 4, sample_size: int = 2048,
-            concurrency: Optional[int] = None) -> pa.Table:
-    """IVF-flat approximate top-k: probe the nprobe nearest centroid lists.
+def _hash_sample(ds: "ray.data.Dataset", sample_size: int) -> np.ndarray:
+    """Deterministic DISTRIBUTED sample for the k-means fit: keep rows whose
+    multiplicative vec_id hash falls under a threshold sized from the row
+    count (metadata-cheap on a parquet read), then truncate to exactly
+    sample_size in (hash, vec_id) order. Unlike ds.take(n) this draws from
+    the whole corpus, not the first blocks, and only ~sample_size rows ever
+    reach the driver."""
+    total = max(1, ds.count())
+    if total <= sample_size:
+        thresh = np.uint64(1) << np.uint64(32)
+    else:
+        frac = min(1.0, sample_size * 1.3 / total)
+        thresh = np.uint64(int((1 << 32) * frac))
 
-    Returns the same (qid, vec_id, rank, sim) shape as knn_bruteforce;
-    approximate (recall < 1 when a true neighbor lives outside the probed
-    lists), so it carries a rows-only check rather than a SQL oracle.
-    """
-    sample = _normalize(_to_matrix(
-        pa.chunked_array([pa.array(
-            [r["embedding"] for r in ds.take(sample_size)])])))
-    cent = _kmeans_fit(sample, n_lists)
+    def keep(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (vid * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        mask = h < thresh
+        out = batch.filter(pa.array(mask))
+        return out.append_column(
+            "_h", pa.array(h[mask].astype(np.int64), pa.int64()))
+
+    rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["_h"], r["vec_id"]))
+    rows = rows[:sample_size]
+    return _normalize(np.array([list(r["embedding"]) for r in rows],
+                               dtype=np.float64))
+
+
+def build_ivf_index(ds: "ray.data.Dataset", index_dir: str,
+                    n_lists: int = 16, sample_size: int = 2048,
+                    iters: int = 10, seed: int = 11,
+                    concurrency: Optional[int] = None) -> np.ndarray:
+    """Fit centroids (deterministic k-means on a distributed hash-sample),
+    assign every row its nearest list on the actor pool, and write the
+    assignment as a ``list_id=``-partitioned parquet layout under
+    ``index_dir/lists`` plus ``centroids.npy`` — the build-once side of
+    IVF. Idempotent via a _COMPLETE marker; returns the centroid matrix.
+
+    At Lance/production scale this layout is the table's partitioning key;
+    here it is hive-partitioned parquet with identical pruning semantics."""
+    marker = os.path.join(index_dir, "_COMPLETE")
+    cent_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(marker) and os.path.exists(cent_path):
+        return np.load(cent_path)
+    os.makedirs(index_dir, exist_ok=True)
+    sample = _hash_sample(ds, sample_size)
+    cent = _kmeans_fit(sample, n_lists, iters, seed)
     cent_ref = ray.put(cent)
-
     assigned = ds.map_batches(
         IvfAssigner, fn_constructor_kwargs={"centroids_ref": cent_ref},
         batch_format="pyarrow", concurrency=concurrency or 4,
     )
 
+    def dup_lid(batch: pa.Table) -> pa.Table:
+        # keep the list id INSIDE the files too ("lid"): partition_cols
+        # strips "list_id" into the path, and the pruned query reads an
+        # explicit probed-file list (no hive re-inference), so rows need
+        # their list id as a regular column
+        return batch.append_column("lid", batch["list_id"])
+
+    assigned.map_batches(dup_lid, batch_format="pyarrow") \
+        .write_parquet(os.path.join(index_dir, "lists"),
+                       partition_cols=["list_id"])
+    np.save(cent_path, cent)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return cent
+
+
+def ivf_probe_dirs(index_dir: str, cent: np.ndarray, qm: np.ndarray,
+                   nprobe: int) -> Tuple[Dict[int, str], List[str]]:
+    """The union of per-query probe lists -> existing partition directories.
+    Returns ({list_id: dir}, all_dirs) so callers (and the pruned-read
+    pytest) can see exactly which fraction of the layout a probe touches."""
+    lists_root = os.path.join(index_dir, "lists")
+    all_dirs = sorted(d for d in os.listdir(lists_root)
+                      if d.startswith("list_id="))
+    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    wanted = sorted(set(int(x) for x in probe_lists.ravel()))
+    probed = {}
+    for l in wanted:
+        d = os.path.join(lists_root, f"list_id={l}")
+        if os.path.isdir(d):
+            probed[l] = d
+    return probed, [os.path.join(lists_root, d) for d in all_dirs]
+
+
+def knn_ivf(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
+            n_lists: int = 16, nprobe: int = 4, sample_size: int = 2048,
+            concurrency: Optional[int] = None,
+            index_dir: Optional[str] = None,
+            return_probes: bool = False):
+    """IVF-flat approximate top-k with PARTITION-PRUNED probes: the list
+    assignment is materialized once as a list_id-partitioned layout
+    (build_ivf_index, reused across calls via ``index_dir``), and each
+    query run reads only the probed list directories — I/O proportional to
+    nprobe/n_lists of the corpus, not a full scan.
+
+    Returns the same (qid, vec_id, rank, sim) shape as knn_bruteforce;
+    approximate (recall < 1 when a true neighbor lives outside the probed
+    lists), so it carries a rows-only check rather than a SQL oracle.
+    With ``return_probes=True`` also returns (probed_dirs, all_dirs)."""
+    import tempfile
+
     qids, qm = _query_matrix(ds, n_queries)
-    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    probes = {int(q): set(int(x) for x in probe_lists[i]) for i, q in enumerate(qids)}
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="dpray_ivf_")
+    cent = build_ivf_index(ds, index_dir, n_lists=n_lists,
+                           sample_size=sample_size, concurrency=concurrency)
+    probed, all_dirs = ivf_probe_dirs(index_dir, cent, qm, nprobe)
+
+    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    probes = {int(q): set(int(x) for x in probe_lists[i])
+              for i, q in enumerate(qids)}
     shared = ray.put((qids, qm, probes))
+
+    # read ONLY the probed partitions' files — ONE datasource over the
+    # explicit probed-file list (I/O = nprobe/n_lists of the layout); rows
+    # carry their list id as the in-file "lid" column
+    files: List[str] = []
+    for d in probed.values():
+        for root, _, names in os.walk(d):
+            files.extend(os.path.join(root, f) for f in sorted(names)
+                         if f.endswith(".parquet"))
+    if not files:
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        out = ray.data.from_arrow(empty)
+        return (out, {}, all_dirs) if return_probes else out
+    assigned = ray.data.read_parquet(files)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat, probe = ray.get(shared)
-        emb = _normalize(_to_matrix(batch["embedding"].combine_chunks()))
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        lst = np.asarray(batch["list_id"].to_pylist(), dtype=np.int64)
+        emb = _normalize(_to_matrix(batch["embedding"]))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lst = batch["lid"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(q_ids)):
             qid = int(q_ids[qi])
@@ -245,7 +372,8 @@ def knn_ivf(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
             "sim": pa.array(out_s, pa.float64()),
         })
 
-    partials = assigned.map_batches(local_topk, batch_format="pyarrow", batch_size=1024)
+    partials = assigned.map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=1024)
 
     def global_topk(group: pa.Table) -> pa.Table:
         rows = sorted(group.to_pylist(), key=lambda r: (-r["sim"], r["vec_id"]))[:k]
@@ -256,4 +384,6 @@ def knn_ivf(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
             "sim": pa.array([r["sim"] for r in rows], pa.float64()),
         })
 
-    return partials.groupby("qid").map_groups(global_topk, batch_format="pyarrow")
+    out = partials.groupby("qid").map_groups(global_topk,
+                                             batch_format="pyarrow")
+    return (out, probed, all_dirs) if return_probes else out

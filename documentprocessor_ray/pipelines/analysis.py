@@ -2772,8 +2772,20 @@ def q_knn_int8(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
+    """IVF-flat ANN with a materialized list_id-partitioned index: the
+    build-once layout is cached per (sf, embeddings fingerprint) under /tmp
+    and queries read ONLY the probed partition dirs (the production shape:
+    index once, probe many). Rows-only in the driver; the pruned-read
+    property and exhaustive-probe recall are pytest-gated."""
+    import hashlib as _hl
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = _hl.md5(f"{os.path.normpath(src)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
     return S.knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                     n_queries=4, k=10)
+                     n_queries=4, k=10,
+                     index_dir=os.path.join("/tmp/dpray_ivf", fp))
 
 
 # ---------------------------------------------------------------- multimodal

@@ -142,6 +142,58 @@ class TestFkOrphansSingleExecution:
         assert all(v == 0 for v in rows.values())
 
 
+class TestIvfPrunedReads:
+    @pytest.fixture()
+    def emb_ds(self, ray_session):
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(60, 8)).astype(np.float32)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+        }))
+
+    def test_probe_reads_strict_subset_of_partitions(self, emb_ds, tmp_path):
+        from documentprocessor_ray.functions import similarity as S
+
+        out, probed, all_dirs = S.knn_ivf(
+            emb_ds, n_queries=2, k=5, n_lists=8, nprobe=2, sample_size=60,
+            index_dir=str(tmp_path / "ivf"), return_probes=True)
+        # the layout materialized one dir per non-empty list
+        assert len(all_dirs) >= 3
+        # the probe touched a STRICT subset of the partition dirs
+        assert 0 < len(probed) < len(all_dirs)
+        rows = out.take_all()
+        assert rows
+        for r in rows:
+            assert r["vec_id"] not in (0, 1) or r["qid"] != r["vec_id"]
+
+    def test_exhaustive_probe_equals_bruteforce(self, emb_ds, tmp_path):
+        from documentprocessor_ray.functions import similarity as S
+
+        bf = S.knn_bruteforce(emb_ds, n_queries=2, k=5).to_pandas()
+        ivf = S.knn_ivf(emb_ds, n_queries=2, k=5, n_lists=4, nprobe=4,
+                        sample_size=60,
+                        index_dir=str(tmp_path / "ivf2")).to_pandas()
+        for q in (0, 1):
+            a = bf[bf["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            b = ivf[ivf["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            assert a == b
+
+    def test_index_reused_across_calls(self, emb_ds, tmp_path):
+        import os
+
+        from documentprocessor_ray.functions import similarity as S
+
+        idx = str(tmp_path / "ivf3")
+        S.knn_ivf(emb_ds, n_queries=1, k=3, n_lists=4, nprobe=1,
+                  sample_size=60, index_dir=idx).take_all()
+        mtime = os.path.getmtime(os.path.join(idx, "centroids.npy"))
+        S.knn_ivf(emb_ds, n_queries=1, k=3, n_lists=4, nprobe=1,
+                  sample_size=60, index_dir=idx).take_all()
+        assert os.path.getmtime(os.path.join(idx, "centroids.npy")) == mtime
+
+
 class TestArrowNativeM14M15:
     def test_comma_grouping_matches_python_format(self):
         from documentprocessor_ray.pipelines.analysis import (
