@@ -194,17 +194,442 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
             + chunk(b"IEND", b""))
 
 
+# --- baseline JPEG (pure numpy + stdlib): ITU-T T.81 sequential DCT ---
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry zigzag scan as (row, col) pairs, generated from the
+    anti-diagonal walk (even diagonals reversed) instead of a hardcoded
+    table."""
+    order = []
+    for s in range(15):
+        cells = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+        if s % 2 == 0:
+            cells = cells[::-1]
+        order.extend(cells)
+    return np.array(order, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+_ZZ_FLAT = _ZZ[:, 0] * 8 + _ZZ[:, 1]  # zigzag index -> raster index
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis C: forward F = C f C^T, inverse
+    f = C^T F C — numerically identical to T.81's FDCT/IDCT scaling."""
+    x = np.arange(8)
+    u = x[:, None]
+    c = np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
+    c[0] *= np.sqrt(1 / 8) / np.sqrt(2 / 8)
+    return c * np.sqrt(2 / 8)
+
+
+_DCT_C = _dct_basis()
+
+
+def _huff_canonical(counts: List[int], symbols: List[int]) -> Dict:
+    """Canonical Huffman (T.81 Annex C): {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy-coded segment (stuffing
+    already removed)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            return 0  # T.81: pad with 1s at EOI; 0 keeps EXTEND harmless
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: Dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_decode(b: bytes) -> np.ndarray:
+    """Pure numpy+stdlib baseline JPEG decoder (ITU-T T.81 sequential DCT,
+    Huffman, 8-bit): JFIF/EXIF wrappers, 1- or 3-component scans, any
+    h/v subsampling (4:4:4, 4:2:2, 4:2:0, ...), 8/16-bit quant tables,
+    restart markers. Output (H, W, 3) uint8 RGB (grayscale replicated),
+    matching the reference's load-as-RGB convention (cli/utils.py:98-117).
+    Progressive/arithmetic modes raise (in-band error upstream)."""
+    b = bytes(b)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: Dict[int, np.ndarray] = {}
+    huff: Dict = {}
+    sof = None
+    dri = 0
+    scan = None
+    while pos < len(b) - 1:
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(b[pos:pos + 2], "big")
+        body = b[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i:i + 64], np.uint8)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i:i + 128], ">u2")
+                    i += 128
+                qt[tq] = tbl.astype(np.int64)
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, body[8 + 3 * c]))
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise ValueError("progressive JPEG not supported")
+        elif marker in (0xC9, 0xCB, 0xCD, 0xCF):
+            raise ValueError("arithmetic-coded JPEG not supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                i += 1
+                counts = list(body[i:i + 16])
+                i += 16
+                n = sum(counts)
+                huff[(tc, th)] = _huff_canonical(counts, list(body[i:i + n]))
+                i += n
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS: selectors, then the entropy stream
+            ns = body[0]
+            sel = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                    body[2 + 2 * c] & 15) for c in range(ns)]
+            segs: List[bytes] = []
+            cur = bytearray()
+            i = pos
+            while i < len(b):
+                if b[i] == 0xFF and i + 1 < len(b):
+                    nxt = b[i + 1]
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # restart marker
+                        segs.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                        continue
+                    break
+                cur.append(b[i])
+                i += 1
+            segs.append(bytes(cur))
+            pos = i
+            scan = (sel, segs)
+            break  # single-scan baseline: decode after the loop
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = sof
+    sel, segs = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    planes = {}
+    for cid, hi, vi, _tq in comps:
+        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8), np.int64)
+    tables = []
+    for cs, td, ta in sel:
+        _, hi, vi, tq = by_id[cs]
+        tables.append((cs, hi, vi, qt[tq], huff[(0, td)], huff[(1, ta)]))
+
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    pred = {cs: 0 for cs, *_ in tables}
+    n_mcus = mcux * mcuy
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:  # restart: next segment, reset DC
+            seg_idx += 1
+            reader = _BitReader(segs[seg_idx])
+            pred = {cs: 0 for cs, *_ in tables}
+        my, mx = divmod(m, mcux)
+        for cs, hi, vi, q, hdc, hac in tables:
+            for v in range(vi):
+                for hh in range(hi):
+                    zz = np.zeros(64, np.int64)
+                    t = reader.read_huff(hdc)
+                    diff = _extend(reader.read_bits(t), t)
+                    pred[cs] += diff
+                    zz[0] = pred[cs]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_huff(hac)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    block = np.zeros(64, np.float64)
+                    block[_ZZ_FLAT] = zz * q
+                    f = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                    y0 = (my * vi + v) * 8
+                    x0 = (mx * hi + hh) * 8
+                    planes[cs][y0:y0 + 8, x0:x0 + 8] = \
+                        np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
+
+    full = []
+    for cid, hi, vi, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = full[0].astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (f.astype(np.float64) for f in full[:3])
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bl = y + 1.772 * (cb - 128)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _mag_cat(v: int) -> int:
+    """Magnitude category (bit length of |v|)."""
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(img: np.ndarray, quant: int = 1,
+                subsample: bool = False) -> bytes:
+    """Minimal baseline JPEG encoder (round-trip counterpart of
+    _jpeg_decode, same pattern as encode_png): 8-bit luma-only (2-D input)
+    or YCbCr 4:4:4 / 4:2:0 (subsample=True), flat quant tables
+    (``quant`` for every coefficient), simple self-generated canonical
+    Huffman tables written into the file. Test scaffolding, not a
+    production encoder."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+
+    # fixed canonical tables: DC symbols 0..11 at length 4 (12 codes),
+    # AC symbols (all 162 run/size pairs) at length 9 — prefix-free by
+    # construction, never the all-ones reserved code
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s
+                              for r in range(16) for s in range(1, 11)]
+    ac_counts = [0] * 8 + [len(ac_syms)] + [0] * 7
+    dc_table = {}
+    for (ln, code), sym in _huff_canonical(dc_counts, dc_syms).items():
+        dc_table[sym] = (code, ln)
+    ac_table = {}
+    for (ln, code), sym in _huff_canonical(ac_counts, ac_syms).items():
+        ac_table[sym] = (code, ln)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, bch = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128
+        if subsample:
+            def ds2(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                q = np.zeros((hh, ww))
+                q[:p.shape[0], :p.shape[1]] = p
+                if p.shape[0] < hh:
+                    q[p.shape[0]:, :p.shape[1]] = p[-1:]
+                if p.shape[1] < ww:
+                    q[:, p.shape[1]:] = q[:, p.shape[1] - 1:p.shape[1]]
+                return (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2]
+                        + q[1::2, 1::2]) / 4
+            planes = [y, ds2(cb), ds2(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (hi, vi) in zip(planes, samps):
+        ph, pw = mcuy * vi * 8, mcux * hi * 8
+        q = np.zeros((ph, pw))
+        ch, cw = p.shape
+        q[:ch, :cw] = p
+        if ch < ph:
+            q[ch:, :cw] = p[-1:, :]
+        if cw < pw:
+            q[:, cw:] = q[:, cw - 1:cw]
+        padded.append(q)
+
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (p, (hi, vi)) in enumerate(zip(padded, samps)):
+            for v in range(vi):
+                for hh in range(hi):
+                    y0 = (my * vi + v) * 8
+                    x0 = (mx * hi + hh) * 8
+                    blk = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                    coef = _DCT_C @ blk @ _DCT_C.T
+                    qz = np.round(coef / quant).astype(np.int64)
+                    zz = qz.reshape(-1)[_ZZ_FLAT]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    t = _mag_cat(diff)
+                    code, ln = dc_table[t]
+                    wtr.write(code, ln)
+                    if t:
+                        wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                    run = 0
+                    for k in range(1, 64):
+                        val = int(zz[k])
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_table[0xF0]
+                            wtr.write(code, ln)
+                            run -= 16
+                        s = _mag_cat(val)
+                        code, ln = ac_table[(run << 4) | s]
+                        wtr.write(code, ln)
+                        wtr.write(val if val >= 0 else val + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = ac_table[0x00]
+                        wtr.write(code, ln)
+    entropy = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    qtbl = np.full(64, quant, np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtbl))
+    nc = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci, (hi, vi) in enumerate(samps):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+_JPEG_SIG = b"\xff\xd8"
+
+
 class RealCodec(Codec):
-    """Production codec seam. PNG decodes FOR REAL (pure numpy + stdlib
-    zlib, _png_decode — the one compressed format needing no external
-    library); jpeg/mp3/mp4 still need PIL / soundfile / pyav, absent in this
-    container — wire them here and nothing else changes."""
+    """Production codec seam. PNG and baseline JPEG decode FOR REAL (pure
+    numpy + stdlib — _png_decode / _jpeg_decode); mp3/mp4 still need
+    soundfile / pyav, absent in this container — wire them here and nothing
+    else changes."""
 
     def decode_image(self, payload, meta):
         if bytes(payload[:8]) == _PNG_SIG:
             return _png_decode(payload)
+        if bytes(payload[:2]) == _JPEG_SIG:
+            return _jpeg_decode(payload)
         raise NotImplementedError(
-            "only PNG decodes without external image libraries in this build")
+            "only PNG/baseline-JPEG decode without external image "
+            "libraries in this build")
 
     def decode_audio(self, payload, meta):
         raise NotImplementedError("audio codec not available in this build")

@@ -124,7 +124,8 @@ class TestRawCodec:
                              rng.standard_normal(4096) * 0.2, 16000),
                          "meta": {"format": "wav", "width": 0, "height": 0,
                                   "sample_rate": 16000, "n_frames": 0}})
-        # one unsupported compressed asset -> in-band error, not a crash
+        # one corrupt compressed asset -> in-band error, not a crash
+        # (baseline JPEG now decodes for real; this payload is truncated)
         rows.append({"asset_id": "img-jpg", "kind": "image",
                      "payload": b"\xff\xd8\xff\xe0 not a real jpeg",
                      "meta": {"format": "jpeg", "width": 8, "height": 8,
@@ -135,7 +136,7 @@ class TestRawCodec:
         ok_imgs = imgs[imgs["error"].isna()]
         assert len(ok_imgs) == 4 and set(ok_imgs["width"]) == {16}
         bad = imgs[imgs["asset_id"] == "img-jpg"].iloc[0]
-        assert "only PNG" in bad["error"]
+        assert "JPEG" in bad["error"]
         assert len(auds) == 4 and (auds["n_samples"] == 4096).all()
 
 

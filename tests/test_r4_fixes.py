@@ -194,6 +194,102 @@ class TestIvfPrunedReads:
         assert os.path.getmtime(os.path.join(idx, "centroids.npy")) == mtime
 
 
+class TestJpegCodec:
+    """Baseline JPEG (pure numpy + stdlib): encode_jpeg is the test
+    counterpart of _jpeg_decode, same discipline as the PNG pair."""
+
+    def test_flat_gray_blocks_roundtrip_exact(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _jpeg_decode, encode_jpeg)
+
+        rng = np.random.default_rng(7)
+        blocks = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        out = _jpeg_decode(encode_jpeg(img, quant=1))
+        assert out.shape == (32, 40, 3)
+        # flat 8x8 blocks: only the DC coefficient is nonzero and integral
+        # -> lossless through quant=1
+        assert np.array_equal(out[:, :, 0], img)
+        assert np.array_equal(out[:, :, 1], img)
+
+    def test_rgb_444_roundtrip_close(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _jpeg_decode, encode_jpeg)
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+        out = _jpeg_decode(encode_jpeg(img, quant=1))
+        assert out.shape == img.shape
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.mean() < 2.0
+        assert diff.max() <= 12
+
+    def test_rgb_420_subsampled_roundtrip(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _jpeg_decode, encode_jpeg)
+
+        # smooth image: 4:2:0 chroma averaging loses little
+        yy, xx = np.mgrid[0:32, 0:48]
+        img = np.stack([
+            (yy * 3) % 256, (xx * 2) % 256,
+            np.full_like(yy, 90)], axis=2).astype(np.uint8)
+        out = _jpeg_decode(encode_jpeg(img, quant=1, subsample=True))
+        assert out.shape == img.shape
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.mean() < 8.0
+
+    def test_odd_dimensions(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _jpeg_decode, encode_jpeg)
+
+        img = np.full((13, 11), 200, dtype=np.uint8)
+        out = _jpeg_decode(encode_jpeg(img, quant=1))
+        assert out.shape == (13, 11, 3)
+        assert np.array_equal(out[:, :, 0], img)
+
+    def test_autocodec_routes_jpeg_to_real_decoder(self):
+        from documentprocessor_ray.stages.multimodal import (
+            AutoCodec, encode_jpeg)
+
+        img = np.repeat(np.repeat(
+            np.array([[10, 200], [70, 140]], np.uint8), 8, 0), 8, 1)
+        payload = encode_jpeg(img, quant=1)
+        meta = {"format": "jpeg", "width": 16, "height": 16,
+                "sample_rate": 0, "n_frames": 0}
+        out = AutoCodec().decode_image(payload, meta)
+        assert np.array_equal(out[:, :, 0], img)
+
+    def test_image_stages_run_on_real_jpeg_bytes(self, ray_session):
+        """Verdict item: image_features / image_phash_pairs over REAL JPEG
+        payloads through the production codec seam."""
+        from documentprocessor_ray.stages.multimodal import (
+            MEDIA_SCHEMA, RealCodec, build_media_pipeline, encode_jpeg,
+            image_phash_pairs)
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i in range(6):
+            blocks = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+            img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+            rows.append({
+                "asset_id": f"asset-{i:05d}", "kind": "image",
+                "payload": encode_jpeg(img, quant=1),
+                "meta": {"format": "jpeg", "width": 32, "height": 32,
+                         "sample_rate": 0, "n_frames": 0},
+            })
+        # plant an exact dup under a new id
+        rows.append(dict(rows[0], asset_id="asset-90000"))
+        t = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        ds = ray.data.from_arrow(t)
+        feats = build_media_pipeline(ds, "image", codec=RealCodec()) \
+            .take_all()
+        assert len(feats) == 7
+        assert all(f["width"] == 32 and f["height"] == 32 for f in feats)
+        pairs = image_phash_pairs(ds, codec=RealCodec()).take_all()
+        assert any(p["doc_a"] == 0 and p["doc_b"] == 90000
+                   and p["hamming"] == 0 for p in pairs)
+
+
 class TestArrowNativeM14M15:
     def test_comma_grouping_matches_python_format(self):
         from documentprocessor_ray.pipelines.analysis import (
