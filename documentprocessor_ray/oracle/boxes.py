@@ -81,13 +81,20 @@ def paddle_result_to_words(result: Any) -> List[Word]:
 
 
 def tesseract_result_to_words(data: Dict[str, List[Any]]) -> List[Word]:
-    """Tesseract image_to_data dict -> word dicts; skip conf<0; conf/100."""
+    """Tesseract image_to_data dict -> word dicts; skip conf<0; conf/100.
+
+    pytesseract's Output.DICT has returned ``conf`` as ints, floats, or
+    NUMERIC STRINGS ('-1', '96') depending on version; the reference
+    compares ``conf < 0`` directly (ocr_engine.py:240) which only works for
+    the numeric variants, so the handshake coerces first — numerically
+    identical for the inputs the reference handles, and no longer crashes
+    on the string-conf versions."""
     words: List[Word] = []
     for i in range(len(data["text"])):
         text = data["text"][i].strip()
         if not text:
             continue
-        conf = data["conf"][i]
+        conf = float(data["conf"][i])
         if conf < 0:
             continue
         words.append({

@@ -567,13 +567,19 @@ def run_scored_extraction(
     model: str = "rule",
     scorer_concurrency=(1, 4),
     scorer_batch_size: int = 64,
+    scorer_resources: Optional[Dict[str, Any]] = None,
     **kwargs,
 ) -> "ray.data.Dataset":
     """Extraction + model-scoring path: the heuristic pipeline keeps the
     accumulated words, then the scorer ACTOR POOL (state loaded once per
     actor, reference A4-A7) adds model_* entity columns (M26 decode inside
-    the actor; merge semantics M30 in stages/scorer.py). For a GPU model,
-    pass num_gpus=1 via a custom stage instead of this CPU default."""
+    the actor; merge semantics M30 in stages/scorer.py).
+
+    ``scorer_resources`` routes per-actor resources to the pool
+    (default {"num_cpus": 1}); a real GPU model (A4-A6, hf_scorers) passes
+    {"num_gpus": 1} — or a fraction to pack several scorer actors per
+    device — and Ray schedules the pool onto GPU nodes with no other
+    change to the pipeline."""
     from ..stages.scorer import ScorerStage
 
     docs = ray.data.read_parquet(documents_dir)
@@ -586,5 +592,6 @@ def run_scored_extraction(
         batch_format="pyarrow",
         batch_size=scorer_batch_size,
         concurrency=scorer_concurrency,
-        num_cpus=1,
+        **(scorer_resources if scorer_resources is not None
+           else {"num_cpus": 1}),
     )
