@@ -49,7 +49,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs", "dedup_clusters", "pagerank_dups", "corpus_clean",
     "corpus_train_ready", "decontaminate", "minhash_pairs",
     "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",
-    "knn_bruteforce", "knn_ivf", "knn_int8",
+    "knn_bruteforce", "knn_ivf", "knn_int8", "bitext_mine",
+    "url_canonical_dedup",
     "image_features", "audio_features", "audio_spectral", "video_framesample",
     "image_edges", "video_motion",
     "image_phash_pairs",

@@ -181,6 +181,92 @@ def knn_int8(ds: "ray.data.Dataset", n_queries: int = 8,
                                               batch_format="pyarrow")
 
 
+def bitext_mine(ds: "ray.data.Dataset", src_label: int = 0,
+                tgt_label: int = 1, batch_size: int = 1024
+                ) -> "ray.data.Dataset":
+    """Margin-based bitext mining (the parallel-corpus mining step of a
+    multilingual training pipeline, cf. Artetxe & Schwenk's margin
+    criterion): for every source-side vector (label == src_label) find the
+    best and second-best target-side matches (label == tgt_label) by dot
+    product, and report the absolute margin best - second.
+
+    Scoring is the EXACT int8 path of knn_int8 (global maxabs broadcast,
+    float64-deterministic quantization, int64 dots), so the whole result —
+    best id, both scores, margin — is integer-exact and carries a DuckDB
+    twin. The source side is broadcast once via ray.put (in bitext mining
+    the query side is the smaller corpus); target batches each emit a
+    2-rows-per-anchor partial top-2, reduced associatively per anchor.
+    Output: (qid, best_vec_id, best_score, second_score, margin)."""
+    def block_absmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"m": pa.array([0.0], pa.float64())})
+        m = np.abs(np.array(batch["embedding"].to_pylist(),
+                            dtype=np.float32)).max()
+        return pa.table({"m": pa.array([float(m)], pa.float64())})
+
+    maxabs = ds.map_batches(block_absmax, batch_format="pyarrow").max("m")
+    if not maxabs:
+        maxabs = 1.0
+
+    def _quant(m32: np.ndarray) -> np.ndarray:
+        return np.floor(m32.astype(np.float64) / maxabs * 127 + 0.5) \
+            .astype(np.int64)
+
+    src = ds.filter(expr=f"label == {int(src_label)}").take_all()
+    src.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in src], dtype=np.int64)
+    qm = _quant(np.array([list(r["embedding"]) for r in src],
+                         dtype=np.float32))
+    shared = ray.put((qids, qm))
+
+    def local_top2(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat = ray.get(shared)
+        emb = _quant(np.array(batch["embedding"].to_pylist(),
+                              dtype=np.float32))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        scores = q_mat @ emb.T  # (Q, B) int64
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            s = scores[qi]
+            take = min(2, len(vids))
+            idx = np.lexsort((vids, -s))[:take]
+            out_q.extend([int(q_ids[qi])] * take)
+            out_v.extend(int(x) for x in vids[idx])
+            out_s.extend(int(x) for x in s[idx])
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.int64()),
+        })
+
+    partials = ds.filter(expr=f"label == {int(tgt_label)}") \
+        .map_batches(local_top2, batch_format="pyarrow",
+                     batch_size=batch_size)
+
+    def finish(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(),
+                      key=lambda r: (-r["score"], r["vec_id"]))[:2]
+        if len(rows) < 2:
+            return pa.table({
+                "qid": pa.array([], pa.int64()),
+                "best_vec_id": pa.array([], pa.int64()),
+                "best_score": pa.array([], pa.int64()),
+                "second_score": pa.array([], pa.int64()),
+                "margin": pa.array([], pa.int64())})
+        best, second = rows
+        return pa.table({
+            "qid": pa.array([best["qid"]], pa.int64()),
+            "best_vec_id": pa.array([best["vec_id"]], pa.int64()),
+            "best_score": pa.array([best["score"]], pa.int64()),
+            "second_score": pa.array([second["score"]], pa.int64()),
+            "margin": pa.array([best["score"] - second["score"]],
+                               pa.int64())})
+
+    return partials.groupby("qid").map_groups(finish,
+                                              batch_format="pyarrow")
+
+
 # --- IVF-flat ---
 
 def _kmeans_fit(sample: np.ndarray, n_lists: int, iters: int = 10, seed: int = 11) -> np.ndarray:

@@ -2788,6 +2788,68 @@ def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
                      index_dir=os.path.join("/tmp/dpray_ivf", fp))
 
 
+def q_bitext_mine(sf_dir: str) -> "ray.data.Dataset":
+    """Margin-based bitext mining over the embedding table: label-0 vectors
+    are the source side, label-1 the target side; best/second-best matches
+    by the EXACT int8 dot path with the absolute margin reported
+    (functions/similarity.bitext_mine). The DuckDB twin replays the same
+    quantization + row_number ranking, so the full margin arithmetic is
+    hash-gated."""
+    return S.bitext_mine(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        src_label=0, tgt_label=1)
+
+
+def q_url_canonical_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Crawl-side URL canonicalization + dedup-by-canonical-URL: each doc
+    synthesizes a NOISY url (case-jittered host, default port, utm_*
+    tracking params, shuffled param order, trailing slash, fragment —
+    variant keyed on doc_id % 4), the REAL canonicalizer
+    (functions/urls.canonicalize_url) normalizes it, and docs group by the
+    canonical key keeping count + min doc_id. The DuckDB twin derives the
+    canonical form LOGICALLY from (source, doc_id), so the hash gate
+    verifies the parse/normalize, not a pass-through."""
+    from ..functions.urls import canonicalize_url
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        urls = []
+        for did, src in zip(ids, srcs):
+            k = int(did) % 50
+            v = int(did) % 4
+            if v == 0:
+                u = f"https://www.example.com/{src}/{k}?utm_source=feed&b=2&a=1"
+            elif v == 1:
+                u = f"HTTPS://EXAMPLE.COM:443/{src}/{k}/?a=1&b=2"
+            elif v == 2:
+                u = f"https://Example.Com/{src}/{k}?b=2&utm_campaign=x&a=1#frag"
+            else:
+                u = f"https://www.example.com:443/{src}/{k}?a=1&b=2"
+            urls.append(canonicalize_url(u))
+        t = pa.table({
+            "canonical_url": pa.array(urls, pa.string()),
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64())})
+        return t.group_by("canonical_url").aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]).rename_columns(
+            ["canonical_url", "n", "mn"])
+
+    agg = ds.map_batches(canon, batch_format="pyarrow") \
+        .groupby("canonical_url").aggregate(
+            Sum("n", alias_name="n_docs"),
+            ray.data.aggregate.Min("mn", alias_name="min_doc_id"))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "canonical_url": b["canonical_url"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "min_doc_id": pc.cast(b["min_doc_id"], pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- multimodal
 
 def _media_ds(sf_dir: str) -> "ray.data.Dataset":
@@ -6663,6 +6725,41 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
     })
 
 
+ORACLE_SQL["bitext_mine"] = """
+    WITH mm AS (
+      SELECT CASE WHEN max(abs(u)) > 0 THEN CAST(max(abs(u)) AS DOUBLE)
+                  ELSE 1.0 END AS m
+      FROM (SELECT unnest(embedding) AS u FROM embeddings)),
+    qt AS (
+      SELECT vec_id, label, list_transform(
+        embedding,
+        x -> floor(CAST(x AS DOUBLE) / m * 127 + 0.5)) AS qv
+      FROM embeddings, mm),
+    s AS (
+      SELECT a.vec_id AS qid, c.vec_id AS vec_id,
+        CAST(list_dot_product(a.qv, c.qv) AS BIGINT) AS score
+      FROM qt a JOIN qt c ON a.label = 0 AND c.label = 1),
+    r AS (
+      SELECT qid, vec_id, score,
+        row_number() OVER (PARTITION BY qid
+                           ORDER BY score DESC, vec_id) AS rn
+      FROM s)
+    SELECT qid,
+      max(CASE WHEN rn = 1 THEN vec_id END)::BIGINT AS best_vec_id,
+      max(CASE WHEN rn = 1 THEN score END)::BIGINT AS best_score,
+      max(CASE WHEN rn = 2 THEN score END)::BIGINT AS second_score,
+      (max(CASE WHEN rn = 1 THEN score END)
+       - max(CASE WHEN rn = 2 THEN score END))::BIGINT AS margin
+    FROM r GROUP BY qid"""
+
+ORACLE_SQL["url_canonical_dedup"] = """
+    SELECT 'https://example.com/' || source || '/'
+             || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS min_doc_id
+    FROM documents
+    GROUP BY source, doc_id % 50"""
+
 # Oracle-dump twins (pipelines/oracle_dump.py): operators whose semantics are
 # not SQL-expressible get a rows+schema+hash gate against a parquet table an
 # INDEPENDENT single-process implementation writes when the query is invoked.
@@ -6684,6 +6781,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "cdc_compact": q_cdc_compact,
     "warc_audit": q_warc_audit,
     "warc_skips": q_warc_skips,
+    "bitext_mine": q_bitext_mine,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

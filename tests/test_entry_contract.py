@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 3 final: 159 queries, 135 SQL-gated)
-        assert len(sqls) >= 135
-        assert len(qs) >= 159
+        # (round 4: 162 queries, 147 SQL-gated incl. oracle-dump twins)
+        assert len(sqls) >= 147
+        assert len(qs) >= 162
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

@@ -299,3 +299,56 @@ class TestArrowNativeM14M15:
                         dtype=np.int64)
         got = _comma_group_dollars(vals).to_pylist()
         assert got == [f"{v:,}" for v in vals]
+
+
+class TestUrlCanonicalization:
+    def test_rules(self):
+        from documentprocessor_ray.functions.urls import canonicalize_url as c
+
+        assert c("HTTPS://WWW.Example.COM:443/a/1/?b=2&a=1") == \
+            "https://example.com/a/1?a=1&b=2"
+        assert c("http://example.com:80/x") == "http://example.com/x"
+        assert c("http://example.com:8080/x") == "http://example.com:8080/x"
+        assert c("https://example.com/p?utm_source=f&utm_campaign=x") == \
+            "https://example.com/p"
+        assert c("https://example.com/p#frag") == "https://example.com/p"
+        assert c("https://example.com/") == "https://example.com"
+        assert c("not a url") is None
+        assert c("") is None
+
+    def test_param_sort_stable(self):
+        from documentprocessor_ray.functions.urls import canonicalize_url as c
+
+        assert c("https://e.com/p?z=1&a=2&a=1") == "https://e.com/p?a=1&a=2&z=1"
+
+
+class TestBitextMine:
+    def test_margin_matches_numpy(self, ray_session):
+        from documentprocessor_ray.functions.similarity import bitext_mine
+
+        rng = np.random.default_rng(9)
+        n, d = 30, 6
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        labels = np.array([0, 1] * (n // 2), np.int32)
+        t = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        })
+        out = {r["qid"]: r
+               for r in bitext_mine(ray.data.from_arrow(t)).take_all()}
+        maxabs = float(np.abs(m).max())
+        q = np.floor(m.astype(np.float64) / maxabs * 127 + 0.5) \
+            .astype(np.int64)
+        src = np.flatnonzero(labels == 0)
+        tgt = np.flatnonzero(labels == 1)
+        for si in src:
+            scores = q[si] @ q[tgt].T
+            order = np.lexsort((tgt, -scores))
+            best, second = order[0], order[1]
+            r = out[int(si)]
+            assert r["best_vec_id"] == int(tgt[best])
+            assert r["best_score"] == int(scores[best])
+            assert r["second_score"] == int(scores[second])
+            assert r["margin"] == int(scores[best] - scores[second])
