@@ -2850,6 +2850,89 @@ def q_url_canonical_dedup(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_quality_classifier(sf_dir: str) -> "ray.data.Dataset":
+    """Model-based quality filtering (the fastText-classifier gate of
+    CCNet/RefinedWeb-style pipelines) as a deterministic integer linear
+    head over the quality_stats features: logit_micro =
+    800*alpha_ratio_milli + 1200*stop_ratio_milli + 500*min(n_tokens, 512)
+    - 600000, with ratios as exact integer floor divisions — swap the fixed
+    weights for trained ones and the plan is identical (stateless
+    vectorized map, zero shuffle). Output: (doc_id, logit_micro, keep)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.quality_stats_batch, batch_format="pyarrow")
+
+    def head(b: pa.Table) -> pa.Table:
+        n_chars = b["n_chars"].to_numpy(zero_copy_only=False)
+        n_tokens = b["n_tokens"].to_numpy(zero_copy_only=False)
+        n_alpha = b["n_alpha"].to_numpy(zero_copy_only=False)
+        n_stop = b["n_stop"].to_numpy(zero_copy_only=False)
+        alpha_milli = (1000 * n_alpha) // np.maximum(n_chars, 1)
+        stop_milli = (1000 * n_stop) // np.maximum(n_tokens, 1)
+        logit = (800 * alpha_milli + 1200 * stop_milli
+                 + 500 * np.minimum(n_tokens, 512) - 600000)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "logit_micro": pa.array(logit.astype(np.int64), pa.int64()),
+            "keep": pa.array((logit > 0).astype(np.int64), pa.int64())})
+
+    return ds.map_batches(head, batch_format="pyarrow")
+
+
+def q_span_merge(sf_dir: str) -> "ray.data.Dataset":
+    """Interval-union merging of per-doc annotation spans (the operator a
+    PII/redaction/labeling pipeline runs before applying spans): each doc
+    synthesizes min(n_tokens, 20) deterministic [start, end) spans, and
+    overlapping spans merge per doc into islands — fully vectorized over
+    the batch with ONE lexsort + per-doc-offset running max (no per-doc
+    Python loop, no shuffle: merging is doc-local). Output:
+    (doc_id, n_spans, n_merged, covered_len)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def merge(b: pa.Table) -> pa.Table:
+        split, empty = T._tokens_list(b["text"].combine_chunks())
+        n_tok = pc.if_else(empty, pa.scalar(0, pa.int32()),
+                           pc.cast(pc.list_value_length(split), pa.int32())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.minimum(n_tok, 20)
+        sel = k > 0
+        ids_s, k_s = ids[sel], k[sel]
+        if len(ids_s) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_merged": pa.array([], pa.int64()),
+                "covered_len": pa.array([], pa.int64())})
+        d_idx = np.repeat(np.arange(len(ids_s)), k_s)
+        i = np.concatenate([np.arange(x) for x in k_s])
+        did = ids_s[d_idx]
+        st = (did * 7 + i * 13) % 200
+        en = st + 5 + (i * 11) % 17
+        # per-doc offset makes one global running max valid across docs
+        off = d_idx * 1000
+        order = np.lexsort((en, st, d_idx))
+        st2, en2 = st[order] + off[order], en[order] + off[order]
+        prev_max = np.empty(len(st2), np.int64)
+        prev_max[0] = -1
+        np.maximum.accumulate(en2[:-1], out=prev_max[1:])
+        isl = st2 > prev_max
+        isl_starts = np.flatnonzero(isl)
+        run_max = np.maximum.accumulate(en2)
+        isl_ends = np.append(isl_starts[1:], len(st2)) - 1
+        covered_per_isl = run_max[isl_ends] - st2[isl_starts]
+        isl_doc = d_idx[order][isl_starts]
+        n_merged = np.bincount(isl_doc, minlength=len(ids_s))
+        covered = np.bincount(isl_doc, weights=covered_per_isl,
+                              minlength=len(ids_s)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids_s, pa.int64()),
+            "n_spans": pa.array(k_s, pa.int64()),
+            "n_merged": pa.array(n_merged.astype(np.int64), pa.int64()),
+            "covered_len": pa.array(covered, pa.int64())})
+
+    return ds.map_batches(merge, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- multimodal
 
 def _media_ds(sf_dir: str) -> "ray.data.Dataset":
@@ -6760,6 +6843,59 @@ ORACLE_SQL["url_canonical_dedup"] = """
     FROM documents
     GROUP BY source, doc_id % 50"""
 
+ORACLE_SQL["quality_classifier"] = f"""
+    WITH q AS ({{QSTATS}})
+    SELECT doc_id,
+      (800 * ((1000 * n_alpha) // greatest(n_chars, 1))
+       + 1200 * ((1000 * n_stop) // greatest(n_tokens, 1))
+       + 500 * least(n_tokens, 512) - 600000)::BIGINT AS logit_micro,
+      (CASE WHEN 800 * ((1000 * n_alpha) // greatest(n_chars, 1))
+                 + 1200 * ((1000 * n_stop) // greatest(n_tokens, 1))
+                 + 500 * least(n_tokens, 512) - 600000 > 0
+            THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM q"""
+ORACLE_SQL["quality_classifier"] = ORACLE_SQL["quality_classifier"].replace(
+    "{QSTATS}", ORACLE_SQL["quality_stats"])
+
+ORACLE_SQL["span_merge"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+             ELSE len(regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        END::BIGINT AS n_tokens
+      FROM documents),
+    t AS (SELECT doc_id, least(n_tokens, 20) AS k FROM tok WHERE n_tokens > 0),
+    s AS (
+      SELECT doc_id, k, u.i AS i,
+        (doc_id * 7 + u.i * 13) % 200 AS st,
+        (doc_id * 7 + u.i * 13) % 200 + 5 + (u.i * 11) % 17 AS en
+      FROM t, unnest(range(0, k)) AS u(i)),
+    w AS (
+      SELECT doc_id, k, st, en,
+        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS prev_max
+      FROM s),
+    g AS (
+      SELECT doc_id, k, st, en,
+        CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS isl
+      FROM w),
+    gi AS (
+      SELECT doc_id, k, st, en,
+        sum(isl) OVER (PARTITION BY doc_id ORDER BY st, en
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM g),
+    m AS (
+      SELECT doc_id, any_value(k) AS k, island,
+        min(st) AS mst, max(en) AS men
+      FROM gi GROUP BY doc_id, island)
+    SELECT doc_id, any_value(k)::BIGINT AS n_spans,
+      count(*)::BIGINT AS n_merged,
+      sum(men - mst)::BIGINT AS covered_len
+    FROM m GROUP BY doc_id"""
+
+
 # Oracle-dump twins (pipelines/oracle_dump.py): operators whose semantics are
 # not SQL-expressible get a rows+schema+hash gate against a parquet table an
 # INDEPENDENT single-process implementation writes when the query is invoked.
@@ -6783,6 +6919,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "warc_skips": q_warc_skips,
     "bitext_mine": q_bitext_mine,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "quality_classifier": q_quality_classifier,
+    "span_merge": q_span_merge,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

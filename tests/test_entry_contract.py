@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 4: 162 queries, 147 SQL-gated incl. oracle-dump twins)
-        assert len(sqls) >= 147
-        assert len(qs) >= 162
+        # (round 4: 164 queries, 149 SQL-gated incl. oracle-dump twins)
+        assert len(sqls) >= 149
+        assert len(qs) >= 164
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""
