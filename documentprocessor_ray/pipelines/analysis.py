@@ -1857,19 +1857,16 @@ def q_fk_orphans(sf_dir: str) -> "ray.data.Dataset":
         _read(sf_dir, "orders", ["o_orderkey"]),
         left_on="l_orderkey", keep_on="o_orderkey", anti=True) \
         .map_batches(count_rows("lineitem->orders"), batch_format="pyarrow")
-    zero = ray.data.from_arrow(pa.table({
-        "relation": pa.array(["lineitem->orders", "orders->customer"],
-                             pa.string()),
-        "n": pa.array([0, 0], pa.int64())}))
-    agg = zero.union(orphan_orders, orphan_lines) \
-        .groupby("relation").aggregate(Sum("n", alias_name="n_orphans"))
-
-    def fin(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "relation": b["relation"],
-            "n_orphans": pc.cast(b["n_orphans"], pa.int64())})
-
-    return agg.map_batches(fin, batch_format="pyarrow")
+    # ONE execution runs both anti-joins concurrently; the count partials
+    # (a handful of (relation, n) rows) reduce on the driver — a groupby
+    # here would cost a full sort shuffle for a 2-row answer
+    totals = {"lineitem->orders": 0, "orders->customer": 0}
+    for r in orphan_orders.union(orphan_lines).take_all():
+        totals[r["relation"]] += int(r["n"])
+    return ray.data.from_arrow(pa.table({
+        "relation": pa.array(sorted(totals), pa.string()),
+        "n_orphans": pa.array([totals[k] for k in sorted(totals)],
+                              pa.int64())}))
 
 
 def q_weighted_sample_n(sf_dir: str) -> "ray.data.Dataset":
