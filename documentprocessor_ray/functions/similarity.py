@@ -298,10 +298,10 @@ class IvfAssigner:
         return batch.append_column("list_id", pa.array(lists, pa.int64()))
 
 
-def _hash_sample(ds: "ray.data.Dataset", sample_size: int) -> np.ndarray:
-    """Deterministic DISTRIBUTED sample for the k-means fit: keep rows whose
-    multiplicative vec_id hash falls under a threshold sized from the row
-    count (metadata-cheap on a parquet read), then truncate to exactly
+def _hash_sample_rows(ds: "ray.data.Dataset", sample_size: int) -> list:
+    """Deterministic DISTRIBUTED sample: keep rows whose multiplicative
+    vec_id hash falls under a threshold sized from the row count
+    (metadata-cheap on a parquet read), then truncate to exactly
     sample_size in (hash, vec_id) order. Unlike ds.take(n) this draws from
     the whole corpus, not the first blocks, and only ~sample_size rows ever
     reach the driver."""
@@ -323,7 +323,11 @@ def _hash_sample(ds: "ray.data.Dataset", sample_size: int) -> np.ndarray:
 
     rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: (r["_h"], r["vec_id"]))
-    rows = rows[:sample_size]
+    return rows[:sample_size]
+
+
+def _hash_sample(ds: "ray.data.Dataset", sample_size: int) -> np.ndarray:
+    rows = _hash_sample_rows(ds, sample_size)
     return _normalize(np.array([list(r["embedding"]) for r in rows],
                                dtype=np.float64))
 

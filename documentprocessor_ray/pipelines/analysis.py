@@ -2847,6 +2847,25 @@ def q_url_canonical_dedup(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def q_kmeans(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed k-means over the embedding table (the clustering pass a
+    semantic-dedup / data-mixing pipeline runs): integer fixed-point Lloyd
+    iterations with broadcast centroids and k-row combiner partials per
+    batch (functions/clustering.kmeans_int). Bit-deterministic at any
+    parallelism, so the driver twin is an oracle DUMP of the identical
+    single-process loop — an iterative algorithm with a full
+    rows+schema+hash gate."""
+    from ..functions.clustering import kmeans_int
+    from . import oracle_dump as OD
+
+    OD.dump("kmeans_clusters",
+            OD.file_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+            lambda: OD.kmeans_expected(sf_dir))
+    return kmeans_int(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, iters=5)
+
+
 def q_quality_classifier(sf_dir: str) -> "ray.data.Dataset":
     """Model-based quality filtering (the fastText-classifier gate of
     CCNet/RefinedWeb-style pipelines) as a deterministic integer linear
@@ -6899,7 +6918,7 @@ ORACLE_SQL["span_merge"] = r"""
 from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
-                   "image_phash_pairs"):
+                   "image_phash_pairs", "kmeans_clusters"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
 
@@ -6918,6 +6937,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "quality_classifier": q_quality_classifier,
     "span_merge": q_span_merge,
+    "kmeans_clusters": q_kmeans,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

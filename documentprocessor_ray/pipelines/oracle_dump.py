@@ -223,6 +223,34 @@ def bpe_encode_expected(sf_dir: str) -> pa.Table:
     return BpeEncoder(merges)(docs)
 
 
+def kmeans_expected(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
+    """Twin of q_kmeans: the identical integer fixed-point Lloyd loop in
+    one plain numpy pass (functions/clustering.kmeans_int_reference), with
+    the seed selection replayed from the same multiplicative-hash order the
+    distributed sampler uses."""
+    from ..functions.clustering import kmeans_int_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_pylist()
+    embs = t["embedding"].to_pylist()
+    n_seed = max(k, min(2048, 4 * k))
+    total = max(1, len(vids))
+    if total <= n_seed:
+        thresh = 1 << 32
+    else:
+        thresh = int((1 << 32) * min(1.0, n_seed * 1.3 / total))
+    hs = [((v * 2654435761) & 0xFFFFFFFF) for v in vids]
+    cand = sorted(((h, v, e) for h, v, e in zip(hs, vids, embs)
+                   if h < thresh))[:n_seed]
+    seed_rows = [{"embedding": e} for _, _, e in cand]
+    pairs = kmeans_int_reference(vids, embs, seed_rows, k=k, iters=iters)
+    return pa.table({
+        "vec_id": pa.array([p[0] for p in pairs], pa.int64()),
+        "cluster": pa.array([p[1] for p in pairs], pa.int64()),
+    })
+
+
 def image_phash_pairs_expected(media_table: pa.Table,
                                max_hamming: int = 3) -> pa.Table:
     """Twin of q_image_phash_pairs: aHash per image via a plain loop over

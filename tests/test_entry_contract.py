@@ -25,9 +25,9 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 4: 164 queries, 149 SQL-gated incl. oracle-dump twins)
-        assert len(sqls) >= 149
-        assert len(qs) >= 164
+        # (round 4: 165 queries, 150 SQL-gated incl. oracle-dump twins)
+        assert len(sqls) >= 150
+        assert len(qs) >= 165
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

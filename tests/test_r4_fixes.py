@@ -352,3 +352,52 @@ class TestBitextMine:
             assert r["best_score"] == int(scores[best])
             assert r["second_score"] == int(scores[second])
             assert r["margin"] == int(scores[best] - scores[second])
+
+
+class TestKmeansInt:
+    def _ds(self, n=80, d=6, blocks=None):
+        rng = np.random.default_rng(13)
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(t)
+        if blocks:
+            ds = ds.repartition(blocks)
+        return ds, m
+
+    def test_matches_single_process_reference(self, ray_session):
+        from documentprocessor_ray.functions.clustering import (
+            kmeans_int, kmeans_int_reference)
+
+        ds, m = self._ds()
+        got = {r["vec_id"]: r["cluster"]
+               for r in kmeans_int(ds, k=4, iters=3).take_all()}
+        # replay the seed selection (all 80 rows fit under the threshold)
+        vids = list(range(len(m)))
+        hs = [((v * 2654435761) & 0xFFFFFFFF) for v in vids]
+        order = sorted(zip(hs, vids))
+        seeds = [{"embedding": list(map(float, m[v]))}
+                 for _, v in order[:16]]
+        exp = dict(kmeans_int_reference(
+            vids, [list(map(float, r)) for r in m], seeds, k=4, iters=3))
+        assert got == exp
+
+    def test_parallelism_invariant(self, ray_session):
+        from documentprocessor_ray.functions.clustering import kmeans_int
+
+        a = sorted((r["vec_id"], r["cluster"]) for r in
+                   kmeans_int(self._ds(blocks=1)[0], k=4, iters=3)
+                   .take_all())
+        b = sorted((r["vec_id"], r["cluster"]) for r in
+                   kmeans_int(self._ds(blocks=7)[0], k=4, iters=3)
+                   .take_all())
+        assert a == b
+
+    def test_clusters_nontrivial(self, ray_session):
+        from documentprocessor_ray.functions.clustering import kmeans_int
+
+        out = kmeans_int(self._ds()[0], k=4, iters=3).take_all()
+        assert len({r["cluster"] for r in out}) >= 2
