@@ -257,6 +257,42 @@ def grouped_quantile_cont(
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
 
 
+def log_bin(v: np.ndarray, sub_bits: int) -> np.ndarray:
+    """HDR-style integer log bin (exponent + sub_bits mantissa bits) — pure
+    integer ops, bit-reproducible; shared by grouped_quantile_approx and
+    its single-process oracle dump. Negative/zero clamp to bin 0."""
+    s = np.int64(sub_bits)
+    v = v.astype(np.int64)
+    pos = v > 0
+    out = np.zeros(len(v), dtype=np.int64)
+    if pos.any():
+        vp = v[pos].astype(np.uint64)
+        # exponent = index of the highest set bit, computed with six
+        # whole-array shift steps (float64 log2 is unsafe past 2^53)
+        e = np.zeros(len(vp), dtype=np.int64)
+        x = vp.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = x >= (np.uint64(1) << np.uint64(shift))
+            e[big] += shift
+            x[big] >>= np.uint64(shift)
+        sh = np.maximum(0, e - int(s))
+        mant = (v[pos] >> sh) & ((np.int64(1) << s) - 1)
+        full = e >= int(s)
+        out[pos] = np.where(full, ((e - int(s) + 1) << s) | mant, v[pos])
+    return out
+
+
+def log_bin_lower(b: np.ndarray, sub_bits: int) -> np.ndarray:
+    """Lower bound of a log bin (the reported quantile value)."""
+    s = np.int64(sub_bits)
+    b = b.astype(np.int64)
+    small = b < (np.int64(1) << s)
+    blk = (b >> s) + int(s) - 1
+    mant = b & ((np.int64(1) << s) - 1)
+    lo = ((np.int64(1) << s) | mant) << np.maximum(0, blk - int(s))
+    return np.where(small, b, lo)
+
+
 def grouped_quantile_approx(
     ds: "ray.data.Dataset",
     keys: List[str],
@@ -282,35 +318,12 @@ def grouped_quantile_approx(
         q_names = [f"q{int(round(q * 100))}" for q in qs]
     if num_buckets is None:
         num_buckets = auto_buckets(size_hint, rows_per_bucket=65536)
-    s = np.int64(sub_bits)
 
     def to_bin(v: np.ndarray) -> np.ndarray:
-        v = v.astype(np.int64)
-        pos = v > 0
-        out = np.zeros(len(v), dtype=np.int64)
-        if pos.any():
-            vp = v[pos].astype(np.uint64)
-            # exponent = index of the highest set bit, computed with six
-            # whole-array shift steps (float64 log2 is unsafe past 2^53)
-            e = np.zeros(len(vp), dtype=np.int64)
-            x = vp.copy()
-            for shift in (32, 16, 8, 4, 2, 1):
-                big = x >= (np.uint64(1) << np.uint64(shift))
-                e[big] += shift
-                x[big] >>= np.uint64(shift)
-            sh = np.maximum(0, e - int(s))
-            mant = (v[pos] >> sh) & ((np.int64(1) << s) - 1)
-            full = e >= int(s)
-            out[pos] = np.where(full, ((e - int(s) + 1) << s) | mant, v[pos])
-        return out
+        return log_bin(v, sub_bits)
 
     def from_bin(b: np.ndarray) -> np.ndarray:
-        b = b.astype(np.int64)
-        small = b < (np.int64(1) << s)
-        blk = (b >> s) + int(s) - 1
-        mant = b & ((np.int64(1) << s) - 1)
-        lo = ((np.int64(1) << s) | mant) << np.maximum(0, blk - int(s))
-        return np.where(small, b, lo)
+        return log_bin_lower(b, sub_bits)
 
     def combine(b: pa.Table) -> pa.Table:
         v = b[value].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -83,6 +83,12 @@ def q_langid(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_winnow_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    # driver twin: single-process dump of the same integer winnowing pass
+    from . import oracle_dump as OD
+
+    OD.dump("winnow_fingerprint",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.winnow_fingerprint_expected(sf_dir))
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.winnow_fingerprint_batch, batch_format="pyarrow")
 
@@ -2439,10 +2445,25 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_minhash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    # driver twin: same MinHasher signatures, banding replayed with plain
+    # dict buckets single-process (pipelines/oracle_dump.py) — gates the
+    # distributed band exchange end to end
+    from . import oracle_dump as OD
+
+    OD.dump("minhash_pairs",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.minhash_pairs_expected(sf_dir))
     return D.minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_simhash_pairs(sf_dir: str) -> "ray.data.Dataset":
+    # driver twin: ALL-PAIRS Hamming scan over the same signatures — the
+    # 4x16 banding is pigeonhole-guaranteed to match it at max_hamming=3
+    from . import oracle_dump as OD
+
+    OD.dump("simhash_pairs",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.simhash_pairs_expected(sf_dir))
     return D.simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
@@ -2455,8 +2476,15 @@ def q_embedding_neardup(sf_dir: str) -> "ray.data.Dataset":
 
 def q_embedding_neardup_lsh(sf_dir: str) -> "ray.data.Dataset":
     """Scale-path near-dup by embedding: sign-LSH banding + in-bucket exact
-    verify (rows-only; approximate recall). The exact all-pairs variant
-    (q_embedding_neardup) stays as the oracle-checked small-corpus twin."""
+    verify. Driver twin: the seeded hyperplane banding replayed
+    single-process with dict buckets (pipelines/oracle_dump.py); the exact
+    all-pairs variant (q_embedding_neardup) additionally stays as the
+    SQL-checked small-corpus twin."""
+    from . import oracle_dump as OD
+
+    OD.dump("embedding_neardup_lsh",
+            OD.file_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+            lambda: OD.embedding_neardup_lsh_expected(sf_dir))
     return D.embedding_neardup_lsh_pairs(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
 
@@ -2970,7 +2998,12 @@ def _sf_of_dir(sf_dir: str) -> float:
 def q_image_features(sf_dir: str) -> "ray.data.Dataset":
     import hashlib as _hl
     from ..stages.multimodal import build_media_pipeline
+    from . import oracle_dump as OD
 
+    _sf = _sf_of_dir(sf_dir)
+    OD.dump("image_features",
+            f"media:v1:n{max(30, int(3000 * _sf))}:seed5:feat",
+            lambda: OD.image_features_expected(_sf))
     ds = build_media_pipeline(_media_ds(sf_dir), "image")
 
     def scalarize(b: pa.Table) -> pa.Table:
@@ -3025,39 +3058,66 @@ def _phash_media_table(n_assets: int) -> pa.Table:
     return pa.concat_tables([base, dup])
 
 
+def _dump_media_twin(name: str, sf_dir: str, kind: str, stage_name: str):
+    """Oracle-dump twin for the multimodal feature queries: the same stage
+    class called once single-process on the deterministic synth table (all
+    metrics are milli-quantized ints). Fingerprinted on (n_assets, seed)."""
+    from ..stages import multimodal as MM
+    from . import oracle_dump as OD
+
+    sf = _sf_of_dir(sf_dir)
+    n = max(30, int(3000 * sf))
+    OD.dump(name, f"media:v1:n{n}:seed5:{stage_name}",
+            lambda: OD.media_stage_expected(
+                sf, kind, getattr(MM, stage_name)))
+
+
 def q_video_framesample(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.multimodal import build_media_pipeline
+
+    _dump_media_twin("video_framesample", sf_dir, "video",
+                     "VideoFrameSampleStage")
     return build_media_pipeline(_media_ds(sf_dir), "video")
 
 
 def q_audio_spectral(sf_dir: str) -> "ray.data.Dataset":
     """FFT spectral features per audio asset (dominant bin + centroid):
-    real numpy DSP on the actor pool. Rows-only (no SQL FFT); the pytest
-    gate feeds encoded sine waves through the REAL PCM-WAV codec and
-    checks the dominant bin lands exactly on the sine's frequency."""
+    real numpy DSP on the actor pool. Driver twin: single-process stage
+    dump; pytest additionally feeds encoded sine waves through the REAL
+    PCM-WAV codec and checks the dominant bin lands on the sine's
+    frequency."""
     from ..stages.multimodal import build_media_pipeline
+
+    _dump_media_twin("audio_spectral", sf_dir, "audio",
+                     "AudioSpectralStage")
     return build_media_pipeline(_media_ds(sf_dir), "audio_spectral")
 
 
 def q_image_edges(sf_dir: str) -> "ray.data.Dataset":
     """Sobel edge density per image asset (mean gradient + edge fraction):
-    real CV in pure numpy on the actor pool. Rows-only; pytest feeds
-    synthetic stripe/flat images through the REAL BMP codec and checks
-    the known gradient responses."""
+    real CV in pure numpy on the actor pool. Driver twin: single-process
+    stage dump; pytest additionally feeds synthetic stripe/flat images
+    through the REAL BMP codec and checks the known gradient responses."""
     from ..stages.multimodal import build_media_pipeline
+
+    _dump_media_twin("image_edges", sf_dir, "image", "ImageEdgeStage")
     return build_media_pipeline(_media_ds(sf_dir), "image_edges")
 
 
 def q_video_motion(sf_dir: str) -> "ray.data.Dataset":
     """Motion energy per video asset (mean |luma diff| between sampled
-    frames). Rows-only; pytest drives static vs moving synthetic rgb24
-    clips through the REAL raw codec (static => 0, moving > 0)."""
+    frames). Driver twin: single-process stage dump; pytest drives static
+    vs moving synthetic rgb24 clips through the REAL raw codec."""
     from ..stages.multimodal import build_media_pipeline
+
+    _dump_media_twin("video_motion", sf_dir, "video", "VideoMotionStage")
     return build_media_pipeline(_media_ds(sf_dir), "video_motion")
 
 
 def q_audio_features(sf_dir: str) -> "ray.data.Dataset":
     from ..stages.multimodal import build_media_pipeline
+
+    _dump_media_twin("audio_features", sf_dir, "audio", "AudioFeatureStage")
     return build_media_pipeline(_media_ds(sf_dir), "audio")
 
 
@@ -3119,11 +3179,16 @@ def q_event_heavy_hitters(sf_dir: str) -> "ray.data.Dataset":
 def q_event_users_hll(sf_dir: str) -> "ray.data.Dataset":
     """Approximate distinct users per event type via mergeable HyperLogLog
     sketches (p=12, ~1.6% expected error) — the bounded-shuffle twin of
-    events_rollup's exact n_users leg. Rows-only in the driver (DuckDB's
-    HLL uses a different hash, so estimates differ by design); the pytest
-    gate compares against the exact count within tolerance."""
+    events_rollup's exact n_users leg. DuckDB's HLL uses a different hash,
+    so the driver twin is a single-process dump of the same register math
+    (max-mergeable -> partition-independent); the pytest gate additionally
+    compares against the exact count within tolerance."""
     from ..functions.sketches import hll_group_distinct
+    from . import oracle_dump as OD
 
+    OD.dump("event_users_hll",
+            OD.file_fingerprint(os.path.join(sf_dir, "events.parquet")),
+            lambda: OD.event_users_hll_expected(sf_dir))
     return hll_group_distinct(
         _read(sf_dir, "events", ["event_type", "user_id"]),
         keys=["event_type"], value="user_id", p=12)
@@ -3345,8 +3410,14 @@ def q_nfc_normalize(sf_dir: str) -> "ray.data.Dataset":
 
 def q_compression_ratio(sf_dir: str) -> "ray.data.Dataset":
     """Deflate-compressibility quality signal (cheap perplexity proxy):
-    per-doc raw vs zlib byte lengths, raw integers. Rows-only in the
-    driver (SQL has no deflate); determinism + ordering pytest-gated."""
+    per-doc raw vs zlib byte lengths, raw integers. SQL has no deflate, so
+    the driver twin is a single-process dump of the same zlib pass;
+    determinism + ordering additionally pytest-gated."""
+    from . import oracle_dump as OD
+
+    OD.dump("compression_ratio",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.compression_ratio_expected(sf_dir))
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         T.compression_ratio_batch, batch_format="pyarrow")
 
@@ -3380,10 +3451,16 @@ def q_price_quantiles_approx(sf_dir: str) -> "ray.data.Dataset":
     """Bounded-state approximate quantiles over NEAR-UNIQUE values
     (extendedprice cents per returnflag) — the scale companion to the exact
     histogram op: per-group state is O(64*2^s) log-bin cells no matter how
-    many distinct prices exist. Rows-only in the driver (estimates are
-    lower bounds within 2^-5 relative error by construction); the pytest
-    gate proves the bound and shuffle-width merge invariance."""
+    many distinct prices exist. Estimates are bin lower bounds within 2^-5
+    relative error by construction and sum-mergeable, so the driver twin is
+    a single-process dump of the same integer binning; the pytest gate
+    additionally proves the bound and shuffle-width merge invariance."""
     from ..functions.agg import grouped_quantile_approx
+    from . import oracle_dump as OD
+
+    OD.dump("price_quantiles_approx",
+            OD.file_fingerprint(os.path.join(sf_dir, "lineitem.parquet")),
+            lambda: OD.price_quantiles_approx_expected(sf_dir))
 
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
 
@@ -6918,7 +6995,13 @@ ORACLE_SQL["span_merge"] = r"""
 from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
-                   "image_phash_pairs", "kmeans_clusters"):
+                   "image_phash_pairs", "kmeans_clusters",
+                   "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
+                   "embedding_neardup_lsh", "image_features",
+                   "audio_features", "audio_spectral", "image_edges",
+                   "video_motion", "video_framesample",
+                   "compression_ratio", "event_users_hll",
+                   "price_quantiles_approx"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
 

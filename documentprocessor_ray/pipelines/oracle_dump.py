@@ -223,6 +223,251 @@ def bpe_encode_expected(sf_dir: str) -> pa.Table:
     return BpeEncoder(merges)(docs)
 
 
+def winnow_fingerprint_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_winnow_fingerprint: the same per-doc winnowing function in
+    one single-process pass (integer FNV/rolling-hash arithmetic —
+    bit-deterministic)."""
+    from ..functions.textstats import winnow_fingerprint_batch
+
+    return winnow_fingerprint_batch(
+        _documents_table(sf_dir, ["doc_id", "text"]))
+
+
+def minhash_pairs_expected(sf_dir: str, num_perm: int = 64, bands: int = 16,
+                           shingle_k: int = 3,
+                           threshold: float = 0.5) -> pa.Table:
+    """Twin of q_minhash_pairs: signatures via the same MinHasher in one
+    plain call, then the banding replayed with a dict of band-key buckets
+    (no Ray, no bucket folding) — a hash match proves the distributed
+    band exchange finds exactly the single-process candidate set. The
+    est_jaccard filter (mean of equal slots = k/num_perm) is exact in
+    float64 on both sides."""
+    from ..functions.dedup import MinHasher
+
+    docs = _documents_table(sf_dir, ["doc_id", "text"])
+    sig_t = MinHasher(num_perm=num_perm, shingle_k=shingle_k)(docs)
+    ids = sig_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sigs = np.array(sig_t["sig"].to_pylist(), dtype=np.uint64)
+    rows = num_perm // bands
+    prime = np.uint64(0x100000001B3)
+    buckets: Dict[int, List[int]] = {}
+    for b in range(bands):
+        acc = np.full(len(ids), np.uint64(1469598103934665603 + b),
+                      dtype=np.uint64)
+        chunk = sigs[:, b * rows:(b + 1) * rows]
+        for j in range(rows):
+            acc = (acc ^ chunk[:, j]) * prime
+        for i, key in enumerate(acc.astype(np.int64)):
+            buckets.setdefault(int(key), []).append(i)
+    seen = set()
+    a_out, b_out, est_out = [], [], []
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                if ids[i] == ids[j]:
+                    continue
+                a, bb = sorted((int(ids[i]), int(ids[j])))
+                if (a, bb) in seen:
+                    continue
+                seen.add((a, bb))
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= threshold:
+                    a_out.append(a)
+                    b_out.append(bb)
+                    est_out.append(round(est, 6))
+    return pa.table({
+        "doc_a": pa.array(a_out, pa.int64()),
+        "doc_b": pa.array(b_out, pa.int64()),
+        "est_jaccard": pa.array(est_out, pa.float64()),
+    })
+
+
+def simhash_pairs_expected(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Twin of q_simhash_pairs: signatures via the same simhash64_batch,
+    then an ALL-PAIRS Hamming scan — for max_hamming=3 with 4x16 bands the
+    banded exchange is GUARANTEED (pigeonhole) to equal all-pairs, so this
+    is a genuinely independent check of the blocking."""
+    from ..functions.dedup import simhash64_batch
+
+    docs = _documents_table(sf_dir, ["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hs = simhash64_batch(docs["text"].to_pylist())
+    a_out, b_out, d_out = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] == ids[j]:
+                continue
+            d = bin(hs[i] ^ hs[j]).count("1")
+            if d <= max_hamming:
+                a, bb = sorted((int(ids[i]), int(ids[j])))
+                a_out.append(a)
+                b_out.append(bb)
+                d_out.append(d)
+    return pa.table({
+        "doc_a": pa.array(a_out, pa.int64()),
+        "doc_b": pa.array(b_out, pa.int64()),
+        "hamming": pa.array(d_out, pa.int64()),
+    })
+
+
+def embedding_neardup_lsh_expected(sf_dir: str, threshold: float = 0.4,
+                                   n_planes: int = 16, n_bands: int = 4,
+                                   seed: int = 9) -> pa.Table:
+    """Twin of q_embedding_neardup_lsh: the seeded hyperplane banding
+    replayed with dict buckets, candidates verified with the exact cosine
+    (same normalize + matmul arithmetic)."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    nrm = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / np.where(nrm == 0, 1, nrm)
+    bits_per_band = n_planes // n_bands
+    planes = np.random.default_rng(seed).normal(
+        size=(n_planes, emb.shape[1]))
+    signs = (emb @ planes.T) > 0
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    buckets: Dict[int, List[int]] = {}
+    for b in range(n_bands):
+        chunk = signs[:, b * bits_per_band:(b + 1) * bits_per_band]
+        keys = chunk @ weights + (b << bits_per_band)
+        for i, key in enumerate(keys):
+            buckets.setdefault(int(key), []).append(i)
+    seen = set()
+    a_out, b_out, s_out = [], [], []
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                if ids[i] == ids[j]:
+                    continue
+                a, bb = sorted((int(ids[i]), int(ids[j])))
+                if (a, bb) in seen:
+                    continue
+                seen.add((a, bb))
+                sim = float(emb[i] @ emb[j])
+                if sim >= threshold:
+                    a_out.append(a)
+                    b_out.append(bb)
+                    s_out.append(int(np.rint(sim * 1000)))
+    return pa.table({
+        "vec_a": pa.array(a_out, pa.int64()),
+        "vec_b": pa.array(b_out, pa.int64()),
+        "sim_milli": pa.array(s_out, pa.int64()),
+    })
+
+
+def _media_table_for(sf: float) -> pa.Table:
+    from ..stages.multimodal import synth_media_table
+
+    return synth_media_table(n_assets=max(30, int(3000 * sf)), seed=5)
+
+
+def media_stage_expected(sf: float, kind: str, stage_cls, post=None
+                         ) -> pa.Table:
+    """Twin of the multimodal feature queries: the SAME stage class called
+    once, single-process, on the deterministic synth media table (all
+    outputs are milli-quantized integers — bit-deterministic)."""
+    t = _media_table_for(sf)
+    t = t.filter(pa.compute.equal(t["kind"], kind))
+    out = stage_cls()(t)
+    return post(out) if post else out
+
+
+def image_features_expected(sf: float) -> pa.Table:
+    import hashlib as _hl
+
+    from ..stages.multimodal import ImageFeatureStage
+
+    def scalarize(b: pa.Table) -> pa.Table:
+        fh = [_hl.blake2b(np.asarray(f, dtype=np.float64).tobytes(),
+                          digest_size=8).hexdigest()
+              for f in b["feat"].to_pylist()]
+        return pa.table({
+            "asset_id": b["asset_id"],
+            "width": b["width"],
+            "height": b["height"],
+            "mean_luma_milli": b["mean_luma_milli"],
+            "feat_hash": pa.array(fh, pa.string()),
+        })
+
+    return media_stage_expected(sf, "image", ImageFeatureStage, scalarize)
+
+
+def compression_ratio_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_compression_ratio: the same per-doc zlib pass (stdlib
+    deflate at a fixed level is deterministic)."""
+    from ..functions.textstats import compression_ratio_batch
+
+    return compression_ratio_batch(_documents_table(sf_dir, ["doc_id", "text"]))
+
+
+def event_users_hll_expected(sf_dir: str, p: int = 12) -> pa.Table:
+    """Twin of q_event_users_hll: the same HLL register math
+    (sketches.hll_partial_rows/_estimate) in one single-process pass —
+    registers are max-mergeable so any partitioning yields these exact
+    estimates."""
+    from ..functions.sketches import _estimate, hll_partial_rows
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "user_id"])
+    types = np.array(t["event_type"].to_pylist())
+    users = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    slot, rho = hll_partial_rows(users, p)
+    out_t, out_n = [], []
+    for et in sorted(set(types)):
+        m = types == et
+        regs: Dict[int, int] = {}
+        for s_, r_ in zip(slot[m], rho[m]):
+            s_ = int(s_)
+            if r_ > regs.get(s_, -1):
+                regs[s_] = int(r_)
+        out_t.append(et)
+        out_n.append(_estimate(np.array(list(regs.values()), np.int64), p))
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "approx_distinct": pa.array(out_n, pa.int64()),
+    })
+
+
+def price_quantiles_approx_expected(sf_dir: str, sub_bits: int = 5
+                                    ) -> pa.Table:
+    """Twin of q_price_quantiles_approx: the same integer log-bin sketch
+    (agg.log_bin/log_bin_lower) reduced single-process — cells are
+    sum-mergeable so the selected bins are partition-independent."""
+    from ..functions.agg import log_bin, log_bin_lower
+
+    t = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"),
+                      columns=["l_returnflag", "l_extendedprice"])
+    flags = np.array(t["l_returnflag"].to_pylist())
+    cents = np.rint(
+        t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        .astype(np.float64) * 100).astype(np.int64)
+    bins = log_bin(cents, sub_bits)
+    out = {"l_returnflag": [], "q50": [], "q90": [], "q99": [],
+           "n_vals": []}
+    for fl in sorted(set(flags)):
+        m = flags == fl
+        bv, cnt = np.unique(bins[m], return_counts=True)
+        csum = np.cumsum(cnt)
+        n = int(csum[-1])
+        out["l_returnflag"].append(fl)
+        for q, name in [(0.5, "q50"), (0.9, "q90"), (0.99, "q99")]:
+            tgt = max(1, int(np.ceil(q * float(n))))
+            idx = int(np.searchsorted(csum, tgt, side="left"))
+            out[name].append(int(log_bin_lower(bv[idx:idx + 1],
+                                               sub_bits)[0]))
+        out["n_vals"].append(n)
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+        "q50": pa.array(out["q50"], pa.int64()),
+        "q90": pa.array(out["q90"], pa.int64()),
+        "q99": pa.array(out["q99"], pa.int64()),
+        "n_vals": pa.array(out["n_vals"], pa.int64()),
+    })
+
+
 def kmeans_expected(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     """Twin of q_kmeans: the identical integer fixed-point Lloyd loop in
     one plain numpy pass (functions/clustering.kmeans_int_reference), with

@@ -25,8 +25,11 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: most queries carry an exact SQL twin
-        # (round 4: 165 queries, 150 SQL-gated incl. oracle-dump twins)
-        assert len(sqls) >= 150
+        # (round 4: 165 queries, 163 gated — exact SQL twins + oracle-dump
+        # twins; only knn_ivf (float-GEMM determinism) and
+        # event_heavy_hitters (batch-dependent candidate union by design)
+        # stay rows-only)
+        assert len(sqls) >= 163
         assert len(qs) >= 165
 
     def test_no_ray_init_in_entry_module(self):
