@@ -616,20 +616,355 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
 _JPEG_SIG = b"\xff\xd8"
 
 
+# --- baseline TIFF (pure numpy + stdlib): TIFF 6.0 grayscale/RGB strips ---
+
+def _tiff_decode(b: bytes) -> np.ndarray:
+    """TIFF 6.0 baseline subset: II/MM byte order, first IFD, 8-bit
+    grayscale or RGB, chunky planar config, strip layout, Compression =
+    none (1) or PackBits (32773). Output (H, W, 3) uint8 RGB (grayscale
+    replicated). Unsupported variants raise (in-band error upstream)."""
+    b = bytes(b)
+    if b[:4] == b"II*\x00":
+        end = "little"
+    elif b[:4] == b"MM\x00*":
+        end = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(data: bytes) -> int:
+        return int.from_bytes(data, end)
+
+    ifd_off = u(b[4:8])
+    n_entries = u(b[ifd_off:ifd_off + 2])
+    tags: Dict[int, List[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag = u(b[e:e + 2])
+        typ = u(b[e + 2:e + 4])
+        cnt = u(b[e + 4:e + 8])
+        if typ not in type_size:
+            continue  # RATIONAL etc. — not needed by the baseline subset
+        sz = type_size[typ]
+        total = sz * cnt
+        valb = b[e + 8:e + 12] if total <= 4 else None
+        off = u(b[e + 8:e + 12]) if total > 4 else None
+        raw = valb if valb is not None else b[off:off + total]
+        tags[tag] = [u(raw[j * sz:(j + 1) * sz]) for j in range(cnt)]
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        strip_offs = tags[273]
+        strip_counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    comp = tags.get(259, [1])[0]
+    planar = tags.get(284, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    if any(x != 8 for x in bps) or spp not in (1, 3) or planar != 1:
+        raise ValueError("TIFF decoder supports 8-bit gray/RGB chunky only")
+    if comp not in (1, 32773):
+        raise ValueError(f"TIFF compression {comp} not supported "
+                         "(none/PackBits only)")
+
+    def unpackbits(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            n = data[i]
+            i += 1
+            if n < 128:
+                out += data[i:i + n + 1]
+                i += n + 1
+            elif n > 128:
+                out += data[i:i + 1] * (257 - n)
+                i += 1
+            # n == 128: no-op
+        return bytes(out)
+
+    pix = bytearray()
+    for off, cnt in zip(strip_offs, strip_counts):
+        chunk = b[off:off + cnt]
+        pix += unpackbits(chunk) if comp == 32773 else chunk
+    need = h * w * spp
+    if len(pix) < need:
+        raise ValueError("TIFF strip data truncated")
+    arr = np.frombuffer(bytes(pix[:need]), np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        return np.repeat(arr, 3, axis=2)
+    return arr.copy()
+
+
+def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
+    """Minimal TIFF 6.0 encoder (round-trip counterpart of _tiff_decode):
+    little-endian, one strip, 8-bit gray (2-D input) or RGB, optional
+    PackBits. Test scaffolding."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    raw = img.astype(np.uint8).tobytes()
+    if packbits:
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            # literal runs capped at 128; simple encoder: find repeat runs
+            j = i
+            while j + 1 < len(raw) and raw[j] == raw[j + 1] \
+                    and j - i < 127:
+                j += 1
+            if j > i:  # repeat run of length j-i+1
+                out.append(257 - (j - i + 1))
+                out.append(raw[i])
+                i = j + 1
+            else:
+                k = i
+                while k < len(raw) and k - i < 128 \
+                        and not (k + 1 < len(raw) and raw[k] == raw[k + 1]):
+                    k += 1
+                out.append(k - i - 1)
+                out += raw[i:k]
+                i = k
+        data = bytes(out)
+        comp = 32773
+    else:
+        data = raw
+        comp = 1
+
+    entries = []  # (tag, type, count, value_or_offset_bytes)
+
+    def short(v):
+        return v.to_bytes(2, "little") + b"\x00\x00"
+
+    def long_(v):
+        return v.to_bytes(4, "little")
+
+    # layout: header(8) + entry count(2) + 12*n + next(4) + [bps values] + data
+    n = 9
+    ifd_size = 2 + 12 * n + 4
+    bps_off = 8 + ifd_size
+    extra = 6 if not gray else 0  # 3 SHORTs for RGB BitsPerSample
+    data_off = bps_off + extra
+    entries.append((256, 3, 1, short(w)))
+    entries.append((257, 3, 1, short(h)))
+    if gray:
+        entries.append((258, 3, 1, short(8)))
+    else:
+        entries.append((258, 3, 3, long_(bps_off)))
+    entries.append((259, 3, 1, short(comp)))
+    entries.append((262, 3, 1, short(1 if gray else 2)))
+    entries.append((273, 4, 1, long_(data_off)))
+    entries.append((277, 3, 1, short(spp)))
+    entries.append((278, 3, 1, short(h)))
+    entries.append((279, 4, 1, long_(len(data))))
+    out = bytearray(b"II*\x00" + (8).to_bytes(4, "little"))
+    out += len(entries).to_bytes(2, "little")
+    for tag, typ, cnt, val in sorted(entries):
+        out += tag.to_bytes(2, "little") + typ.to_bytes(2, "little") \
+            + cnt.to_bytes(4, "little") + val
+    out += b"\x00\x00\x00\x00"  # no next IFD
+    if not gray:
+        out += (8).to_bytes(2, "little") * 3
+    out += data
+    return bytes(out)
+
+
+# --- GIF87a/89a (pure python LZW): single frame, no interlace ---
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int
+                    ) -> bytes:
+    """GIF LZW decompression (variable code width, clear/EOI codes)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev: Optional[bytes] = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return bytes(out)
+    return bytes(out)
+
+
+def _gif_decode(b: bytes) -> np.ndarray:
+    """GIF87a/89a decoder: global/local color table, LZW image data, first
+    frame, non-interlaced. Output (H, W, 3) uint8 RGB."""
+    b = bytes(b)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = b[10]
+    gct_size = 2 << (flags & 7) if flags & 0x80 else 0
+    pos = 13
+    gct = np.frombuffer(b[pos:pos + 3 * gct_size], np.uint8) \
+        .reshape(-1, 3) if gct_size else None
+    pos += 3 * gct_size
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[pos + 5:pos + 7], "little")
+            h = int.from_bytes(b[pos + 7:pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            pal = gct
+            if iflags & 0x80:
+                lct_size = 2 << (iflags & 7)
+                pal = np.frombuffer(b[pos:pos + 3 * lct_size], np.uint8) \
+                    .reshape(-1, 3)
+                pos += 3 * lct_size
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                n = b[pos]
+                data += b[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), min_code, w * h), np.uint8)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            return pal[idx[:w * h].astype(np.int64)].reshape(h, w, 3).copy()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image frame")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder (round-trip counterpart of _gif_decode):
+    single non-interlaced frame, global color table built from the image's
+    unique colors (must be <= 256), real LZW compression."""
+    h, w = img.shape[:2]
+    flat = img.astype(np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <= 256 unique colors")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    table_size = 1 << bits
+    pal = np.zeros((table_size, 3), np.uint8)
+    pal[:len(colors)] = colors
+    min_code = max(2, bits)
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    # LZW compress the index stream
+    codes: List[int] = [clear]
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    widths: List[int] = [width]
+    cur = b""
+    for v in inverse.astype(np.uint8).tobytes():
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append(table[cur])
+        widths.append(width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:  # table full: emit clear, reset
+            codes.append(clear)
+            widths.append(width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([v])
+    if cur:
+        codes.append(table[cur])
+        widths.append(width)
+    codes.append(eoi)
+    widths.append(width)
+    acc = 0
+    nbits = 0
+    packed = bytearray()
+    for c, cw in zip(codes, widths):
+        acc |= c << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, size 2^bits
+    out += pal.tobytes()
+    out += b"\x2C" + b"\x00" * 4 + w.to_bytes(2, "little") \
+        + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code])
+    for i in range(0, len(packed), 255):
+        chunk = packed[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 class RealCodec(Codec):
-    """Production codec seam. PNG and baseline JPEG decode FOR REAL (pure
-    numpy + stdlib — _png_decode / _jpeg_decode); mp3/mp4 still need
-    soundfile / pyav, absent in this container — wire them here and nothing
-    else changes."""
+    """Production codec seam. PNG, baseline JPEG, TIFF (8-bit strips,
+    none/PackBits) and GIF decode FOR REAL (pure numpy + stdlib) — the
+    reference's PIL image surface (cli/utils.py:98-117) minus WebP (VP8
+    entropy coding is out of scope for a from-scratch build). mp3/mp4
+    still need soundfile / pyav, absent in this container — wire them here
+    and nothing else changes."""
 
     def decode_image(self, payload, meta):
-        if bytes(payload[:8]) == _PNG_SIG:
+        head = bytes(payload[:8])
+        if head == _PNG_SIG:
             return _png_decode(payload)
-        if bytes(payload[:2]) == _JPEG_SIG:
+        if head[:2] == _JPEG_SIG:
             return _jpeg_decode(payload)
+        if head[:4] in (b"II*\x00", b"MM\x00*"):
+            return _tiff_decode(payload)
+        if head[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_decode(payload)
         raise NotImplementedError(
-            "only PNG/baseline-JPEG decode without external image "
-            "libraries in this build")
+            "only PNG/JPEG-baseline/TIFF/GIF decode without external "
+            "image libraries in this build (WebP needs libwebp)")
 
     def decode_audio(self, payload, meta):
         raise NotImplementedError("audio codec not available in this build")

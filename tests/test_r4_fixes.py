@@ -401,3 +401,67 @@ class TestKmeansInt:
 
         out = kmeans_int(self._ds()[0], k=4, iters=3).take_all()
         assert len({r["cluster"] for r in out}) >= 2
+
+
+class TestTiffGifCodecs:
+    """TIFF (8-bit strips, none/PackBits) and GIF (LZW) decoders with their
+    encoder counterparts — closes the reference's PIL image surface
+    (cli/utils.py:98-117) except WebP."""
+
+    def test_tiff_rgb_roundtrip(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _tiff_decode, encode_tiff)
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(19, 23, 3), dtype=np.uint8)
+        assert np.array_equal(_tiff_decode(encode_tiff(img)), img)
+
+    def test_tiff_gray_packbits_roundtrip(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _tiff_decode, encode_tiff)
+
+        rng = np.random.default_rng(4)
+        g = np.repeat(rng.integers(0, 256, size=(10, 4), dtype=np.uint8),
+                      8, axis=1)
+        out = _tiff_decode(encode_tiff(g, packbits=True))
+        assert np.array_equal(out[:, :, 0], g)
+        assert np.array_equal(out[:, :, 2], g)
+
+    def test_tiff_rejects_unsupported(self):
+        from documentprocessor_ray.stages.multimodal import _tiff_decode
+
+        with pytest.raises(ValueError):
+            _tiff_decode(b"II*\x00garbage")
+
+    def test_gif_roundtrip_small_palette(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode, encode_gif)
+
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 4, size=(9, 7), dtype=np.uint8) * 80
+        rgb = np.stack([base, base // 2, 255 - base], axis=2).astype(np.uint8)
+        assert np.array_equal(_gif_decode(encode_gif(rgb)), rgb)
+
+    def test_gif_roundtrip_width_growth_and_reset(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode, encode_gif)
+
+        rng = np.random.default_rng(6)
+        # 250 distinct colors over 14400 px: grows the LZW table through
+        # every code width and past 4096 (clear-code reset path)
+        g = rng.integers(0, 250, size=(120, 120), dtype=np.uint8)
+        rgb = np.stack([g, g, g], axis=2)
+        assert np.array_equal(_gif_decode(encode_gif(rgb)), rgb)
+
+    def test_autocodec_routes_tiff_and_gif(self):
+        from documentprocessor_ray.stages.multimodal import (
+            AutoCodec, encode_gif, encode_tiff)
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 2, size=(16, 16, 3), dtype=np.uint8) * 200
+        codec = AutoCodec()
+        for payload, fmt in [(encode_tiff(img), "tiff"),
+                             (encode_gif(img), "gif")]:
+            meta = {"format": fmt, "width": 16, "height": 16,
+                    "sample_rate": 0, "n_frames": 0}
+            assert np.array_equal(codec.decode_image(payload, meta), img)
