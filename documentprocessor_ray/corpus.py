@@ -223,11 +223,20 @@ def generate_corpus(
 
 
 class MediaStore:
-    """Pluggable page store: dir of {media_ref}.npz8 (zlib + shape header) or
-    legacy .npy files — the object-store/blob-bucket stand-in."""
+    """Pluggable page store — the object-store/blob-bucket stand-in.
+
+    Pages load from {media_ref}.npz8 (zlib + shape header), legacy .npy,
+    or REAL encoded image files (.png/.jpg/.jpeg/.tif/.tiff/.gif/.bmp) via
+    the in-repo pure-numpy codecs — the S1 surface exactly as the
+    reference's load_image (Ocr/src/cli/utils.py:98-117: decode any of the
+    allow-listed formats to an RGB ndarray). Decode is lazy per page and
+    lives in whatever worker calls load(); decoded pixels never persist."""
+
+    _IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".gif", ".bmp")
 
     def __init__(self, media_dir: str):
         self.media_dir = media_dir
+        self._codec = None  # built lazily (multimodal import is not free)
 
     def load_bytes(self, media_ref: str,
                    ext: str = ".pdf") -> Optional[bytes]:
@@ -250,4 +259,16 @@ class MediaStore:
         path = os.path.join(self.media_dir, media_ref + ".npy")
         if os.path.exists(path):
             return np.load(path, allow_pickle=False)
+        for ext in self._IMAGE_EXTS:
+            path = os.path.join(self.media_dir, media_ref + ext)
+            if os.path.exists(path):
+                if self._codec is None:
+                    from .stages.multimodal import AutoCodec
+
+                    self._codec = AutoCodec()
+                with open(path, "rb") as f:
+                    payload = f.read()
+                # route by in-file signature; meta format is a hint only
+                return self._codec.decode_image(
+                    payload, {"format": ext.lstrip(".")})
         return None

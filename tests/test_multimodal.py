@@ -404,3 +404,42 @@ class TestEdgeAndMotion:
         b = q_video_motion("/root/testdata/sf0.001").to_pandas()
         assert len(a) > 0 and len(b) > 0
         assert a.error.isna().all() and b.error.isna().all()
+
+
+class TestMediaStoreRealImages:
+    """S1 end-to-end: MediaStore.load reads real encoded image files
+    (the reference's load_image surface, Ocr/src/cli/utils.py:98-117),
+    not just the .npz8/.npy store formats."""
+
+    def test_load_encoded_files(self, tmp_path):
+        from documentprocessor_ray.corpus import MediaStore
+        from documentprocessor_ray.stages.multimodal import (
+            encode_bmp, encode_gif, encode_png, encode_tiff)
+
+        img = ((np.arange(8 * 6 * 3, dtype=np.uint32) * 7) % 251).astype(
+            np.uint8).reshape(8, 6, 3)
+        (tmp_path / "a.png").write_bytes(encode_png(img))
+        (tmp_path / "b.bmp").write_bytes(encode_bmp(img))
+        (tmp_path / "c.tif").write_bytes(encode_tiff(img))
+        (tmp_path / "d.gif").write_bytes(encode_gif(img))
+        store = MediaStore(str(tmp_path))
+        for ref in ("a", "b", "c"):
+            out = store.load(ref)
+            assert out is not None and np.array_equal(np.asarray(out), img), ref
+        # GIF is palette-quantized: exact only if the palette fits; here
+        # 8*6=48 unique-ish pixels fit in 256 entries so it is exact too.
+        out = store.load("d")
+        assert out is not None and np.array_equal(np.asarray(out), img)
+        assert store.load("missing") is None
+
+    def test_npz8_takes_priority(self, tmp_path):
+        """Store formats win over encoded files with the same ref."""
+        from documentprocessor_ray.corpus import MediaStore
+        from documentprocessor_ray.stages.multimodal import encode_png
+
+        a = np.full((4, 4, 3), 9, np.uint8)
+        b = np.full((4, 4, 3), 200, np.uint8)
+        np.save(tmp_path / "x.npy", a)
+        (tmp_path / "x.png").write_bytes(encode_png(b))
+        store = MediaStore(str(tmp_path))
+        assert np.array_equal(np.asarray(store.load("x")), a)
