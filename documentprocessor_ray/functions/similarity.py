@@ -294,7 +294,11 @@ class IvfAssigner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = _normalize(_to_matrix(batch["embedding"].combine_chunks()))
-        lists = np.argmax(emb @ self.cent.T, axis=1).astype(np.int64)
+        # round before argmax so the assignment is reproducible across
+        # batch layouts (same 1e-6 quantization the sim outputs use) —
+        # this is what lets the single-process oracle dump replay it
+        lists = np.argmax(np.round(emb @ self.cent.T, 6),
+                          axis=1).astype(np.int64)
         return batch.append_column("list_id", pa.array(lists, pa.int64()))
 
 

@@ -157,15 +157,25 @@ def cms_heavy_hitters(
     width: int = 4096,
     local_k: int = 64,
     num_buckets: Optional[int] = None,
+    candidates: str = "all",
 ) -> "ray.data.Dataset":
     """Approximate global top-``k`` heavy hitters of the int64 ``value``
     column: (value, est_count), est_count >= true count, ordered
     (est_count desc, value asc).
 
-    Candidate generation is the local-top-``local_k``-per-batch union (a
-    true global heavy hitter is a local heavy hitter in at least one batch
-    region); frequencies come from the merged Count-Min sketch, so no exact
-    per-value global count is ever shuffled."""
+    Frequencies come from the merged Count-Min sketch, so no exact
+    per-value global count is ever shuffled. Candidate generation:
+
+    - ``"all"`` (default): every distinct value is a candidate — candidate
+      rows are bare int64s deduplicated per batch then per bucket, so the
+      exchange is ~8 B x distinct values while COUNTS stay sketch-bounded.
+      Partition-independent, hence hash-gateable: the answer is a pure
+      function of the multiset of values.
+    - ``"local_topk"``: the local-top-``local_k``-per-batch union (a true
+      global heavy hitter is a local heavy hitter in at least one batch
+      region) — shuffle bounded by sketch + local_k x batches, for corpora
+      where even the distinct-value set is too wide, at the price of a
+      batch-layout-dependent candidate set (rows-only checkable)."""
     if num_buckets is None:
         num_buckets = auto_buckets(None)
 
@@ -180,7 +190,10 @@ def cms_heavy_hitters(
         cell_u, inv = np.unique(cell, return_inverse=True)
         cell_cnt = np.zeros(len(cell_u), np.int64)
         np.add.at(cell_cnt, inv, np.tile(cnt, depth))
-        top = np.argsort(-cnt, kind="stable")[:local_k]
+        if candidates == "all":
+            top = np.arange(len(uniq))
+        else:
+            top = np.argsort(-cnt, kind="stable")[:local_k]
         n_cells, n_cand = len(cell_u), len(top)
         return pa.table({
             "cell": pa.array(np.r_[cell_u, np.full(n_cand, -1)], pa.int64()),

@@ -2800,14 +2800,21 @@ def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
     """IVF-flat ANN with a materialized list_id-partitioned index: the
     build-once layout is cached per (sf, embeddings fingerprint) under /tmp
     and queries read ONLY the probed partition dirs (the production shape:
-    index once, probe many). Rows-only in the driver; the pruned-read
-    property and exhaustive-probe recall are pytest-gated."""
+    index once, probe many). Hash-gated against a single-process flat
+    replay of the whole path (pipelines/oracle_dump.knn_ivf_expected) —
+    sample, fit, assign, probe, top-k with 1e-6 score quantization; the
+    pruned-read property and exhaustive-probe recall are pytest-gated."""
     import hashlib as _hl
+
+    from . import oracle_dump as OD
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    fp = _hl.md5(f"{os.path.normpath(src)}:{st.st_size}:"
+    # "v2": assignment scores quantized to 1e-6 before argmax (dump parity)
+    fp = _hl.md5(f"v2:{os.path.normpath(src)}:{st.st_size}:"
                  f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    OD.dump("knn_ivf", "v2|" + OD.file_fingerprint(src),
+            lambda: OD.knn_ivf_expected(sf_dir))
     return S.knn_ivf(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                      n_queries=4, k=10,
                      index_dir=os.path.join("/tmp/dpray_ivf", fp))
@@ -3166,12 +3173,18 @@ def q_lang_balanced_sample(sf_dir: str) -> "ray.data.Dataset":
 
 def q_event_heavy_hitters(sf_dir: str) -> "ray.data.Dataset":
     """Approximate top-10 users by event volume via a mergeable Count-Min
-    sketch + local-candidate union — the bounded-shuffle heavy-hitter path
-    (shuffle ∝ sketch cells, merged size depth*width regardless of input).
-    Rows-only in the driver (estimates are sketch-dependent by design); the
-    pytest gate proves the no-undercount and top-k-recall properties."""
+    sketch: COUNTS only ever move as sketch cells (merged size depth*width
+    regardless of input); candidates are the deduplicated distinct ids
+    (candidates="all", partition-independent), so the answer is a pure
+    function of the value multiset and hash-gates against a single-process
+    sketch replay (pipelines/oracle_dump.event_heavy_hitters_expected).
+    The pytest gate separately proves no-undercount and top-k recall."""
     from ..functions.sketches import cms_heavy_hitters
+    from . import oracle_dump as OD
 
+    OD.dump("event_heavy_hitters",
+            OD.file_fingerprint(os.path.join(sf_dir, "events.parquet")),
+            lambda: OD.event_heavy_hitters_expected(sf_dir))
     return cms_heavy_hitters(_read(sf_dir, "events", ["user_id"]),
                              "user_id", k=10)
 
@@ -7001,7 +7014,8 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "audio_features", "audio_spectral", "image_edges",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
-                   "price_quantiles_approx"):
+                   "price_quantiles_approx", "event_heavy_hitters",
+                   "knn_ivf"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
 

@@ -530,3 +530,94 @@ def image_phash_pairs_expected(media_table: pa.Table,
         "doc_b": pa.array(b_out, pa.int64()),
         "hamming": pa.array(d_out, pa.int64()),
     })
+
+
+def event_heavy_hitters_expected(sf_dir: str, k: int = 10, depth: int = 4,
+                                 width: int = 4096) -> pa.Table:
+    """Twin of q_event_heavy_hitters: the full Count-Min sketch built in one
+    plain numpy pass (cells are sum-mergeable, so any partitioning of the
+    distributed build lands on these exact cells), estimates for EVERY
+    distinct user (candidates="all" is partition-independent by
+    construction), top-k by (est desc, value asc)."""
+    from ..functions.sketches import _cms_slots
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id"])
+    v = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, cnt = np.unique(v, return_counts=True)
+    slots = _cms_slots(uniq, depth, width)  # (depth, u)
+    cms = np.zeros(depth * width, np.int64)
+    for d in range(depth):
+        np.add.at(cms, d * width + slots[d], cnt)
+    est = np.min(np.stack([cms[d * width + slots[d]]
+                           for d in range(depth)]), axis=0)
+    order = np.lexsort((uniq, -est))[:k]
+    return pa.table({
+        "user_id": pa.array(uniq[order], pa.int64()),
+        "est_count": pa.array(est[order], pa.int64()),
+    })
+
+
+def knn_ivf_expected(sf_dir: str, n_queries: int = 4, k: int = 10,
+                     n_lists: int = 16, nprobe: int = 4,
+                     sample_size: int = 2048) -> pa.Table:
+    """Twin of q_knn_ivf: the whole IVF path replayed in one plain numpy
+    pass — the multiplicative-hash training sample, the (shared,
+    driver-side in both harnesses) k-means fit, nearest-list assignment of
+    every vector, per-query probe selection, and exact top-k over the
+    probed lists' members. No Ray, no actor pool, no partitioned layout,
+    no pruned read: a hash match proves the materialized index + pruned
+    probe machinery answers exactly what the flat replay answers. All
+    scores are quantized to 1e-6 before any argmax/ordering (the same
+    quantization the distributed side applies), so block-layout GEMM
+    noise cannot flip a comparison."""
+    from ..functions.similarity import _kmeans_fit, _normalize
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(np.array(t["embedding"].to_pylist(),
+                              dtype=np.float64))
+
+    # queries: vec_id < n_queries in vec_id order (similarity._query_matrix)
+    qsel = np.flatnonzero(vids < n_queries)
+    qsel = qsel[np.argsort(vids[qsel])]
+    qids = vids[qsel]
+    qm = mat[qsel]
+
+    # training sample: multiplicative-hash filter, (hash, vec_id) order,
+    # first sample_size (similarity._hash_sample_rows)
+    total = max(1, len(vids))
+    if total <= sample_size:
+        thresh = np.uint64(1) << np.uint64(32)
+    else:
+        frac = min(1.0, sample_size * 1.3 / total)
+        thresh = np.uint64(int((1 << 32) * frac))
+    h = (vids.astype(np.uint64) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    mask = h < thresh
+    msel = np.flatnonzero(mask)
+    order = np.lexsort((vids[msel], h[msel].astype(np.int64)))
+    sample = mat[msel[order][:sample_size]]
+
+    cent = _kmeans_fit(sample, n_lists)
+    assign = np.argmax(np.round(mat @ cent.T, 6), axis=1)
+    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qi in range(len(qids)):
+        qid = int(qids[qi])
+        cmask = np.isin(assign, probe_lists[qi]) & (vids != qid)
+        v = vids[cmask]
+        s = np.round(qm[qi] @ mat[cmask].T, 6)
+        idx = np.lexsort((v, -s))[:k]
+        out_q.extend([qid] * len(idx))
+        out_v.extend(int(x) for x in v[idx])
+        out_r.extend(range(1, len(idx) + 1))
+        out_s.extend(float(x) for x in s[idx])
+    return pa.table({
+        "qid": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "sim": pa.array(out_s, pa.float64()),
+    })

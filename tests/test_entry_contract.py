@@ -24,12 +24,12 @@ class TestEntryContract:
         qs = E.queries()
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
-        # coverage floor: most queries carry an exact SQL twin
-        # (round 4: 165 queries, 163 gated — exact SQL twins + oracle-dump
-        # twins; only knn_ivf (float-GEMM determinism) and
-        # event_heavy_hitters (batch-dependent candidate union by design)
-        # stay rows-only)
-        assert len(sqls) >= 163
+        # coverage floor: every query carries a rows+schema+hash twin
+        # (round 4: 165 queries, 165 gated — exact SQL twins + oracle-dump
+        # twins; knn_ivf and event_heavy_hitters gained dump twins once
+        # their answers were made partition-independent)
+        assert len(sqls) >= 165
+        assert len(sqls) == len(qs)
         assert len(qs) >= 165
 
     def test_no_ray_init_in_entry_module(self):

@@ -779,10 +779,22 @@ class TestCmsHeavyHitters:
     def test_merge_invariance(self, ray_session):
         from documentprocessor_ray.functions.sketches import cms_heavy_hitters
         _, ds = self._zipf_ds(seed=9)
+        # default candidates="all": the whole answer is a pure function of
+        # the value multiset — bit-identical under any partitioning
         a = cms_heavy_hitters(ds.repartition(3), "v", k=8).to_pandas()
         b = cms_heavy_hitters(ds.repartition(17), "v", k=8).to_pandas()
-        # sketch cells are sum-merged exactly, so estimates are layout-
-        # independent; candidate sets can differ, but the heavy head agrees
+        assert a["v"].tolist() == b["v"].tolist()
+        assert a["est_count"].tolist() == b["est_count"].tolist()
+
+    def test_local_topk_mode_head_agrees(self, ray_session):
+        from documentprocessor_ray.functions.sketches import cms_heavy_hitters
+        _, ds = self._zipf_ds(seed=9)
+        # local_topk candidates are batch-layout-dependent by design, but
+        # sketch cells are sum-merged exactly so the heavy head agrees
+        a = cms_heavy_hitters(ds.repartition(3), "v", k=8,
+                              candidates="local_topk").to_pandas()
+        b = cms_heavy_hitters(ds.repartition(17), "v", k=8,
+                              candidates="local_topk").to_pandas()
         assert a["v"].tolist()[:3] == b["v"].tolist()[:3]
         assert a["est_count"].tolist()[:3] == b["est_count"].tolist()[:3]
 
