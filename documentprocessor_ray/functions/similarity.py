@@ -123,8 +123,9 @@ def knn_int8(ds: "ray.data.Dataset", n_queries: int = 8,
     def block_absmax(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:  # empty block: identity for the max reduce
             return pa.table({"m": pa.array([0.0], pa.float64())})
-        m = np.abs(np.array(batch["embedding"].to_pylist(),
-                            dtype=np.float32)).max()
+        m = np.abs(pc.list_flatten(
+            batch["embedding"].combine_chunks()).to_numpy(
+                zero_copy_only=False).astype(np.float32)).max()
         return pa.table({"m": pa.array([float(m)], pa.float64())})
 
     # all-zero corpus: quantize with divisor 1.0 (everything maps to 0)
@@ -200,8 +201,9 @@ def bitext_mine(ds: "ray.data.Dataset", src_label: int = 0,
     def block_absmax(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"m": pa.array([0.0], pa.float64())})
-        m = np.abs(np.array(batch["embedding"].to_pylist(),
-                            dtype=np.float32)).max()
+        m = np.abs(pc.list_flatten(
+            batch["embedding"].combine_chunks()).to_numpy(
+                zero_copy_only=False).astype(np.float32)).max()
         return pa.table({"m": pa.array([float(m)], pa.float64())})
 
     maxabs = ds.map_batches(block_absmax, batch_format="pyarrow").max("m")
