@@ -48,13 +48,11 @@ def kmeans_seeds(rows: List[dict], k: int, scale: int) -> np.ndarray:
     return _quantize_rows(emb, scale)
 
 
-def kmeans_int(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
-               scale: int = 1 << 20, sample_size: int = 2048
-               ) -> "ray.data.Dataset":
-    """Lloyd iterations with integer-exact arithmetic; returns the final
-    assignment table (vec_id, cluster: int64), deterministic at any
-    parallelism. See module docstring for the exchange shape."""
-    from .similarity import _hash_sample_rows, _to_matrix
+def _quantize_ds(ds: "ray.data.Dataset", scale: int) -> "ray.data.Dataset":
+    """Materialized (vec_id, qx) projection — quantization is row-local so
+    this is parallelism-safe; at cluster scale write it as a parquet/Lance
+    projection instead of materializing in the object store."""
+    from .similarity import _to_matrix
 
     def quant(batch: pa.Table) -> pa.Table:
         emb = _to_matrix(batch["embedding"])
@@ -64,11 +62,41 @@ def kmeans_int(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
             "qx": pa.array(list(qx), pa.list_(pa.int64())),
         })
 
-    qds = ds.map_batches(quant, batch_format="pyarrow").materialize()
+    return ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+
+def kmeans_int(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
+               scale: int = 1 << 20, sample_size: int = 2048
+               ) -> "ray.data.Dataset":
+    """Lloyd iterations with integer-exact arithmetic; returns the final
+    assignment table (vec_id, cluster: int64), deterministic at any
+    parallelism. See module docstring for the exchange shape."""
+    from .similarity import _hash_sample_rows
+
+    qds = _quantize_ds(ds, scale)
 
     seeds = _hash_sample_rows(ds, max(k, min(sample_size, 4 * k)))
     cent = kmeans_seeds(seeds, k, scale)
+    cent = _lloyd(qds, cent, iters)
 
+    ref = ray.put(cent)
+
+    def finalize(batch: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+        assign = np.argmax(qx @ c.T, axis=1) if len(qx) else \
+            np.array([], np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(assign.astype(np.int64), pa.int64())})
+
+    return qds.map_batches(finalize, batch_format="pyarrow")
+
+
+def _lloyd(qds: "ray.data.Dataset", cent: np.ndarray,
+           iters: int) -> np.ndarray:
+    """The broadcast-centroids / combiner-partials Lloyd loop over a
+    quantized projection. Returns the final centroid matrix."""
     for _ in range(iters):
         ref = ray.put(cent)
 
@@ -102,19 +130,7 @@ def kmeans_int(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
         nz = tot_count > 0
         new_cent[nz] = tot_sum[nz] // tot_count[nz, None]
         cent = new_cent
-
-    ref = ray.put(cent)
-
-    def finalize(batch: pa.Table, _ref=ref) -> pa.Table:
-        c = ray.get(_ref)
-        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
-        assign = np.argmax(qx @ c.T, axis=1) if len(qx) else \
-            np.array([], np.int64)
-        return pa.table({
-            "vec_id": batch["vec_id"],
-            "cluster": pa.array(assign.astype(np.int64), pa.int64())})
-
-    return qds.map_batches(finalize, batch_format="pyarrow")
+    return cent
 
 
 def kmeans_int_reference(vec_ids: List[int], embs: List[List[float]],
@@ -138,3 +154,113 @@ def kmeans_int_reference(vec_ids: List[int], embs: List[List[float]],
     assign = np.argmax(qx @ cent.T, axis=1)
     return list(zip([int(v) for v in vec_ids],
                     [int(a) for a in assign]))
+
+
+def _greedy_keep(vids: np.ndarray, qx: np.ndarray,
+                 tau_scaled: int) -> np.ndarray:
+    """SemDeDup's within-cluster keep rule, made deterministic: visit the
+    cluster's rows in ascending vec_id and keep a row iff its exact integer
+    dot product with every already-kept row is below ``tau_scaled``
+    (cos >= tau  <=>  <qi,qj> >= tau*scale^2 on the unit-quantized rows).
+    Greedy maximal-independent-set in a fixed total order — the same answer
+    at any parallelism because the whole cluster is in one map_groups call.
+    Returns keep flags aligned with the input order."""
+    order = np.argsort(vids, kind="stable")
+    keep = np.zeros(len(vids), dtype=bool)
+    kept: List[int] = []
+    for i in order:
+        row = qx[i]
+        dup = False
+        if kept:
+            # exact int64 dots against kept rows only (usually few)
+            dup = bool(np.any(qx[kept] @ row >= tau_scaled))
+        if not dup:
+            keep[i] = True
+            kept.append(i)
+    return keep
+
+
+def semdedup_int(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
+                 tau_micro: int = 400_000, scale: int = 1 << 20,
+                 sample_size: int = 2048) -> "ray.data.Dataset":
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding column, then drop
+    within-cluster semantic duplicates — rows whose cosine similarity to an
+    already-kept row of the same cluster is >= tau. Returns
+    (vec_id, cluster, keep) with keep in {0,1}; a training-data pipeline
+    filters on keep=1.
+
+    Plan: the Lloyd loop is the shared broadcast-centroid/combiner shape
+    (_lloyd); the keep pass is ONE groupby(cluster).map_groups over the
+    quantized projection — each cluster's pairwise check is local to its
+    group task (the paper's within-cluster O(c^2) scan). Scale note: k must
+    grow with corpus size so E[c]=n/k stays bounded (SemDeDup uses k≈10^5
+    at web scale); skewed clusters are the operator's inherent hot-key risk
+    and would be salted by splitting on a secondary LSH bit at 100 TB.
+
+    Determinism: same integer discipline as kmeans_int — quantize once,
+    int64 dots, first-max assignment, ascending-vec_id greedy keep — so the
+    single-process oracle dump (semdedup_reference) matches bit-for-bit.
+    """
+    from .similarity import _hash_sample_rows
+
+    tau_scaled = (int(tau_micro) * scale * scale) // 1_000_000
+
+    qds = _quantize_ds(ds, scale)
+    seeds = _hash_sample_rows(ds, max(k, min(sample_size, 4 * k)))
+    cent = _lloyd(qds, kmeans_seeds(seeds, k, scale), iters)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+        a = np.argmax(qx @ c.T, axis=1) if len(qx) else np.array([], np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "qx": batch["qx"]})
+
+    def cluster_keep(g: pa.Table) -> pa.Table:
+        vids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qx = np.array(g["qx"].to_pylist(), dtype=np.int64)
+        keep = _greedy_keep(vids, qx, tau_scaled)
+        return pa.table({
+            "vec_id": pa.array(vids, pa.int64()),
+            "cluster": g["cluster"],
+            "keep": pa.array(keep.astype(np.int64), pa.int64())})
+
+    return qds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(cluster_keep, batch_format="pyarrow")
+
+
+def semdedup_reference(vec_ids: List[int], embs: List[List[float]],
+                       seed_rows: List[dict], k: int = 8, iters: int = 5,
+                       tau_micro: int = 400_000, scale: int = 1 << 20
+                       ) -> List[Tuple[int, int, int]]:
+    """Single-process twin of semdedup_int: plain numpy Lloyd + a dict of
+    per-cluster row lists + the same ascending-vec_id greedy keep. The
+    oracle-dump side."""
+    tau_scaled = (int(tau_micro) * scale * scale) // 1_000_000
+    emb = np.array(embs, dtype=np.float64)
+    qx = _quantize_rows(emb, scale)
+    cent = kmeans_seeds(seed_rows, k, scale)
+    for _ in range(iters):
+        a = np.argmax(qx @ cent.T, axis=1)
+        counts = np.bincount(a, minlength=len(cent))
+        sums = np.zeros((len(cent), qx.shape[1]), np.int64)
+        np.add.at(sums, a, qx)
+        new_cent = cent.copy()
+        nz = counts > 0
+        new_cent[nz] = sums[nz] // counts[nz, None]
+        cent = new_cent
+    assign = np.argmax(qx @ cent.T, axis=1)
+    vids = np.asarray([int(v) for v in vec_ids], dtype=np.int64)
+    out: List[Tuple[int, int, int]] = []
+    for ci in range(len(cent)):
+        idx = np.flatnonzero(assign == ci)
+        if len(idx) == 0:
+            continue
+        keep = _greedy_keep(vids[idx], qx[idx], tau_scaled)
+        out.extend((int(vids[i]), ci, int(kf))
+                   for i, kf in zip(idx, keep))
+    return out

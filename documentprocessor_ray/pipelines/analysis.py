@@ -2901,6 +2901,25 @@ def q_kmeans(sf_dir: str) -> "ray.data.Dataset":
         k=8, iters=5)
 
 
+def q_semdedup(sf_dir: str) -> "ray.data.Dataset":
+    """Semantic dedup (SemDeDup, arXiv:2303.09540): cluster the embedding
+    column with the integer-exact k-means, then one
+    groupby(cluster).map_groups pass drops within-cluster rows whose cosine
+    to an already-kept row is >= 0.4 (ascending-vec_id greedy keep). The
+    iterative + greedy shape is not SQL, so the driver twin is an oracle
+    DUMP of the identical single-process replay
+    (functions/clustering.semdedup_reference)."""
+    from ..functions.clustering import semdedup_int
+    from . import oracle_dump as OD
+
+    OD.dump("semdedup",
+            OD.file_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+            lambda: OD.semdedup_expected(sf_dir))
+    return semdedup_int(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8, iters=5, tau_micro=400_000)
+
+
 def q_quality_classifier(sf_dir: str) -> "ray.data.Dataset":
     """Model-based quality filtering (the fastText-classifier gate of
     CCNet/RefinedWeb-style pipelines) as a deterministic integer linear
@@ -7008,7 +7027,7 @@ ORACLE_SQL["span_merge"] = r"""
 from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
-                   "image_phash_pairs", "kmeans_clusters",
+                   "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
                    "audio_features", "audio_spectral", "image_edges",
@@ -7035,6 +7054,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "quality_classifier": q_quality_classifier,
     "span_merge": q_span_merge,
     "kmeans_clusters": q_kmeans,
+    "semdedup": q_semdedup,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

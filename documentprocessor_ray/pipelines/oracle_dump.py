@@ -475,6 +475,17 @@ def kmeans_expected(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     distributed sampler uses."""
     from ..functions.clustering import kmeans_int_reference
 
+    vids, embs, seed_rows = _embedding_seed_rows(sf_dir, k)
+    pairs = kmeans_int_reference(vids, embs, seed_rows, k=k, iters=iters)
+    return pa.table({
+        "vec_id": pa.array([p[0] for p in pairs], pa.int64()),
+        "cluster": pa.array([p[1] for p in pairs], pa.int64()),
+    })
+
+
+def _embedding_seed_rows(sf_dir: str, k: int):
+    """Replay the distributed hash-sampler's seed draw (similarity.
+    _hash_sample_rows ordering contract) over the embeddings table."""
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     vids = t["vec_id"].to_pylist()
@@ -488,11 +499,23 @@ def kmeans_expected(sf_dir: str, k: int = 8, iters: int = 5) -> pa.Table:
     hs = [((v * 2654435761) & 0xFFFFFFFF) for v in vids]
     cand = sorted(((h, v, e) for h, v, e in zip(hs, vids, embs)
                    if h < thresh))[:n_seed]
-    seed_rows = [{"embedding": e} for _, _, e in cand]
-    pairs = kmeans_int_reference(vids, embs, seed_rows, k=k, iters=iters)
+    return vids, embs, [{"embedding": e} for _, _, e in cand]
+
+
+def semdedup_expected(sf_dir: str, k: int = 8, iters: int = 5,
+                      tau_micro: int = 400_000) -> pa.Table:
+    """Twin of q_semdedup: the identical Lloyd + ascending-vec_id greedy
+    keep replayed in one plain numpy pass
+    (functions/clustering.semdedup_reference)."""
+    from ..functions.clustering import semdedup_reference
+
+    vids, embs, seed_rows = _embedding_seed_rows(sf_dir, k)
+    rows = semdedup_reference(vids, embs, seed_rows, k=k, iters=iters,
+                              tau_micro=tau_micro)
     return pa.table({
-        "vec_id": pa.array([p[0] for p in pairs], pa.int64()),
-        "cluster": pa.array([p[1] for p in pairs], pa.int64()),
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "cluster": pa.array([r[1] for r in rows], pa.int64()),
+        "keep": pa.array([r[2] for r in rows], pa.int64()),
     })
 
 

@@ -25,12 +25,12 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: every query carries a rows+schema+hash twin
-        # (round 4: 165 queries, 165 gated — exact SQL twins + oracle-dump
-        # twins; knn_ivf and event_heavy_hitters gained dump twins once
-        # their answers were made partition-independent)
-        assert len(sqls) >= 165
+        # (round 4: 166 queries, 166 gated — exact SQL twins + oracle-dump
+        # twins; semdedup joined the dump-twin family alongside
+        # kmeans_clusters/knn_ivf/event_heavy_hitters)
+        assert len(sqls) >= 166
         assert len(sqls) == len(qs)
-        assert len(qs) >= 165
+        assert len(qs) >= 166
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

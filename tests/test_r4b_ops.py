@@ -1,0 +1,127 @@
+"""Round-4 second-batch operators: semantic dedup (SemDeDup) and the
+bigram-LM surprisal scorer."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _emb_ds(m: np.ndarray, blocks=None):
+    t = pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t)
+    if blocks:
+        ds = ds.repartition(blocks)
+    return ds
+
+
+def _seed_rows(m: np.ndarray, n_seed: int):
+    vids = list(range(len(m)))
+    hs = [((v * 2654435761) & 0xFFFFFFFF) for v in vids]
+    order = sorted(zip(hs, vids))
+    return [{"embedding": list(map(float, m[v]))}
+            for _, v in order[:n_seed]]
+
+
+class TestSemDedup:
+    def _m(self, n=60, d=6, dup_from=40):
+        """Random rows; rows >= dup_from are exact copies of earlier rows
+        (guaranteed cosine 1.0 semantic dups in the same cluster)."""
+        rng = np.random.default_rng(29)
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        for i in range(dup_from, n):
+            m[i] = m[i - dup_from]
+        return m
+
+    def test_matches_single_process_reference(self, ray_session):
+        from documentprocessor_ray.functions.clustering import (
+            semdedup_int, semdedup_reference)
+
+        m = self._m()
+        got = sorted((r["vec_id"], r["cluster"], r["keep"]) for r in
+                     semdedup_int(_emb_ds(m), k=4, iters=3).take_all())
+        exp = sorted(semdedup_reference(
+            list(range(len(m))), [list(map(float, r)) for r in m],
+            _seed_rows(m, 16), k=4, iters=3))
+        assert got == exp
+
+    def test_parallelism_invariant(self, ray_session):
+        from documentprocessor_ray.functions.clustering import semdedup_int
+
+        m = self._m()
+        a = sorted((r["vec_id"], r["cluster"], r["keep"]) for r in
+                   semdedup_int(_emb_ds(m, blocks=1), k=4, iters=3)
+                   .take_all())
+        b = sorted((r["vec_id"], r["cluster"], r["keep"]) for r in
+                   semdedup_int(_emb_ds(m, blocks=7), k=4, iters=3)
+                   .take_all())
+        assert a == b
+
+    def test_exact_duplicates_dropped_keep_lowest_id(self, ray_session):
+        from documentprocessor_ray.functions.clustering import semdedup_int
+
+        m = self._m()
+        out = {r["vec_id"]: r for r in
+               semdedup_int(_emb_ds(m), k=4, iters=3).take_all()}
+        assert len(out) == len(m)
+        for i in range(40, len(m)):
+            twin = i - 40
+            # identical vectors land in the same cluster; the copy can
+            # never survive — its twin is either kept (a cos=1 witness) or
+            # was itself dropped by a witness that also covers the copy
+            assert out[i]["cluster"] == out[twin]["cluster"]
+            assert out[i]["keep"] == 0
+
+    def test_kept_set_is_tau_separated_and_dropped_have_witness(
+            self, ray_session):
+        from documentprocessor_ray.functions.clustering import (
+            _quantize_rows, semdedup_int)
+
+        m = self._m()
+        scale = 1 << 20
+        tau_scaled = (400_000 * scale * scale) // 1_000_000
+        qx = _quantize_rows(m.astype(np.float64), scale)
+        out = semdedup_int(_emb_ds(m), k=4, iters=3).take_all()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        for rows in by_cluster.values():
+            kept = sorted(r["vec_id"] for r in rows if r["keep"] == 1)
+            for i, a in enumerate(kept):
+                for b in kept[i + 1:]:
+                    assert int(qx[a] @ qx[b]) < tau_scaled
+            for r in rows:
+                if r["keep"] == 0:
+                    v = r["vec_id"]
+                    assert any(int(qx[v] @ qx[w]) >= tau_scaled
+                               for w in kept if w < v)
+
+    def test_query_matches_dump_twin(self, ray_session, tmp_path):
+        """q_semdedup vs oracle_dump.semdedup_expected over a corpus-shaped
+        embeddings.parquet — the driver-gate contract."""
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.pipelines import oracle_dump as OD
+        from documentprocessor_ray.pipelines.analysis import q_semdedup
+
+        m = self._m(n=90, d=8, dup_from=60)
+        t = pa.table({
+            "vec_id": pa.array(range(len(m)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+        })
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        got = sorted((r["vec_id"], r["cluster"], r["keep"]) for r in
+                     q_semdedup(str(tmp_path)).take_all())
+        exp_t = OD.semdedup_expected(str(tmp_path))
+        exp = sorted(zip(exp_t["vec_id"].to_pylist(),
+                         exp_t["cluster"].to_pylist(),
+                         exp_t["keep"].to_pylist()))
+        assert got == exp
+        n_dropped = sum(1 for _, _, kf in got if kf == 0)
+        assert n_dropped >= 1  # the seeded dups actually dedup
