@@ -633,6 +633,160 @@ def bigram_rarity(ds: "ray.data.Dataset", rare_max: int = 2,
                               ["n_bigrams", "sum_freq", "n_rare"])
 
 
+_LM_V = 1 << 20  # smoothing vocab size (hashed-bucket LM, CCNet shape)
+
+
+def _ilog_micro(v: np.ndarray) -> np.ndarray:
+    """round(1e6 * ln(v)) as int64 — the quantize-ONCE step (same
+    discipline as clustering._quantize_rows): float log happens exactly
+    once per exact-integer count, then everything downstream is int64
+    sums, so the single-process twin matches bit-for-bit."""
+    return np.round(1e6 * np.log(v.astype(np.float64))).astype(np.int64)
+
+
+def bigram_surprisal(ds: "ray.data.Dataset",
+                     num_buckets=None) -> "ray.data.Dataset":
+    """Bigram-LM surprisal per document — the CCNet-style perplexity
+    filter (Wenzek et al. 2020) with an add-one-smoothed hashed-vocab LM
+    fit on the corpus itself: per bigram occurrence (x, y),
+    surprisal = ln(c_x + V) - ln(c_xy + 1), reported per doc as exact
+    int64 micro-nat totals plus the floor-div mean. High mean = text the
+    corpus LM finds improbable (noise/rare); low = boilerplate.
+
+    Scale shape: the two log terms decompose into independent
+    hash-keyed lookups, so ONE bucketed exchange carries
+    (doc_id, h, cnt, kind) cells — kind 0 = context unigram x (every
+    token that has a successor in its doc), kind 1 = bigram (x, y). A
+    bucket holds EVERY occurrence cell of its hashes, so one sorted
+    segment-sum yields the corpus counts AND the per-doc partial log-sums
+    in the same pass; the LM table is never materialized, joined, or
+    broadcast (same plan as bigram_rarity). Per-doc partials then merge
+    with a bucketed sum. Token identity is the 64-bit FNV/rolling hash
+    (collision odds ~2^-64/pair).
+    """
+    from ..sharding import auto_buckets, bucket_of_ints
+    from .agg import bucketed_group_sum
+
+    nb = num_buckets or auto_buckets(None)  # driver-resolved once
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split, _ = _tokens_list(
+            pc.utf8_lower(batch["text"].combine_chunks()))
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        th = _token_hashes(np.asarray(flat, dtype=object))
+        if len(th) >= 2:
+            doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            valid = doc_of[:-1] == doc_of[1:]  # in-doc (x, successor) pairs
+            bh = shingle_hashes(th, 2)[valid].view(np.int64)
+            ch = th[:-1][valid].view(np.int64)
+            dids = ids[doc_of[:-1][valid]]
+            hs = np.concatenate([ch, bh])
+            dd = np.concatenate([dids, dids])
+            kind = np.repeat(np.array([0, 1], np.int64), len(dids))
+        else:
+            hs = np.empty(0, np.int64)
+            dd = np.empty(0, np.int64)
+            kind = np.empty(0, np.int64)
+        t = pa.table({"doc_id": pa.array(dd, pa.int64()),
+                      "h": pa.array(hs, pa.int64()),
+                      "kind": pa.array(kind, pa.int64())}) \
+            .group_by(["doc_id", "h", "kind"]).aggregate([([], "count_all")])
+        h64 = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "h": t["h"], "kind": t["kind"],
+            "cnt": pc.cast(t["count_all"], pa.int64()),
+            "pkey": pa.array(bucket_of_ints(h64, nb), pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.select(["doc_id", "h", "kind", "cnt"]) \
+            .group_by(["doc_id", "h", "kind"]).aggregate([("cnt", "sum")])
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(h) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_bigrams": z,
+                             "ctx_micro": z, "big_micro": z})
+        order = np.lexsort((h, kind))
+        did, h, kind, cnt = did[order], h[order], kind[order], cnt[order]
+        new_g = np.empty(len(h), dtype=bool)
+        new_g[0] = True
+        new_g[1:] = (h[1:] != h[:-1]) | (kind[1:] != kind[:-1])
+        starts = np.flatnonzero(new_g)
+        freq = np.add.reduceat(cnt, starts)      # corpus count per (kind,h)
+        f_row = freq[np.cumsum(new_g) - 1]
+        is_big = kind == 1
+        ctx = np.where(is_big, 0, cnt * _ilog_micro(f_row + _LM_V))
+        big = np.where(is_big, cnt * _ilog_micro(f_row + 1), 0)
+        part = pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_bigrams": pa.array(np.where(is_big, cnt, 0), pa.int64()),
+            "ctx_micro": pa.array(ctx, pa.int64()),
+            "big_micro": pa.array(big, pa.int64()),
+        }).group_by("doc_id").aggregate(
+            [("n_bigrams", "sum"), ("ctx_micro", "sum"),
+             ("big_micro", "sum")])
+        return pa.table({
+            "doc_id": part["doc_id"],
+            "n_bigrams": pc.cast(part["n_bigrams_sum"], pa.int64()),
+            "ctx_micro": pc.cast(part["ctx_micro_sum"], pa.int64()),
+            "big_micro": pc.cast(part["big_micro_sum"], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n_bigrams"].to_numpy(zero_copy_only=False)
+        s = b["ctx_micro"].to_numpy(zero_copy_only=False) - \
+            b["big_micro"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_bigrams": b["n_bigrams"],
+            "surprisal_micro": pa.array(s, pa.int64()),
+            "mean_surprisal_micro": pa.array(s // n, pa.int64())})
+
+    partials = ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
+    return bucketed_group_sum(
+        partials, "doc_id", ["n_bigrams", "ctx_micro", "big_micro"]) \
+        .map_batches(final, batch_format="pyarrow")
+
+
+def bigram_surprisal_reference(doc_ids: List[int],
+                               texts: List[str]) -> List[tuple]:
+    """Single-process twin of bigram_surprisal: plain re-based
+    tokenization, dict counts, one scoring loop — no Ray, no bucketed
+    exchange. The oracle-dump side."""
+    import re
+
+    ctx_count: dict = {}
+    big_count: dict = {}
+    per_doc = []
+    for did, text in zip(doc_ids, texts):
+        toks = re.split(r"\s+", re.sub(r"^\s+|\s+$", "", text.lower()))
+        th = _token_hashes(np.asarray(toks, dtype=object))
+        if len(th) < 2:
+            per_doc.append((did, None, None))
+            continue
+        bh = shingle_hashes(th, 2)
+        ch = th[:-1]
+        for v in ch.view(np.int64):
+            ctx_count[int(v)] = ctx_count.get(int(v), 0) + 1
+        for v in bh.view(np.int64):
+            big_count[int(v)] = big_count.get(int(v), 0) + 1
+        per_doc.append((did, ch.view(np.int64), bh.view(np.int64)))
+    out = []
+    for did, ch, bh in per_doc:
+        if ch is None:
+            continue
+        cv = np.array([ctx_count[int(c)] for c in ch], np.int64)
+        bv = np.array([big_count[int(b)] for b in bh], np.int64)
+        s = int(_ilog_micro(cv + _LM_V).sum() - _ilog_micro(bv + 1).sum())
+        out.append((int(did), len(ch), s, s // len(ch)))
+    return out
+
+
 def chunk_text_batch(batch: pa.Table, chunk_tokens: int = 64,
                      stride: int = 48) -> pa.Table:
     """Sliding token-window chunking (the RAG / context-window prep step):

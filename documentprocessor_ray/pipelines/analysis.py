@@ -384,6 +384,23 @@ def q_bigram_rarity(sf_dir: str) -> "ray.data.Dataset":
         _read(sf_dir, "documents", ["doc_id", "text"]), rare_max=2)
 
 
+def q_bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style perplexity filter (Wenzek et al. 2020): per-doc
+    surprisal under an add-one-smoothed bigram LM fit on the corpus
+    itself — exact int64 micro-nat totals via quantize-once logs, one
+    bucketed hash exchange, LM table never broadcast
+    (textstats.bigram_surprisal). The corpus-global count dependence is
+    not cleanly SQL (ln + half-even rounding), so the driver twin is an
+    oracle DUMP of the plain-dict single-process replay."""
+    from . import oracle_dump as OD
+
+    OD.dump("bigram_surprisal",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.bigram_surprisal_expected(sf_dir))
+    return T.bigram_surprisal(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -7028,6 +7045,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
+                   "bigram_surprisal",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
                    "audio_features", "audio_spectral", "image_edges",
@@ -7055,6 +7073,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "span_merge": q_span_merge,
     "kmeans_clusters": q_kmeans,
     "semdedup": q_semdedup,
+    "bigram_surprisal": q_bigram_surprisal,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

@@ -519,6 +519,24 @@ def semdedup_expected(sf_dir: str, k: int = 8, iters: int = 5,
     })
 
 
+def bigram_surprisal_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_bigram_surprisal: plain-dict bigram/context counts + the
+    same quantized-log scoring in one loop
+    (functions/textstats.bigram_surprisal_reference)."""
+    from ..functions.textstats import bigram_surprisal_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = bigram_surprisal_reference(t["doc_id"].to_pylist(),
+                                      t["text"].to_pylist())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_bigrams": pa.array([r[1] for r in rows], pa.int64()),
+        "surprisal_micro": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_surprisal_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def image_phash_pairs_expected(media_table: pa.Table,
                                max_hamming: int = 3) -> pa.Table:
     """Twin of q_image_phash_pairs: aHash per image via a plain loop over

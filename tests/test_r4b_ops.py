@@ -125,3 +125,104 @@ class TestSemDedup:
         assert got == exp
         n_dropped = sum(1 for _, _, kf in got if kf == 0)
         assert n_dropped >= 1  # the seeded dups actually dedup
+
+
+class TestBigramSurprisal:
+    def _docs(self, blocks=None):
+        texts = [
+            "the cat sat on the mat",
+            "the cat sat on the hat",
+            "a completely different sentence entirely here",
+            "the the the the",
+            "single",
+            "",
+            "  spaced   out   tokens  ",
+        ] * 4
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        ds = ray.data.from_arrow(t)
+        if blocks:
+            ds = ds.repartition(blocks)
+        return ds, texts
+
+    def test_matches_single_process_reference(self, ray_session):
+        from documentprocessor_ray.functions.textstats import (
+            bigram_surprisal, bigram_surprisal_reference)
+
+        ds, texts = self._docs()
+        got = sorted(
+            (r["doc_id"], r["n_bigrams"], r["surprisal_micro"],
+             r["mean_surprisal_micro"])
+            for r in bigram_surprisal(ds).take_all())
+        exp = sorted(bigram_surprisal_reference(
+            list(range(len(texts))), texts))
+        assert got == exp
+
+    def test_parallelism_invariant(self, ray_session):
+        from documentprocessor_ray.functions.textstats import (
+            bigram_surprisal)
+
+        a = sorted(tuple(sorted(r.items())) for r in
+                   bigram_surprisal(self._docs(blocks=1)[0]).take_all())
+        b = sorted(tuple(sorted(r.items())) for r in
+                   bigram_surprisal(self._docs(blocks=9)[0]).take_all())
+        assert a == b
+
+    def test_hand_computed_tiny_corpus(self, ray_session):
+        from documentprocessor_ray.functions.textstats import (
+            _LM_V, bigram_surprisal)
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b", "a b", "a c"], pa.string()),
+        })
+        out = {r["doc_id"]: r for r in
+               bigram_surprisal(ray.data.from_arrow(t)).take_all()}
+
+        def ilog(v):
+            return int(np.round(1e6 * np.log(float(v))))
+
+        # context 'a' occurs 3x; bigram (a,b) 2x, (a,c) 1x
+        s_ab = ilog(3 + _LM_V) - ilog(2 + 1)
+        s_ac = ilog(3 + _LM_V) - ilog(1 + 1)
+        assert out[0]["n_bigrams"] == 1
+        assert out[0]["surprisal_micro"] == s_ab
+        assert out[1]["surprisal_micro"] == s_ab
+        assert out[2]["surprisal_micro"] == s_ac
+        assert out[2]["mean_surprisal_micro"] == s_ac
+        # the rarer bigram is more surprising
+        assert s_ac > s_ab
+
+    def test_short_docs_absent(self, ray_session):
+        from documentprocessor_ray.functions.textstats import (
+            bigram_surprisal)
+
+        ds, texts = self._docs()
+        ids = {r["doc_id"] for r in bigram_surprisal(ds).take_all()}
+        for i, txt in enumerate(texts):
+            has_bigram = len(txt.split()) >= 2
+            assert ((i in ids) == has_bigram), (i, txt)
+
+    def test_query_matches_dump_twin(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.pipelines import oracle_dump as OD
+        from documentprocessor_ray.pipelines.analysis import (
+            q_bigram_surprisal)
+
+        _, texts = self._docs()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), tmp_path / "documents.parquet")
+        got = sorted(
+            (r["doc_id"], r["n_bigrams"], r["surprisal_micro"],
+             r["mean_surprisal_micro"])
+            for r in q_bigram_surprisal(str(tmp_path)).take_all())
+        exp_t = OD.bigram_surprisal_expected(str(tmp_path))
+        exp = sorted(zip(*(exp_t[c].to_pylist() for c in
+                           ("doc_id", "n_bigrams", "surprisal_micro",
+                            "mean_surprisal_micro"))))
+        assert got == exp
