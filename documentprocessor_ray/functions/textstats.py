@@ -787,6 +787,153 @@ def bigram_surprisal_reference(doc_ids: List[int],
     return out
 
 
+def dsir_logweight(ds: "ray.data.Dataset", target_col: str = "is_target",
+                   num_buckets=None) -> "ray.data.Dataset":
+    """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how target-like its hashed unigram
+    distribution is — log w(d) = Σ_tokens [ln p_target(h) − ln p_raw(h)]
+    under add-one-smoothed hashed-vocab unigram LMs fit on the target
+    slice vs the whole corpus. Sampling ∝ w(d) is DSIR's data-selection
+    step (the weighted_sample_n operator composes downstream). Input needs
+    doc_id, text and an int64 0/1 ``target_col``; output is
+    (doc_id, n_tokens, logw_micro) in exact int64 micro-nats.
+
+    Scale shape: the per-token term needs the target and raw corpus count
+    of the SAME hash in the same place, so ONE bucketed exchange carries
+    (doc_id, h, cnt, tgt_cnt) cells; each bucket computes both counts and
+    the per-doc partial log-ratio sums in one sorted segment-sum pass
+    (bigram_surprisal's plan), and per-doc partials merge with a bucketed
+    sum. The two global token totals (Nt, Nr) are a two-scalar driver
+    aggregate over the merged narrow table — the only driver-side data —
+    applied in a final vectorized map. Quantize-once logs (_ilog_micro)
+    keep everything downstream exact int64, so the single-process twin
+    matches bit-for-bit."""
+    from ..sharding import auto_buckets, bucket_of_ints
+    from .agg import bucketed_group_sum
+
+    nb = num_buckets or auto_buckets(None)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = batch[target_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        split, _ = _tokens_list(
+            pc.utf8_lower(batch["text"].combine_chunks()))
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(split.flatten().to_numpy(zero_copy_only=False),
+                          dtype=object)
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        # an empty-trim doc splits to [""]; that token is not a feature
+        keep = flat != ""
+        flat, doc_of = flat[keep], doc_of[keep]
+        hs = _token_hashes(flat).view(np.int64)
+        t = pa.table({
+            "doc_id": pa.array(ids[doc_of], pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "tgt": pa.array(tgt[doc_of], pa.int64())}) \
+            .group_by(["doc_id", "h", "tgt"]).aggregate([([], "count_all")])
+        cnt = pc.cast(t["count_all"], pa.int64())
+        h64 = t["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"], "h": t["h"], "cnt": cnt,
+            "tgt_cnt": pc.multiply(t["tgt"], cnt),
+            "pkey": pa.array(bucket_of_ints(h64, nb), pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.select(["doc_id", "h", "cnt", "tgt_cnt"]) \
+            .group_by(["doc_id", "h"]) \
+            .aggregate([("cnt", "sum"), ("tgt_cnt", "sum")])
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = t["tgt_cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(h) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "n_tokens": z,
+                             "tgt_tokens": z, "lw_part": z})
+        order = np.argsort(h, kind="stable")
+        did, h, cnt, tc = did[order], h[order], cnt[order], tc[order]
+        new_h = np.empty(len(h), dtype=bool)
+        new_h[0] = True
+        new_h[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new_h)
+        seg = np.cumsum(new_h) - 1
+        cr = np.add.reduceat(cnt, starts)[seg]   # raw corpus count per h
+        ct = np.add.reduceat(tc, starts)[seg]    # target corpus count
+        lw = cnt * (_ilog_micro(ct + 1) - _ilog_micro(cr + 1))
+        part = pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_tokens": pa.array(cnt, pa.int64()),
+            "tgt_tokens": pa.array(tc, pa.int64()),
+            "lw_part": pa.array(lw, pa.int64()),
+        }).group_by("doc_id").aggregate(
+            [("n_tokens", "sum"), ("tgt_tokens", "sum"), ("lw_part", "sum")])
+        return pa.table({
+            "doc_id": part["doc_id"],
+            "n_tokens": pc.cast(part["n_tokens_sum"], pa.int64()),
+            "tgt_tokens": pc.cast(part["tgt_tokens_sum"], pa.int64()),
+            "lw_part": pc.cast(part["lw_part_sum"], pa.int64())})
+
+    partials = ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(per_bucket, batch_format="pyarrow")
+    merged = bucketed_group_sum(
+        partials, "doc_id", ["n_tokens", "tgt_tokens", "lw_part"]) \
+        .materialize()
+
+    totals = merged.sum(["n_tokens", "tgt_tokens"])
+    nr = int(totals["sum(n_tokens)"])
+    nt = int(totals["sum(tgt_tokens)"])
+    norm = int(_ilog_micro(np.array([nr + _LM_V]))[0]) - \
+        int(_ilog_micro(np.array([nt + _LM_V]))[0])
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n_tokens"].to_numpy(zero_copy_only=False)
+        lw = b["lw_part"].to_numpy(zero_copy_only=False) + n * norm
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": b["n_tokens"],
+            "logw_micro": pa.array(lw, pa.int64())})
+
+    return merged.map_batches(final, batch_format="pyarrow")
+
+
+def dsir_logweight_reference(doc_ids: List[int], texts: List[str],
+                             targets: List[int]) -> List[tuple]:
+    """Single-process twin of dsir_logweight: plain re tokenization, dict
+    counts for the target and raw unigram LMs, one scoring loop — the
+    oracle-dump side."""
+    import re
+
+    raw: dict = {}
+    tgt: dict = {}
+    per_doc = []
+    nr = nt = 0
+    for did, text, is_t in zip(doc_ids, texts, targets):
+        toks = [t for t in re.split(
+            r"\s+", re.sub(r"^\s+|\s+$", "", text.lower())) if t != ""]
+        th = _token_hashes(np.asarray(toks, dtype=object)).view(np.int64)
+        for v in th:
+            raw[int(v)] = raw.get(int(v), 0) + 1
+            if is_t:
+                tgt[int(v)] = tgt.get(int(v), 0) + 1
+        nr += len(th)
+        if is_t:
+            nt += len(th)
+        per_doc.append((did, th))
+    norm = int(_ilog_micro(np.array([nr + _LM_V]))[0]) - \
+        int(_ilog_micro(np.array([nt + _LM_V]))[0])
+    out = []
+    for did, th in per_doc:
+        if len(th) == 0:
+            continue
+        ct = np.array([tgt.get(int(v), 0) for v in th], np.int64)
+        cr = np.array([raw[int(v)] for v in th], np.int64)
+        s = int((_ilog_micro(ct + 1) - _ilog_micro(cr + 1)).sum())
+        out.append((int(did), len(th), s + len(th) * norm))
+    return out
+
+
 def chunk_text_batch(batch: pa.Table, chunk_tokens: int = 64,
                      stride: int = 48) -> pa.Table:
     """Sliding token-window chunking (the RAG / context-window prep step):

@@ -401,6 +401,28 @@ def q_bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_dsir_logweight(sf_dir: str) -> "ray.data.Dataset":
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): importance
+    log-weights of every doc toward the lang='en' target slice under
+    hashed unigram LMs — one bucketed hash exchange, LM tables never
+    broadcast, two driver scalars (textstats.dsir_logweight). Corpus-global
+    ln-of-count dependence -> oracle-DUMP twin."""
+    from . import oracle_dump as OD
+
+    OD.dump("dsir_logweight",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.dsir_logweight_expected(sf_dir))
+
+    def flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "text": b["text"],
+            "is_target": pc.cast(pc.equal(b["lang"], "en"), pa.int64())})
+
+    return T.dsir_logweight(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(flag, batch_format="pyarrow"))
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -7045,7 +7067,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
-                   "bigram_surprisal",
+                   "bigram_surprisal", "dsir_logweight",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
                    "audio_features", "audio_spectral", "image_edges",
@@ -7074,6 +7096,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "kmeans_clusters": q_kmeans,
     "semdedup": q_semdedup,
     "bigram_surprisal": q_bigram_surprisal,
+    "dsir_logweight": q_dsir_logweight,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

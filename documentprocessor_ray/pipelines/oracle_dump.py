@@ -537,6 +537,24 @@ def bigram_surprisal_expected(sf_dir: str) -> pa.Table:
     })
 
 
+def dsir_logweight_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_dsir_logweight: plain-dict target/raw unigram LMs + the
+    same quantized-log scoring loop
+    (functions/textstats.dsir_logweight_reference); target = lang 'en'."""
+    from ..functions.textstats import dsir_logweight_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    targets = [1 if v == "en" else 0 for v in t["lang"].to_pylist()]
+    rows = dsir_logweight_reference(t["doc_id"].to_pylist(),
+                                    t["text"].to_pylist(), targets)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "logw_micro": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
 def image_phash_pairs_expected(media_table: pa.Table,
                                max_hamming: int = 3) -> pa.Table:
     """Twin of q_image_phash_pairs: aHash per image via a plain loop over

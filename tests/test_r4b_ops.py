@@ -226,3 +226,80 @@ class TestBigramSurprisal:
                            ("doc_id", "n_bigrams", "surprisal_micro",
                             "mean_surprisal_micro"))))
         assert got == exp
+
+
+class TestDsirLogweight:
+    def _ds(self, blocks=None):
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "the cat sat on the mat",
+            "der schnelle braune fuchs springt",
+            "le chat est sur le tapis",
+            "the dog and the fox and the cat",
+            "",
+            "one",
+        ] * 3
+        targets = [1, 1, 0, 0, 1, 0, 1] * 3
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "is_target": pa.array(targets, pa.int64()),
+        })
+        ds = ray.data.from_arrow(t)
+        if blocks:
+            ds = ds.repartition(blocks)
+        return ds, texts, targets
+
+    def test_matches_single_process_reference(self, ray_session):
+        from documentprocessor_ray.functions.textstats import (
+            dsir_logweight, dsir_logweight_reference)
+
+        ds, texts, targets = self._ds()
+        got = sorted((r["doc_id"], r["n_tokens"], r["logw_micro"])
+                     for r in dsir_logweight(ds).take_all())
+        exp = sorted(dsir_logweight_reference(
+            list(range(len(texts))), texts, targets))
+        assert got == exp
+
+    def test_parallelism_invariant(self, ray_session):
+        from documentprocessor_ray.functions.textstats import dsir_logweight
+
+        a = sorted(tuple(sorted(r.items())) for r in
+                   dsir_logweight(self._ds(blocks=1)[0]).take_all())
+        b = sorted(tuple(sorted(r.items())) for r in
+                   dsir_logweight(self._ds(blocks=9)[0]).take_all())
+        assert a == b
+
+    def test_target_docs_score_higher(self, ray_session):
+        """English (target-like) docs must out-score the non-target-language
+        docs on mean per-token log-weight."""
+        from documentprocessor_ray.functions.textstats import dsir_logweight
+
+        ds, texts, targets = self._ds()
+        out = {r["doc_id"]: r for r in dsir_logweight(ds).take_all()}
+        mean = {i: out[i]["logw_micro"] / out[i]["n_tokens"]
+                for i in out}
+        en = [mean[i] for i in range(7) if targets[i] and texts[i]]
+        non = [mean[i] for i in range(7) if not targets[i] and texts[i]]
+        assert min(en) > max(non)
+
+    def test_query_matches_dump_twin(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.pipelines import oracle_dump as OD
+        from documentprocessor_ray.pipelines.analysis import q_dsir_logweight
+
+        _, texts, targets = self._ds()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en" if t else "de" for t in targets],
+                             pa.string()),
+        }), tmp_path / "documents.parquet")
+        got = sorted((r["doc_id"], r["n_tokens"], r["logw_micro"])
+                     for r in q_dsir_logweight(str(tmp_path)).take_all())
+        exp_t = OD.dsir_logweight_expected(str(tmp_path))
+        exp = sorted(zip(exp_t["doc_id"].to_pylist(),
+                         exp_t["n_tokens"].to_pylist(),
+                         exp_t["logw_micro"].to_pylist()))
+        assert got == exp
