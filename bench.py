@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "simhash_pairs", "embedding_neardup", "embedding_neardup_lsh",
     "knn_bruteforce", "knn_ivf", "knn_int8", "bitext_mine",
     "url_canonical_dedup", "quality_classifier", "span_merge", "kmeans_clusters",
-    "semdedup", "bigram_surprisal", "dsir_logweight",
+    "semdedup", "bigram_surprisal", "dsir_logweight", "split_no_leakage",
     "image_features", "audio_features", "audio_spectral", "video_framesample",
     "image_edges", "video_motion",
     "image_phash_pairs",

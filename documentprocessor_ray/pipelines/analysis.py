@@ -1874,6 +1874,52 @@ def q_dataset_split(sf_dir: str) -> "ray.data.Dataset":
         ["split", "lang"], ["n_docs", "sum_chars"])
 
 
+def q_split_no_leakage(sf_dir: str) -> "ray.data.Dataset":
+    """Leakage-FREE train/val/test split — the fix for what split_leakage
+    audits: every doc is assigned the md5 bucket of its near-dup CLUSTER
+    REPRESENTATIVE (docs outside any cluster are their own rep), so a
+    near-dup pair can never straddle splits. Composition: min-label
+    clusters (q_dedup_clusters) co-bucket-LEFT-joined to documents, then
+    the stateless split + combiner-first rollup — same output shape as
+    dataset_split. Entirely SQL-expressible (recursive-CTE clusters +
+    LEFT JOIN + md5 split), so the whole composition is hash-gated."""
+    import hashlib as _hl
+
+    from ..functions.agg import bucketed_group_sum_multi
+    from ..functions.joins import hash_join
+
+    clusters = q_dedup_clusters(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    j = hash_join(
+        docs, clusters, on="doc_id", how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string()),
+                               ("n_chars", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("cluster_rep", pa.int64())]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        rep = pc.coalesce(b["cluster_rep"], b["doc_id"]).to_pylist()
+        hb = np.fromiter(
+            (int(_hl.md5(str(r).encode()).hexdigest()[:8], 16) % 100
+             for r in rep), np.int64, len(rep))
+        split = np.where(hb < 80, "train", np.where(hb < 90, "val", "test"))
+        t = pa.table({"split": pa.array(split, pa.string()),
+                      "lang": b["lang"],
+                      "n_docs": pa.array(np.ones(len(rep), np.int64)),
+                      "sum_chars": pc.cast(b["n_chars"], pa.int64())})
+        g = t.group_by(["split", "lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum")])
+        return pa.table({"split": g["split"], "lang": g["lang"],
+                         "n_docs": pc.cast(g["n_docs_sum"], pa.int64()),
+                         "sum_chars": pc.cast(g["sum_chars_sum"],
+                                              pa.int64())})
+
+    return bucketed_group_sum_multi(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["split", "lang"], ["n_docs", "sum_chars"])
+
+
 def q_fk_orphans(sf_dir: str) -> "ray.data.Dataset":
     """Referential-integrity audit: orphan counts for the two fact FKs
     (orders.o_custkey -> customer, lineitem.l_orderkey -> orders) via the
@@ -6126,6 +6172,31 @@ ORACLE_SQL["split_leakage"] = """
     FROM s GROUP BY split_a, split_b""".replace(
     "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
 
+# leakage-free split twin: recursive-CTE cluster reps LEFT-joined to
+# documents, md5 split on the rep (docs outside a cluster are their own rep)
+ORACLE_SQL["split_no_leakage"] = """
+    WITH pairs AS ({NGRAM_PAIRS}),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(n, m) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.n, s.b FROM r JOIN sym s ON r.m = s.a WHERE s.b <> r.n
+      ) SELECT * FROM r),
+    rep AS (SELECT n AS doc_id, LEAST(n, MIN(m)) AS r FROM reach GROUP BY n)
+    SELECT CASE WHEN hb < 80 THEN 'train'
+                WHEN hb < 90 THEN 'val' ELSE 'test' END AS split,
+           lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars
+    FROM (SELECT d.lang, d.n_chars,
+                 ('0x' || substr(md5(CAST(COALESCE(rep.r, d.doc_id)
+                                          AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS hb
+          FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id)
+    GROUP BY 1, 2""".replace(
+    "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
+
 # full cleaning composition: corpus_clean's quality+exact-dedup SQL minus
 # the non-representative members of the recursive-CTE near-dup clusters
 ORACLE_SQL["corpus_train_ready"] = f"""
@@ -7097,6 +7168,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "semdedup": q_semdedup,
     "bigram_surprisal": q_bigram_surprisal,
     "dsir_logweight": q_dsir_logweight,
+    "split_no_leakage": q_split_no_leakage,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

@@ -303,3 +303,41 @@ class TestDsirLogweight:
                          exp_t["n_tokens"].to_pylist(),
                          exp_t["logw_micro"].to_pylist()))
         assert got == exp
+
+
+class TestSplitNoLeakage:
+    def test_no_near_dup_pair_crosses_splits(self, ray_session):
+        """The operator's contract: after rep-based assignment, every
+        3-gram near-dup pair lands in ONE split (cross-split count 0)."""
+        import hashlib as _hl
+
+        from documentprocessor_ray.pipelines.analysis import (
+            _ngram_pairs_cached, q_dedup_clusters)
+
+        sf = "/root/testdata/sf0.001"
+        rep = {r["doc_id"]: r["cluster_rep"]
+               for r in q_dedup_clusters(sf).take_all()}
+
+        def split_of(doc):
+            r = rep.get(doc, doc)
+            hb = int(_hl.md5(str(r).encode()).hexdigest()[:8], 16) % 100
+            return "train" if hb < 80 else ("val" if hb < 90 else "test")
+
+        pairs = _ngram_pairs_cached(sf).take_all()
+        assert pairs, "corpus should contain near-dup pairs"
+        for p in pairs:
+            assert split_of(p["doc_a"]) == split_of(p["doc_b"])
+
+    def test_totals_match_dataset_split(self, ray_session):
+        """Same docs, same 80/10/10 law — only the assignment key moves, so
+        corpus-wide totals must agree with dataset_split."""
+        from documentprocessor_ray.pipelines.analysis import (
+            q_dataset_split, q_split_no_leakage)
+
+        sf = "/root/testdata/sf0.001"
+        a = q_split_no_leakage(sf).take_all()
+        b = q_dataset_split(sf).take_all()
+        assert sum(r["n_docs"] for r in a) == sum(r["n_docs"] for r in b)
+        assert sum(r["sum_chars"] for r in a) == \
+            sum(r["sum_chars"] for r in b)
+        assert {r["split"] for r in a} == {"train", "val", "test"}
