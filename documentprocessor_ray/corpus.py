@@ -226,13 +226,14 @@ class MediaStore:
     """Pluggable page store — the object-store/blob-bucket stand-in.
 
     Pages load from {media_ref}.npz8 (zlib + shape header), legacy .npy,
-    or REAL encoded image files (.png/.jpg/.jpeg/.tif/.tiff/.gif/.bmp) via
+    or REAL encoded image files (.png/.jpg/.jpeg/.tif/.tiff/.gif/.bmp/.webp) via
     the in-repo pure-numpy codecs — the S1 surface exactly as the
     reference's load_image (Ocr/src/cli/utils.py:98-117: decode any of the
     allow-listed formats to an RGB ndarray). Decode is lazy per page and
     lives in whatever worker calls load(); decoded pixels never persist."""
 
-    _IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".gif", ".bmp")
+    _IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".gif",
+                   ".bmp", ".webp")
 
     def __init__(self, media_dir: str):
         self.media_dir = media_dir

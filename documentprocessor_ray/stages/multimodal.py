@@ -944,13 +944,646 @@ def encode_gif(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# --- WebP lossless (VP8L) ----------------------------------------------
+# Public spec: "WebP Lossless Bitstream Specification" (RFC 9649 §3 /
+# developers.google.com/speed/webp/docs/webp_lossless_bitstream_specification).
+# Decoder covers the general stream: simple + normal prefix codes
+# (code-length codes, 16/17/18 repeats, max_symbol, degenerate
+# single-symbol 0-bit codes), color cache, meta prefix codes, LZ77
+# back-references, and all four transforms (predictor, color,
+# subtract-green, color-indexing incl. sub-byte pixel packing). The one
+# deliberate gap: short-distance-map back-refs (dist_code <= 120) raise —
+# the 120-entry neighbor table is a verbatim spec constant this
+# from-scratch build does not reproduce from memory; plain distances
+# (dist_code > 120) are fully supported and the in-repo encoder emits no
+# back-refs at all.
+
+_VP8L_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16,
+                           6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+class _LsbReader:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.bitpos + i
+            byte = self.data[p >> 3] if (p >> 3) < len(self.data) else 0
+            v |= ((byte >> (p & 7)) & 1) << i
+        self.bitpos += n
+        return v
+
+    def read_code(self, table) -> int:
+        if "single" in table:
+            return table["single"]
+        code = 0
+        for ln in range(1, 16):
+            p = self.bitpos
+            byte = self.data[p >> 3] if (p >> 3) < len(self.data) else 0
+            self.bitpos += 1
+            code = (code << 1) | ((byte >> (p & 7)) & 1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid VP8L prefix code")
+
+
+def _vp8l_table(lengths: List[int]):
+    """Canonical prefix decode table from code lengths (DEFLATE
+    convention): {(len, code): sym}; a single used symbol degenerates to a
+    0-bit code {'single': sym}."""
+    nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if not nz:
+        raise ValueError("empty VP8L prefix code")
+    if len(nz) == 1:
+        return {"single": nz[0][1]}
+    bl_count: Dict[int, int] = {}
+    for ln, _ in nz:
+        bl_count[ln] = bl_count.get(ln, 0) + 1
+    code = 0
+    next_code = {}
+    for ln in range(1, max(bl_count) + 1):
+        code = (code + bl_count.get(ln - 1, 0)) << 1
+        next_code[ln] = code
+    table = {}
+    for ln, s in sorted(nz):
+        table[(ln, next_code[ln])] = s
+        next_code[ln] += 1
+    return table
+
+
+def _vp8l_read_prefix_code(br: _LsbReader, alphabet: int):
+    """One prefix code: simple (1-2 symbols) or normal (code-length coded)."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        sym0 = br.read(8 if first_8bit else 1)
+        if num_symbols == 2:
+            sym1 = br.read(8)
+            lengths = [0] * alphabet
+            lengths[sym0] = 1
+            lengths[sym1] = 1
+            return _vp8l_table(lengths)
+        return {"single": sym0}
+    num_code_lengths = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_code_lengths):
+        cl_lengths[_VP8L_CODE_LENGTH_ORDER[i]] = br.read(3)
+    cl_table = _vp8l_table(cl_lengths)
+    max_symbol = alphabet
+    if br.read(1):  # use length / max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    lengths = [0] * alphabet
+    prev_len = 8
+    sym = 0
+    while sym < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        cl = br.read_code(cl_table)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl != 0:
+                prev_len = cl
+        elif cl == 16:
+            n = 3 + br.read(2)
+            for _ in range(n):
+                if sym >= alphabet:
+                    break
+                lengths[sym] = prev_len
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+    return _vp8l_table(lengths)
+
+
+def _vp8l_copy_val(sym: int, br: _LsbReader) -> int:
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_sub(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_decode_image(br: _LsbReader, w: int, h: int,
+                       is_level0: bool) -> np.ndarray:
+    """DecodeImageStream: returns (h*w,) uint32 ARGB pixels."""
+    transforms = []
+    xsize = w
+    if is_level0:
+        seen = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("duplicate VP8L transform")
+            seen.add(ttype)
+            if ttype == 0:  # predictor
+                bits = br.read(3) + 2
+                img = _vp8l_decode_image(
+                    br, _vp8l_sub(xsize, bits), _vp8l_sub(h, bits), False)
+                transforms.append(("predictor", bits, img))
+            elif ttype == 1:  # color
+                bits = br.read(3) + 2
+                img = _vp8l_decode_image(
+                    br, _vp8l_sub(xsize, bits), _vp8l_sub(h, bits), False)
+                transforms.append(("color", bits, img))
+            elif ttype == 2:
+                transforms.append(("subtract_green",))
+            else:  # color indexing
+                n_colors = br.read(8) + 1
+                pal = _vp8l_decode_image(br, n_colors, 1, False)
+                # palette pixels are component-wise delta-coded
+                pal = _vp8l_palette_cumsum(pal)
+                if n_colors <= 2:
+                    wbits = 3
+                elif n_colors <= 4:
+                    wbits = 2
+                elif n_colors <= 16:
+                    wbits = 1
+                else:
+                    wbits = 0
+                transforms.append(("palette", wbits, pal, xsize))
+                xsize = _vp8l_sub(xsize, wbits)
+
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError("invalid VP8L color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_level0 and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw, mh = _vp8l_sub(xsize, meta_bits), _vp8l_sub(h, meta_bits)
+        meta_img = _vp8l_decode_image(br, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)  # red<<8|green
+        n_groups = int(meta.max()) + 1 if len(meta) else 1
+        meta_w = mw
+    groups = []
+    for _ in range(n_groups):
+        alph = [256 + 24 + cache_size, 256, 256, 256, 40]
+        groups.append([_vp8l_read_prefix_code(br, a) for a in alph])
+
+    out = np.zeros(xsize * h, dtype=np.uint32)
+    cache = [0] * cache_size
+    pos = 0
+    total = xsize * h
+    g = groups[0]
+    while pos < total:
+        x = pos % xsize
+        y = pos // xsize
+        if meta is not None:
+            gi = int(meta[(y >> meta_bits) * meta_w + (x >> meta_bits)])
+            g = groups[gi]
+        elif n_groups == 1:
+            g = groups[0]
+        s = br.read_code(g[0])
+        if s < 256:
+            red = br.read_code(g[1])
+            blue = br.read_code(g[2])
+            alpha = br.read_code(g[3])
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            if cache_size:
+                cache[(0x1E35A7BD * px) % (1 << 32) >> (32 - cache_bits)] \
+                    = px
+            pos += 1
+        elif s < 256 + 24:
+            length = _vp8l_copy_val(s - 256, br)
+            dist_sym = br.read_code(g[4])
+            dist_code = _vp8l_copy_val(dist_sym, br)
+            if dist_code <= 120:
+                raise NotImplementedError(
+                    "VP8L short-distance-map back-refs (dist_code <= 120) "
+                    "not supported in this from-scratch build")
+            dist = dist_code - 120
+            if dist > pos:
+                raise ValueError("VP8L back-ref beyond start")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache_size:
+                    cache[(0x1E35A7BD * px) % (1 << 32)
+                          >> (32 - cache_bits)] = px
+                pos += 1
+                if pos >= total:
+                    break
+        else:
+            out[pos] = cache[s - 256 - 24]
+            pos += 1
+
+    if not is_level0:
+        return out
+
+    argb = out
+    width = xsize
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            _, wbits, pal, full_w = t
+            if wbits > 0:
+                idx = ((argb >> 8) & 0xFF).reshape(h, width)
+                per = 1 << wbits        # indices packed per green byte
+                ibits = 8 >> wbits      # bits per index
+                cols = []
+                for k in range(per):
+                    cols.append((idx >> (k * ibits)) & ((1 << ibits) - 1))
+                wide = np.stack(cols, axis=2).reshape(h, width * per)
+                wide = wide[:, :full_w]
+                flat = wide.reshape(-1).astype(np.int64)
+            else:
+                flat = ((argb >> 8) & 0xFF).astype(np.int64)
+                full_w = width
+            safe = np.clip(flat, 0, len(pal) - 1)
+            px = pal[safe]
+            px = np.where(flat < len(pal), px, np.uint32(0))
+            argb = px.astype(np.uint32)
+            width = full_w
+        elif t[0] == "subtract_green":
+            gch = (argb >> 8) & 0xFF
+            r = (((argb >> 16) & 0xFF) + gch) & 0xFF
+            b = ((argb & 0xFF) + gch) & 0xFF
+            argb = (argb & np.uint32(0xFF00FF00)) | (r << 16) | b
+        elif t[0] == "color":
+            _, bits, timg = t
+            tw = _vp8l_sub(width, bits)
+            a = argb.reshape(h, width)
+            ys, xs = np.mgrid[0:h, 0:width]
+            te = timg[(ys >> bits) * tw + (xs >> bits)]
+            g2r = ((te & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            g2b = (((te >> 8) & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            r2b = (((te >> 16) & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            gs = (((a >> 8) & 0xFF).astype(np.int64) ^ 0x80) - 0x80
+            r = ((a >> 16) & 0xFF).astype(np.int64)
+            r = (r + ((g2r * gs) >> 5)) & 0xFF
+            rs = (r ^ 0x80) - 0x80
+            b = (a & 0xFF).astype(np.int64)
+            b = (b + ((g2b * gs) >> 5) + ((r2b * rs) >> 5)) & 0xFF
+            res = (a & np.uint32(0xFF00FF00)) | \
+                (r.astype(np.uint32) << 16) | b.astype(np.uint32)
+            argb = res.reshape(-1)
+        elif t[0] == "predictor":
+            _, bits, pimg = t
+            argb = _vp8l_unpredict(argb, h, width, bits, pimg)
+    return argb
+
+
+def _vp8l_palette_cumsum(pal: np.ndarray) -> np.ndarray:
+    """Palette entries are stored component-delta-coded (each channel adds
+    the previous entry's channel, mod 256)."""
+    comps = np.stack([(pal >> s) & 0xFF for s in (24, 16, 8, 0)], axis=1)
+    acc = np.cumsum(comps.astype(np.int64), axis=0) & 0xFF
+    return ((acc[:, 0] << 24) | (acc[:, 1] << 16) |
+            (acc[:, 2] << 8) | acc[:, 3]).astype(np.uint32)
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_add_px(a: int, b: int) -> int:
+    s = 0
+    for sh in (0, 8, 16, 24):
+        s |= ((((a >> sh) & 0xFF) + ((b >> sh) & 0xFF)) & 0xFF) << sh
+    return s
+
+
+def _vp8l_unpredict(argb: np.ndarray, h: int, w: int, bits: int,
+                    pimg: np.ndarray) -> np.ndarray:
+    """Inverse predictor transform (14 modes) — inherently sequential in
+    the scan order (each pixel depends on reconstructed neighbors); kept
+    as a plain loop, acceptable for the page-image sizes this store holds."""
+    tw = _vp8l_sub(w, bits)
+    out = argb.astype(np.int64).reshape(h, w)
+
+    def clamp_add_sub_full(c, l, tl):
+        v = 0
+        for sh in (0, 8, 16, 24):
+            x = ((c >> sh) & 0xFF) + ((l >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+            v |= max(0, min(255, x)) << sh
+        return v
+
+    def select(l, t, tl):
+        p_alpha = ((l >> 24) & 0xFF) + ((t >> 24) & 0xFF) - ((tl >> 24) & 0xFF)
+        p_red = ((l >> 16) & 0xFF) + ((t >> 16) & 0xFF) - ((tl >> 16) & 0xFF)
+        p_green = ((l >> 8) & 0xFF) + ((t >> 8) & 0xFF) - ((tl >> 8) & 0xFF)
+        p_blue = (l & 0xFF) + (t & 0xFF) - (tl & 0xFF)
+        pl = abs(p_alpha - ((l >> 24) & 0xFF)) + abs(p_red - ((l >> 16) & 0xFF)) \
+            + abs(p_green - ((l >> 8) & 0xFF)) + abs(p_blue - (l & 0xFF))
+        pt = abs(p_alpha - ((t >> 24) & 0xFF)) + abs(p_red - ((t >> 16) & 0xFF)) \
+            + abs(p_green - ((t >> 8) & 0xFF)) + abs(p_blue - (t & 0xFF))
+        return l if pl < pt else t
+
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                mode = int((pimg[(y >> bits) * tw + (x >> bits)] >> 8) & 0xFF)
+                L = int(out[y, x - 1])
+                T = int(out[y - 1, x])
+                TL = int(out[y - 1, x - 1])
+                # libwebp quirk: TR at the last column wraps to the
+                # CURRENT row's first (already reconstructed) pixel
+                TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _vp8l_avg2(_vp8l_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _vp8l_avg2(L, TL)
+                elif mode == 7:
+                    pred = _vp8l_avg2(L, T)
+                elif mode == 8:
+                    pred = _vp8l_avg2(TL, T)
+                elif mode == 9:
+                    pred = _vp8l_avg2(T, TR)
+                elif mode == 10:
+                    pred = _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+                elif mode == 11:
+                    pred = select(L, T, TL)
+                elif mode == 12:
+                    pred = clamp_add_sub_full(L, T, TL)
+                else:
+                    pred = clamp_add_sub_half_13(L, T, TL)
+            out[y, x] = _vp8l_add_px(int(out[y, x]), pred)
+    return out.reshape(-1).astype(np.uint32)
+
+
+def clamp_add_sub_half_13(L: int, T: int, TL: int) -> int:
+    """Predictor 13: ClampAddSubtractHalf(Average2(L, T), TL)."""
+    ave = _vp8l_avg2(L, T)
+    v = 0
+    for sh in (0, 8, 16, 24):
+        a = (ave >> sh) & 0xFF
+        x = a + (a - ((TL >> sh) & 0xFF)) // 2
+        v |= max(0, min(255, x)) << sh
+    return v
+
+
+def _webp_decode(b: bytes) -> np.ndarray:
+    """WebP container -> RGB array. Lossless (VP8L) only; lossy VP8 needs
+    the full VP8 intra decoder and stays out of scope."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "little")
+        if cid == b"VP8L":
+            payload = b[pos + 8:pos + 8 + size]
+            break
+        if cid == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) decode not supported in this build")
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk in WebP file")
+    if payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _LsbReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    argb = _vp8l_decode_image(br, w, h, True).reshape(h, w)
+    rgb = np.stack([(argb >> 16) & 0xFF, (argb >> 8) & 0xFF,
+                    argb & 0xFF], axis=2).astype(np.uint8)
+    return rgb
+
+
+class _LsbWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, n: int) -> None:  # LSB-first
+        for i in range(n):
+            self.acc |= ((value >> i) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def put_code(self, code: int, n: int) -> None:  # prefix code MSB-first
+        for i in range(n - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _put_two_len_code(bw: "_LsbWriter", sym_a: int, sym_b: int) -> None:
+    """Normal prefix code whose code-length code holds the two length
+    symbols sym_a (code 0) and sym_b (code 1), each at length 1."""
+    order = _VP8L_CODE_LENGTH_ORDER
+    n = max(order.index(sym_a), order.index(sym_b)) + 1
+    bw.put(0, 1)            # normal (not simple)
+    bw.put(n - 4, 4)        # num_code_lengths
+    for i in range(n):
+        bw.put(1 if order[i] in (sym_a, sym_b) else 0, 3)
+    bw.put(0, 1)            # no max_symbol
+
+
+def _put_single_len_code(bw: "_LsbWriter", sym: int) -> None:
+    order = _VP8L_CODE_LENGTH_ORDER
+    n = order.index(sym) + 1
+    bw.put(0, 1)
+    bw.put(n - 4, 4)
+    for i in range(n):
+        bw.put(1 if order[i] == sym else 0, 3)
+    bw.put(0, 1)
+
+
+def _put_literal_codes(bw: "_LsbWriter", cache_size: int) -> None:
+    """One prefix-code group with FIXED Kraft-complete code lengths:
+    green 256+24+cache split two-level (x @8 + rest @9 with
+    x = 512 - alphabet), uniform-8 red/blue/alpha via degenerate
+    single-symbol code-length codes, distance 24 @5 + 16 @6."""
+    galph = 280 + cache_size
+    n8 = 512 - galph
+    _put_two_len_code(bw, 8, 9)
+    for s in range(galph):
+        bw.put(0 if s < n8 else 1, 1)
+    for _ in range(3):
+        _put_single_len_code(bw, 8)
+    _put_two_len_code(bw, 5, 6)
+    for s in range(40):
+        bw.put(0 if s < 24 else 1, 1)
+
+
+def _green_code(sym: int, cache_size: int):
+    """Canonical (code, nbits) for the fixed green layout above."""
+    galph = 280 + cache_size
+    n8 = 512 - galph
+    if sym < n8:
+        return sym, 8
+    return 2 * n8 + (sym - n8), 9
+
+
+def _vp8l_len_sym(length: int):
+    """Inverse of _vp8l_copy_val for encoder-sized lengths:
+    (sym, extra_bits, extra_value)."""
+    if length <= 4:
+        return length - 1, 0, 0
+    for sym in range(4, 24):
+        extra = (sym - 2) >> 1
+        offset = (2 + (sym & 1)) << extra
+        if offset + 1 <= length <= offset + (1 << extra):
+            return sym, extra, length - offset - 1
+    raise ValueError("length too large for this encoder")
+
+
+def _put_pixels(bw: "_LsbWriter", argb_flat: np.ndarray, cache_bits: int,
+                rle: bool) -> None:
+    """Emit an ARGB pixel stream as literals, optionally folding runs of
+    the previous pixel into dist=1 back-refs (rle) and emitting
+    color-cache hits (cache_bits > 0) — each option exercises the
+    corresponding decoder path."""
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+
+    def cache_key(px: int) -> int:
+        return (0x1E35A7BD * px) % (1 << 32) >> (32 - cache_bits)
+
+    i = 0
+    n = len(argb_flat)
+    while i < n:
+        px = int(argb_flat[i])
+        if rle and i > 0 and px == int(argb_flat[i - 1]):
+            run = 1
+            while i + run < n and int(argb_flat[i + run]) == px:
+                run += 1
+            rem = run
+            while rem:
+                seg = min(rem, 24)
+                sym, extra_bits, extra = _vp8l_len_sym(seg)
+                c, nn = _green_code(256 + sym, cache_size)
+                bw.put_code(c, nn)
+                if extra_bits:
+                    bw.put(extra, extra_bits)
+                # dist_code 121 -> dist 1: copy_val(13) + 5 extra bits = 24
+                bw.put_code(13, 5)
+                bw.put(24, 5)
+                rem -= seg
+            if cache_size:
+                cache[cache_key(px)] = px
+            i += run
+            continue
+        if cache_size:
+            key = cache_key(px)
+            if cache[key] == px:
+                c, nn = _green_code(280 + key, cache_size)
+                bw.put_code(c, nn)
+                i += 1
+                continue
+            cache[key] = px
+        c, nn = _green_code((px >> 8) & 0xFF, cache_size)
+        bw.put_code(c, nn)
+        bw.put_code((px >> 16) & 0xFF, 8)
+        bw.put_code(px & 0xFF, 8)
+        bw.put_code((px >> 24) & 0xFF, 8)
+        i += 1
+
+
+def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False,
+                         cache_bits: int = 0, rle: bool = False,
+                         meta: bool = False) -> bytes:
+    """Minimal VP8L encoder (round-trip counterpart of _webp_decode, same
+    pattern as encode_jpeg): one prefix-code group with fixed
+    Kraft-complete code lengths; optional subtract-green transform, color
+    cache, dist=1 run-length back-refs and a single-group meta prefix
+    image — each flag exists to exercise the matching decoder path in
+    round-trip tests. Test scaffolding, not a production encoder."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    h, w = img.shape[:2]
+    rgb = img.astype(np.int64)
+    r, gch, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    if subtract_green:
+        r = (r - gch) & 0xFF
+        b = (b - gch) & 0xFF
+    argb = ((np.int64(255) << 24) | (r << 16) | (gch << 8) | b) \
+        .astype(np.uint32).reshape(-1)
+
+    bw = _LsbWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)   # no alpha
+    bw.put(0, 3)   # version
+    if subtract_green:
+        bw.put(1, 1)
+        bw.put(2, 2)   # transform type: subtract green (no payload)
+    bw.put(0, 1)   # no more transforms
+    if cache_bits:
+        bw.put(1, 1)
+        bw.put(cache_bits, 4)
+    else:
+        bw.put(0, 1)
+    if meta:
+        # meta prefix image: constant group 0 at 4x4 blocks (one group)
+        bw.put(1, 1)
+        bw.put(0, 3)   # huffman_subsample_bits = 2
+        mw, mh = _vp8l_sub(w, 2), _vp8l_sub(h, 2)
+        bw.put(0, 1)   # sub-image: no color cache
+        _put_literal_codes(bw, 0)
+        _put_pixels(bw, np.zeros(mw * mh, np.uint32), 0, False)
+    else:
+        bw.put(0, 1)
+    _put_literal_codes(bw, (1 << cache_bits) if cache_bits else 0)
+    _put_pixels(bw, argb, cache_bits, rle)
+
+    payload = b"\x2f" + bw.getvalue()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
 class RealCodec(Codec):
     """Production codec seam. PNG, baseline JPEG, TIFF (8-bit strips,
-    none/PackBits) and GIF decode FOR REAL (pure numpy + stdlib) — the
-    reference's PIL image surface (cli/utils.py:98-117) minus WebP (VP8
-    entropy coding is out of scope for a from-scratch build). mp3/mp4
-    still need soundfile / pyav, absent in this container — wire them here
-    and nothing else changes."""
+    none/PackBits), GIF and lossless WebP (VP8L) decode FOR REAL (pure
+    numpy + stdlib) — the reference's PIL image surface
+    (cli/utils.py:98-117); lossy-VP8 WebP and VP8L short-distance-map
+    back-refs are the two documented gaps. mp3/mp4 still need
+    soundfile / pyav, absent in this container — wire them here and
+    nothing else changes."""
 
     def decode_image(self, payload, meta):
         head = bytes(payload[:8])
@@ -962,9 +1595,11 @@ class RealCodec(Codec):
             return _tiff_decode(payload)
         if head[:6] in (b"GIF87a", b"GIF89a"):
             return _gif_decode(payload)
+        if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+            return _webp_decode(bytes(payload))
         raise NotImplementedError(
-            "only PNG/JPEG-baseline/TIFF/GIF decode without external "
-            "image libraries in this build (WebP needs libwebp)")
+            "only PNG/JPEG-baseline/TIFF/GIF/WebP-lossless decode without "
+            "external image libraries in this build")
 
     def decode_audio(self, payload, meta):
         raise NotImplementedError("audio codec not available in this build")

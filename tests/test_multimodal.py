@@ -414,7 +414,8 @@ class TestMediaStoreRealImages:
     def test_load_encoded_files(self, tmp_path):
         from documentprocessor_ray.corpus import MediaStore
         from documentprocessor_ray.stages.multimodal import (
-            encode_bmp, encode_gif, encode_png, encode_tiff)
+            encode_bmp, encode_gif, encode_png, encode_tiff,
+            encode_webp_lossless)
 
         img = ((np.arange(8 * 6 * 3, dtype=np.uint32) * 7) % 251).astype(
             np.uint8).reshape(8, 6, 3)
@@ -422,8 +423,9 @@ class TestMediaStoreRealImages:
         (tmp_path / "b.bmp").write_bytes(encode_bmp(img))
         (tmp_path / "c.tif").write_bytes(encode_tiff(img))
         (tmp_path / "d.gif").write_bytes(encode_gif(img))
+        (tmp_path / "e.webp").write_bytes(encode_webp_lossless(img))
         store = MediaStore(str(tmp_path))
-        for ref in ("a", "b", "c"):
+        for ref in ("a", "b", "c", "e"):
             out = store.load(ref)
             assert out is not None and np.array_equal(np.asarray(out), img), ref
         # GIF is palette-quantized: exact only if the palette fits; here
