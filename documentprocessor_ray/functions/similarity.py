@@ -147,9 +147,11 @@ def knn_int8(ds: "ray.data.Dataset", n_queries: int = 8,
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat = ray.get(shared)
-        emb = _quant(np.array(batch["embedding"].to_pylist(),
-                              dtype=np.float32))
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        # _to_matrix reads the flat float32 buffer and widens to float64 —
+        # value-identical to the old to_pylist round-trip, zero-copy read
+        emb = _quant(_to_matrix(batch["embedding"]))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         scores = q_mat @ emb.T  # (Q, B) int64
         out_q, out_v, out_s = [], [], []
         for qi in range(len(q_ids)):
