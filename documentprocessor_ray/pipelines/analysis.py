@@ -5969,6 +5969,37 @@ ORACLE_SQL["link_graph"] = r"""
            min(anchor) AS min_anchor
     FROM e GROUP BY dst_doc"""
 
+# triangle twin: same logical edge derivation, canonical undirected dedup,
+# then the id-ordered three-way self-join; each triangle credits 3 corners
+ORACLE_SQL["link_triangles"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents),
+    e0 AS (
+      SELECT doc_id AS src, u.x AS dst
+      FROM t, unnest(list_transform(
+        range(1, least(10, len(toks)) + 1),
+        i -> (doc_id + i) % 1000)) AS u(x)),
+    ed AS (
+      SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM e0 WHERE src <> dst),
+    tri AS (
+      SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+      FROM ed e1
+      JOIN ed e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN ed e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+    n AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT node::BIGINT AS node, count(*)::BIGINT AS n_triangles
+    FROM n GROUP BY node"""
+
 # PageRank twin: the recurrence is fixed-point int64 arithmetic with a FIXED
 # iteration count (functions/graph.py docstring), so the "iterative, not
 # SQL-expressible" framing is actually wrong for a known n_iters — unroll the
@@ -6217,6 +6248,59 @@ def _html_unescape(s: str) -> str:
     return s.replace("&lt;", "<").replace("&amp;", "&")
 
 
+_HREF_RE = None
+
+
+def _parse_link_edges(batch: pa.Table):
+    """Shared crawl-edge derivation (q_link_graph / q_link_pagerank /
+    q_link_triangles): build the deterministic per-doc HTML, then PARSE it
+    back with the real href/anchor regex — the parse is the operator.
+    Returns (srcs, dsts, anchors) lists."""
+    global _HREF_RE
+    if _HREF_RE is None:
+        import re as _re
+        _HREF_RE = _re.compile(
+            r'<a href="https://example\.org/doc/(\d+)">([^<]*)</a>')
+    split, empty = T._tokens_list(batch["text"].combine_chunks())
+    toks_py = split.to_pylist()
+    empties = empty.to_pylist()
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    srcs, dsts, anchors = [], [], []
+    for did, toks, e in zip(ids, toks_py, empties):
+        toks = [] if e else (toks or [])
+        toks = [_html_escape(w) for w in toks]
+        html = "<body>" + " ".join(
+            f'<a href="https://example.org/doc/{(int(did) + i + 1) % 1000}">'
+            f"{w}</a>" for i, w in enumerate(toks[:10])) \
+            + " " + " ".join(toks[10:]) + "</body>"
+        for m in _HREF_RE.finditer(html):
+            srcs.append(int(did))
+            dsts.append(int(m.group(1)))
+            anchors.append(_html_unescape(m.group(2)))
+    return srcs, dsts, anchors
+
+
+def q_link_triangles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-node triangle counts over the undirected crawl link graph —
+    the community/cohesion signal a link-spam or site-cluster analysis
+    computes. Edges come from the SAME real HTML parse as q_link_graph;
+    counting is the degree-ordered wedge algorithm
+    (functions/graph.triangle_counts, Suri & Vassilvitskii 2011) whose
+    orientation bounds wedge volume by O(sqrt(m)) per node at power-law
+    scale. Exact DuckDB twin: the logical edge derivation + a three-way
+    self-join in id order."""
+    from ..functions.graph import triangle_counts
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts, _ = _parse_link_edges(batch)
+        return pa.table({"doc_a": pa.array(srcs, pa.int64()),
+                         "doc_b": pa.array(dsts, pa.int64())})
+
+    return triangle_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(edges, batch_format="pyarrow"))
+
+
 def q_link_graph(sf_dir: str) -> "ray.data.Dataset":
     """Web-link-graph construction (crawl-side op): deterministic HTML is
     built per document (first 10 tokens become anchors whose hrefs target
@@ -6232,34 +6316,14 @@ def q_link_graph(sf_dir: str) -> "ray.data.Dataset":
     unescaped after the regex parse, so a token containing '<' can neither
     break the anchor match (dropping an edge the logical twin keeps) nor
     fabricate a spurious anchor from body text (round-3 ADVICE)."""
-    import re as _re
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    href_re = _re.compile(
-        r'<a href="https://example\.org/doc/(\d+)">([^<]*)</a>')
 
     from ..sharding import auto_buckets, bucket_of_ints
 
     nb = auto_buckets(None)
 
     def edges(batch: pa.Table) -> pa.Table:
-        split, empty = T._tokens_list(batch["text"].combine_chunks())
-        toks_py = split.to_pylist()
-        empties = empty.to_pylist()
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        # build html, then PARSE it back (the regex is the operator)
-        srcs, dsts, anchors = [], [], []
-        for did, toks, e in zip(ids, toks_py, empties):
-            toks = [] if e else (toks or [])
-            toks = [_html_escape(w) for w in toks]
-            html = "<body>" + " ".join(
-                f'<a href="https://example.org/doc/{(int(did) + i + 1) % 1000}">'
-                f"{w}</a>" for i, w in enumerate(toks[:10])) \
-                + " " + " ".join(toks[10:]) + "</body>"
-            for m in href_re.finditer(html):
-                srcs.append(int(did))
-                dsts.append(int(m.group(1)))
-                anchors.append(_html_unescape(m.group(2)))
+        srcs, dsts, anchors = _parse_link_edges(batch)
         t = pa.table({
             "dst_doc": pa.array(dsts, pa.int64()),
             "src": pa.array(srcs, pa.int64()),
@@ -7175,6 +7239,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
     "link_graph": q_link_graph,
+    "link_triangles": q_link_triangles,
     "normalize_text": q_normalize_text,
     "main_content": q_main_content,
     "pdf_extract": q_pdf_extract,

@@ -341,3 +341,51 @@ class TestSplitNoLeakage:
         assert sum(r["sum_chars"] for r in a) == \
             sum(r["sum_chars"] for r in b)
         assert {r["split"] for r in a} == {"train", "val", "test"}
+
+
+class TestTriangleCounts:
+    def _edges(self, n_nodes=40, n_edges=160, seed=17, blocks=None):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        t = pa.table({"doc_a": pa.array(a, pa.int64()),
+                      "doc_b": pa.array(b, pa.int64())})
+        ds = ray.data.from_arrow(t)
+        if blocks:
+            ds = ds.repartition(blocks)
+        return ds, list(zip(a.tolist(), b.tolist()))
+
+    def test_matches_reference(self, ray_session):
+        from documentprocessor_ray.functions.graph import (
+            triangle_counts, triangle_counts_reference)
+
+        ds, pairs = self._edges()
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(ds).take_all()}
+        exp = triangle_counts_reference(pairs)
+        assert got == exp
+        assert exp, "graph should contain triangles"
+        # total per-corner credits = 3 * number of triangles
+        assert sum(exp.values()) % 3 == 0
+
+    def test_parallelism_invariant(self, ray_session):
+        from documentprocessor_ray.functions.graph import triangle_counts
+
+        a = sorted((r["node"], r["n_triangles"]) for r in
+                   triangle_counts(self._edges(blocks=1)[0]).take_all())
+        b = sorted((r["node"], r["n_triangles"]) for r in
+                   triangle_counts(self._edges(blocks=7)[0]).take_all())
+        assert a == b
+
+    def test_known_graph(self, ray_session):
+        from documentprocessor_ray.functions.graph import triangle_counts
+
+        # K4 plus a pendant: K4 has 4 triangles; each corner sits in 3
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4),
+                 (1, 0)]  # duplicate + reversed edges must not double-count
+        t = pa.table({
+            "doc_a": pa.array([e[0] for e in edges], pa.int64()),
+            "doc_b": pa.array([e[1] for e in edges], pa.int64())})
+        got = {r["node"]: r["n_triangles"] for r in
+               triangle_counts(ray.data.from_arrow(t)).take_all()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
