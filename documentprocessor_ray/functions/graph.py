@@ -211,6 +211,7 @@ def triangle_counts(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     num_buckets: Optional[int] = None,
+    small_graph_rows: Optional[int] = 1_000_000,
 ) -> "ray.data.Dataset":
     """Per-node triangle counts over the UNDIRECTED simple graph of
     ``edges`` — the classic degree-ordered wedge algorithm (Suri &
@@ -226,11 +227,32 @@ def triangle_counts(
     groupby(u) wedge emission, one co-bucketed wedge-close join, one
     bucketed per-node sum. Pairs never touch the driver; all counts are
     exact integers, so the result is parallelism-invariant and carries an
-    exact DuckDB twin."""
+    exact DuckDB twin. Graphs under ``small_graph_rows`` edges run the
+    same id-ordered scan in one worker task instead (chained-exchange
+    overhead dominates below ~1e6 edges — the dedup-clustering lesson)."""
     from .agg import bucketed_group_sum
     from .joins import hash_join
 
     nb = num_buckets or auto_buckets(None)
+
+    if small_graph_rows and edges.count() <= small_graph_rows:
+        # tiny-graph short-circuit (the dedup-clustering lesson: chained
+        # exchange overhead dwarfs the work below ~1e6 edges): the SAME
+        # id-ordered wedge scan in ONE worker task — off the driver,
+        # identical answer by construction (exact integer counts)
+        def one_task(b: pa.Table) -> pa.Table:
+            pairs = zip(
+                b[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            ref = triangle_counts_reference(pairs)
+            nodes = sorted(ref)
+            return pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "n_triangles": pa.array([ref[n] for n in nodes],
+                                        pa.int64())})
+
+        return edges.repartition(1).map_batches(
+            one_task, batch_format="pyarrow", batch_size=None)
 
     def canon(b: pa.Table) -> pa.Table:
         a = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -298,28 +320,33 @@ def triangle_counts(
             bucket_of_ints(u.astype(np.int64), nb), pa.int64()))
 
     def wedges(g: pa.Table) -> pa.Table:
-        us = g["u"].to_numpy(zero_copy_only=False)
-        vs = g["v"].to_numpy(zero_copy_only=False)
+        us = g["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vs = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((vs, us))
         us, vs = us[order], vs[order]
+        uniq, starts, counts = np.unique(us, return_index=True,
+                                         return_counts=True)
         out_u, out_a, out_b = [], [], []
-        i = 0
-        n = len(us)
-        while i < n:
-            j = i
-            while j < n and us[j] == us[i]:
-                j += 1
-            nbrs = vs[i:j]
-            for p in range(len(nbrs)):
-                for q in range(p + 1, len(nbrs)):
-                    a, c = int(nbrs[p]), int(nbrs[q])
-                    out_u.append(int(us[i]))
-                    out_a.append(min(a, c))
-                    out_b.append(max(a, c))
-            i = j
-        return pa.table({"u": pa.array(out_u, pa.int64()),
-                         "lo": pa.array(out_a, pa.int64()),
-                         "hi": pa.array(out_b, pa.int64())})
+        # vectorize per distinct group SIZE: same-degree adjacency lists
+        # stack into one (groups, size) matrix, pair-enumerated with one
+        # triu_indices — no Python over wedges
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            sel = counts == s
+            idx = starts[sel][:, None] + np.arange(s)[None, :]
+            mat = vs[idx]                      # neighbors, sorted asc
+            p, q = np.triu_indices(int(s), k=1)
+            out_u.append(np.repeat(uniq[sel], len(p)))
+            out_a.append(mat[:, p].reshape(-1))  # p<q and sorted ->
+            out_b.append(mat[:, q].reshape(-1))  # (lo, hi) canonical
+        if not out_u:
+            z = pa.array([], pa.int64())
+            return pa.table({"u": z, "lo": z, "hi": z})
+        return pa.table({
+            "u": pa.array(np.concatenate(out_u), pa.int64()),
+            "lo": pa.array(np.concatenate(out_a), pa.int64()),
+            "hi": pa.array(np.concatenate(out_b), pa.int64())})
 
     w = j2.map_batches(orient, batch_format="pyarrow") \
         .groupby("pkey").map_groups(wedges, batch_format="pyarrow")

@@ -360,10 +360,15 @@ class TestTriangleCounts:
             triangle_counts, triangle_counts_reference)
 
         ds, pairs = self._edges()
+        exp = triangle_counts_reference(pairs)
+        # short-circuit path AND the forced distributed path must agree
         got = {r["node"]: r["n_triangles"]
                for r in triangle_counts(ds).take_all()}
-        exp = triangle_counts_reference(pairs)
         assert got == exp
+        got_dist = {r["node"]: r["n_triangles"] for r in
+                    triangle_counts(self._edges()[0],
+                                    small_graph_rows=0).take_all()}
+        assert got_dist == exp
         assert exp, "graph should contain triangles"
         # total per-corner credits = 3 * number of triangles
         assert sum(exp.values()) % 3 == 0
@@ -372,9 +377,11 @@ class TestTriangleCounts:
         from documentprocessor_ray.functions.graph import triangle_counts
 
         a = sorted((r["node"], r["n_triangles"]) for r in
-                   triangle_counts(self._edges(blocks=1)[0]).take_all())
+                   triangle_counts(self._edges(blocks=1)[0],
+                                   small_graph_rows=0).take_all())
         b = sorted((r["node"], r["n_triangles"]) for r in
-                   triangle_counts(self._edges(blocks=7)[0]).take_all())
+                   triangle_counts(self._edges(blocks=7)[0],
+                                   small_graph_rows=0).take_all())
         assert a == b
 
     def test_known_graph(self, ray_session):
