@@ -335,7 +335,8 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
                   threshold_den: int = 5,
                   shingle_k: Optional[int] = None,
                   group_cap: Optional[int] = None,
-                  df_sketch_bits: Optional[int] = 20) -> "ray.data.Dataset":
+                  df_sketch_bits: Optional[int] = 20,
+                  pair_filter=None) -> "ray.data.Dataset":
     """All pairs (doc_a < doc_b) with token-set Jaccard >= num/den; EXACT.
 
     Prefix filter (PPJoin): tokens sorted by (global df, token) ascending; a
@@ -365,7 +366,14 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
     memory at ANY corpus size. None broadcasts the exact hash->df dict
     instead (unbounded; kept as the oracle twin — output is IDENTICAL either
     way since slot collisions only perturb prefix ordering and candidates
-    are verified exactly)."""
+    are verified exactly).
+
+    pair_filter (optional ``f(doc_a, doc_b) -> bool`` on the canonical
+    a < b pair): candidate pairs failing it are dropped BEFORE the verify
+    hops — the incremental-ingest shape (only increment-vs-base pairs
+    verified, never base-vs-base) costs a predicate instead of a second
+    pipeline. Must be a pure function of the ids (it runs inside worker
+    tasks)."""
     t_num, t_den = threshold_num, threshold_den
     nb = auto_buckets(None)  # driver-resolved ONCE for every shuffle below
 
@@ -450,6 +458,8 @@ def jaccard_pairs(ds: "ray.data.Dataset", threshold_num: int = 3,
                 if t_den * lo < t_num * hi:
                     continue  # length filter: necessary for J >= t
                 a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                if pair_filter is not None and not pair_filter(a, b):
+                    continue
                 a_out.append(a)
                 b_out.append(b)
         return pa.table({

@@ -2529,6 +2529,75 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
     return _ngram_pairs_cached(sf_dir)
 
 
+def _is_incoming(doc_id: int) -> bool:
+    """The md5 incremental-ingest split shared with q_incremental_dedup:
+    ~1/4 of docs are the 'incoming' daily batch, the rest the index."""
+    import hashlib as _hl
+
+    return _hl.md5(str(int(doc_id)).encode()).hexdigest()[0] in "0123"
+
+
+def q_incremental_neardup(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental NEAR-dup detection — incremental_dedup's fuzzy sibling:
+    for each md5-split 'incoming' doc, its best 3-gram-Jaccard >= 1/2
+    match in the EXISTING index partition (max exact rational Jaccard,
+    ties by n_inter desc then lowest base id), or no row if clean. The
+    candidate stage verifies ONLY increment-vs-base pairs
+    (jaccard_pairs(pair_filter=...) drops in-set candidates before the
+    token-set hops) — at daily-crawl scale base-vs-base work is the
+    dominant waste this operator exists to avoid. Output:
+    (doc_id, dup_of, n_inter, n_union)."""
+    from ..functions import dedup as D
+
+    def cross(a: int, b: int) -> bool:
+        return _is_incoming(a) != _is_incoming(b)
+
+    pairs = D.jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        threshold_num=1, threshold_den=2, shingle_k=3, pair_filter=cross)
+
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_inc = np.fromiter((_is_incoming(x) for x in a), bool, len(a))
+        new = np.where(a_inc, a, c)
+        base = np.where(a_inc, c, a)
+        t = pa.table({
+            "doc_id": pa.array(new, pa.int64()),
+            "dup_of": pa.array(base, pa.int64()),
+            "n_inter": pc.cast(b["n_inter"], pa.int64()),
+            "n_union": pc.cast(b["n_union"], pa.int64())})
+        return t.append_column("pkey", pa.array(
+            bucket_of_ints(new, nb), pa.int64()))
+
+    def best(g: pa.Table) -> pa.Table:
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        dup = g["dup_of"].to_numpy(zero_copy_only=False)
+        ni = g["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = g["n_union"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact-rational order via float64 is safe here (see SQL twin
+        # note); explicit tie keys handle rational-equal ratios
+        ratio = ni / nu
+        order = np.lexsort((dup, -ni, -ratio, did))
+        did, dup, ni, nu = did[order], dup[order], ni[order], nu[order]
+        first = np.empty(len(did), bool)
+        if len(did):
+            first[0] = True
+            first[1:] = did[1:] != did[:-1]
+        return pa.table({
+            "doc_id": pa.array(did[first], pa.int64()),
+            "dup_of": pa.array(dup[first], pa.int64()),
+            "n_inter": pa.array(ni[first], pa.int64()),
+            "n_union": pa.array(nu[first], pa.int64())})
+
+    return pairs.map_batches(orient, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(best, batch_format="pyarrow")
+
+
 def q_minhash_pairs(sf_dir: str) -> "ray.data.Dataset":
     # driver twin: same MinHasher signatures, banding replayed with plain
     # dict buckets single-process (pipelines/oracle_dump.py) — gates the
@@ -6203,6 +6272,35 @@ ORACLE_SQL["split_leakage"] = """
     FROM s GROUP BY split_a, split_b""".replace(
     "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
 
+# incremental near-dup twin: the pair SQL filtered to cross-split pairs,
+# oriented incoming->base, best match via row_number (double ratio order is
+# exact here: distinct rationals a/b vs c/d with b,d <= 1e4 differ by
+# >= 1e-8 >> double eps, and rational-EQUAL ratios fall to the explicit
+# n_inter DESC, dup_of ASC tie keys mirrored on the Ray side)
+ORACLE_SQL["incremental_neardup"] = """
+    WITH pairs AS ({NGRAM_PAIRS}),
+    o AS (
+      SELECT CASE WHEN ia THEN doc_a ELSE doc_b END AS doc_id,
+             CASE WHEN ia THEN doc_b ELSE doc_a END AS dup_of,
+             n_inter, n_union
+      FROM (SELECT doc_a, doc_b, n_inter, n_union,
+              substr(md5(CAST(doc_a AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3') AS ia,
+              substr(md5(CAST(doc_b AS VARCHAR)), 1, 1)
+                IN ('0','1','2','3') AS ib
+            FROM pairs)
+      WHERE ia <> ib),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY n_inter * 1.0 / n_union DESC, n_inter DESC, dup_of ASC)
+        AS rk
+      FROM o)
+    SELECT doc_id::BIGINT AS doc_id, dup_of::BIGINT AS dup_of,
+           n_inter::BIGINT AS n_inter, n_union::BIGINT AS n_union
+    FROM r WHERE rk = 1""".replace(
+    "{NGRAM_PAIRS}", ORACLE_SQL["ngram_jaccard_pairs"])
+
 # leakage-free split twin: recursive-CTE cluster reps LEFT-joined to
 # documents, md5 split on the rep (docs outside a cluster are their own rep)
 ORACLE_SQL["split_no_leakage"] = """
@@ -7233,6 +7331,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bigram_surprisal": q_bigram_surprisal,
     "dsir_logweight": q_dsir_logweight,
     "split_no_leakage": q_split_no_leakage,
+    "incremental_neardup": q_incremental_neardup,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

@@ -396,3 +396,65 @@ class TestTriangleCounts:
         got = {r["node"]: r["n_triangles"] for r in
                triangle_counts(ray.data.from_arrow(t)).take_all()}
         assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+class TestIncrementalNeardup:
+    def test_best_match_vs_bruteforce(self, ray_session, tmp_path):
+        import hashlib as _hl
+
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.pipelines.analysis import (
+            _is_incoming, q_incremental_neardup)
+
+        rng = np.random.default_rng(41)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = []
+        for i in range(40):
+            toks = list(rng.choice(vocab, size=12))
+            texts.append(" ".join(toks))
+        # force near-dups across the split: copy doc texts around
+        for i in range(30, 40):
+            texts[i] = texts[i - 30] + " extra"
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), tmp_path / "documents.parquet")
+
+        got = {r["doc_id"]: (r["dup_of"], r["n_inter"], r["n_union"])
+               for r in q_incremental_neardup(str(tmp_path)).take_all()}
+
+        def shingles(t):
+            toks = t.lower().split()
+            return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+        sh = [shingles(t) for t in texts]
+        exp = {}
+        for d in range(40):
+            if not _is_incoming(d):
+                continue
+            best = None
+            for b in range(40):
+                if _is_incoming(b) or not sh[d] or not sh[b]:
+                    continue
+                ni = len(sh[d] & sh[b])
+                nu = len(sh[d] | sh[b])
+                if 2 * ni < nu:
+                    continue
+                key = (-ni / nu, -ni, b)
+                if best is None or key < best[0]:
+                    best = (key, (b, ni, nu))
+            if best:
+                exp[d] = best[1]
+        assert exp, "synthetic corpus must contain cross near-dups"
+        assert got == exp
+
+    def test_results_are_incoming_vs_base_only(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import (
+            _is_incoming, q_incremental_neardup)
+
+        out = q_incremental_neardup("/root/testdata/sf0.001").take_all()
+        for r in out:
+            assert _is_incoming(r["doc_id"])
+            assert not _is_incoming(r["dup_of"])
+            assert 2 * r["n_inter"] >= r["n_union"]
