@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "knn_bruteforce", "knn_ivf", "knn_int8", "bitext_mine",
     "url_canonical_dedup", "quality_classifier", "span_merge", "kmeans_clusters",
     "semdedup", "bigram_surprisal", "dsir_logweight", "split_no_leakage",
-    "link_triangles", "incremental_neardup",
+    "link_triangles", "incremental_neardup", "pca_project",
     "image_features", "audio_features", "audio_spectral", "video_framesample",
     "image_edges", "video_motion",
     "image_phash_pairs",

@@ -264,3 +264,100 @@ def semdedup_reference(vec_ids: List[int], embs: List[List[float]],
         out.extend((int(vids[i]), ci, int(kf))
                    for i, kf in zip(idx, keep))
     return out
+
+
+def pca_project_int(ds: "ray.data.Dataset", k: int = 4,
+                    scale: int = 1 << 20) -> "ray.data.Dataset":
+    """Distributed PCA projection of the embedding column — the
+    dimensionality-reduction step ANN/semantic-dedup pipelines run before
+    indexing. Combiner shape: every batch emits ONE tiny partial
+    (count, sum qx (d,), qx^T qx (d,d)) of exact int64 sums over the
+    unit-quantized rows; the driver reduces the d^2-sized partials and
+    eigendecomposes the exact integer scatter matrix
+    n*S - s s^T (centering without division, so the matrix is identical
+    at any parallelism). Top-k eigenvectors (sign-fixed: largest-|v|
+    component positive, ties to the lowest index) broadcast once; each
+    row projects as round(1e6 * ((n*qx - s) @ V) / (n*scale)) — a
+    row-local float64 op, deterministic everywhere. Returns
+    (vec_id, pc0..pc{k-1}) int64 micro-unit coordinates (flat scalar
+    columns — hashable by the driver gate and SQL-friendly).
+
+    Scale notes: the only driver-side data is num_batches tiny (d^2+d+1)
+    partials; the corpus streams. d=64, |qx| <= scale=2^20, n <= 2^30
+    keeps every integer below 2^63."""
+    qds = _quantize_ds(ds, scale)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+        if len(qx) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.int64())),
+                             "ss": pa.array([], pa.list_(pa.int64()))})
+        s = qx.sum(axis=0)
+        ss = qx.T @ qx  # exact int64
+        return pa.table({
+            "n": pa.array([len(qx)], pa.int64()),
+            "s": pa.array([list(s)], pa.list_(pa.int64())),
+            "ss": pa.array([list(ss.reshape(-1))], pa.list_(pa.int64()))})
+
+    rows = qds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    if n == 0:
+        raise ValueError("pca_project_int: empty input")
+    d = len(rows[0]["s"])
+    s = np.zeros(d, np.int64)
+    ss = np.zeros((d, d), np.int64)
+    for r in rows:
+        s += np.asarray(r["s"], dtype=np.int64)
+        ss += np.asarray(r["ss"], dtype=np.int64).reshape(d, d)
+    V = _pca_eigvecs(n, s, ss, k)
+
+    ref = ray.put((np.int64(n), s, V))
+
+    def project(batch: pa.Table, _ref=ref) -> pa.Table:
+        n_, s_, v = ray.get(_ref)
+        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+        cols = {"vec_id": batch["vec_id"]}
+        if len(qx) == 0:
+            for j in range(k):
+                cols[f"pc{j}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        centered = (int(n_) * qx - s_).astype(np.float64)
+        pm = np.round((centered @ v) * 1e6 / (float(n_) * scale)) \
+            .astype(np.int64)
+        for j in range(k):
+            cols[f"pc{j}"] = pa.array(pm[:, j], pa.int64())
+        return pa.table(cols)
+
+    return qds.map_batches(project, batch_format="pyarrow")
+
+
+def _pca_eigvecs(n: int, s: np.ndarray, ss: np.ndarray,
+                 k: int) -> np.ndarray:
+    """Top-k eigenvectors (d, k) of the exact integer scatter matrix
+    n*SS - s s^T, descending eigenvalue, deterministic sign."""
+    scatter = (np.int64(n) * ss - np.outer(s, s)).astype(np.float64)
+    w, v = np.linalg.eigh(scatter)
+    top = np.argsort(w)[::-1][:k]
+    V = v[:, top]
+    for j in range(V.shape[1]):
+        i = int(np.argmax(np.abs(V[:, j])))
+        if V[i, j] < 0:
+            V[:, j] = -V[:, j]
+    return V
+
+
+def pca_project_reference(vec_ids, embs, k: int = 4,
+                          scale: int = 1 << 20):
+    """Single-process twin of pca_project_int (same integer scatter, same
+    eigh, same rounding) — the oracle-dump side."""
+    qx = _quantize_rows(np.array(embs, dtype=np.float64), scale)
+    n = len(qx)
+    s = qx.sum(axis=0)
+    ss = qx.T @ qx
+    V = _pca_eigvecs(n, s, ss, k)
+    centered = (np.int64(n) * qx - s).astype(np.float64)
+    pm = np.round((centered @ V) * 1e6 / (float(n) * scale)) \
+        .astype(np.int64)
+    return [(int(v), [int(x) for x in row])
+            for v, row in zip(vec_ids, pm)]

@@ -3074,6 +3074,23 @@ def q_semdedup(sf_dir: str) -> "ray.data.Dataset":
         k=8, iters=5, tau_micro=400_000)
 
 
+def q_pca_project(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed PCA of the embedding table (the pre-ANN dimensionality
+    reduction): exact-int64 scatter-matrix combiner partials, one driver
+    eigh, broadcast top-4 eigenvectors, row-local projection
+    (functions/clustering.pca_project_int). The eigendecomposition makes
+    it non-SQL, so the driver twin is an oracle DUMP of the identical
+    single-process replay."""
+    from ..functions.clustering import pca_project_int
+    from . import oracle_dump as OD
+
+    OD.dump("pca_project",
+            OD.file_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+            lambda: OD.pca_project_expected(sf_dir))
+    return pca_project_int(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=4)
+
+
 def q_quality_classifier(sf_dir: str) -> "ray.data.Dataset":
     """Model-based quality filtering (the fastText-classifier gate of
     CCNet/RefinedWeb-style pipelines) as a deterministic integer linear
@@ -7300,7 +7317,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
-                   "bigram_surprisal", "dsir_logweight",
+                   "bigram_surprisal", "dsir_logweight", "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
                    "audio_features", "audio_spectral", "image_edges",
@@ -7332,6 +7349,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dsir_logweight": q_dsir_logweight,
     "split_no_leakage": q_split_no_leakage,
     "incremental_neardup": q_incremental_neardup,
+    "pca_project": q_pca_project,
     "reshard_plan": q_reshard_plan,
     "price_bins": q_price_bins,
     "negative_samples": q_negative_samples,

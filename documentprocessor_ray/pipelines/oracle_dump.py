@@ -519,6 +519,21 @@ def semdedup_expected(sf_dir: str, k: int = 8, iters: int = 5,
     })
 
 
+def pca_project_expected(sf_dir: str, k: int = 4) -> pa.Table:
+    """Twin of q_pca_project: the identical scatter/eigh/rounding in one
+    plain numpy pass (functions/clustering.pca_project_reference)."""
+    from ..functions.clustering import pca_project_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    rows = pca_project_reference(t["vec_id"].to_pylist(),
+                                 t["embedding"].to_pylist(), k=k)
+    cols = {"vec_id": pa.array([r[0] for r in rows], pa.int64())}
+    for j in range(k):
+        cols[f"pc{j}"] = pa.array([r[1][j] for r in rows], pa.int64())
+    return pa.table(cols)
+
+
 def bigram_surprisal_expected(sf_dir: str) -> pa.Table:
     """Twin of q_bigram_surprisal: plain-dict bigram/context counts + the
     same quantized-log scoring in one loop

@@ -25,12 +25,12 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: every query carries a rows+schema+hash twin
-        # (round 4: 171 queries, 171 gated — exact SQL twins + oracle-dump
+        # (round 4: 172 queries, 172 gated — exact SQL twins + oracle-dump
         # twins; semdedup joined the dump-twin family alongside
         # kmeans_clusters/knn_ivf/event_heavy_hitters)
-        assert len(sqls) >= 171
+        assert len(sqls) >= 172
         assert len(sqls) == len(qs)
-        assert len(qs) >= 171
+        assert len(qs) >= 172
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

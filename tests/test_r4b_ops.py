@@ -458,3 +458,33 @@ class TestIncrementalNeardup:
             assert _is_incoming(r["doc_id"])
             assert not _is_incoming(r["dup_of"])
             assert 2 * r["n_inter"] >= r["n_union"]
+
+
+class TestPcaProject:
+    def test_matches_reference_and_parallelism(self, ray_session):
+        from documentprocessor_ray.functions.clustering import (
+            pca_project_int, pca_project_reference)
+
+        rng = np.random.default_rng(23)
+        # anisotropic data so the principal axes are well-separated
+        base = rng.normal(size=(70, 6)) * np.array([9, 5, 2, 1, .5, .2])
+        m = base.astype(np.float32)
+        exp = {r[0]: tuple(r[1]) for r in pca_project_reference(
+            list(range(len(m))), [list(map(float, r)) for r in m], k=3)}
+        for blocks in (1, 7):
+            out = pca_project_int(_emb_ds(m, blocks=blocks), k=3).take_all()
+            got = {r["vec_id"]: (r["pc0"], r["pc1"], r["pc2"]) for r in out}
+            assert got == exp, blocks
+
+    def test_component_variance_ordering(self, ray_session):
+        from documentprocessor_ray.functions.clustering import (
+            pca_project_reference)
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(200, 5)) * np.array([20, 6, 2, 1, .3])
+        rows = pca_project_reference(
+            list(range(len(base))), [list(map(float, r)) for r in base],
+            k=3)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        v = mat.var(axis=0)
+        assert v[0] > v[1] > v[2] > 0
