@@ -19,6 +19,7 @@ distinct-key count, not row count.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Callable, Dict
 
@@ -2529,9 +2530,12 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> "ray.data.Dataset":
     return _ngram_pairs_cached(sf_dir)
 
 
+@functools.lru_cache(maxsize=1 << 20)
 def _is_incoming(doc_id: int) -> bool:
     """The md5 incremental-ingest split shared with q_incremental_dedup:
-    ~1/4 of docs are the 'incoming' daily batch, the rest the index."""
+    ~1/4 of docs are the 'incoming' daily batch, the rest the index.
+    Memoized — the candidate pair_filter evaluates it per candidate
+    endpoint and hot docs recur across prefix keys."""
     import hashlib as _hl
 
     return _hl.md5(str(int(doc_id)).encode()).hexdigest()[0] in "0123"
