@@ -7499,3 +7499,203 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "detect_currency": q_detect_currency,
     "verify_totals": q_verify_totals,
 }
+
+
+# ------------------------------------------------- line-level filter family
+# (C4 / Gopher / Dolma line rules — functions/linefilters.py). The sandbox
+# corpus has no newlines, so each query derives a DETERMINISTIC lined text
+# from the token stream (3 tokens per line; the Gopher/C4 variant adds
+# modulo-scheduled terminal punctuation, '- ' bullets and injected
+# bad-content lines) and the DuckDB twin re-derives the identical lines
+# logically — the hash gate verifies the line parse + filter, not a
+# pass-through.
+
+def q_gopher_rules(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher document-filter signals (Rae et al. 2021 §A1.1) over the
+    decorated lined corpus: integer word/line/symbol counts + the ANDed
+    keep verdict, one vectorized Arrow pass per batch
+    (functions/linefilters.gopher_stats_batch)."""
+    from ..functions.linefilters import gopher_stats_batch, lined_text_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lambda b: lined_text_batch(b, decorate=True),
+                     batch_format="pyarrow") \
+        .map_batches(gopher_stats_batch, batch_format="pyarrow")
+
+
+def q_c4_rules(sf_dir: str) -> "ray.data.Dataset":
+    """C4 line filtering (Raffel et al. 2020 §2.2) over the decorated lined
+    corpus: retain lines ending in terminal punctuation with >= 3 words,
+    flag 'lorem ipsum' / '{' documents, and hash the retained text
+    (functions/linefilters.c4_stats_batch)."""
+    from ..functions.linefilters import c4_stats_batch, lined_text_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lambda b: lined_text_batch(b, decorate=True),
+                     batch_format="pyarrow") \
+        .map_batches(c4_stats_batch, batch_format="pyarrow")
+
+
+def q_line_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-document duplicate-line removal (the Dolma/CCNet paragraph
+    rule) over the UNdecorated lined corpus — 3-token lines collide across
+    documents naturally, so the dup set is non-trivial. Two bucketed
+    shuffles; see functions/linefilters.line_dedup."""
+    from ..functions.linefilters import line_dedup, lined_text_batch
+
+    return line_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lambda b: lined_text_batch(b, decorate=False),
+                     batch_format="pyarrow"))
+
+
+# shared twin CTEs: tokens -> decorated lines (mirrors lined_text_batch)
+_LINED_SQL = r"""
+    t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id, i AS idx,
+        (CASE WHEN (doc_id * 3 + i) % 11 = 0 THEN '- ' ELSE '' END)
+        || array_to_string(
+             list_slice(toks, i * 3 + 1, least(len(toks), i * 3 + 3)), ' ')
+        || (CASE (doc_id + i) % 7
+              WHEN 0 THEN ' ...' WHEN 1 THEN '.' WHEN 2 THEN '.'
+              WHEN 3 THEN '.' WHEN 4 THEN '!' WHEN 5 THEN '?'
+              ELSE '' END) AS line
+      FROM t, unnest(generate_series(0, (len(toks) - 1) // 3)) AS s(i)
+      WHERE len(toks) > 0),
+    inj AS (
+      SELECT doc_id, (len(toks) + 2) // 3 AS idx,
+             'lorem ipsum dolor' AS line
+      FROM t WHERE len(toks) > 0 AND doc_id % 97 = 0
+      UNION ALL
+      SELECT doc_id,
+             (len(toks) + 2) // 3
+               + (CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS idx,
+             '{ }' AS line
+      FROM t WHERE len(toks) > 0 AND doc_id % 89 = 0),
+    ln AS (SELECT * FROM base UNION ALL SELECT * FROM inj)"""
+
+ORACLE_SQL["gopher_rules"] = f"""
+    WITH {_LINED_SQL},
+    lt AS (
+      SELECT doc_id, line,
+        regexp_split_to_array(line, '\\s+') AS ltoks,
+        (length(line) - length(replace(line, '...', ''))) // 3 AS n_ell
+      FROM ln),
+    agg AS (
+      SELECT doc_id,
+        count(*) AS n_lines,
+        sum(len(ltoks)) AS n_tokens,
+        sum(length(replace(line, ' ', ''))) AS sum_tok_chars,
+        sum(len(list_filter(ltoks,
+            x -> regexp_matches(x, '[A-Za-z]')))) AS n_alpha_tok,
+        sum(len(list_filter(ltoks,
+            x -> lower(regexp_replace(x, '[.!?]+$', '')) IN
+                 ('the','be','to','of','and','that','have','with'))))
+          AS n_stop8,
+        sum(CASE WHEN line LIKE '- %' THEN 1 ELSE 0 END) AS n_bullet,
+        sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END)
+          AS n_ellipsis_end,
+        sum(n_ell) AS n_ellipsis
+      FROM lt GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+      coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+      coalesce(a.sum_tok_chars, 0)::BIGINT AS sum_tok_chars,
+      coalesce(a.n_alpha_tok, 0)::BIGINT AS n_alpha_tok,
+      coalesce(a.n_stop8, 0)::BIGINT AS n_stop8,
+      coalesce(a.n_bullet, 0)::BIGINT AS n_bullet,
+      coalesce(a.n_ellipsis_end, 0)::BIGINT AS n_ellipsis_end,
+      coalesce(a.n_ellipsis, 0)::BIGINT AS n_ellipsis,
+      (CASE WHEN coalesce(a.n_tokens, 0) BETWEEN 50 AND 100000
+             AND coalesce(a.sum_tok_chars, 0) >= 3 * coalesce(a.n_tokens, 0)
+             AND coalesce(a.sum_tok_chars, 0) <= 10 * coalesce(a.n_tokens, 0)
+             AND 10 * coalesce(a.n_ellipsis, 0) <= coalesce(a.n_tokens, 0)
+             AND 10 * coalesce(a.n_bullet, 0) <= 9 * coalesce(a.n_lines, 0)
+             AND 10 * coalesce(a.n_ellipsis_end, 0)
+                 <= 3 * coalesce(a.n_lines, 0)
+             AND 5 * coalesce(a.n_alpha_tok, 0)
+                 >= 4 * coalesce(a.n_tokens, 0)
+             AND coalesce(a.n_stop8, 0) >= 2
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+ORACLE_SQL["c4_rules"] = f"""
+    WITH {_LINED_SQL},
+    lt AS (
+      SELECT doc_id, idx, line,
+             len(regexp_split_to_array(line, '\\s+')) AS ntok
+      FROM ln),
+    k AS (
+      SELECT doc_id, idx, line FROM lt
+      WHERE (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?')
+        AND ntok >= 3),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
+      FROM k GROUP BY doc_id),
+    la AS (
+      SELECT doc_id, count(*) AS n_lines,
+             max(CASE WHEN line LIKE '%lorem ipsum%' THEN 1 ELSE 0 END)
+               AS has_lorem,
+             max(CASE WHEN contains(line, '{{') THEN 1 ELSE 0 END)
+               AS has_brace
+      FROM ln GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(la.n_lines, 0)::BIGINT AS n_lines,
+      coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+      coalesce(la.has_lorem, 0)::BIGINT AS has_lorem,
+      coalesce(la.has_brace, 0)::BIGINT AS has_brace,
+      (CASE WHEN coalesce(ka.n_kept, 0) >= 3
+             AND coalesce(la.has_lorem, 0) = 0
+             AND coalesce(la.has_brace, 0) = 0
+        THEN 1 ELSE 0 END)::BIGINT AS keep_doc,
+      coalesce(ka.clean_md5, md5('')) AS clean_md5
+    FROM documents d
+    LEFT JOIN ka USING (doc_id) LEFT JOIN la USING (doc_id)"""
+
+ORACLE_SQL["line_dedup"] = r"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+             THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+        END AS toks
+      FROM documents),
+    ln AS (
+      SELECT doc_id, i AS idx,
+        array_to_string(
+          list_slice(toks, i * 3 + 1, least(len(toks), i * 3 + 3)), ' ')
+          AS line
+      FROM t, unnest(generate_series(0, (len(toks) - 1) // 3)) AS s(i)
+      WHERE len(toks) > 0),
+    dup AS (
+      SELECT line FROM ln GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (
+      SELECT doc_id, idx, line FROM ln
+      WHERE line NOT IN (SELECT line FROM dup)),
+    ka AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY idx)) AS m
+      FROM kept GROUP BY doc_id),
+    la AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(la.n_lines, 0)::BIGINT AS n_lines,
+      (coalesce(la.n_lines, 0) - coalesce(ka.n_kept, 0))::BIGINT
+        AS n_dropped,
+      coalesce(ka.m, md5('')) AS clean_md5
+    FROM documents d
+    LEFT JOIN la USING (doc_id) LEFT JOIN ka USING (doc_id)"""
+
+QUERIES["gopher_rules"] = q_gopher_rules
+QUERIES["c4_rules"] = q_c4_rules
+QUERIES["line_dedup"] = q_line_dedup

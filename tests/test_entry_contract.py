@@ -25,12 +25,12 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: every query carries a rows+schema+hash twin
-        # (round 4: 172 queries, 172 gated — exact SQL twins + oracle-dump
-        # twins; semdedup joined the dump-twin family alongside
-        # kmeans_clusters/knn_ivf/event_heavy_hitters)
-        assert len(sqls) >= 172
+        # (round 4: 175 queries, 175 gated — exact SQL twins + oracle-dump
+        # twins; the line-filter family gopher_rules/c4_rules/line_dedup
+        # joined with exact SQL twins)
+        assert len(sqls) >= 175
         assert len(sqls) == len(qs)
-        assert len(qs) >= 172
+        assert len(qs) >= 175
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""
