@@ -392,3 +392,147 @@ def triangle_counts_reference(pairs) -> dict:
                 for nd in (lo, hi, w):
                     counts[nd] = counts.get(nd, 0) + 1
     return counts
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_rounds: int = 12,
+    num_buckets: Optional[int] = None,
+    small_graph_rows: Optional[int] = 1_000_000,
+) -> "ray.data.Dataset":
+    """k-core decomposition by iterative peeling over the UNDIRECTED simple
+    graph of ``edges``: repeatedly drop every node whose induced degree is
+    < k (Seidman 1983) — the link-spam / dense-community signal a crawl
+    pipeline computes after PageRank. Returns (node, deg) for the
+    endpoints of the surviving edge set with their induced degrees.
+
+    Determinism contract: EXACTLY ``max_rounds`` peel rounds are defined —
+    peeling is monotone (edges only leave), so once a round removes
+    nothing every further round is the identity and the distributed loop
+    may early-exit with the identical answer. The DuckDB twin unrolls the
+    same ``max_rounds`` rounds as chained CTEs, which is what makes this
+    iterative operator exactly SQL-checkable (the PageRank fixed-iteration
+    lesson, see _pagerank_sql).
+
+    Exchanges per round: one bucketed degree count over the current edge
+    set + two co-bucketed semi-joins (alive set onto each endpoint); the
+    edge set is re-materialized per round so each round reads blocks, not
+    lineage. At 100 TB the alive set is node-sized — it stays a Dataset
+    and joins by hash bucket, never a driver broadcast. Graphs under
+    ``small_graph_rows`` edges run the same peel in ONE worker task
+    (chained-exchange overhead dominates below ~1e6 edges — the
+    dedup-clustering lesson)."""
+    from .agg import bucketed_group_sum
+    from .joins import hash_join
+
+    nb = num_buckets or auto_buckets(None)
+
+    if small_graph_rows and edges.count() <= small_graph_rows:
+        def one_task(b: pa.Table) -> pa.Table:
+            pairs = zip(
+                b[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            ref = kcore_reference(pairs, k, max_rounds)
+            nodes = sorted(ref)
+            return pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "deg": pa.array([ref[n] for n in nodes], pa.int64())})
+
+        return edges.repartition(1).map_batches(
+            one_task, batch_format="pyarrow", batch_size=None)
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(a, c)
+        hi = np.maximum(a, c)
+        keep = lo != hi
+        t = pa.table({"lo": pa.array(lo[keep], pa.int64()),
+                      "hi": pa.array(hi[keep], pa.int64())}) \
+            .group_by(["lo", "hi"]).aggregate([])
+        return t.append_column("pkey", pa.array(bucket_of_ints(
+            t["lo"].to_numpy(zero_copy_only=False), nb), pa.int64()))
+
+    def dedup(g: pa.Table) -> pa.Table:
+        return g.select(["lo", "hi"]).group_by(["lo", "hi"]).aggregate([])
+
+    cur = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(dedup, batch_format="pyarrow") \
+        .materialize()
+    n_edges = cur.count()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        n = np.concatenate([
+            b["lo"].to_numpy(zero_copy_only=False),
+            b["hi"].to_numpy(zero_copy_only=False)]).astype(np.int64)
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "deg": pa.array(np.ones(len(n), np.int64))})
+
+    edge_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def _deg(ds_edges):
+        return bucketed_group_sum(
+            ds_edges.map_batches(endpoints, batch_format="pyarrow"),
+            "node", ["deg"])
+
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = _deg(cur)
+        alive = deg.filter(expr=f"deg >= {int(k)}") \
+            .select_columns(["node"])
+
+        def _as(col):
+            def f(b: pa.Table) -> pa.Table:
+                return b.rename_columns([col])
+            return f
+
+        alive_schema_lo = pa.schema([("lo", pa.int64())])
+        alive_schema_hi = pa.schema([("hi", pa.int64())])
+        j = hash_join(
+            cur, alive.map_batches(_as("lo"), batch_format="pyarrow"),
+            on="lo", left_schema=edge_schema,
+            right_schema=alive_schema_lo)
+        nxt = hash_join(
+            j, alive.map_batches(_as("hi"), batch_format="pyarrow"),
+            on="hi", left_schema=edge_schema,
+            right_schema=alive_schema_hi) \
+            .select_columns(["lo", "hi"]).materialize()
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:  # fixpoint: further rounds are the identity
+            break
+        n_edges = n_next
+
+    return _deg(cur)
+
+
+def kcore_reference(pairs, k: int, max_rounds: int = 12) -> dict:
+    """Single-machine twin of kcore: adjacency sets + the same fixed-round
+    peel. Returns {node: induced_degree} over the surviving edges."""
+    adj: dict = {}
+    eset = set()
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        lo, hi = (a, b) if a < b else (b, a)
+        if (lo, hi) in eset:
+            continue
+        eset.add((lo, hi))
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    for _ in range(max_rounds):
+        dead = {n for n, nbrs in adj.items() if len(nbrs) < k}
+        if not dead:
+            break
+        for n in dead:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+        for m in [m for m, nbrs in adj.items() if not nbrs]:
+            del adj[m]
+    return {n: len(nbrs) for n, nbrs in adj.items() if nbrs}

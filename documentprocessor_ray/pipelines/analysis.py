@@ -7699,3 +7699,59 @@ ORACLE_SQL["line_dedup"] = r"""
 QUERIES["gopher_rules"] = q_gopher_rules
 QUERIES["c4_rules"] = q_c4_rules
 QUERIES["line_dedup"] = q_line_dedup
+
+
+# ----------------------------------------------------- k-core decomposition
+
+def q_kcore(sf_dir: str) -> "ray.data.Dataset":
+    """k-core decomposition (k=15) of the undirected crawl link graph —
+    the dense-community / link-spam signal computed after PageRank. Edges
+    come from the SAME real HTML parse as q_link_graph; peeling is the
+    fixed-round iterative filter in functions/graph.kcore (12 rounds;
+    peeling is monotone, so the early-exit at fixpoint returns exactly the
+    12-round answer). Exact DuckDB twin: the logical edge derivation + the
+    SAME 12 peel rounds unrolled as chained CTEs (the PageRank
+    fixed-iteration lesson)."""
+    from ..functions.graph import kcore
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts, _ = _parse_link_edges(batch)
+        return pa.table({"doc_a": pa.array(srcs, pa.int64()),
+                         "doc_b": pa.array(dsts, pa.int64())})
+
+    return kcore(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(edges, batch_format="pyarrow"),
+        k=15, max_rounds=12)
+
+
+_KCORE_ROUND = """d{r} AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM (
+        SELECT lo AS node FROM e{p} UNION ALL SELECT hi FROM e{p})
+      GROUP BY node),
+    a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT lo, hi FROM e{p}
+      WHERE lo IN (SELECT node FROM a{r})
+        AND hi IN (SELECT node FROM a{r}))"""
+
+
+def _kcore_sql(pairs_sql: str, k: int = 15, rounds: int = 12) -> str:
+    """Unrolled fixed-round k-core peel over a (doc_a, doc_b) pair query —
+    the SQL twin of functions/graph.kcore."""
+    return (
+        "WITH pairs AS ({PAIRS}),\n"
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS lo,\n"
+        "       greatest(doc_a, doc_b) AS hi FROM pairs\n"
+        "       WHERE doc_a <> doc_b),\n"
+        + ",\n".join(_KCORE_ROUND.format(r=i, p=i - 1, k=k)
+                     for i in range(1, rounds + 1))
+        + f"\nSELECT node::BIGINT AS node, count(*)::BIGINT AS deg FROM (\n"
+          f"  SELECT lo AS node FROM e{rounds}"
+          f"  UNION ALL SELECT hi FROM e{rounds})\n"
+          f"GROUP BY node"
+    ).replace("{PAIRS}", pairs_sql)
+
+
+ORACLE_SQL["kcore"] = _kcore_sql(_LINK_EDGES_SQL, k=15, rounds=12)
+QUERIES["kcore"] = q_kcore
