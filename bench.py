@@ -82,7 +82,7 @@ BENCH_QUERIES = [
     "lang_stats", "lang_balanced_sample", "quality_weighted_sample", "low_order_customers", "customers_no_big_orders",
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",
-    "gopher_rules", "c4_rules", "line_dedup", "kcore",
+    "gopher_rules", "c4_rules", "line_dedup", "kcore", "jsonl_ingest",
 ]
 
 

@@ -7755,3 +7755,73 @@ def _kcore_sql(pairs_sql: str, k: int = 15, rounds: int = 12) -> str:
 
 ORACLE_SQL["kcore"] = _kcore_sql(_LINK_EDGES_SQL, k=15, rounds=12)
 QUERIES["kcore"] = q_kcore
+
+
+# ------------------------------------------------------------ JSONL source
+
+def _jsonl_shard_dir(sf_dir: str) -> str:
+    """JSONL shard-cache dir, content-fingerprinted like _warc_shard_dir."""
+    import hashlib as _hl
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = _hl.md5(f"{os.path.normpath(sf_dir)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/tmp/dpray_jsonl", f"{sfname}_{fp}")
+
+
+def q_jsonl_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """JSONL ingestion round trip: the documents table is serialized to
+    newline-delimited JSON shards once (deterministic, cached), read back
+    with ray.data.read_json (one task per shard file), and rolled up per
+    (source, lang) — count, schema n_chars sum, text-length sum and the
+    MIN per-group md5 of the text itself, so the hash gate verifies that
+    JSON encode + Arrow JSON parse preserved every document byte-exactly.
+    Combiner-first: per-batch pyarrow group_by partials, ONE small shuffle
+    on source. The DuckDB twin re-derives the aggregate logically from the
+    parquet view (no JSONL on the oracle side)."""
+    import hashlib as _hl
+
+    from ..sources.jsonl import read_jsonl, write_jsonl_shards
+
+    shard_dir = write_jsonl_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _jsonl_shard_dir(sf_dir), num_shards=8)
+    recs = read_jsonl(shard_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        md5s = [_hl.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        t = pa.table({
+            "source": b["source"],
+            "lang": b["lang"],
+            "n_docs": pa.array(np.ones(len(texts), np.int64)),
+            "sum_chars": pc.cast(b["n_chars"], pa.int64()),
+            "sum_text_chars": pc.cast(
+                pc.utf8_length(b["text"].combine_chunks()), pa.int64()),
+            "text_md5": pa.array(md5s, pa.string())})
+        return t.group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum"),
+             ("sum_text_chars", "sum"), ("text_md5", "min")])
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = g.group_by(["source", "lang"]).aggregate(
+            [("n_docs_sum", "sum"), ("sum_chars_sum", "sum"),
+             ("sum_text_chars_sum", "sum"), ("text_md5_min", "min")])
+        return m.rename_columns(
+            ["source", "lang", "n_docs", "sum_chars", "sum_text_chars",
+             "min_text_md5"])
+
+    return recs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").map_groups(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["jsonl_ingest"] = """
+    SELECT source, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           min(md5(text)) AS min_text_md5
+    FROM documents GROUP BY source, lang"""
+QUERIES["jsonl_ingest"] = q_jsonl_ingest

@@ -69,3 +69,63 @@ class TestKCore:
         full = kcore_reference(path, k=2, max_rounds=12)
         assert full == {}
         assert len(ref) > 0  # the budget stopped the cascade mid-way
+
+
+class TestJsonlSource:
+    def _write_docs(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+        p = str(tmp_path / "documents.parquet")
+        pq.write_table(t, p)
+        return p
+
+    def test_round_trip_preserves_unicode_and_escapes(
+            self, ray_session, tmp_path):
+        from documentprocessor_ray.sources.jsonl import (
+            read_jsonl, write_jsonl_shards)
+
+        texts = ['plain', 'quote " and \\ backslash', 'newline\nin text',
+                 'unicode: café 中文', 'tab\there', '']
+        p = self._write_docs(tmp_path, texts)
+        d = write_jsonl_shards(p, str(tmp_path / "shards"), num_shards=3)
+        got = sorted((r["doc_id"], r["text"])
+                     for r in read_jsonl(d).take_all())
+        assert got == sorted(enumerate(texts))
+
+    def test_shards_are_the_parallel_grain(self, ray_session, tmp_path):
+        import os
+
+        from documentprocessor_ray.sources.jsonl import write_jsonl_shards
+
+        p = self._write_docs(tmp_path, [f"doc {i}" for i in range(20)])
+        d = write_jsonl_shards(p, str(tmp_path / "s"), num_shards=4)
+        files = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+        assert len(files) == 4
+        # doc_id % num_shards == k per shard
+        import json as _j
+        for f in files:
+            k = int(f.split("-")[1].split(".")[0])
+            with open(os.path.join(d, f)) as fh:
+                ids = [_j.loads(l)["doc_id"] for l in fh if l.strip()]
+            assert all(i % 4 == k for i in ids)
+            assert ids == sorted(ids)
+
+    def test_stale_marker_regenerates(self, ray_session, tmp_path):
+        import os
+        import time
+
+        from documentprocessor_ray.sources.jsonl import (
+            read_jsonl, write_jsonl_shards)
+
+        p = self._write_docs(tmp_path, ["old text"])
+        d = write_jsonl_shards(p, str(tmp_path / "s2"))
+        assert read_jsonl(d).take_all()[0]["text"] == "old text"
+        time.sleep(0.01)
+        self._write_docs(tmp_path, ["new text"])  # overwrite, newer mtime
+        write_jsonl_shards(p, str(tmp_path / "s2"))
+        assert read_jsonl(d).take_all()[0]["text"] == "new text"
