@@ -39,6 +39,21 @@ def _quantize_rows(emb: np.ndarray, scale: int) -> np.ndarray:
     return np.round(emb / n * scale).astype(np.int64)
 
 
+def _qx_matrix(col) -> np.ndarray:
+    """(n, d) int64 matrix from a list<int64> column via the flat Arrow
+    buffer — no per-row Python lists (the knn_int8 lesson). Rows are
+    uniform-length by construction (_quantize_rows)."""
+    import pyarrow.compute as _pc
+
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), np.int64)
+    flat = _pc.list_flatten(arr).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return flat.reshape(n, -1)
+
+
 def kmeans_seeds(rows: List[dict], k: int, scale: int) -> np.ndarray:
     """Deterministic init: the k sampled rows with the smallest
     (hash, vec_id) order keys, quantized. ``rows`` come from a
@@ -83,7 +98,7 @@ def kmeans_int(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
 
     def finalize(batch: pa.Table, _ref=ref) -> pa.Table:
         c = ray.get(_ref)
-        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+        qx = _qx_matrix(batch["qx"])
         assign = np.argmax(qx @ c.T, axis=1) if len(qx) else \
             np.array([], np.int64)
         return pa.table({
@@ -102,7 +117,7 @@ def _lloyd(qds: "ray.data.Dataset", cent: np.ndarray,
 
         def partial(batch: pa.Table, _ref=ref) -> pa.Table:
             c = ray.get(_ref)
-            qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+            qx = _qx_matrix(batch["qx"])
             if len(qx) == 0:
                 return pa.table({
                     "cluster": pa.array([], pa.int64()),
@@ -166,17 +181,35 @@ def _greedy_keep(vids: np.ndarray, qx: np.ndarray,
     at any parallelism because the whole cluster is in one map_groups call.
     Returns keep flags aligned with the input order."""
     order = np.argsort(vids, kind="stable")
-    keep = np.zeros(len(vids), dtype=bool)
-    kept: List[int] = []
-    for i in order:
-        row = qx[i]
-        dup = False
-        if kept:
-            # exact int64 dots against kept rows only (usually few)
-            dup = bool(np.any(qx[kept] @ row >= tau_scaled))
-        if not dup:
+    n = len(vids)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    d = qx.shape[1]
+    m = int(np.abs(qx).max()) if qx.size else 0
+    if n <= 8192 and d * m * m < (1 << 53):
+        # float64 BLAS gram is EXACT here: every product and partial sum
+        # is an integer below 2^53, so dgemm's summation order cannot
+        # change the value — the greedy walk then scans a boolean matrix.
+        dup = (qx.astype(np.float64) @ qx.astype(np.float64).T) \
+            >= float(tau_scaled)
+        kept: List[int] = []
+        for i in order:
+            if kept and dup[i, kept].any():
+                continue
             keep[i] = True
             kept.append(i)
+        return keep
+    # big/overflow-risk clusters: exact int64 dots against a PREALLOCATED
+    # kept buffer (no per-iteration fancy-index copy of the kept matrix)
+    buf = np.empty((n, d), np.int64)
+    nk = 0
+    for i in order:
+        if nk and bool(np.any(buf[:nk] @ qx[i] >= tau_scaled)):
+            continue
+        keep[i] = True
+        buf[nk] = qx[i]
+        nk += 1
     return keep
 
 
@@ -213,7 +246,7 @@ def semdedup_int(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
 
     def assign(batch: pa.Table, _ref=ref) -> pa.Table:
         c = ray.get(_ref)
-        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+        qx = _qx_matrix(batch["qx"])
         a = np.argmax(qx @ c.T, axis=1) if len(qx) else np.array([], np.int64)
         return pa.table({
             "vec_id": batch["vec_id"],
@@ -222,7 +255,7 @@ def semdedup_int(ds: "ray.data.Dataset", k: int = 8, iters: int = 5,
 
     def cluster_keep(g: pa.Table) -> pa.Table:
         vids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qx = np.array(g["qx"].to_pylist(), dtype=np.int64)
+        qx = _qx_matrix(g["qx"])
         keep = _greedy_keep(vids, qx, tau_scaled)
         return pa.table({
             "vec_id": pa.array(vids, pa.int64()),
@@ -288,7 +321,7 @@ def pca_project_int(ds: "ray.data.Dataset", k: int = 4,
     qds = _quantize_ds(ds, scale)
 
     def partial(batch: pa.Table) -> pa.Table:
-        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+        qx = _qx_matrix(batch["qx"])
         if len(qx) == 0:
             return pa.table({"n": pa.array([], pa.int64()),
                              "s": pa.array([], pa.list_(pa.int64())),
@@ -316,7 +349,7 @@ def pca_project_int(ds: "ray.data.Dataset", k: int = 4,
 
     def project(batch: pa.Table, _ref=ref) -> pa.Table:
         n_, s_, v = ray.get(_ref)
-        qx = np.array(batch["qx"].to_pylist(), dtype=np.int64)
+        qx = _qx_matrix(batch["qx"])
         cols = {"vec_id": batch["vec_id"]}
         if len(qx) == 0:
             for j in range(k):
