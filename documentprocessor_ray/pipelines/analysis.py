@@ -7825,3 +7825,146 @@ ORACLE_SQL["jsonl_ingest"] = """
            min(md5(text)) AS min_text_md5
     FROM documents GROUP BY source, lang"""
 QUERIES["jsonl_ingest"] = q_jsonl_ingest
+
+
+# -------------------------------------------------------------- CSV source
+
+def _csv_shard_dir(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = _hl.md5(f"{os.path.normpath(sf_dir)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/tmp/dpray_csv", f"{sfname}_{fp}")
+
+
+def q_csv_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """CSV ingestion round trip: documents serialized to QUOTE_MINIMAL CSV
+    shards once (deterministic, cached), read back with ray.data.read_csv
+    (one pyarrow CSV task per shard, newlines_in_values honored), rolled
+    up per lang with min/max per-group text md5 — the hash gate proves the
+    CSV quoting round trip preserved every document byte-exactly. The
+    DuckDB twin re-derives the aggregate logically from the parquet view."""
+    import hashlib as _hl
+
+    from ..sources.csv_source import read_csv, write_csv_shards
+
+    shard_dir = write_csv_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _csv_shard_dir(sf_dir), num_shards=8)
+    recs = read_csv(shard_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        md5s = [_hl.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        t = pa.table({
+            "lang": b["lang"],
+            "n_docs": pa.array(np.ones(len(texts), np.int64)),
+            "sum_text_chars": pc.cast(
+                pc.utf8_length(b["text"].combine_chunks()), pa.int64()),
+            "lo_md5": pa.array(md5s, pa.string()),
+            "hi_md5": pa.array(md5s, pa.string())})
+        return t.group_by(["lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_text_chars", "sum"),
+             ("lo_md5", "min"), ("hi_md5", "max")])
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = g.group_by(["lang"]).aggregate(
+            [("n_docs_sum", "sum"), ("sum_text_chars_sum", "sum"),
+             ("lo_md5_min", "min"), ("hi_md5_max", "max")])
+        return m.rename_columns(
+            ["lang", "n_docs", "sum_text_chars", "min_text_md5",
+             "max_text_md5"])
+
+    return recs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").map_groups(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["csv_ingest"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           min(md5(text)) AS min_text_md5,
+           max(md5(text)) AS max_text_md5
+    FROM documents GROUP BY lang"""
+QUERIES["csv_ingest"] = q_csv_ingest
+
+
+# -------------------------------------------------- domain mixture weights
+
+def q_domain_mixture(sf_dir: str) -> "ray.data.Dataset":
+    """Temperature-scaled domain sampling weights (the mixture step of
+    multi-source training pipelines, alpha = 0.5): per source, token count
+    via the shared whitespace tokenizer, then
+    w_ppm = floor(1e6 * sqrt(n_tokens) / sum_over_sources(sqrt(n_tokens))).
+    sqrt and division are IEEE-exact-rounded, so the floored ppm integers
+    are bit-stable across numpy and DuckDB — an integer hash gate over a
+    float computation. Combiner-first: per-batch token-count partials, one
+    tiny groupby; the normalization constant is a one-row driver reduce
+    broadcast into the final projection."""
+    import math as _math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..functions.textstats import _tokens_list
+
+        split, empty = _tokens_list(b["text"].combine_chunks())
+        n = pc.if_else(empty, pa.scalar(0, pa.int64()),
+                       pc.cast(pc.list_value_length(split), pa.int64()))
+        t = pa.table({
+            "source": b["source"],
+            "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_tokens": n})
+        return t.group_by(["source"]).aggregate(
+            [("n_docs", "sum"), ("n_tokens", "sum")])
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = g.group_by(["source"]).aggregate(
+            [("n_docs_sum", "sum"), ("n_tokens_sum", "sum")])
+        return m.rename_columns(["source", "n_docs", "n_tokens"])
+
+    per_source = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").map_groups(finish, batch_format="pyarrow") \
+        .materialize()  # tiny: one row per source
+
+    # one-row reduce over the per-source rows only (bounded by the domain
+    # cardinality). sqrt is quantized to micro-units BEFORE the sum so the
+    # denominator is an integer — float summation order can never move a
+    # floor by one ulp (sqrt and the 1e6 multiply are IEEE-exact-rounded,
+    # hence bit-identical in numpy and DuckDB; everything after is int64).
+    rows = per_source.take_all()
+    denom = sum(int(_math.floor(_math.sqrt(r["n_tokens"]) * 1e6))
+                for r in rows)
+
+    def weight(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s_micro = np.floor(np.sqrt(nt) * 1e6).astype(np.int64)
+        w = (1_000_000 * s_micro) // denom
+        return b.append_column("w_ppm", pa.array(w, pa.int64()))
+
+    return per_source.map_batches(weight, batch_format="pyarrow")
+
+
+ORACLE_SQL["domain_mixture"] = r"""
+    WITH tok AS (
+      SELECT source,
+        CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+             ELSE len(regexp_split_to_array(
+                    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+        END AS n FROM documents),
+    agg AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n)::BIGINT AS n_tokens
+      FROM tok GROUP BY source)
+    , sm AS (
+      SELECT source, n_docs, n_tokens,
+             floor(sqrt(n_tokens) * 1e6)::BIGINT AS s_micro
+      FROM agg)
+    SELECT source, n_docs, n_tokens,
+           ((1000000 * s_micro)
+            // (SELECT sum(s_micro) FROM sm))::BIGINT AS w_ppm
+    FROM sm"""
+QUERIES["domain_mixture"] = q_domain_mixture

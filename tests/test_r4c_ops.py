@@ -129,3 +129,58 @@ class TestJsonlSource:
         self._write_docs(tmp_path, ["new text"])  # overwrite, newer mtime
         write_jsonl_shards(p, str(tmp_path / "s2"))
         assert read_jsonl(d).take_all()[0]["text"] == "new text"
+
+
+class TestCsvSource:
+    def _write_docs(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+        p = str(tmp_path / "documents.parquet")
+        pq.write_table(t, p)
+        return p
+
+    def test_round_trip_quoting(self, ray_session, tmp_path):
+        from documentprocessor_ray.sources.csv_source import (
+            read_csv, write_csv_shards)
+
+        texts = ['plain', 'comma, inside', 'quote " inside',
+                 'newline\ninside quoted field', 'both ",\n" mixed',
+                 'unicode: café 中文']
+        p = self._write_docs(tmp_path, texts)
+        d = write_csv_shards(p, str(tmp_path / "shards"), num_shards=3)
+        got = sorted((r["doc_id"], r["text"])
+                     for r in read_csv(d).take_all())
+        assert got == sorted(enumerate(texts))
+
+    def test_header_per_shard(self, tmp_path, ray_session):
+        import os
+
+        from documentprocessor_ray.sources.csv_source import \
+            write_csv_shards
+
+        p = self._write_docs(tmp_path, [f"d{i}" for i in range(8)])
+        d = write_csv_shards(p, str(tmp_path / "s"), num_shards=2)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".csv"):
+                first = open(os.path.join(d, f)).readline().strip()
+                assert first == "doc_id,text,lang,source,n_chars"
+
+
+class TestDomainMixture:
+    def test_weights_sum_below_one_and_monotone(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import \
+            q_domain_mixture
+
+        rows = q_domain_mixture("/root/testdata/sf0.001").take_all()
+        assert len(rows) > 1
+        total = sum(r["w_ppm"] for r in rows)
+        assert 1_000_000 - len(rows) <= total <= 1_000_000
+        # weight is monotone in token count
+        by_tok = sorted(rows, key=lambda r: r["n_tokens"])
+        ws = [r["w_ppm"] for r in by_tok]
+        assert ws == sorted(ws)
