@@ -83,7 +83,7 @@ BENCH_QUERIES = [
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",
     "gopher_rules", "c4_rules", "line_dedup", "kcore", "jsonl_ingest",
-    "csv_ingest", "domain_mixture",
+    "csv_ingest", "domain_mixture", "curriculum_pack",
 ]
 
 

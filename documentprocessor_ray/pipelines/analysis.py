@@ -7968,3 +7968,78 @@ ORACLE_SQL["domain_mixture"] = r"""
             // (SELECT sum(s_micro) FROM sm))::BIGINT AS w_ppm
     FROM sm"""
 QUERIES["domain_mixture"] = q_domain_mixture
+
+
+# --------------------------------------------------------- curriculum pack
+
+def q_curriculum_pack(sf_dir: str) -> "ray.data.Dataset":
+    """Curriculum-ordered sequence packing: docs sorted by the integer
+    quality-classifier logit DESCENDING (best-first curriculum, doc_id
+    tie-break) and concatenated into fixed 512-token bins — the layout an
+    ordered-curriculum LM run trains on. The order key folds (logit,
+    doc_id) into one int64 so pack_sequences' range partition applies
+    unchanged; everything is integer arithmetic, so the twin replays the
+    identical key in SQL window functions."""
+    from ..functions.window import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.quality_stats_batch, batch_format="pyarrow")
+
+    def key(b: pa.Table) -> pa.Table:
+        n_chars = b["n_chars"].to_numpy(zero_copy_only=False)
+        n_tokens = b["n_tokens"].to_numpy(zero_copy_only=False)
+        n_alpha = b["n_alpha"].to_numpy(zero_copy_only=False)
+        n_stop = b["n_stop"].to_numpy(zero_copy_only=False)
+        doc_id = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha_milli = (1000 * n_alpha) // np.maximum(n_chars, 1)
+        stop_milli = (1000 * n_stop) // np.maximum(n_tokens, 1)
+        logit = (800 * alpha_milli + 1200 * stop_milli
+                 + 500 * np.minimum(n_tokens, 512) - 600000).astype(np.int64)
+        ok = (2_000_000 - logit) * 10_000_000 + doc_id
+        return pa.table({
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+            "order_key": pa.array(ok, pa.int64())})
+
+    return pack_sequences(
+        ds.map_batches(key, batch_format="pyarrow"),
+        n_col="n_tokens", order_col="order_key", bin_size=512,
+        carry_cols=["doc_id"]).drop_columns(["order_key"])
+
+
+ORACLE_SQL["curriculum_pack"] = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '^\s+|\s+$', '', 'g') AS tt
+      FROM documents),
+    tok AS (
+      SELECT doc_id, text,
+        CASE WHEN tt = '' THEN CAST([] AS VARCHAR[])
+             ELSE regexp_split_to_array(tt, '\s+') END AS toks
+      FROM t),
+    q AS (
+      SELECT doc_id, len(toks)::BIGINT AS n,
+        (800 * ((1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                // greatest(length(text), 1))
+         + 1200 * ((1000 * len(list_filter(toks, x -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it','for',
+              'on','with','as','at','by','be','this','that'], lower(x)))))
+                // greatest(len(toks), 1))
+         + 500 * least(len(toks), 512) - 600000)::BIGINT AS logit
+      FROM tok),
+    c AS (
+      SELECT doc_id, n,
+        (sum(n) OVER (
+           ORDER BY (2000000 - logit) * 10000000 + doc_id) - n)::BIGINT
+          AS before
+      FROM q),
+    b AS (
+      SELECT doc_id, n, before,
+             unnest(generate_series(before // 512,
+                                    (before + n - 1) // 512)) AS bin_id
+      FROM c WHERE n > 0)
+    SELECT doc_id, bin_id::BIGINT AS bin_id,
+           greatest(0, bin_id * 512 - before)::BIGINT AS tok_start,
+           least(n, (bin_id + 1) * 512 - before)::BIGINT AS tok_end
+    FROM b"""
+QUERIES["curriculum_pack"] = q_curriculum_pack
