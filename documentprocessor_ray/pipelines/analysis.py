@@ -7892,6 +7892,79 @@ ORACLE_SQL["csv_ingest"] = """
 QUERIES["csv_ingest"] = q_csv_ingest
 
 
+# ----------------------------------------------- WebDataset tar-shard source
+
+def _wds_shard_dir(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = _hl.md5(f"{os.path.normpath(sf_dir)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/tmp/dpray_wds", f"{sfname}_{fp}")
+
+
+def q_wds_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """WebDataset tar-shard ingestion round trip: documents serialized to
+    deterministic tar shards once (one {key}.txt + {key}.json member pair
+    per sample, zeroed headers; cached), read back with one tarfile parse
+    task per shard (sources/wds.py), rolled up per (source, lang) with the
+    min/max per-group md5 of the text AND the sum of the JSON-carried
+    n_chars — the hash gate proves both members of every sample survived
+    the tar encode + parse byte-exactly. Combiner-first, ONE small
+    shuffle. The DuckDB twin re-derives the aggregate logically from the
+    parquet view (no tar on the oracle side)."""
+    import hashlib as _hl
+
+    from ..sources.wds import read_wds, write_wds_shards
+
+    shard_dir = write_wds_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _wds_shard_dir(sf_dir), num_shards=8)
+    recs = read_wds(shard_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        md5s = [_hl.md5((t or "").encode("utf-8")).hexdigest()
+                for t in texts]
+        t = pa.table({
+            "source": b["source"],
+            "lang": b["lang"],
+            "n_docs": pa.array(np.ones(len(texts), np.int64)),
+            "sum_meta_chars": pc.cast(b["n_chars"], pa.int64()),
+            "sum_text_chars": pc.cast(
+                pc.utf8_length(b["text"].combine_chunks()), pa.int64()),
+            "lo_md5": pa.array(md5s, pa.string()),
+            "hi_md5": pa.array(md5s, pa.string())})
+        return t.group_by(["source", "lang"]).aggregate(
+            [("n_docs", "sum"), ("sum_meta_chars", "sum"),
+             ("sum_text_chars", "sum"), ("lo_md5", "min"),
+             ("hi_md5", "max")])
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = g.group_by(["source", "lang"]).aggregate(
+            [("n_docs_sum", "sum"), ("sum_meta_chars_sum", "sum"),
+             ("sum_text_chars_sum", "sum"), ("lo_md5_min", "min"),
+             ("hi_md5_max", "max")])
+        return m.rename_columns(
+            ["source", "lang", "n_docs", "sum_meta_chars",
+             "sum_text_chars", "min_text_md5", "max_text_md5"])
+
+    return recs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").map_groups(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["wds_ingest"] = """
+    SELECT source, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS sum_meta_chars,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           min(md5(text)) AS min_text_md5,
+           max(md5(text)) AS max_text_md5
+    FROM documents GROUP BY source, lang"""
+QUERIES["wds_ingest"] = q_wds_ingest
+
+
 # -------------------------------------------------- domain mixture weights
 
 def q_domain_mixture(sf_dir: str) -> "ray.data.Dataset":
