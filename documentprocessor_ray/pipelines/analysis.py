@@ -7965,6 +7965,31 @@ ORACLE_SQL["wds_ingest"] = """
 QUERIES["wds_ingest"] = q_wds_ingest
 
 
+# --------------------------------------- interleaved multimodal packing
+
+def q_interleaved_pack(sf_dir: str) -> "ray.data.Dataset":
+    """Interleaved text+image sequence packing (functions/interleave.py):
+    each doc's interleaved stream — text tokens with doc_id%4 atomic
+    64-patch image blocks at deterministic boundaries — packs doc-atomically
+    into 256-token sequences (text splits, images defer-and-pad). ZERO
+    shuffle, vectorized lockstep walk across the batch. The dump twin is an
+    explicit span-by-span simulation; the hash gate checks n_seqs /
+    n_pad_tokens per doc, where padding depends on every boundary
+    interaction in the walk."""
+    from ..functions.interleave import interleaved_pack_batch
+    from . import oracle_dump as OD
+
+    OD.dump("interleaved_pack",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.interleaved_pack_expected(sf_dir))
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        interleaved_pack_batch, batch_format="pyarrow")
+
+
+ORACLE_SQL["interleaved_pack"] = _OD.sql_for("interleaved_pack")
+QUERIES["interleaved_pack"] = q_interleaved_pack
+
+
 # -------------------------------------------------- domain mixture weights
 
 def q_domain_mixture(sf_dir: str) -> "ray.data.Dataset":

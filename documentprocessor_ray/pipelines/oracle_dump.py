@@ -695,3 +695,21 @@ def knn_ivf_expected(sf_dir: str, n_queries: int = 4, k: int = 10,
         "rank": pa.array(out_r, pa.int64()),
         "sim": pa.array(out_s, pa.float64()),
     })
+
+
+def interleaved_pack_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_interleaved_pack: explicit span-by-span pack simulation per
+    doc (functions/interleave.interleaved_pack_reference)."""
+    from ..functions.interleave import interleaved_pack_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = interleaved_pack_reference(t["doc_id"].to_pylist(),
+                                      t["text"].to_pylist())
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_seqs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_text_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        "n_images": pa.array([r[3] for r in rows], pa.int64()),
+        "n_pad_tokens": pa.array([r[4] for r in rows], pa.int64()),
+    })

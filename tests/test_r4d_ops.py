@@ -96,3 +96,61 @@ class TestWdsSource:
         _write_docs(tmp_path, ["new text"])
         write_wds_shards(p, str(tmp_path / "s2"))
         assert read_wds(d).take_all()[0]["text"] == "new text"
+
+
+class TestInterleavedPack:
+    def _pack(self, ids, texts):
+        from documentprocessor_ray.functions.interleave import (
+            interleaved_pack_batch)
+        b = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        return interleaved_pack_batch(b).to_pylist()
+
+    def test_vectorized_matches_explicit_simulation(self):
+        import numpy as np
+
+        from documentprocessor_ray.functions.interleave import (
+            interleaved_pack_reference)
+
+        rng = np.random.default_rng(42)
+        words = ["alpha", "b", "ccc", "dd", "e"]
+        ids, texts = [], []
+        for i in range(400):
+            n = int(rng.integers(0, 900))
+            texts.append(" ".join(rng.choice(words, n)) if n
+                         else ("" if i % 2 else "  \t "))
+            ids.append(i)
+        got = [(r["doc_id"], r["n_seqs"], r["n_text_tokens"],
+                r["n_images"], r["n_pad_tokens"])
+               for r in self._pack(ids, texts)]
+        assert got == interleaved_pack_reference(ids, texts)
+
+    def test_conservation_invariant(self):
+        # every started sequence is exactly L long:
+        # n_seqs*L == n_text + n_images*P + n_pad
+        rows = self._pack(list(range(40)),
+                          [" ".join(["w"] * (13 * i)) for i in range(40)])
+        for r in rows:
+            assert r["n_seqs"] * 256 == (r["n_text_tokens"]
+                                         + r["n_images"] * 64
+                                         + r["n_pad_tokens"])
+
+    def test_empty_doc_no_images_emits_zero_sequences(self):
+        (r,) = self._pack([0], [""])  # doc_id 0 -> m=0 images
+        assert r["n_seqs"] == 0 and r["n_pad_tokens"] == 0
+
+    def test_images_only_doc(self):
+        # doc_id 3 -> 3 images, no text: 3*64=192 patches fit one 256-seq
+        (r,) = self._pack([3], [""])
+        assert (r["n_seqs"], r["n_images"], r["n_pad_tokens"]) == (1, 3, 64)
+
+    def test_image_defers_when_room_too_small(self):
+        # doc_id 1 -> 1 image after floor(n/2) tokens; choose n so the image
+        # boundary lands with <64 room: n=500 -> image after 250 tokens,
+        # room = 256-250%256 = 6 < 64 -> pad 6, image starts seq 2
+        (r,) = self._pack([1], [" ".join(["w"] * 500)])
+        # layout: 250 text, 6 pad | 64 img + 192 text | 58 text + 198 pad
+        assert r["n_seqs"] == 3
+        total = r["n_text_tokens"] + r["n_images"] * 64 + r["n_pad_tokens"]
+        assert total == r["n_seqs"] * 256
+        assert r["n_pad_tokens"] == 6 + 198
