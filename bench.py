@@ -83,7 +83,8 @@ BENCH_QUERIES = [
     "nation_revenue", "extract_amount",
     "extract_date", "detect_currency", "verify_totals", "extract_scored",
     "gopher_rules", "c4_rules", "line_dedup", "kcore", "jsonl_ingest",
-    "csv_ingest", "domain_mixture", "curriculum_pack",
+    "csv_ingest", "domain_mixture", "curriculum_pack", "wds_ingest",
+    "interleaved_pack", "unigram_vocab", "unigram_encode",
 ]
 
 
@@ -148,6 +149,10 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
                     # BUILDS the memoized merges must pay the build every
                     # rep; bpe_encode then measures with a warm cache
                     A._BPE_MERGE_CACHE.clear()
+                if name == "unigram_vocab":
+                    # ditto: the unigram learn pays EM every rep;
+                    # unigram_encode measures with a warm table
+                    A._UNIGRAM_CACHE.clear()
                 t0 = time.time()
                 _consume(qs[name](sf_dir))
                 times.append(time.time() - t0)

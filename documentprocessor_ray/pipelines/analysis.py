@@ -7314,6 +7314,63 @@ ORACLE_SQL["span_merge"] = r"""
     FROM m GROUP BY doc_id"""
 
 
+# ---------------------------------------- unigram-LM tokenizer (Kudo 2018)
+
+_UNIGRAM_CACHE: Dict[Any, Any] = {}
+
+
+def _unigram_scored_cached(sf_dir: str):
+    from ..functions.unigram import learn_unigram
+
+    key = (_ray_session_key(), os.path.normpath(sf_dir))
+    scored = _UNIGRAM_CACHE.get(key)
+    if scored is None:
+        scored = learn_unigram(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]))
+        _UNIGRAM_CACHE.clear()
+        _UNIGRAM_CACHE[key] = scored
+    return scored
+
+
+def q_unigram_vocab(sf_dir: str) -> pa.Table:
+    """Tokenizer training, unigram-LM family (functions/unigram.py — the
+    SentencePiece-style complement to q_bpe_merges): seed substring top-K,
+    quantized-integer EM over the word vocab, count-based prune, final
+    re-score. Every cross-block reduce sums per-task-quantized int64
+    micro-units, so the learned (piece, ilogp) table is bit-identical at
+    any parallelism. The data-dependent EM is not SQL-expressible; the
+    driver twin is a single-process learn_unigram_reference dump
+    (pipelines/oracle_dump.py); pytest gates parallelism invariance."""
+    from . import oracle_dump as OD
+
+    OD.dump("unigram_vocab",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.unigram_vocab_expected(sf_dir))
+    scored = _unigram_scored_cached(sf_dir)
+    return pa.table({
+        "piece": pa.array([p for p, _ in scored], pa.string()),
+        "ilogp": pa.array([lp for _, lp in scored], pa.int64())})
+
+
+def q_unigram_encode(sf_dir: str) -> "ray.data.Dataset":
+    """Tokenizer APPLY path for the unigram family: Viterbi best-path
+    encode (max total ilogp, longest-piece tiebreak, UNK floor for unseen
+    chars) on a stateful actor pool — the learned table is constructor
+    state with a bounded per-actor word cache (the q_bpe_encode stage
+    shape). Twin: single-process reference learn + encode dump."""
+    from ..functions.unigram import UnigramEncoder
+
+    from . import oracle_dump as OD
+
+    OD.dump("unigram_encode",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.unigram_encode_expected(sf_dir))
+    scored = _unigram_scored_cached(sf_dir)
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        UnigramEncoder, fn_constructor_kwargs={"scored": scored},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
 # Oracle-dump twins (pipelines/oracle_dump.py): operators whose semantics are
 # not SQL-expressible get a rows+schema+hash gate against a parquet table an
 # INDEPENDENT single-process implementation writes when the query is invoked.
@@ -7328,7 +7385,7 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
                    "price_quantiles_approx", "event_heavy_hitters",
-                   "knn_ivf"):
+                   "knn_ivf", "unigram_vocab", "unigram_encode"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
 
@@ -7359,6 +7416,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "negative_samples": q_negative_samples,
     "warc_ingest": q_warc_ingest,
     "bpe_merges": q_bpe_merges,
+    "unigram_vocab": q_unigram_vocab,
+    "unigram_encode": q_unigram_encode,
     "link_graph": q_link_graph,
     "link_triangles": q_link_triangles,
     "normalize_text": q_normalize_text,

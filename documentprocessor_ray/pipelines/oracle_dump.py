@@ -713,3 +713,33 @@ def interleaved_pack_expected(sf_dir: str) -> pa.Table:
         "n_images": pa.array([r[3] for r in rows], pa.int64()),
         "n_pad_tokens": pa.array([r[4] for r in rows], pa.int64()),
     })
+
+
+def unigram_vocab_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_unigram_vocab: learn_unigram_reference (single-process
+    corpus loop) vs the distributed quantized-EM learn."""
+    from ..functions.unigram import learn_unigram_reference
+
+    texts = _documents_table(sf_dir, ["text"])["text"].to_pylist()
+    scored = learn_unigram_reference(texts)
+    return pa.table({
+        "piece": pa.array([p for p, _ in scored], pa.string()),
+        "ilogp": pa.array([lp for _, lp in scored], pa.int64())})
+
+
+def unigram_encode_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_unigram_encode: Viterbi encode with the REFERENCE-learned
+    table in one single-process pass — gates both the learn and the
+    distributed encode."""
+    from ..functions.unigram import (learn_unigram_reference,
+                                     unigram_encode_reference)
+
+    docs = _documents_table(sf_dir, ["doc_id", "text"])
+    scored = learn_unigram_reference(docs["text"].to_pylist())
+    rows = unigram_encode_reference(docs["doc_id"].to_pylist(),
+                                    docs["text"].to_pylist(), scored)
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_unigram_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "n_words": pa.array([r[2] for r in rows], pa.int64()),
+        "ilogp_sum": pa.array([r[3] for r in rows], pa.int64())})
