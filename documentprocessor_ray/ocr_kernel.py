@@ -92,6 +92,109 @@ def detect_words(image: np.ndarray) -> List[Dict[str, Any]]:
     return words
 
 
+def _cc_components(ink: np.ndarray) -> List[tuple]:
+    """8-connected components of a bool ink mask via run-based two-pass
+    labeling (union-find over per-row ink runs). Returns component bboxes
+    as (y0, y1, x0, x1) half-open, unordered.
+
+    A connected component's row range is contiguous, so each component lies
+    wholly inside one row-projection band — the equivalence that makes the
+    CC segmentation path word-identical to the projection path (see
+    OcrKernelCC)."""
+    parent: List[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    all_runs: List[tuple] = []  # (y, s, e, run_id)
+    prev: List[tuple] = []      # previous row's (s, e, run_id)
+    for y in range(ink.shape[0]):
+        row_runs = _runs(ink[y])
+        cur: List[tuple] = []
+        for s, e in row_runs:
+            rid = len(parent)
+            parent.append(rid)
+            # 8-connectivity: touches a prev-row run iff ps <= e and pe >= s
+            for ps, pe, pid in prev:
+                if ps <= e and pe >= s:
+                    union(rid, pid)
+            cur.append((s, e, rid))
+            all_runs.append((y, s, e, rid))
+        prev = cur
+
+    boxes: Dict[int, List[int]] = {}
+    for y, s, e, rid in all_runs:
+        r = find(rid)
+        b = boxes.get(r)
+        if b is None:
+            boxes[r] = [y, y + 1, s, e]
+        else:
+            b[1] = y + 1
+            if s < b[2]:
+                b[2] = s
+            if e > b[3]:
+                b[3] = e
+    return [tuple(b) for b in boxes.values()]
+
+
+def cc_detect_words(image: np.ndarray) -> List[Dict[str, Any]]:
+    """detect_words via connected components instead of projection profiles.
+
+    Provably word-identical to ``detect_words`` on ANY image:
+    - components have contiguous row ranges, so the maximal runs of the
+      union of component row intervals are exactly the row-projection
+      bands;
+    - within a band, gap-merging the sorted component column intervals
+      (gap <= WORD_GAP over a running max right edge) yields exactly the
+      gap-merged column-projection runs;
+    - each word is then classified from the same ink slice
+      ``ink[band_y0:band_y1, x0:x1]``.
+    The equality is pytest-gated on corpus pages AND random noise images.
+    """
+    ink = despeckle(binarize(image))
+    comps = _cc_components(ink)
+    if not comps:
+        return []
+    comps.sort()  # by (y0, y1, x0, x1)
+
+    # bands = maximal runs of the union of component row intervals
+    bands: List[List[Any]] = []  # [y0, y1, [comps]]
+    for c in comps:
+        if bands and c[0] <= bands[-1][1]:
+            bands[-1][1] = max(bands[-1][1], c[1])
+            bands[-1][2].append(c)
+        else:
+            bands.append([c[0], c[1], [c]])
+
+    words: List[Dict[str, Any]] = []
+    for y0, y1, cs in bands:
+        xs = sorted((c[2], c[3]) for c in cs)
+        spans = [[xs[0][0], xs[0][1]]]
+        for s, e in xs[1:]:
+            if s - spans[-1][1] <= WORD_GAP:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, max(s, e)])
+        for x0, x1 in spans:
+            text, conf = _classify_word(ink[y0:y1, x0:x1])
+            if not text.strip():
+                continue
+            words.append({
+                "text": text,
+                "box": [int(x0), int(y0), int(x1), int(y1)],
+                "confidence": float(conf),
+            })
+    return words
+
+
 def _classify_word(cellblock: np.ndarray) -> tuple:
     """Classify a word's ink block (band_h x word_w) into text + confidence."""
     h, w = cellblock.shape
@@ -137,6 +240,21 @@ class OcrKernel:
 #     cloudpickle ships it to the workers with the stage closure. This is the
 #     seam where a real Paddle/Tesseract wrapper drops in (its __init__ loads
 #     the model once per actor; detect_and_recognize(image) -> word dicts).
+
+class OcrKernelCC(OcrKernel):
+    """The connected-component segmentation variant of the deterministic
+    kernel (north-star parity: "connected-component and projection-profile
+    line/word segmentation" — the projection path is OcrKernel). Same
+    glyph classification, same word schema; word-for-word identical output
+    by the equivalence argument on cc_detect_words, so every span-equality
+    gate holds under engine="kernel_cc" too."""
+
+    def detect_and_recognize(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        if image.ndim == 3:
+            image = (image.astype(np.uint16).sum(axis=2)
+                     // image.shape[2]).astype(np.uint8)
+        return cc_detect_words(image)
+
 
 class TesseractEngine:
     """A2: pytesseract-backed engine behind the registry seam (reference
@@ -220,8 +338,19 @@ def create_engine(engine_type: str = "paddle", **kwargs):
     raise ValueError(f"Unknown OCR engine type: {engine_type}")
 
 
+def _kernel_lm():
+    """Deterministic kernel wrapped with lexicon LM post-correction
+    (stages/postcorrect.py) — registered as a factory so the lexicon code
+    matrix builds once per worker at get_engine time."""
+    from .stages.postcorrect import PostCorrectingEngine
+
+    return PostCorrectingEngine(base="kernel")
+
+
 _ENGINE_REGISTRY: Dict[str, type] = {
     "kernel": OcrKernel,
+    "kernel_cc": OcrKernelCC,
+    "kernel_lm": _kernel_lm,
     "tesseract": TesseractEngine,
     "paddle": PaddleEngine,
 }

@@ -342,3 +342,58 @@ class TestTesseractRecordedFixture:
         eng = K.get_engine("tesseract")
         self._expect(eng.detect_and_recognize(
             np.full((60, 200), 255, np.uint8)))
+
+
+class TestConnectedComponentKernel:
+    """cc_detect_words must be word-identical to detect_words (the band /
+    column-run equivalence proved in its docstring) — gated on rendered
+    pages, noisy pages, AND arbitrary random ink."""
+
+    def _eq(self, img):
+        from documentprocessor_ray.ocr_kernel import cc_detect_words
+        assert cc_detect_words(img) == detect_words(img)
+
+    def test_clean_page_identical(self):
+        self._eq(render_page(RECEIPT))
+
+    def test_noisy_pages_identical(self):
+        for seed in (1, 7, 23):
+            self._eq(render_page(RECEIPT, noise_seed=seed,
+                                 noise_density=0.004))
+
+    def test_random_ink_identical(self):
+        rng = np.random.default_rng(11)
+        for density in (0.01, 0.1, 0.45):
+            img = np.where(rng.random((80, 120)) < density, 0, 255) \
+                .astype(np.uint8)
+            self._eq(img)
+
+    def test_empty_page(self):
+        from documentprocessor_ray.ocr_kernel import cc_detect_words
+        assert cc_detect_words(np.full((60, 60), 255, np.uint8)) == []
+
+    def test_engine_registered(self):
+        from documentprocessor_ray import ocr_kernel as K
+        eng = K.get_engine("kernel_cc")
+        img = render_page(["TOTAL $5.00"])
+        rgb = np.stack([img, img, img], axis=2)
+        assert [w["text"] for w in eng.detect_and_recognize(rgb)] \
+            == ["TOTAL", "$5.00"]
+
+    def test_multipart_glyph_components_merge(self):
+        # a column-split shape inside one word: two blocks 3px apart (<= 6)
+        # then a 10px gap to the next word — CC and projection must agree
+        img = np.full((20, 60), 255, np.uint8)
+        img[5:12, 4:8] = 0
+        img[5:12, 11:14] = 0    # gap 3 -> same word
+        img[5:12, 24:30] = 0    # gap 10 -> new word
+        self._eq(img)
+
+    def test_vertically_disjoint_components_one_band(self):
+        # i-dot shape: dot and stem disjoint in y but bridged into one band
+        # by a tall neighbor component
+        img = np.full((30, 40), 255, np.uint8)
+        img[4:6, 10:12] = 0     # dot
+        img[9:16, 10:12] = 0    # stem (y-gap from dot)
+        img[2:18, 20:23] = 0    # tall block spanning both -> one band
+        self._eq(img)
