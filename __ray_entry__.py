@@ -284,6 +284,57 @@ def _run_scored_extract(sf_dir: str, model: str = "rule") -> Any:
     return ds.map_batches(slim, batch_format="pyarrow")
 
 
+def _noisy_corpus(sf_dir: str, seed: int = 13,
+                  noise_density: float = 0.004):
+    """Pixel-noise media corpus for the LM post-correction gate (generated
+    once per (n_docs, seed); same idempotent-marker discipline as
+    _corpus_for)."""
+    from documentprocessor_ray.corpus import generate_corpus
+
+    n_docs = max(40, int(4000 * _sf_of(sf_dir)))
+    out = os.path.join(_CORPUS_ROOT, f"n{n_docs}_s{seed}_noisy")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate_corpus(out, n_docs=n_docs, seed=seed, heavy_frac=0.0,
+                        noise_density=noise_density)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return os.path.join(out, "documents"), os.path.join(out, "media")
+
+
+def _run_extract_corrected(sf_dir: str) -> Any:
+    """North-star LM-post-correction clause, driver-gated: the flagship
+    extraction under engine="kernel_lm" (stages/postcorrect.py — lexicon as
+    per-actor state, unique same-length Hamming<=1 rewrite of sub-1.0-conf
+    words) over a NOISY media corpus. The projection carries spans_md5 (md5
+    over ordered span texts), so the gate pins the exact corrected text per
+    document, not just counts. Twin: single-process oracle loop under the
+    same engine (oracle_dump.extract_corrected_expected)."""
+    import hashlib
+
+    from documentprocessor_ray.pipelines import oracle_dump as OD
+    from documentprocessor_ray.pipelines.extract import run_extraction
+
+    docs_dir, media_dir = _noisy_corpus(sf_dir)
+    _dump_extract_oracle("extract_corrected", docs_dir, media_dir,
+                         OD.extract_corrected_expected)
+    ds = run_extraction(docs_dir, media_dir, engine="kernel_lm")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        md5s = []
+        for spans in batch["spans_out"].to_pylist():
+            joined = "\x1f".join(s["text"] for s in (spans or []))
+            md5s.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "status": batch["status"],
+            "n_words": pa.compute.cast(batch["n_words"], pa.int64()),
+            "spans_md5": pa.array(md5s, pa.string()),
+        })
+
+    return ds.map_batches(slim, batch_format="pyarrow")
+
+
 def _run_scored_sftext(sf_dir: str) -> Any:
     """SQL-checkable projection of the SCORER path (round-3 item): each
     documents.text row becomes one single-line word list (token k at
@@ -357,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_sftext": _run_extract_sftext,
         "extract_scored_sftext": _run_scored_sftext,
         "extract_mixed_kinds": _run_extract_mixed,
+        "extract_corrected": _run_extract_corrected,
     }
     out.update(QUERIES)
     return out
@@ -378,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
     out["extract_sftext"] = _SFTEXT_ORACLE_SQL
     out["extract_scored_sftext"] = _SCORED_SFTEXT_ORACLE_SQL
     for name in ("extract_receipts", "extract_mixed_kinds", "extract_scored",
-                 "extract_scored_donut", "extract_scored_idefics"):
+                 "extract_scored_donut", "extract_scored_idefics",
+                 "extract_corrected"):
         out[name] = OD.sql_for(name)
     return out

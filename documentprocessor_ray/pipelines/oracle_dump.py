@@ -99,23 +99,30 @@ def dump(name: str, fingerprint: str, build: Callable[[], pa.Table]) -> None:
 _EXTRACT_CACHE: Dict[Tuple[str, str], List[dict]] = {}
 
 
-def extraction_oracle_rows(docs_dir: str, media_dir: str) -> List[dict]:
+def extraction_oracle_rows(docs_dir: str, media_dir: str,
+                           engine: Optional[str] = None) -> List[dict]:
     """Run oracle/document.process_document over every row of a corpus in a
-    plain loop (one OcrKernel instance, no Ray). Memoized per corpus dir so
-    the extract_* dump family shares one OCR pass."""
+    plain loop (one OcrKernel instance, no Ray). Memoized per (corpus dir,
+    engine) so the extract_* dump family shares one OCR pass. ``engine``
+    is an ocr_kernel registry name (None = the default kernel)."""
     import pyarrow.dataset as pads
 
     from ..corpus import MediaStore
     from ..ocr_kernel import OcrKernel
     from ..oracle.document import process_document
 
-    key = (os.path.normpath(docs_dir), os.path.normpath(media_dir))
+    key = (os.path.normpath(docs_dir), os.path.normpath(media_dir), engine)
     cached = _EXTRACT_CACHE.get(key)
     if cached is not None:
         return cached
     table = pads.dataset(docs_dir, partitioning="hive").to_table()
     store = MediaStore(media_dir)
-    kernel = OcrKernel()
+    if engine is None:
+        kernel = OcrKernel()
+    else:
+        from ..ocr_kernel import get_engine
+
+        kernel = get_engine(engine)
     rows = [
         process_document(r["doc_id"], r["spans"], store.load, kernel=kernel,
                          load_blob=store.load_bytes, keep_words=True)
@@ -743,3 +750,26 @@ def unigram_encode_expected(sf_dir: str) -> pa.Table:
         "n_unigram_tokens": pa.array([r[1] for r in rows], pa.int64()),
         "n_words": pa.array([r[2] for r in rows], pa.int64()),
         "ilogp_sum": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def spans_md5(spans_out: List[dict]) -> str:
+    """md5 over the ordered span texts — pins the exact EXTRACTED TEXT (the
+    north-rule per-row invariant), not just counts."""
+    import hashlib
+
+    joined = "\x1f".join(s["text"] for s in spans_out)
+    return hashlib.md5(joined.encode("utf-8")).hexdigest()
+
+
+def extract_corrected_expected(docs_dir: str, media_dir: str) -> pa.Table:
+    """Twin of __ray_entry__._run_extract_corrected: the single-process
+    oracle under the kernel_lm engine (lexicon LM post-correction) over the
+    NOISY corpus. spans_md5 pins corrected text span-for-span."""
+    rows = extraction_oracle_rows(docs_dir, media_dir, engine="kernel_lm")
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "status": pa.array([r["status"] for r in rows], pa.string()),
+        "n_words": pa.array([r["n_words"] for r in rows], pa.int64()),
+        "spans_md5": pa.array([spans_md5(r["spans_out"]) for r in rows],
+                              pa.string()),
+    })

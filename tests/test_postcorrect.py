@@ -131,7 +131,30 @@ class TestEnginesEndToEnd:
             exp = process_document(row["doc_id"], row["spans"], store.load,
                                    kernel=kernel)
             g = got[row["doc_id"]]
-            assert list(map(tuple, g["spans_out"] or [])) \
-                == list(map(tuple, exp["spans_out"] or [])), row["doc_id"]
+            key = lambda s: (s["kind"], s["text"], s["media_ref"], s["order"])
+            assert [key(s) for s in (g["spans_out"] or [])] \
+                == [key(s) for s in (exp["spans_out"] or [])], row["doc_id"]
             n_words += exp["n_words"]
         assert n_words > 0
+
+
+class TestExtractCorrectedGate:
+    def test_correction_changes_text_on_gate_corpus(self):
+        """The extract_corrected driver gate must not be vacuous: on its
+        noisy corpus the LM engine corrects at least one document's text
+        relative to the plain kernel."""
+        import importlib.util
+
+        from documentprocessor_ray.pipelines.oracle_dump import (
+            extraction_oracle_rows, spans_md5)
+
+        spec = importlib.util.spec_from_file_location(
+            "entry_mod", "/root/repo/__ray_entry__.py")
+        E = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(E)
+        d, m = E._noisy_corpus("/root/testdata/sf0.001")
+        plain = {r["doc_id"]: spans_md5(r["spans_out"])
+                 for r in extraction_oracle_rows(d, m)}
+        lm = {r["doc_id"]: spans_md5(r["spans_out"])
+              for r in extraction_oracle_rows(d, m, engine="kernel_lm")}
+        assert sum(1 for k in plain if plain[k] != lm[k]) >= 1
