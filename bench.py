@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "gopher_rules", "c4_rules", "line_dedup", "kcore", "jsonl_ingest",
     "csv_ingest", "domain_mixture", "curriculum_pack", "wds_ingest",
     "interleaved_pack", "unigram_vocab", "unigram_encode",
+    "wordpiece_merges", "wordpiece_encode", "extract_corrected",
 ]
 
 
@@ -153,6 +154,8 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
                     # ditto: the unigram learn pays EM every rep;
                     # unigram_encode measures with a warm table
                     A._UNIGRAM_CACHE.clear()
+                if name == "wordpiece_merges":
+                    A._WORDPIECE_CACHE.clear()
                 t0 = time.time()
                 _consume(qs[name](sf_dir))
                 times.append(time.time() - t0)

@@ -7371,6 +7371,69 @@ def q_unigram_encode(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
 
 
+# ------------------------------ WordPiece tokenizer (Schuster & Nakajima)
+
+_WORDPIECE_CACHE: Dict[Any, Any] = {}
+
+
+def _wordpiece_merges_cached(sf_dir: str):
+    from ..functions.wordpiece import learn_wordpiece
+
+    key = (_ray_session_key(), os.path.normpath(sf_dir))
+    merges = _WORDPIECE_CACHE.get(key)
+    if merges is None:
+        merges = learn_wordpiece(
+            _read(sf_dir, "documents", ["doc_id", "text"]), n_merges=12)
+        _WORDPIECE_CACHE.clear()
+        _WORDPIECE_CACHE[key] = merges
+    return merges
+
+
+def q_wordpiece_merges(sf_dir: str) -> pa.Table:
+    """Tokenizer training, WordPiece family (functions/wordpiece.py — the
+    BERT tokenizer; third family next to BPE and unigram-LM): same
+    vocab-level iteration as learn_bpe but each round merges the pair
+    maximizing the likelihood gain c(ab)/(c(a)·c(b)), ranked by EXACT
+    bigint cross-multiplication (no float ordering), so the merge table is
+    bit-identical at any parallelism. One groupby-sum exchange per round
+    carries pair and symbol counts together. Twin: single-process
+    learn_wordpiece_reference dump; pytest gates both paths at two
+    parallelism levels."""
+    from . import oracle_dump as OD
+
+    OD.dump("wordpiece_merges",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.wordpiece_merges_expected(sf_dir))
+    merges = _wordpiece_merges_cached(sf_dir)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
+def q_wordpiece_encode(sf_dir: str) -> "ray.data.Dataset":
+    """Tokenizer APPLY path, WordPiece family: BERT-style greedy
+    longest-prefix match ('##' continuations, [UNK] fallback, 64-char
+    guard) on a stateful actor pool — vocab (merges + corpus alphabet) is
+    constructor state with a bounded per-actor word cache. Twin:
+    single-process reference learn + alphabet + encode dump."""
+    from ..functions.wordpiece import WordPieceEncoder, corpus_alphabet
+
+    from . import oracle_dump as OD
+
+    OD.dump("wordpiece_encode",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.wordpiece_encode_expected(sf_dir))
+    merges = _wordpiece_merges_cached(sf_dir)
+    alpha = corpus_alphabet(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        WordPieceEncoder,
+        fn_constructor_kwargs={"merges": merges, "alphabet": alpha},
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+
+
 # Oracle-dump twins (pipelines/oracle_dump.py): operators whose semantics are
 # not SQL-expressible get a rows+schema+hash gate against a parquet table an
 # INDEPENDENT single-process implementation writes when the query is invoked.
@@ -7385,7 +7448,8 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
                    "price_quantiles_approx", "event_heavy_hitters",
-                   "knn_ivf", "unigram_vocab", "unigram_encode"):
+                   "knn_ivf", "unigram_vocab", "unigram_encode",
+                   "wordpiece_merges", "wordpiece_encode"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
 
@@ -7418,6 +7482,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bpe_merges": q_bpe_merges,
     "unigram_vocab": q_unigram_vocab,
     "unigram_encode": q_unigram_encode,
+    "wordpiece_merges": q_wordpiece_merges,
+    "wordpiece_encode": q_wordpiece_encode,
     "link_graph": q_link_graph,
     "link_triangles": q_link_triangles,
     "normalize_text": q_normalize_text,

@@ -773,3 +773,39 @@ def extract_corrected_expected(docs_dir: str, media_dir: str) -> pa.Table:
         "spans_md5": pa.array([spans_md5(r["spans_out"]) for r in rows],
                               pa.string()),
     })
+
+
+def wordpiece_merges_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_wordpiece_merges: learn_wordpiece_reference (single-process
+    Counter loop, exact-rational argmax) vs the distributed one-exchange-
+    per-round iteration."""
+    from ..functions.wordpiece import learn_wordpiece_reference
+
+    texts = _documents_table(sf_dir, ["text"])["text"].to_pylist()
+    merges = learn_wordpiece_reference(texts, n_merges=12)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+    })
+
+
+def wordpiece_encode_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_wordpiece_encode: reference-learned merges + corpus
+    alphabet + one plain greedy longest-prefix encode pass."""
+    from ..functions.wordpiece import (corpus_alphabet_reference,
+                                       learn_wordpiece_reference,
+                                       wordpiece_encode_reference)
+
+    docs = _documents_table(sf_dir, ["doc_id", "text"])
+    texts = docs["text"].to_pylist()
+    merges = learn_wordpiece_reference(texts, n_merges=12)
+    rows = wordpiece_encode_reference(docs["doc_id"].to_pylist(), texts,
+                                      merges,
+                                      corpus_alphabet_reference(texts))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_wp_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "n_words": pa.array([r[2] for r in rows], pa.int64()),
+        "n_unk": pa.array([r[3] for r in rows], pa.int64())})

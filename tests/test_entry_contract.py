@@ -25,12 +25,12 @@ class TestEntryContract:
         sqls = E.oracle_sql()
         assert set(sqls).issubset(set(qs))
         # coverage floor: every query carries a rows+schema+hash twin
-        # (round 4: 185 queries, 185 gated — exact SQL twins + oracle-dump
+        # (round 4: 187 queries, 187 gated — exact SQL twins + oracle-dump
         # twins; the line-filter family gopher_rules/c4_rules/line_dedup
         # joined with exact SQL twins)
-        assert len(sqls) >= 185
+        assert len(sqls) >= 187
         assert len(sqls) == len(qs)
-        assert len(qs) >= 185
+        assert len(qs) >= 187
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""
