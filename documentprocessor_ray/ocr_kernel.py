@@ -64,9 +64,12 @@ def _runs(mask: np.ndarray) -> List[tuple]:
 
 
 def detect_words(image: np.ndarray) -> List[Dict[str, Any]]:
-    """Full detect+recognize on one grayscale uint8 page."""
+    """Full detect+recognize on one grayscale uint8 page. Segmentation
+    walks bands/words; classification batches ALL words into one
+    page-level matmul (_classify_blocks)."""
     ink = despeckle(binarize(image))
-    words: List[Dict[str, Any]] = []
+    boxes: List[List[int]] = []
+    blocks: List[np.ndarray] = []
     for y0, y1 in _runs(ink.any(axis=1)):
         band = ink[y0:y1]
         col_has_ink = band.any(axis=0)
@@ -81,14 +84,13 @@ def detect_words(image: np.ndarray) -> List[Dict[str, Any]]:
             else:
                 word_spans.append([s, e])
         for x0, x1 in word_spans:
-            text, conf = _classify_word(band[:, x0:x1])
-            if not text.strip():
-                continue
-            words.append({
-                "text": text,
-                "box": [int(x0), int(y0), int(x1), int(y1)],
-                "confidence": float(conf),
-            })
+            boxes.append([int(x0), int(y0), int(x1), int(y1)])
+            blocks.append(band[:, x0:x1])
+    words: List[Dict[str, Any]] = []
+    for box, (text, conf) in zip(boxes, _classify_blocks(blocks)):
+        if not text.strip():
+            continue
+        words.append({"text": text, "box": box, "confidence": float(conf)})
     return words
 
 
@@ -174,7 +176,8 @@ def cc_detect_words(image: np.ndarray) -> List[Dict[str, Any]]:
         else:
             bands.append([c[0], c[1], [c]])
 
-    words: List[Dict[str, Any]] = []
+    boxes2: List[List[int]] = []
+    blocks: List[np.ndarray] = []
     for y0, y1, cs in bands:
         xs = sorted((c[2], c[3]) for c in cs)
         spans = [[xs[0][0], xs[0][1]]]
@@ -184,32 +187,67 @@ def cc_detect_words(image: np.ndarray) -> List[Dict[str, Any]]:
             else:
                 spans.append([s, max(s, e)])
         for x0, x1 in spans:
-            text, conf = _classify_word(ink[y0:y1, x0:x1])
-            if not text.strip():
-                continue
-            words.append({
-                "text": text,
-                "box": [int(x0), int(y0), int(x1), int(y1)],
-                "confidence": float(conf),
-            })
+            boxes2.append([int(x0), int(y0), int(x1), int(y1)])
+            blocks.append(ink[y0:y1, x0:x1])
+    words: List[Dict[str, Any]] = []
+    for box, (text, conf) in zip(boxes2, _classify_blocks(blocks)):
+        if not text.strip():
+            continue
+        words.append({"text": text, "box": box, "confidence": float(conf)})
     return words
+
+
+# Flattened template stack for the batched matmul classifier: with X a 0/1
+# cell vector and T a 0/1 template, the pixel-agreement COUNT is
+# |px| - |X|_1 - |T|_1 + 2*X·T (all exact small integers in float32), so one
+# BLAS gemm per page replaces a per-word broadcast-compare + mean — same
+# values bit-for-bit (agreement = count / |px| evaluated in float64, exactly
+# what bool.mean() computed).
+_NPX = CHAR_H * CHAR_W
+_T_FLAT = np.ascontiguousarray(TEMPLATES.reshape(len(TEMPLATES), _NPX),
+                               dtype=np.float32)
+_T_SUM = _T_FLAT.sum(axis=1)  # exact: counts <= _NPX
+
+
+def _classify_blocks(cellblocks: List[np.ndarray]) -> List[tuple]:
+    """Classify many word ink blocks in ONE page-level matmul.
+
+    Returns [(text, confidence)] in input order; exactly the per-word
+    results of the original broadcast-compare implementation."""
+    if not cellblocks:
+        return []
+    n_chars_per = []
+    for cb in cellblocks:
+        w = cb.shape[1]
+        n_chars_per.append(max(1, int(round((w + CHAR_GAP) / CHAR_PITCH))))
+    total = int(np.sum(n_chars_per))
+    cells = np.zeros((total, CHAR_H, CHAR_W), dtype=np.float32)
+    pos = 0
+    for cb, n_chars in zip(cellblocks, n_chars_per):
+        for k in range(n_chars):
+            xs = k * CHAR_PITCH
+            cell = cb[:CHAR_H, xs: xs + CHAR_W]
+            cells[pos, : cell.shape[0], : cell.shape[1]] = cell
+            pos += 1
+    flat = cells.reshape(total, _NPX)
+    # agreement counts: exact integers in float32 (products 0/1, sums <= 140)
+    eq = (_NPX - flat.sum(axis=1)[:, None] - _T_SUM[None, :]
+          + 2.0 * (flat @ _T_FLAT.T))
+    best = eq.argmax(axis=1)
+    scores = eq[np.arange(total), best].astype(np.float64) / _NPX
+    out = []
+    pos = 0
+    for n_chars in n_chars_per:
+        b = best[pos: pos + n_chars]
+        out.append(("".join(CHARS[i] for i in b),
+                    float(scores[pos: pos + n_chars].mean())))
+        pos += n_chars
+    return out
 
 
 def _classify_word(cellblock: np.ndarray) -> tuple:
     """Classify a word's ink block (band_h x word_w) into text + confidence."""
-    h, w = cellblock.shape
-    n_chars = max(1, int(round((w + CHAR_GAP) / CHAR_PITCH)))
-    cells = np.zeros((n_chars, CHAR_H, CHAR_W), dtype=np.float32)
-    for k in range(n_chars):
-        xs = k * CHAR_PITCH
-        cell = cellblock[:CHAR_H, xs : xs + CHAR_W]
-        cells[k, : cell.shape[0], : cell.shape[1]] = cell
-    # pixel agreement against every template: (n_chars, n_templates)
-    agree = (cells[:, None, :, :] == TEMPLATES[None, :, :, :]).mean(axis=(2, 3))
-    best = agree.argmax(axis=1)
-    scores = agree[np.arange(n_chars), best]
-    text = "".join(CHARS[b] for b in best)
-    return text, float(scores.mean())
+    return _classify_blocks([cellblock])[0]
 
 
 class OcrKernel:

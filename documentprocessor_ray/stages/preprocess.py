@@ -41,34 +41,65 @@ def to_grayscale(img: np.ndarray) -> np.ndarray:
     return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
 
 
+# LUT-composition versions of the point operations: every step here is a
+# function of the PIXEL VALUE only, so a chain of steps composes into one
+# 256-entry LUT and the image is touched once per public call (one histogram
+# pass where a min/max is needed + one gather) instead of once per step —
+# bit-identical by construction (uint8 domain, same per-value arithmetic).
+
+def _minmax_from_hist(hist: np.ndarray) -> tuple:
+    nz = np.flatnonzero(hist)
+    return int(nz[0]), int(nz[-1])
+
+
+def _auto_level_lut(lo: int, hi: int) -> np.ndarray:
+    if hi <= lo:
+        return np.arange(256, dtype=np.uint8)  # identity (matches .copy())
+    return np.clip((np.arange(256, dtype=np.int64) - lo) * 255
+                   // (hi - lo), 0, 255).astype(np.uint8)
+
+
 def auto_level(img: np.ndarray) -> np.ndarray:
     """Linear histogram stretch to full [0, 255] (ImageMagick -auto-level)."""
     lo = int(img.min())
     hi = int(img.max())
     if hi <= lo:
         return img.copy()
-    lut = np.clip((np.arange(256, dtype=np.int64) - lo) * 255 // (hi - lo), 0, 255).astype(np.uint8)
-    return lut[img]
+    return _auto_level_lut(lo, hi)[img]
+
+
+def _whiten_lut(fuzz_percent: float) -> np.ndarray:
+    thresh = 255 - int(round(255 * fuzz_percent / 100.0))
+    lut = np.arange(256, dtype=np.uint8)
+    lut[thresh:] = 255
+    return lut
 
 
 def remove_background(img: np.ndarray, fuzz_percent: float = 30.0) -> np.ndarray:
-    """M3: pixels within fuzz% of white forced to pure white, then auto-level."""
-    thresh = 255 - int(round(255 * fuzz_percent / 100.0))
-    out = img.copy()
-    out[out >= thresh] = 255
-    return auto_level(out)
+    """M3: pixels within fuzz% of white forced to pure white, then auto-level.
+    One histogram pass + one gather (whiten and stretch LUTs composed)."""
+    wlut = _whiten_lut(fuzz_percent)
+    hist = np.bincount(img.reshape(-1), minlength=256)
+    whist = np.bincount(wlut, weights=hist, minlength=256)
+    lo, hi = _minmax_from_hist(whist)
+    return _auto_level_lut(lo, hi)[wlut][img]
 
 
-def sigmoidal_contrast(img: np.ndarray, strength: float = 3.0, midpoint_percent: float = 120.0) -> np.ndarray:
-    """M4: -auto-level then sigmoidal contrast LUT (strength x midpoint%)."""
-    img = auto_level(img)
+def _sigmoid_lut(strength: float, midpoint_percent: float) -> np.ndarray:
     mid = 255.0 * midpoint_percent / 100.0 / 2.0  # ImageMagick midpoint is % of range
     x = np.arange(256, dtype=np.float64)
     s = 1.0 / (1.0 + np.exp(strength * (mid - x) / 255.0 * 10.0 / 3.0))
     s0 = 1.0 / (1.0 + np.exp(strength * mid / 255.0 * 10.0 / 3.0))
     s1 = 1.0 / (1.0 + np.exp(strength * (mid - 255.0) / 255.0 * 10.0 / 3.0))
-    lut = np.clip(np.round((s - s0) / (s1 - s0) * 255.0), 0, 255).astype(np.uint8)
-    return lut[img]
+    return np.clip(np.round((s - s0) / (s1 - s0) * 255.0), 0, 255).astype(np.uint8)
+
+
+def sigmoidal_contrast(img: np.ndarray, strength: float = 3.0, midpoint_percent: float = 120.0) -> np.ndarray:
+    """M4: -auto-level then sigmoidal contrast LUT (strength x midpoint%).
+    One histogram pass + one gather (stretch and sigmoid LUTs composed)."""
+    hist = np.bincount(img.reshape(-1), minlength=256)
+    lo, hi = _minmax_from_hist(hist)
+    return _sigmoid_lut(strength, midpoint_percent)[_auto_level_lut(lo, hi)][img]
 
 
 def threshold(img: np.ndarray, percent: float = 50.0) -> np.ndarray:
@@ -79,15 +110,19 @@ def threshold(img: np.ndarray, percent: float = 50.0) -> np.ndarray:
 
 def denoise(img: np.ndarray) -> np.ndarray:
     """M6: despeckle — isolated dark pixels on light ground are lifted to the
-    max of their 8-neighborhood (a one-pixel morphological open, integer-exact)."""
+    max of their 8-neighborhood (a one-pixel morphological open, integer-exact).
+    Running pairwise max/min over the 8 shifted views (no (8,H,W) stack)."""
     p = np.pad(img, 1, mode="edge")
-    stacks = np.stack([
+    views = (
         p[:-2, :-2], p[:-2, 1:-1], p[:-2, 2:],
         p[1:-1, :-2], p[1:-1, 2:],
         p[2:, :-2], p[2:, 1:-1], p[2:, 2:],
-    ])
-    nmax = stacks.max(axis=0)
-    nmin = stacks.min(axis=0)
+    )
+    nmax = views[0].copy()
+    nmin = views[0].copy()
+    for v in views[1:]:
+        np.maximum(nmax, v, out=nmax)
+        np.minimum(nmin, v, out=nmin)
     isolated_dark = (img < 128) & (nmin >= 128)
     out = img.copy()
     out[isolated_dark] = nmax[isolated_dark]
@@ -102,11 +137,17 @@ def estimate_skew_angle(img: np.ndarray, max_angle: int = 3) -> int:
         return 0
     h, w = ink.shape
     ys, xs = np.nonzero(ink)
+    # per-column shear offsets once per |angle| (round/tan are odd functions,
+    # so the -ang offsets are the negated +ang ones); gather per pixel
+    col = np.arange(w, dtype=np.float64)
+    off = {0: np.zeros(w, np.int64)}
+    for ang in range(1, max_angle + 1):
+        r = np.round(col * np.tan(np.deg2rad(ang))).astype(np.int64)
+        off[ang] = r
+        off[-ang] = -r
     best_angle, best_var = 0, -1.0
     for ang in range(-max_angle, max_angle + 1):
-        shear = np.tan(np.deg2rad(ang))
-        yy = ys - np.round(xs * shear).astype(np.int64)
-        yy = np.clip(yy, 0, h - 1)
+        yy = np.clip(ys - off[ang][xs], 0, h - 1)
         prof = np.bincount(yy, minlength=h).astype(np.float64)
         var = prof.var()
         if var > best_var + 1e-9:
