@@ -7376,17 +7376,18 @@ def q_unigram_encode(sf_dir: str) -> "ray.data.Dataset":
 _WORDPIECE_CACHE: Dict[Any, Any] = {}
 
 
-def _wordpiece_merges_cached(sf_dir: str):
-    from ..functions.wordpiece import learn_wordpiece
+def _wordpiece_cached(sf_dir: str):
+    """(merges, corpus_alphabet), learned once per (session, sf)."""
+    from ..functions.wordpiece import corpus_alphabet, learn_wordpiece
 
     key = (_ray_session_key(), os.path.normpath(sf_dir))
-    merges = _WORDPIECE_CACHE.get(key)
-    if merges is None:
-        merges = learn_wordpiece(
-            _read(sf_dir, "documents", ["doc_id", "text"]), n_merges=12)
+    got = _WORDPIECE_CACHE.get(key)
+    if got is None:
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        got = (learn_wordpiece(docs, n_merges=12), corpus_alphabet(docs))
         _WORDPIECE_CACHE.clear()
-        _WORDPIECE_CACHE[key] = merges
-    return merges
+        _WORDPIECE_CACHE[key] = got
+    return got
 
 
 def q_wordpiece_merges(sf_dir: str) -> pa.Table:
@@ -7404,7 +7405,7 @@ def q_wordpiece_merges(sf_dir: str) -> pa.Table:
     OD.dump("wordpiece_merges",
             OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
             lambda: OD.wordpiece_merges_expected(sf_dir))
-    merges = _wordpiece_merges_cached(sf_dir)
+    merges, _ = _wordpiece_cached(sf_dir)
     return pa.table({
         "rank": pa.array(range(len(merges)), pa.int64()),
         "left": pa.array([m[0] for m in merges], pa.string()),
@@ -7419,15 +7420,14 @@ def q_wordpiece_encode(sf_dir: str) -> "ray.data.Dataset":
     guard) on a stateful actor pool — vocab (merges + corpus alphabet) is
     constructor state with a bounded per-actor word cache. Twin:
     single-process reference learn + alphabet + encode dump."""
-    from ..functions.wordpiece import WordPieceEncoder, corpus_alphabet
+    from ..functions.wordpiece import WordPieceEncoder
 
     from . import oracle_dump as OD
 
     OD.dump("wordpiece_encode",
             OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
             lambda: OD.wordpiece_encode_expected(sf_dir))
-    merges = _wordpiece_merges_cached(sf_dir)
-    alpha = corpus_alphabet(_read(sf_dir, "documents", ["doc_id", "text"]))
+    merges, alpha = _wordpiece_cached(sf_dir)
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         WordPieceEncoder,
         fn_constructor_kwargs={"merges": merges, "alphabet": alpha},
