@@ -485,3 +485,166 @@ def knn_ivf(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
     out = partials.groupby("qid").map_groups(global_topk,
                                              batch_format="pyarrow")
     return (out, probed, all_dirs) if return_probes else out
+
+
+# --- Product Quantization (PQ / asymmetric-distance top-k) ---
+#
+# The compressed-domain scale path: vectors are encoded ONCE into m uint8
+# centroid codes (64-dim float32 -> 8 bytes here, a 32x reduction), and
+# query scans touch ONLY the code table — at 10^12 rows the ADC pass reads
+# m bytes/vector instead of 4d, and the codebooks (m * ksub * dsub floats)
+# ride along as one small broadcast. Reference surface: PQ for ANN is
+# public literature (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011); the reference repo has no ANN at all, so
+# this is a training-data-pipeline addition like knn_ivf/knn_int8.
+#
+# Everything is quantized to 1e-6 before any argmin/ordering so the
+# distributed run and the flat single-process oracle replay agree bitwise
+# regardless of batch layout.
+
+def _pq_fit(sample: np.ndarray, m: int, ksub: int, iters: int = 10,
+            seed: int = 13) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means -> (m, ksub, dsub)
+    codebooks. L2 assignments on the raw subvectors; empty cells keep
+    their previous centroid (same convention as _kmeans_fit)."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = sample[:, s * dsub:(s + 1) * dsub]
+        idx = rng.choice(n, size=min(ksub, n), replace=False)
+        cent = sub[np.sort(idx)].copy()
+        for _ in range(iters):
+            d2 = np.round(
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ cent.T)
+                + (cent * cent).sum(axis=1), 6)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s, :len(cent)] = cent
+        if len(cent) < ksub:  # tiny-sample degenerate case
+            books[s, len(cent):] = cent[-1]
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(N, d) -> (N, m) uint8 codes; pure, shared with the oracle replay.
+    Distances quantized to 1e-6 before argmin so GEMM blocking noise can
+    never flip an assignment between batch layouts."""
+    n = len(mat)
+    m, ksub, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        cent = books[s]
+        d2 = np.round(
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * (sub @ cent.T)
+            + (cent * cent).sum(axis=1), 6)
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_scores(q: np.ndarray, books: np.ndarray,
+                  codes: np.ndarray) -> np.ndarray:
+    """Asymmetric inner-product scores for ONE query against (N, m) codes:
+    LUT[s, j] = round(q_s . c_sj, 6); score = round(sum_s LUT[s, code_s], 6).
+    Elementwise adds over the fixed subspace order — bit-stable at any
+    batch layout. Pure, shared with the oracle replay."""
+    m, ksub, dsub = books.shape
+    lut = np.round(
+        np.einsum("skd,sd->sk", books, q.reshape(m, dsub)), 6)
+    acc = np.zeros(len(codes), dtype=np.float64)
+    for s in range(m):
+        acc += lut[s][codes[:, s]]
+    return np.round(acc, 6)
+
+
+class PqEncoder:
+    """Actor-pool stage: codebooks deserialized once per actor; each batch
+    is encoded to its (vec_id, code list<uint8>) rows."""
+
+    def __init__(self, books_ref):
+        self.books = ray.get(books_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch["embedding"].combine_chunks()))
+        codes = pq_encode(mat, self.books)
+        n, m = codes.shape
+        col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32),
+                     pa.int32()),
+            pa.array(codes.ravel(), pa.uint8()))
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "code": col,
+        })
+
+
+def knn_pq(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
+           m: int = 8, ksub: int = 16, sample_size: int = 2048,
+           iters: int = 10, seed: int = 13,
+           concurrency: Optional[int] = None) -> "ray.data.Dataset":
+    """PQ approximate top-k: codebooks fit on the distributed hash-sample,
+    the corpus encoded ONCE into m-byte codes on an actor pool
+    (materialized — the compressed table IS the reusable index), and the
+    per-query ADC pass scans codes only: one LUT gather + m adds per row,
+    never the float embeddings. Partial top-k per block, tiny global
+    reduce. Returns (qid, vec_id, rank, score) ordered by (qid, rank);
+    approximate, so its gate is the flat single-process replay dump plus a
+    recall-vs-bruteforce pytest."""
+    qids, qm = _query_matrix(ds, n_queries)
+    sample = _hash_sample(ds, sample_size)
+    books = _pq_fit(sample, m, ksub, iters, seed)
+    books_ref = ray.put(books)
+
+    codes_ds = ds.map_batches(
+        PqEncoder, fn_constructor_kwargs={"books_ref": books_ref},
+        batch_format="pyarrow", concurrency=concurrency or 4).materialize()
+
+    shared = ray.put((qids, qm, books))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, bks = ray.get(shared)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(batch["code"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        codes = flat.reshape(len(vids), -1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            qid = int(q_ids[qi])
+            s = pq_adc_scores(q_mat[qi], bks, codes)
+            mask = vids != qid
+            v, sv = vids[mask], s[mask]
+            idx = np.lexsort((v, -sv))[:k]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(int(x) for x in v[idx])
+            out_s.extend(float(x) for x in sv[idx])
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    partials = codes_ds.map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=1024)
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(),
+                      key=lambda r: (-r["score"], r["vec_id"]))[:k]
+        return pa.table({
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "rank": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+            "score": pa.array([r["score"] for r in rows], pa.float64()),
+        })
+
+    return partials.groupby("qid").map_groups(global_topk,
+                                              batch_format="pyarrow")

@@ -2978,6 +2978,24 @@ def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
                      index_dir=os.path.join("/tmp/dpray_ivf", fp))
 
 
+def q_knn_pq(sf_dir: str) -> "ray.data.Dataset":
+    """Product-quantization ANN (Jegou et al. 2011): codebooks fit on the
+    distributed hash-sample, corpus encoded ONCE to 8 uint8 codes/vector
+    (32x compression) on an actor pool, per-query ADC scans the CODE table
+    only — at 10^12 rows the query pass reads m bytes/vector, not the
+    float embeddings. Hash-gated against a flat single-process replay of
+    sample/fit/encode/ADC/top-k (oracle_dump.knn_pq_expected) that shares
+    the pure kernels (_pq_fit/pq_encode/pq_adc_scores), plus a
+    recall-vs-bruteforce pytest."""
+    from . import oracle_dump as OD
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    OD.dump("knn_pq", OD.file_fingerprint(src),
+            lambda: OD.knn_pq_expected(sf_dir))
+    return S.knn_pq(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    n_queries=4, k=10)
+
+
 def q_bitext_mine(sf_dir: str) -> "ray.data.Dataset":
     """Margin-based bitext mining over the embedding table: label-0 vectors
     are the source side, label-1 the target side; best/second-best matches
@@ -7448,7 +7466,7 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
                    "price_quantiles_approx", "event_heavy_hitters",
-                   "knn_ivf", "unigram_vocab", "unigram_encode",
+                   "knn_ivf", "knn_pq", "unigram_vocab", "unigram_encode",
                    "wordpiece_merges", "wordpiece_encode"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
@@ -7585,6 +7603,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_int8": q_knn_int8,
     "knn_ivf": q_knn_ivf,
+    "knn_pq": q_knn_pq,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

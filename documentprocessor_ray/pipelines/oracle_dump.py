@@ -809,3 +809,62 @@ def wordpiece_encode_expected(sf_dir: str) -> pa.Table:
         "n_wp_tokens": pa.array([r[1] for r in rows], pa.int64()),
         "n_words": pa.array([r[2] for r in rows], pa.int64()),
         "n_unk": pa.array([r[3] for r in rows], pa.int64())})
+
+
+def knn_pq_expected(sf_dir: str, n_queries: int = 4, k: int = 10,
+                    m: int = 8, ksub: int = 16,
+                    sample_size: int = 2048) -> pa.Table:
+    """Twin of q_knn_pq: the PQ path replayed flat — hash-sample, the
+    shared per-subspace _pq_fit, full-corpus pq_encode in ONE call, ADC
+    scoring via the shared pq_adc_scores, exact top-k. No Ray, no actor
+    pool, no materialized code table: a hash match proves the distributed
+    encode + compressed-domain scan answers exactly what the flat replay
+    answers. All quantization (1e-6 on distances, LUT entries and final
+    scores) lives inside the shared pure kernels, so both harnesses use
+    the identical arithmetic by construction."""
+    from ..functions.similarity import (_normalize, _pq_fit, pq_adc_scores,
+                                        pq_encode)
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(np.array(t["embedding"].to_pylist(),
+                              dtype=np.float64))
+
+    qsel = np.flatnonzero(vids < n_queries)
+    qsel = qsel[np.argsort(vids[qsel])]
+    qids = vids[qsel]
+    qm = mat[qsel]
+
+    total = max(1, len(vids))
+    if total <= sample_size:
+        thresh = np.uint64(1) << np.uint64(32)
+    else:
+        frac = min(1.0, sample_size * 1.3 / total)
+        thresh = np.uint64(int((1 << 32) * frac))
+    h = (vids.astype(np.uint64) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    msel = np.flatnonzero(h < thresh)
+    order = np.lexsort((vids[msel], h[msel].astype(np.int64)))
+    sample = mat[msel[order][:sample_size]]
+
+    books = _pq_fit(sample, m, ksub)
+    codes = pq_encode(mat, books)
+
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qi in range(len(qids)):
+        qid = int(qids[qi])
+        s = pq_adc_scores(qm[qi], books, codes)
+        mask = vids != qid
+        v, sv = vids[mask], s[mask]
+        idx = np.lexsort((v, -sv))[:k]
+        out_q.extend([qid] * len(idx))
+        out_v.extend(int(x) for x in v[idx])
+        out_r.extend(range(1, len(idx) + 1))
+        out_s.extend(float(x) for x in sv[idx])
+    return pa.table({
+        "qid": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+    })

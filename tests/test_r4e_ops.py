@@ -1,0 +1,126 @@
+"""Round-4e operators: product-quantization ANN (knn_pq)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from documentprocessor_ray.functions import similarity as S
+
+
+def _mk_ds(m: np.ndarray) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    }))
+
+
+class TestPqKernels:
+    def test_encode_batch_invariance(self):
+        """pq_encode is row-local: any batch split yields the same codes —
+        the property that lets the flat oracle replay gate the actor-pool
+        encode."""
+        rng = np.random.default_rng(7)
+        mat = rng.normal(size=(100, 16)).astype(np.float64)
+        sample = mat[:40]
+        books = S._pq_fit(sample, m=4, ksub=8)
+        whole = S.pq_encode(mat, books)
+        parts = np.concatenate([S.pq_encode(mat[i:i + 17], books)
+                                for i in range(0, 100, 17)])
+        assert np.array_equal(whole, parts)
+
+    def test_adc_is_lut_sum(self):
+        rng = np.random.default_rng(8)
+        mat = rng.normal(size=(20, 8))
+        books = S._pq_fit(mat, m=2, ksub=4)
+        codes = S.pq_encode(mat, books)
+        q = rng.normal(size=8)
+        scores = S.pq_adc_scores(q, books, codes)
+        lut = np.round(
+            np.einsum("skd,sd->sk", books, q.reshape(2, 4)), 6)
+        manual = np.round(lut[0][codes[:, 0]] + lut[1][codes[:, 1]], 6)
+        assert np.array_equal(scores, manual)
+
+    def test_fit_rejects_bad_split(self):
+        with pytest.raises(ValueError):
+            S._pq_fit(np.zeros((4, 10)), m=3, ksub=2)
+
+
+class TestKnnPq:
+    def test_exact_when_codebook_holds_every_vector(self, ray_session):
+        """n <= ksub and sample = corpus -> every subvector is its own
+        centroid, ADC reconstructs exactly, and PQ top-k equals brute
+        force."""
+        rng = np.random.default_rng(11)
+        m = rng.normal(size=(16, 8)).astype(np.float32)
+        ds = _mk_ds(m)
+        bf = S.knn_bruteforce(ds, n_queries=2, k=5).to_pandas()
+        pqr = S.knn_pq(ds, n_queries=2, k=5, m=2, ksub=16,
+                       sample_size=16).to_pandas()
+        for q in (0, 1):
+            a = bf[bf["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            b = pqr[pqr["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            assert a == b
+
+    def test_recall_on_clustered_vectors(self, ray_session):
+        """Tight clusters -> compressed-domain neighbors stay in-cluster;
+        recall@5 vs brute force should be high (the realistic PQ regime,
+        unlike uniform-random vectors where 8-byte codes can't separate)."""
+        rng = np.random.default_rng(12)
+        centers = rng.normal(size=(8, 16)) * 5
+        rows = np.concatenate([
+            centers[i % 8] + rng.normal(scale=0.05, size=16)
+            for i in range(120)]).reshape(120, 16).astype(np.float32)
+        ds = _mk_ds(rows)
+        pqr = S.knn_pq(ds, n_queries=3, k=5, m=4, ksub=16,
+                       sample_size=120).to_pandas()
+        # inside a tight cluster the true top-5 is a near-tie PQ rightly
+        # collapses, so exact-id recall is ill-posed; the property that
+        # matters is cluster-level retrieval: every neighbor PQ returns
+        # must belong to the query's own cluster
+        for q in range(3):
+            got = pqr[pqr["qid"] == q]["vec_id"].to_numpy()
+            assert len(got) == 5
+            assert np.all(got % 8 == q % 8)
+
+    def test_shape_and_self_exclusion(self, ray_session):
+        rng = np.random.default_rng(13)
+        ds = _mk_ds(rng.normal(size=(40, 8)).astype(np.float32))
+        out = S.knn_pq(ds, n_queries=2, k=4, m=2, ksub=8,
+                       sample_size=40).to_pandas()
+        assert set(out.columns) == {"qid", "vec_id", "rank", "score"}
+        for q in (0, 1):
+            g = out[out["qid"] == q]
+            assert g["rank"].tolist() == sorted(g["rank"].tolist())
+            assert q not in g["vec_id"].tolist()
+
+    def test_matches_flat_replay(self, ray_session):
+        """Distributed path == plain numpy replay through the shared
+        kernels (the exact discipline the driver dump twin gates at
+        sf0.01)."""
+        rng = np.random.default_rng(14)
+        m = rng.normal(size=(80, 16)).astype(np.float32)
+        ds = _mk_ds(m)
+        out = S.knn_pq(ds, n_queries=2, k=6, m=4, ksub=8,
+                       sample_size=80).to_pandas()
+
+        mat = S._normalize(m.astype(np.float64))
+        vids = np.arange(80, dtype=np.int64)
+        # the training sample is the whole corpus here, but in HASH order
+        # (similarity._hash_sample_rows sorts by (hash, vec_id)) — the fit
+        # seeds/means are order-sensitive, so the replay must match it
+        h = (vids.astype(np.uint64) * np.uint64(2654435761)) \
+            & np.uint64(0xFFFFFFFF)
+        order = np.lexsort((vids, h.astype(np.int64)))
+        books = S._pq_fit(mat[order], m=4, ksub=8)
+        codes = S.pq_encode(mat, books)
+        for q in (0, 1):
+            s = S.pq_adc_scores(mat[q], books, codes)
+            mask = vids != q
+            v, sv = vids[mask], s[mask]
+            idx = np.lexsort((v, -sv))[:6]
+            g = out[out["qid"] == q].sort_values("rank")
+            assert g["vec_id"].tolist() == [int(x) for x in v[idx]]
+            assert np.allclose(g["score"].to_numpy(), sv[idx], atol=0)
