@@ -1055,3 +1055,309 @@ def phrase_count_batch(batch: pa.Table, phrase: List[str]) -> pa.Table:
         "doc_id": batch["doc_id"],
         "n_matches": pa.array(n_matches, pa.int64()),
     })
+
+
+_LOG04_MICRO = int(np.round(1e6 * np.log(0.4)))  # one backoff step, micro-nats
+
+
+def _count_lookup(keys: np.ndarray, cnts: np.ndarray,
+                  q: np.ndarray) -> np.ndarray:
+    """Vectorized sorted-array count lookup; missing keys -> 0."""
+    if len(keys) == 0 or len(q) == 0:
+        return np.zeros(len(q), np.int64)
+    pos = np.clip(np.searchsorted(keys, q), 0, len(keys) - 1)
+    return np.where(keys[pos] == q, cnts[pos], 0).astype(np.int64)
+
+
+def trigram_backoff(ds: "ray.data.Dataset", train_col: str = "is_train",
+                    num_buckets=None) -> "ray.data.Dataset":
+    """Trigram stupid-backoff surprisal per document — the CCNet-style LM
+    quality filter (Wenzek et al. 2020) with the LM of Brants et al. 2007
+    ("Large Language Models in Machine Translation"): a trigram model fit
+    on the ``train_col``-flagged reference slice scores EVERY document,
+
+        S(w|u,v) = c(uvw)/c(uv)            if c(uvw) > 0
+                 = 0.4 * c(vw)/c(v)        elif c(vw) > 0
+                 = 0.4^2 * (c(w)+1)/(N+V)  otherwise (add-one unigram),
+
+    reported per doc as exact int64 micro-nat surprisal totals plus the
+    floor-div mean. Unlike self-trained LMs (where every trigram has
+    count >= 1 and backoff is dead code), the reference-slice split makes
+    the backoff chain real for out-of-slice text — high mean surprisal =
+    text the reference LM finds improbable.
+
+    Scale shape: two bucketed exchanges over one tokenization pass.
+    Per-occurrence rows (collapsed to one row per distinct (doc, trigram)
+    with a count) first visit bucket(h(w)) to resolve the unigram-fallback
+    term, then bucket(h(v)) — where v is the middle/context word — which
+    by construction co-locates ALL four remaining lookups: c(uvw) routed
+    by its middle word, c(uv) by its second, c(vw) by its first and c(v)
+    by itself. Count cells are combiner-aggregated per batch and never
+    materialize as a joined table; the unigram cells serve BOTH exchanges
+    (same bucket key), and N rides in as one driver scalar (the knn_int8
+    maxabs pattern). At production scale the unified pass-through stream
+    would split into a cell stream and an occurrence stream; the unified
+    schema here keeps it one shuffle graph.
+    """
+    from ..sharding import auto_buckets, bucket_of_ints
+    from .agg import bucketed_group_sum
+
+    nb = num_buckets or auto_buckets(None)
+
+    def count_train(batch: pa.Table) -> pa.Table:
+        split, _ = _tokens_list(
+            pc.utf8_lower(batch["text"].combine_chunks()))
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = batch[train_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([int((lens * tr).sum())], pa.int64())})
+
+    n_train = int(ds.map_batches(
+        count_train, batch_format="pyarrow").sum("n") or 0)
+    ilog_nv = int(_ilog_micro(np.array([n_train + _LM_V]))[0])
+
+    Z = np.empty(0, np.int64)
+
+    def _unified(role, doc_id, h_tri, h_bictx, h_bi, h_unictx, h_uni,
+                 kind, h, cnt, pkey) -> pa.Table:
+        return pa.table({
+            "role": pa.array(role, pa.int64()),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "h_tri": pa.array(h_tri, pa.int64()),
+            "h_bictx": pa.array(h_bictx, pa.int64()),
+            "h_bi": pa.array(h_bi, pa.int64()),
+            "h_unictx": pa.array(h_unictx, pa.int64()),
+            "h_uni": pa.array(h_uni, pa.int64()),
+            "kind": pa.array(kind, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "pkey": pa.array(pkey, pa.int64())})
+
+    def _agg_cells(kind: int, h: np.ndarray, route: np.ndarray):
+        """Per-batch combiner: distinct (h, route) with counts."""
+        if len(h) == 0:
+            return Z, Z, Z
+        order = np.lexsort((route, h))
+        h, route = h[order], route[order]
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = (h[1:] != h[:-1]) | (route[1:] != route[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(h)))
+        return h[starts], route[starts], cnt.astype(np.int64)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = batch[train_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        split, _ = _tokens_list(
+            pc.utf8_lower(batch["text"].combine_chunks()))
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        th = _token_hashes(np.asarray(flat, dtype=object))
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        th64 = th.view(np.int64)
+        sh2 = shingle_hashes(th, 2).view(np.int64)
+        sh3 = shingle_hashes(th, 3).view(np.int64)
+        v2 = (doc_of[:-1] == doc_of[1:]) if len(th) >= 2 \
+            else np.empty(0, bool)
+        v3 = (doc_of[:-2] == doc_of[2:]) if len(th) >= 3 \
+            else np.empty(0, bool)
+        tr_pos = tr[doc_of] == 1
+
+        tabs = []
+        # occurrence rows (ALL docs), one per distinct (doc, trigram)
+        p3 = np.flatnonzero(v3)
+        if len(p3):
+            occ = pa.table({
+                "doc_id": pa.array(ids[doc_of[p3]], pa.int64()),
+                "h_tri": pa.array(sh3[p3], pa.int64()),
+                "h_bictx": pa.array(sh2[p3], pa.int64()),
+                "h_bi": pa.array(sh2[p3 + 1], pa.int64()),
+                "h_unictx": pa.array(th64[p3 + 1], pa.int64()),
+                "h_uni": pa.array(th64[p3 + 2], pa.int64()),
+            }).group_by(["doc_id", "h_tri"]).aggregate(
+                [("h_bictx", "min"), ("h_bi", "min"),
+                 ("h_unictx", "min"), ("h_uni", "min"),
+                 ([], "count_all")])
+            n = occ.num_rows
+            uni = occ["h_uni_min"].to_numpy(zero_copy_only=False)
+            z = np.zeros(n, np.int64)
+            tabs.append(_unified(
+                z, occ["doc_id"].to_numpy(zero_copy_only=False),
+                occ["h_tri"].to_numpy(zero_copy_only=False),
+                occ["h_bictx_min"].to_numpy(zero_copy_only=False),
+                occ["h_bi_min"].to_numpy(zero_copy_only=False),
+                occ["h_unictx_min"].to_numpy(zero_copy_only=False),
+                uni, z, z,
+                occ["count_all"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                bucket_of_ints(uni, nb)))
+
+        # train count cells, combiner-aggregated per batch:
+        # kind 0 trigram (route = middle word), 1 bigram-as-context
+        # (route = second word), 2 bigram-as-predictor (route = first
+        # word), 3 unigram (route = itself; serves BOTH exchanges)
+        t3 = np.flatnonzero(v3 & tr_pos[:-2] if len(v3) else v3)
+        t2 = np.flatnonzero(v2 & tr_pos[:-1] if len(v2) else v2)
+        tu = np.flatnonzero(tr_pos)
+        for kind, hh, route in (
+                (0, sh3[t3], th64[t3 + 1]),
+                (1, sh2[t2], th64[t2 + 1]),
+                (2, sh2[t2], th64[t2]),
+                (3, th64[tu], th64[tu])):
+            h_k, r_k, c_k = _agg_cells(kind, hh, route)
+            if len(h_k):
+                n = len(h_k)
+                z = np.zeros(n, np.int64)
+                tabs.append(_unified(
+                    np.ones(n, np.int64), z, z, z, z, z, z,
+                    np.full(n, kind, np.int64), h_k, c_k,
+                    bucket_of_ints(r_k, nb)))
+        if not tabs:
+            return _unified(Z, Z, Z, Z, Z, Z, Z, Z, Z, Z, Z)
+        return pa.concat_tables(tabs)
+
+    def _kind_map(g: pa.Table, want: int):
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        m = (roles == 1) & (kinds == want)
+        h = g["h"].to_numpy(zero_copy_only=False)[m]
+        c = g["cnt"].to_numpy(zero_copy_only=False)[m]
+        if len(h) == 0:
+            return Z, Z
+        order = np.argsort(h)
+        h, c = h[order], c[order]
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        return h[starts], np.add.reduceat(c, starts)
+
+    def resolve_uni(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        uk, uc = _kind_map(g, 3)
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        occ = g.filter(pa.array(roles == 0))
+        cells = g.filter(pa.array(roles == 1))
+        if occ.num_rows:
+            h_uni = occ["h_uni"].to_numpy(zero_copy_only=False)
+            c_uni = _count_lookup(uk, uc, h_uni)
+            uni_micro = _ilog_micro(c_uni + 1)
+            h_ctx = occ["h_unictx"].to_numpy(zero_copy_only=False)
+            occ = occ.set_column(
+                occ.schema.get_field_index("h_uni"), "h_uni",
+                pa.array(uni_micro, pa.int64()))
+            occ = occ.set_column(
+                occ.schema.get_field_index("pkey"), "pkey",
+                pa.array(bucket_of_ints(h_ctx, nb), pa.int64()))
+        return pa.concat_tables([occ, cells])
+
+    def score(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        occ = g.filter(pa.array(roles == 0))
+        if occ.num_rows == 0:
+            return pa.table({"doc_id": pa.array(Z, pa.int64()),
+                             "n_scored": pa.array(Z, pa.int64()),
+                             "surp_micro": pa.array(Z, pa.int64())})
+        c_tri = _count_lookup(*_kind_map(g, 0),
+                              occ["h_tri"].to_numpy(zero_copy_only=False))
+        c_bictx = _count_lookup(*_kind_map(g, 1),
+                                occ["h_bictx"]
+                                .to_numpy(zero_copy_only=False))
+        c_bi = _count_lookup(*_kind_map(g, 2),
+                             occ["h_bi"].to_numpy(zero_copy_only=False))
+        c_uctx = _count_lookup(*_kind_map(g, 3),
+                               occ["h_unictx"]
+                               .to_numpy(zero_copy_only=False))
+        uni_micro = occ["h_uni"].to_numpy(zero_copy_only=False)
+        s_tri = _ilog_micro(np.maximum(c_bictx, 1)) \
+            - _ilog_micro(np.maximum(c_tri, 1))
+        s_bi = -_LOG04_MICRO + _ilog_micro(np.maximum(c_uctx, 1)) \
+            - _ilog_micro(np.maximum(c_bi, 1))
+        s_uni = -2 * _LOG04_MICRO + ilog_nv - uni_micro
+        s = np.where(c_tri > 0, s_tri, np.where(c_bi > 0, s_bi, s_uni))
+        cnt = occ["cnt"].to_numpy(zero_copy_only=False)
+        did = occ["doc_id"].to_numpy(zero_copy_only=False)
+        part = pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "n_scored": pa.array(cnt, pa.int64()),
+            "surp_micro": pa.array(cnt * s, pa.int64()),
+        }).group_by("doc_id").aggregate(
+            [("n_scored", "sum"), ("surp_micro", "sum")])
+        return pa.table({
+            "doc_id": part["doc_id"],
+            "n_scored": pc.cast(part["n_scored_sum"], pa.int64()),
+            "surp_micro": pc.cast(part["surp_micro_sum"], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n_scored"].to_numpy(zero_copy_only=False)
+        s = b["surp_micro"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_scored": b["n_scored"],
+            "surp_micro": b["surp_micro"],
+            "mean_surp_micro": pa.array(s // n, pa.int64())})
+
+    partials = ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(resolve_uni, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(score, batch_format="pyarrow")
+    return bucketed_group_sum(partials, "doc_id",
+                              ["n_scored", "surp_micro"]) \
+        .map_batches(final, batch_format="pyarrow")
+
+
+def trigram_backoff_reference(doc_ids: List[int], texts: List[str],
+                              trains: List[int]) -> List[tuple]:
+    """Single-process twin of trigram_backoff: plain re tokenization, dict
+    n-gram counts from the train slice, one scoring loop over every doc's
+    trigram positions — no Ray, no bucketed exchanges. The oracle-dump
+    side; shares only the pure hash/quantize kernels."""
+    import re
+
+    tri: dict = {}
+    big: dict = {}
+    uni: dict = {}
+    n_train = 0
+    hashed = []
+    for did, text, is_t in zip(doc_ids, texts, trains):
+        toks = re.split(r"\s+", re.sub(r"^\s+|\s+$", "", text.lower()))
+        th = _token_hashes(np.asarray(toks, dtype=object))
+        h3 = shingle_hashes(th, 3).view(np.int64)
+        h2 = shingle_hashes(th, 2).view(np.int64)
+        h1 = th.view(np.int64)
+        hashed.append((did, h3, h2, h1))
+        if is_t:
+            n_train += len(h1)
+            for v in h3:
+                tri[int(v)] = tri.get(int(v), 0) + 1
+            for v in h2:
+                big[int(v)] = big.get(int(v), 0) + 1
+            for v in h1:
+                uni[int(v)] = uni.get(int(v), 0) + 1
+    ilog_nv = int(_ilog_micro(np.array([n_train + _LM_V]))[0])
+
+    def il(c: int) -> int:
+        return int(_ilog_micro(np.array([c]))[0])
+
+    out = []
+    for did, h3, h2, h1 in hashed:
+        if len(h3) == 0:
+            continue
+        total = 0
+        for p in range(len(h3)):
+            c_tri = tri.get(int(h3[p]), 0)
+            if c_tri > 0:
+                s = il(big.get(int(h2[p]), 0)) - il(c_tri)
+            else:
+                c_bi = big.get(int(h2[p + 1]), 0)
+                if c_bi > 0:
+                    s = -_LOG04_MICRO + il(uni.get(int(h1[p + 1]), 0)) \
+                        - il(c_bi)
+                else:
+                    s = -2 * _LOG04_MICRO + ilog_nv \
+                        - il(uni.get(int(h1[p + 2]), 0) + 1)
+            total += s
+        out.append((int(did), len(h3), total, total // len(h3)))
+    return out

@@ -402,6 +402,32 @@ def q_bigram_surprisal(sf_dir: str) -> "ray.data.Dataset":
         _read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_trigram_backoff(sf_dir: str) -> "ray.data.Dataset":
+    """Trigram stupid-backoff LM surprisal (Brants et al. 2007 LM inside
+    the CCNet filter shape): a trigram model fit on the lang='en'
+    reference slice scores EVERY doc, with real backoff branches for
+    out-of-slice text (self-trained LMs never back off — every seen
+    trigram has count >= 1). Two bucketed exchanges: occurrence rows pick
+    up the unigram-fallback term at bucket(h(w)), then every remaining
+    count lookup co-locates at bucket(h(middle word)) by construction
+    (textstats.trigram_backoff). Corpus-global ln-of-count dependence ->
+    oracle-DUMP twin of the plain-dict single-process replay."""
+    from . import oracle_dump as OD
+
+    OD.dump("trigram_backoff",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.trigram_backoff_expected(sf_dir))
+
+    def tag(b: pa.Table) -> pa.Table:
+        tr = pc.cast(pc.equal(b["lang"], "en"), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "is_train": tr})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(tag, batch_format="pyarrow")
+    return T.trigram_backoff(ds)
+
+
 def q_dsir_logweight(sf_dir: str) -> "ray.data.Dataset":
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): importance
     log-weights of every doc toward the lang='en' target slice under
@@ -7459,7 +7485,8 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
-                   "bigram_surprisal", "dsir_logweight", "pca_project",
+                   "bigram_surprisal", "dsir_logweight", "trigram_backoff",
+                   "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
                    "audio_features", "audio_spectral", "image_edges",
@@ -7490,6 +7517,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "semdedup": q_semdedup,
     "bigram_surprisal": q_bigram_surprisal,
     "dsir_logweight": q_dsir_logweight,
+    "trigram_backoff": q_trigram_backoff,
     "split_no_leakage": q_split_no_leakage,
     "incremental_neardup": q_incremental_neardup,
     "pca_project": q_pca_project,

@@ -868,3 +868,23 @@ def knn_pq_expected(sf_dir: str, n_queries: int = 4, k: int = 10,
         "rank": pa.array(out_r, pa.int64()),
         "score": pa.array(out_s, pa.float64()),
     })
+
+
+def trigram_backoff_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_trigram_backoff: dict-count trigram/bigram/unigram LMs fit
+    on the lang='en' slice, one per-position scoring loop with the same
+    stupid-backoff branch chain — no Ray, no bucketed exchanges."""
+    from ..functions.textstats import trigram_backoff_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    trains = [1 if l == "en" else 0 for l in t["lang"].to_pylist()]
+    rows = sorted(trigram_backoff_reference(ids, texts, trains))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_scored": pa.array([r[1] for r in rows], pa.int64()),
+        "surp_micro": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_surp_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })

@@ -124,3 +124,66 @@ class TestKnnPq:
             g = out[out["qid"] == q].sort_values("rank")
             assert g["vec_id"].tolist() == [int(x) for x in v[idx]]
             assert np.allclose(g["score"].to_numpy(), sv[idx], atol=0)
+
+
+from documentprocessor_ray.functions.textstats import (  # noqa: E402
+    trigram_backoff, trigram_backoff_reference)
+
+
+def _tri_ds(ids, texts, trains):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "is_train": pa.array(trains, pa.int64())}))
+
+
+class TestTrigramBackoff:
+    def _check(self, ids, texts, trains, **kw):
+        out = trigram_backoff(_tri_ds(ids, texts, trains), **kw) \
+            .to_pandas()
+        got = sorted(out.itertuples(index=False, name=None))
+        exp = sorted(trigram_backoff_reference(ids, texts, trains))
+        assert got == exp
+        return out
+
+    def test_all_three_branches(self):
+        """Train doc exercises the trigram branch on itself; an eval doc
+        sharing a bigram but no trigram hits the bigram backoff; fully
+        novel tokens hit the unigram fallback — all vs the dict-count
+        reference."""
+        texts = [
+            "a b c a b c a b d",   # train
+            "z b c",               # bigram (b c) seen, trigram (z b c) not
+            "q r s",               # nothing seen
+            "a b c x y",           # mix: tri hit + fallback
+        ]
+        ids = [0, 1, 2, 3]
+        out = self._check(ids, texts, [1, 0, 0, 0])
+        by = {r.doc_id: r for r in out.itertuples()}
+        # the train doc is most probable to its own LM; novel text least
+        assert by[0].mean_surp_micro < by[1].mean_surp_micro
+        assert by[1].mean_surp_micro < by[2].mean_surp_micro
+
+    def test_parallelism_invariance(self, ray_session):
+        rng = np.random.default_rng(21)
+        vocab = [f"w{i}" for i in range(30)]
+        ids = list(range(60))
+        texts = [" ".join(rng.choice(vocab, rng.integers(3, 50)))
+                 for _ in ids]
+        trains = [int(i % 2 == 0) for i in ids]
+        a = trigram_backoff(
+            _tri_ds(ids, texts, trains).repartition(2)).to_pandas()
+        b = trigram_backoff(
+            _tri_ds(ids, texts, trains).repartition(13)).to_pandas()
+        a = sorted(a.itertuples(index=False, name=None))
+        assert a == sorted(b.itertuples(index=False, name=None))
+        assert a == sorted(trigram_backoff_reference(ids, texts, trains))
+
+    def test_empty_train_slice(self, ray_session):
+        """No reference docs -> every position takes the double-backoff
+        unigram fallback with c=0, N=0; still exact vs the reference."""
+        self._check([0, 1], ["p q r s", "t u v"], [0, 0])
+
+    def test_short_docs_excluded(self, ray_session):
+        out = self._check([0, 1, 2], ["a b c d", "a b", ""], [1, 0, 0])
+        assert set(out["doc_id"]) == {0}
