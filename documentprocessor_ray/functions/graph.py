@@ -536,3 +536,165 @@ def kcore_reference(pairs, k: int, max_rounds: int = 12) -> dict:
         for m in [m for m, nbrs in adj.items() if not nbrs]:
             del adj[m]
     return {n: len(nbrs) for n, nbrs in adj.items() if nbrs}
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    n_rounds: int = 5,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    num_buckets: Optional[int] = None,
+    small_graph_rows: Optional[int] = 1_000_000,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, Phys. Rev. E 76) over the undirected simple graph of ``edges``:
+    every node starts labeled with itself; each round every node adopts
+    the most frequent label among its neighbors, ties broken by SMALLEST
+    label — the deterministic synchronous variant (the classic async
+    random-order LPA is irreproducible by design; fixed rounds + min-tie
+    make this one bit-stable and exactly SQL-checkable as unrolled CTE
+    rounds, the PageRank/kcore fixed-iteration lesson). Returns
+    (node, label) after exactly ``n_rounds`` rounds.
+
+    Scale shape per round: edges are canonicalized/deduped ONCE and
+    bucketed by hash(lo); each round ships only the label table (nodes,
+    not edges) through two co-bucketed joins onto the edge endpoints,
+    emits 2|E| (neighbor, label) messages pre-counted per (bucket, node,
+    label), and resolves the argmax-count/min-label winner inside
+    bucket(node). Every node appears in some edge, so no keep-old-label
+    path exists. Graphs under ``small_graph_rows`` edges run the same
+    rounds in ONE worker task (chained-exchange overhead dominates below
+    ~1e6 edges — the dedup-clustering lesson)."""
+    from .agg import bucketed_group_sum
+    from .joins import hash_join
+
+    nb = num_buckets or auto_buckets(None)
+
+    if small_graph_rows and edges.count() <= small_graph_rows:
+        def one_task(b: pa.Table) -> pa.Table:
+            pairs = zip(
+                b[src_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            ref = label_propagation_reference(pairs, n_rounds)
+            nodes = sorted(ref)
+            return pa.table({
+                "node": pa.array(nodes, pa.int64()),
+                "label": pa.array([ref[n] for n in nodes], pa.int64())})
+
+        return edges.repartition(1).map_batches(
+            one_task, batch_format="pyarrow", batch_size=None)
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(a, c)
+        hi = np.maximum(a, c)
+        keep = lo != hi
+        t = pa.table({"lo": pa.array(lo[keep], pa.int64()),
+                      "hi": pa.array(hi[keep], pa.int64())}) \
+            .group_by(["lo", "hi"]).aggregate([])
+        return t.append_column("pkey", pa.array(bucket_of_ints(
+            t["lo"].to_numpy(zero_copy_only=False), nb), pa.int64()))
+
+    def dedup(g: pa.Table) -> pa.Table:
+        return g.select(["lo", "hi"]).group_by(["lo", "hi"]).aggregate([])
+
+    cur = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(dedup, batch_format="pyarrow") \
+        .materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = np.unique(np.concatenate([
+            b["lo"].to_numpy(zero_copy_only=False),
+            b["hi"].to_numpy(zero_copy_only=False)]).astype(np.int64))
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "one": pa.array(np.ones(len(n), np.int64))})
+
+    labels = bucketed_group_sum(
+        cur.map_batches(init_labels, batch_format="pyarrow"),
+        "node", ["one"])
+
+    def self_label(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "label": b["node"]})
+
+    labels = labels.map_batches(self_label, batch_format="pyarrow") \
+        .materialize()
+
+    edge_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+    lab_lo = pa.schema([("lo", pa.int64()), ("label_lo", pa.int64())])
+    lab_hi = pa.schema([("hi", pa.int64()), ("label_hi", pa.int64())])
+
+    def _as(cols):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(cols)
+        return f
+
+    def messages(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        ll = b["label_lo"].to_numpy(zero_copy_only=False)
+        lh = b["label_hi"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([hi, lo]).astype(np.int64)
+        lab = np.concatenate([ll, lh]).astype(np.int64)
+        t = pa.table({"node": pa.array(node, pa.int64()),
+                      "label": pa.array(lab, pa.int64())}) \
+            .group_by(["node", "label"]).aggregate([([], "count_all")])
+        return pa.table({
+            "node": t["node"], "label": t["label"],
+            "cnt": pc.cast(t["count_all"], pa.int64()),
+            "pkey": pa.array(bucket_of_ints(
+                t["node"].to_numpy(zero_copy_only=False), nb), pa.int64())})
+
+    def winner(g: pa.Table) -> pa.Table:
+        t = g.select(["node", "label", "cnt"]) \
+            .group_by(["node", "label"]).aggregate([("cnt", "sum")])
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, -cnt, node))
+        node, lab = node[order], lab[order]
+        first = np.empty(len(node), bool)
+        if len(node):
+            first[0] = True
+            first[1:] = node[1:] != node[:-1]
+        return pa.table({"node": pa.array(node[first], pa.int64()),
+                         "label": pa.array(lab[first], pa.int64())})
+
+    for _ in range(n_rounds):
+        j = hash_join(
+            cur, labels.map_batches(_as(["lo", "label_lo"]),
+                                    batch_format="pyarrow"),
+            on="lo", left_schema=edge_schema, right_schema=lab_lo)
+        both_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64()),
+                                 ("label_lo", pa.int64())])
+        j = hash_join(
+            j, labels.map_batches(_as(["hi", "label_hi"]),
+                                  batch_format="pyarrow"),
+            on="hi", left_schema=both_schema, right_schema=lab_hi)
+        labels = j.map_batches(messages, batch_format="pyarrow") \
+            .groupby("pkey").map_groups(winner, batch_format="pyarrow") \
+            .materialize()
+
+    return labels
+
+
+def label_propagation_reference(pairs, n_rounds: int = 5) -> dict:
+    """Single-machine twin of label_propagation: adjacency sets + the same
+    synchronous min-tie rounds. Returns {node: label}."""
+    adj: dict = {}
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(n_rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt: dict = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            nxt[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = nxt
+    return lab

@@ -7929,6 +7929,62 @@ ORACLE_SQL["kcore"] = _kcore_sql(_LINK_EDGES_SQL, k=15, rounds=12)
 QUERIES["kcore"] = q_kcore
 
 
+def q_link_communities(sf_dir: str) -> "ray.data.Dataset":
+    """Synchronous label-propagation communities (Raghavan et al. 2007,
+    deterministic min-tie variant) over the same real-HTML-parse link
+    graph as q_link_graph/q_kcore — the domain-cluster signal a crawl
+    pipeline uses for per-community caps. Exactly 5 rounds; per round the
+    label table (nodes, not edges) ships through two co-bucketed joins
+    and a counted-message exchange (functions/graph.label_propagation).
+    Exact DuckDB twin: the same 5 rounds unrolled as chained CTEs with
+    row_number() picking the (count DESC, label ASC) winner."""
+    from ..functions.graph import label_propagation
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts, _ = _parse_link_edges(batch)
+        return pa.table({"doc_a": pa.array(srcs, pa.int64()),
+                         "doc_b": pa.array(dsts, pa.int64())})
+
+    return label_propagation(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(edges, batch_format="pyarrow"),
+        n_rounds=5)
+
+
+_LPA_ROUND = """m{r} AS MATERIALIZED (
+      SELECT e0.hi AS node, l.label FROM e0 JOIN l{p} l ON e0.lo = l.node
+      UNION ALL
+      SELECT e0.lo AS node, l.label FROM e0 JOIN l{p} l ON e0.hi = l.node),
+    l{r} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM (SELECT node, label, count(*) AS cnt FROM m{r}
+              GROUP BY node, label))
+      WHERE rn = 1)"""
+
+
+def _lpa_sql(pairs_sql: str, rounds: int = 5) -> str:
+    """Unrolled fixed-round synchronous LPA over a (doc_a, doc_b) pair
+    query — the SQL twin of functions/graph.label_propagation."""
+    return (
+        "WITH pairs AS ({PAIRS}),\n"
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS lo,\n"
+        "       greatest(doc_a, doc_b) AS hi FROM pairs\n"
+        "       WHERE doc_a <> doc_b),\n"
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM (\n"
+        "       SELECT lo AS node FROM e0 UNION SELECT hi FROM e0)),\n"
+        + ",\n".join(_LPA_ROUND.format(r=i, p=i - 1)
+                     for i in range(1, rounds + 1))
+        + f"\nSELECT node::BIGINT AS node, label::BIGINT AS label"
+          f" FROM l{rounds}"
+    ).replace("{PAIRS}", pairs_sql)
+
+
+ORACLE_SQL["link_communities"] = _lpa_sql(_LINK_EDGES_SQL, rounds=5)
+QUERIES["link_communities"] = q_link_communities
+
+
 # ------------------------------------------------------------ JSONL source
 
 def _jsonl_shard_dir(sf_dir: str) -> str:

@@ -187,3 +187,63 @@ class TestTrigramBackoff:
     def test_short_docs_excluded(self, ray_session):
         out = self._check([0, 1, 2], ["a b c d", "a b", ""], [1, 0, 0])
         assert set(out["doc_id"]) == {0}
+
+
+from documentprocessor_ray.functions.graph import (  # noqa: E402
+    label_propagation, label_propagation_reference)
+
+
+class TestLabelPropagation:
+    @pytest.fixture()
+    def planted(self):
+        rng = np.random.default_rng(9)
+        edges = []
+        for c in range(3):
+            base = c * 20
+            for i in range(20):
+                for j in rng.choice(20, 4, replace=False):
+                    if i != j:
+                        edges.append((base + i, base + int(j)))
+        edges += [(5, 25), (25, 45), (7, 33)]  # weak cross links
+        ds = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([e[0] for e in edges], pa.int64()),
+            "doc_b": pa.array([e[1] for e in edges], pa.int64())}))
+        return edges, ds
+
+    def test_small_path_matches_reference(self, ray_session, planted):
+        edges, ds = planted
+        ref = label_propagation_reference(edges, 5)
+        got = {r["node"]: r["label"]
+               for r in label_propagation(ds, 5).take_all()}
+        assert got == ref
+
+    def test_distributed_path_matches_reference(self, ray_session,
+                                                planted):
+        """small_graph_rows=0 forces the co-bucketed join/message rounds —
+        must equal the single-task replay bit-for-bit."""
+        edges, ds = planted
+        ref = label_propagation_reference(edges, 5)
+        got = {r["node"]: r["label"]
+               for r in label_propagation(
+                   ds, 5, small_graph_rows=0).take_all()}
+        assert got == ref
+
+    def test_communities_found(self, ray_session, planted):
+        """Planted 20-node blocks collapse to one label each (weak cross
+        links notwithstanding), and labels are block members."""
+        edges, ds = planted
+        got = {r["node"]: r["label"]
+               for r in label_propagation(ds, 5).take_all()}
+        for c in range(3):
+            labs = {got[n] for n in range(c * 20, c * 20 + 20)}
+            assert len(labs) <= 2  # near-unanimous block label
+
+    def test_self_loops_and_dups_ignored(self, ray_session):
+        ds = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "doc_b": pa.array([1, 2, 2, 1, 4], pa.int64())}))
+        ref = label_propagation_reference(
+            [(1, 2), (3, 4)], 3)
+        got = {r["node"]: r["label"]
+               for r in label_propagation(ds, 3).take_all()}
+        assert got == ref
