@@ -428,6 +428,40 @@ def q_trigram_backoff(sf_dir: str) -> "ray.data.Dataset":
     return T.trigram_backoff(ds)
 
 
+def q_ppl_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3) composed on the trigram stupid-backoff scores: global terciles
+    of mean surprisal via the exact distributed quantile histogram
+    (DuckDB quantile_disc index semantics bit-for-bit), then a zero-shuffle
+    tag pass. The twin SELECTs the trigram dump and applies the identical
+    quantile_disc + CASE, so the whole composition is hash-gated."""
+    from ..functions.agg import grouped_quantile_disc
+
+    scored = q_trigram_backoff(sf_dir).materialize()
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "g", pa.array(np.zeros(b.num_rows, np.int64), pa.int64()))
+
+    qt = grouped_quantile_disc(
+        scored.map_batches(const_key, batch_format="pyarrow"),
+        ["g"], "mean_surp_micro", [1.0 / 3, 2.0 / 3],
+        ["q1", "q2"]).take_all()
+    t1 = int(qt[0]["q1"])
+    t2 = int(qt[0]["q2"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b["mean_surp_micro"].to_numpy(zero_copy_only=False)
+        lab = np.where(v <= t1, "head",
+                       np.where(v <= t2, "middle", "tail"))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "mean_surp_micro": b["mean_surp_micro"],
+            "bucket": pa.array(lab.tolist(), pa.string())})
+
+    return scored.map_batches(tag, batch_format="pyarrow")
+
+
 def q_dsir_logweight(sf_dir: str) -> "ray.data.Dataset":
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): importance
     log-weights of every doc toward the lang='en' target slice under
@@ -7497,6 +7531,18 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "wordpiece_merges", "wordpiece_encode"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
+# ppl_buckets composes ON the trigram dump: identical quantile_disc + CASE
+ORACLE_SQL["ppl_buckets"] = f"""
+    WITH s AS (SELECT * FROM
+               read_parquet('{_OD.dump_path("trigram_backoff")}')),
+    t AS (SELECT quantile_disc(mean_surp_micro, 1.0/3) AS q1,
+                 quantile_disc(mean_surp_micro, 2.0/3) AS q2 FROM s)
+    SELECT s.doc_id, s.mean_surp_micro,
+      CASE WHEN s.mean_surp_micro <= t.q1 THEN 'head'
+           WHEN s.mean_surp_micro <= t.q2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM s, t"""
+
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "orders_nested": q_orders_nested,
@@ -7518,6 +7564,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "bigram_surprisal": q_bigram_surprisal,
     "dsir_logweight": q_dsir_logweight,
     "trigram_backoff": q_trigram_backoff,
+    "ppl_buckets": q_ppl_buckets,
     "split_no_leakage": q_split_no_leakage,
     "incremental_neardup": q_incremental_neardup,
     "pca_project": q_pca_project,
@@ -8369,3 +8416,61 @@ ORACLE_SQL["curriculum_pack"] = r"""
            least(n, (bin_id + 1) * 512 - before)::BIGINT AS tok_end
     FROM b"""
 QUERIES["curriculum_pack"] = q_curriculum_pack
+
+
+# ------------------------------------------------- FineWeb-style pipeline
+
+def q_corpus_fineweb(sf_dir: str) -> "ray.data.Dataset":
+    """The FineWeb recipe (Penedo et al. 2024) composed end-to-end from
+    this engine's own gated operators: Gopher document rules AND C4 line
+    rules (both verdicts computed in ONE vectorized pass over the lined
+    corpus — zero shuffle), then the exact-dedup keep-list semi-join, then
+    CCNet's perplexity-tercile tail drop (trigram stupid-backoff LM fit on
+    the lang='en' slice). Survivor doc_ids only; every stage is the same
+    operator the standalone queries gate, and the twin composes the same
+    four SQL twins, so the full pipeline is hash-verified as one unit."""
+    from ..functions.joins import semi_join
+    from ..functions.linefilters import (c4_stats_batch, gopher_stats_batch,
+                                         lined_text_batch)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()  # metadata-only
+
+    def both_gates(b: pa.Table) -> pa.Table:
+        lined = lined_text_batch(b, decorate=True)
+        g = gopher_stats_batch(lined)
+        c = c4_stats_batch(lined)
+        keep = (g["keep"].to_numpy(zero_copy_only=False) == 1) \
+            & (c["keep_doc"].to_numpy(zero_copy_only=False) == 1)
+        return pa.table({"doc_id": pc.cast(g["doc_id"], pa.int64())}) \
+            .filter(pa.array(keep))
+
+    q_schema = pa.schema([("doc_id", pa.int64())])
+    quality = docs.map_batches(both_gates, batch_format="pyarrow")
+
+    exact_keep = D.exact_dedup(docs).select_columns(["keep_id"])
+    surv = semi_join(quality, exact_keep, left_on="doc_id",
+                     keep_on="keep_id", size_hint=n_docs,
+                     left_schema=q_schema)
+
+    def rename_ppl(b: pa.Table) -> pa.Table:
+        return pa.table({"ppl_id": pc.cast(b["doc_id"], pa.int64())})
+
+    nontail = q_ppl_buckets(sf_dir) \
+        .filter(expr="bucket != 'tail'") \
+        .select_columns(["doc_id"]) \
+        .map_batches(rename_ppl, batch_format="pyarrow")
+    return semi_join(surv, nontail, left_on="doc_id", keep_on="ppl_id",
+                     size_hint=n_docs, left_schema=q_schema)
+
+
+ORACLE_SQL["corpus_fineweb"] = f"""
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM ({ORACLE_SQL["gopher_rules"]}) g
+                       WHERE g.keep = 1)
+      AND d.doc_id IN (SELECT doc_id FROM ({ORACLE_SQL["c4_rules"]}) c
+                       WHERE c.keep_doc = 1)
+      AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+      AND d.doc_id IN (SELECT doc_id FROM ({ORACLE_SQL["ppl_buckets"]}) p
+                       WHERE p.bucket != 'tail')"""
+QUERIES["corpus_fineweb"] = q_corpus_fineweb
