@@ -648,3 +648,163 @@ def knn_pq(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
 
     return partials.groupby("qid").map_groups(global_topk,
                                               batch_format="pyarrow")
+
+
+# --- IVF-PQ (pruned partition reads + residual-PQ compressed scan) ---
+
+class IvfPqEncoder:
+    """Actor-pool stage: centroids + codebooks deserialized once per actor.
+    Each batch is assigned its nearest IVF list and its RESIDUAL
+    (x - centroid) is PQ-encoded — the FAISS IVFADC layout (Jegou et al.
+    2011 §V): the index stores m uint8 codes per vector inside a
+    list_id-partitioned layout, so a probe reads nprobe/n_lists of the
+    bytes AND each byte read is 32x smaller than the float vector."""
+
+    def __init__(self, shared_ref):
+        self.cent, self.books = ray.get(shared_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch["embedding"].combine_chunks()))
+        # same 1e-6 pre-argmax quantization as IvfAssigner: assignment is
+        # reproducible across batch layouts, so the flat replay matches
+        lists = np.argmax(np.round(emb @ self.cent.T, 6),
+                          axis=1).astype(np.int64)
+        codes = pq_encode(emb - self.cent[lists], self.books)
+        n, m = codes.shape
+        col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32),
+                     pa.int32()),
+            pa.array(codes.ravel(), pa.uint8()))
+        return pa.table({
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "lid": pa.array(lists, pa.int64()),
+            "code": col,
+            "list_id": pa.array(lists, pa.int64()),
+        })
+
+
+def build_ivfpq_index(ds: "ray.data.Dataset", index_dir: str,
+                      n_lists: int = 16, m: int = 8, ksub: int = 16,
+                      sample_size: int = 2048, iters: int = 10,
+                      concurrency: Optional[int] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Fit IVF centroids on the distributed hash-sample, fit residual PQ
+    codebooks on the SAME sample's residuals, then encode every row on an
+    actor pool and write (vec_id, lid, code) as a list_id-partitioned
+    parquet layout under ``index_dir/lists`` — build once, probe many.
+    Idempotent via a _COMPLETE marker; returns (centroids, codebooks)."""
+    marker = os.path.join(index_dir, "_COMPLETE")
+    cent_path = os.path.join(index_dir, "centroids.npy")
+    books_path = os.path.join(index_dir, "books.npy")
+    if os.path.exists(marker) and os.path.exists(cent_path) \
+            and os.path.exists(books_path):
+        return np.load(cent_path), np.load(books_path)
+    os.makedirs(index_dir, exist_ok=True)
+    sample = _hash_sample(ds, sample_size)
+    cent = _kmeans_fit(sample, n_lists, iters)
+    sassign = np.argmax(np.round(sample @ cent.T, 6), axis=1)
+    books = _pq_fit(sample - cent[sassign], m, ksub, iters)
+    shared = ray.put((cent, books))
+    ds.map_batches(
+        IvfPqEncoder, fn_constructor_kwargs={"shared_ref": shared},
+        batch_format="pyarrow", concurrency=concurrency or 4,
+    ).write_parquet(os.path.join(index_dir, "lists"),
+                    partition_cols=["list_id"])
+    np.save(cent_path, cent)
+    np.save(books_path, books)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return cent, books
+
+
+def knn_ivfpq(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
+              n_lists: int = 16, nprobe: int = 4, m: int = 8,
+              ksub: int = 16, sample_size: int = 2048,
+              concurrency: Optional[int] = None,
+              index_dir: Optional[str] = None,
+              return_probes: bool = False):
+    """IVF-PQ approximate top-k — the production ANN composition: the
+    query reads ONLY the probed list partitions (I/O ~ nprobe/n_lists of
+    the layout, via the same explicit probed-file read as knn_ivf) and
+    those bytes are m-uint8 PQ codes, not float vectors. Scores are
+    score(q, x) = round(q·c_list, 6) + ADC(q, residual codes), each term
+    1e-6-quantized inside shared pure kernels so the flat replay
+    (oracle_dump.knn_ivfpq_expected) matches bit-for-bit.
+
+    Returns (qid, vec_id, rank, score) ordered by (qid, rank); approximate
+    on two axes (probe recall + PQ distortion), gated by the replay dump
+    plus recall/pruned-read pytests."""
+    import tempfile
+
+    qids, qm = _query_matrix(ds, n_queries)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="dpray_ivfpq_")
+    cent, books = build_ivfpq_index(
+        ds, index_dir, n_lists=n_lists, m=m, ksub=ksub,
+        sample_size=sample_size, concurrency=concurrency)
+    probed, all_dirs = ivf_probe_dirs(index_dir, cent, qm, nprobe)
+
+    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    probes = {int(q): set(int(x) for x in probe_lists[i])
+              for i, q in enumerate(qids)}
+    qdotc = np.round(qm @ cent.T, 6)
+    shared = ray.put((qids, qm, books, probes, qdotc))
+
+    files: List[str] = []
+    for d in probed.values():
+        for root, _, names in os.walk(d):
+            files.extend(os.path.join(root, f) for f in sorted(names)
+                         if f.endswith(".parquet"))
+    if not files:
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        out = ray.data.from_arrow(empty)
+        return (out, {}, all_dirs) if return_probes else out
+    codes_ds = ray.data.read_parquet(files)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, bks, probe, qd = ray.get(shared)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lid = batch["lid"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(batch["code"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        codes = flat.reshape(len(vids), -1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            qid = int(q_ids[qi])
+            mask = np.isin(lid, list(probe[qid])) & (vids != qid)
+            if not mask.any():
+                continue
+            adc = pq_adc_scores(q_mat[qi], bks, codes[mask])
+            s = np.round(qd[qi][lid[mask]] + adc, 6)
+            v = vids[mask]
+            idx = np.lexsort((v, -s))[:k]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(int(x) for x in v[idx])
+            out_s.extend(float(x) for x in s[idx])
+        return pa.table({
+            "qid": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    partials = codes_ds.map_batches(local_topk, batch_format="pyarrow",
+                                    batch_size=1024)
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(),
+                      key=lambda r: (-r["score"], r["vec_id"]))[:k]
+        return pa.table({
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "rank": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
+            "score": pa.array([r["score"] for r in rows], pa.float64()),
+        })
+
+    out = partials.groupby("qid").map_groups(global_topk,
+                                             batch_format="pyarrow")
+    return (out, probed, all_dirs) if return_probes else out

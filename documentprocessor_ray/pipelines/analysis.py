@@ -3056,6 +3056,32 @@ def q_knn_pq(sf_dir: str) -> "ray.data.Dataset":
                     n_queries=4, k=10)
 
 
+def q_knn_ivfpq(sf_dir: str) -> "ray.data.Dataset":
+    """IVF-PQ ANN (the FAISS IVFADC composition, Jegou et al. 2011 §V):
+    residual PQ codes materialized inside a list_id-partitioned layout, so
+    a query reads ONLY the probed partitions AND those bytes are 8 uint8
+    codes/vector — the two scale levers (pruned I/O x 32x compression)
+    stacked. score = q·c_list + ADC(q, residual). Hash-gated against a
+    flat single-process replay of the whole path
+    (oracle_dump.knn_ivfpq_expected) sharing the pure kernels
+    (_kmeans_fit/_pq_fit/pq_encode/pq_adc_scores), plus recall and
+    pruned-read pytests. Index cached per (sf, embeddings fingerprint)
+    under /tmp — build once, probe many."""
+    import hashlib as _hl
+
+    from . import oracle_dump as OD
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = _hl.md5(f"v1:{os.path.normpath(src)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    OD.dump("knn_ivfpq", OD.file_fingerprint(src),
+            lambda: OD.knn_ivfpq_expected(sf_dir))
+    return S.knn_ivfpq(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                       n_queries=4, k=10,
+                       index_dir=os.path.join("/tmp/dpray_ivfpq", fp))
+
+
 def q_bitext_mine(sf_dir: str) -> "ray.data.Dataset":
     """Margin-based bitext mining over the embedding table: label-0 vectors
     are the source side, label-1 the target side; best/second-best matches
@@ -7527,7 +7553,8 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
                    "price_quantiles_approx", "event_heavy_hitters",
-                   "knn_ivf", "knn_pq", "unigram_vocab", "unigram_encode",
+                   "knn_ivf", "knn_pq", "knn_ivfpq",
+                   "unigram_vocab", "unigram_encode",
                    "wordpiece_merges", "wordpiece_encode"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
@@ -7679,6 +7706,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "knn_int8": q_knn_int8,
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
+    "knn_ivfpq": q_knn_ivfpq,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

@@ -888,3 +888,73 @@ def trigram_backoff_expected(sf_dir: str) -> pa.Table:
         "surp_micro": pa.array([r[2] for r in rows], pa.int64()),
         "mean_surp_micro": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+def knn_ivfpq_expected(sf_dir: str, n_queries: int = 4, k: int = 10,
+                       n_lists: int = 16, nprobe: int = 4, m: int = 8,
+                       ksub: int = 16, sample_size: int = 2048) -> pa.Table:
+    """Twin of q_knn_ivfpq: the full IVFADC path replayed flat — the
+    multiplicative-hash sample, shared _kmeans_fit centroids, residual
+    _pq_fit codebooks on the SAME sample residuals, whole-corpus
+    assignment + residual pq_encode in one call, per-query probe
+    selection, and score = round(q·c_list, 6) + pq_adc_scores over the
+    probed members only. No Ray, no partitioned layout, no pruned read:
+    a hash match proves the materialized compressed index + probed-file
+    scan answers exactly what this flat replay answers. All argmax/argmin
+    inputs are 1e-6-quantized inside the shared pure kernels, so batch
+    layout cannot flip an assignment or an ordering."""
+    from ..functions.similarity import (_kmeans_fit, _normalize, _pq_fit,
+                                        pq_adc_scores, pq_encode)
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(np.array(t["embedding"].to_pylist(),
+                              dtype=np.float64))
+
+    qsel = np.flatnonzero(vids < n_queries)
+    qsel = qsel[np.argsort(vids[qsel])]
+    qids = vids[qsel]
+    qm = mat[qsel]
+
+    total = max(1, len(vids))
+    if total <= sample_size:
+        thresh = np.uint64(1) << np.uint64(32)
+    else:
+        frac = min(1.0, sample_size * 1.3 / total)
+        thresh = np.uint64(int((1 << 32) * frac))
+    h = (vids.astype(np.uint64) * np.uint64(2654435761)) \
+        & np.uint64(0xFFFFFFFF)
+    msel = np.flatnonzero(h < thresh)
+    order = np.lexsort((vids[msel], h[msel].astype(np.int64)))
+    sample = mat[msel[order][:sample_size]]
+
+    cent = _kmeans_fit(sample, n_lists)
+    sassign = np.argmax(np.round(sample @ cent.T, 6), axis=1)
+    books = _pq_fit(sample - cent[sassign], m, ksub)
+
+    assign = np.argmax(np.round(mat @ cent.T, 6), axis=1)
+    codes = pq_encode(mat - cent[assign], books)
+    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    qdotc = np.round(qm @ cent.T, 6)
+
+    out_q, out_v, out_r, out_s = [], [], [], []
+    for qi in range(len(qids)):
+        qid = int(qids[qi])
+        cmask = np.isin(assign, probe_lists[qi]) & (vids != qid)
+        if not cmask.any():
+            continue
+        adc = pq_adc_scores(qm[qi], books, codes[cmask])
+        s = np.round(qdotc[qi][assign[cmask]] + adc, 6)
+        v = vids[cmask]
+        idx = np.lexsort((v, -s))[:k]
+        out_q.extend([qid] * len(idx))
+        out_v.extend(int(x) for x in v[idx])
+        out_r.extend(range(1, len(idx) + 1))
+        out_s.extend(float(x) for x in s[idx])
+    return pa.table({
+        "qid": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "rank": pa.array(out_r, pa.int64()),
+        "score": pa.array(out_s, pa.float64()),
+    })

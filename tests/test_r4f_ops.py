@@ -1,0 +1,137 @@
+"""Round-4f operators: IVF-PQ ANN (pruned partition reads + residual PQ)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from documentprocessor_ray.functions import similarity as S
+
+
+def _mk_ds(m: np.ndarray) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+    }))
+
+
+class TestKnnIvfPq:
+    @pytest.fixture()
+    def clustered(self):
+        rng = np.random.default_rng(21)
+        centers = rng.normal(size=(8, 16)) * 5
+        rows = np.concatenate([
+            centers[i % 8] + rng.normal(scale=0.05, size=16)
+            for i in range(120)]).reshape(120, 16).astype(np.float32)
+        return rows
+
+    def test_probe_reads_strict_subset_of_partitions(self, ray_session,
+                                                     clustered, tmp_path):
+        """The pruned-I/O property: a query touches < all list dirs, and
+        every byte it reads is PQ codes (the layout has no embedding
+        column at all)."""
+        import pyarrow.parquet as pq_
+
+        ds = _mk_ds(clustered)
+        out, probed, all_dirs = S.knn_ivfpq(
+            ds, n_queries=2, k=5, n_lists=8, nprobe=2, m=4, ksub=16,
+            sample_size=120, index_dir=str(tmp_path / "ivfpq"),
+            return_probes=True)
+        assert len(all_dirs) >= 3
+        assert 0 < len(probed) < len(all_dirs)
+        rows = out.take_all()
+        assert rows
+        # the materialized index is codes-only: 32x smaller than floats
+        import os
+        some_dir = next(iter(probed.values()))
+        f = [os.path.join(some_dir, x) for x in os.listdir(some_dir)
+             if x.endswith(".parquet")][0]
+        cols = set(pq_.read_schema(f).names)
+        assert "embedding" not in cols
+        assert {"vec_id", "lid", "code"} <= cols
+
+    def test_cluster_recall(self, ray_session, clustered, tmp_path):
+        """Tight clusters: every neighbor IVF-PQ returns belongs to the
+        query's own cluster (same bar as the knn_pq recall test, now with
+        the probe pruning in front)."""
+        ds = _mk_ds(clustered)
+        out = S.knn_ivfpq(ds, n_queries=3, k=5, n_lists=8, nprobe=2,
+                          m=4, ksub=16, sample_size=120,
+                          index_dir=str(tmp_path / "ivfpq")).to_pandas()
+        for q in range(3):
+            got = out[out["qid"] == q]["vec_id"].to_numpy()
+            assert len(got) == 5
+            assert np.all(got % 8 == q % 8)
+
+    def test_exact_when_exhaustive_and_lossless(self, ray_session, tmp_path):
+        """nprobe = n_lists (no pruning loss) and ksub >= n with
+        sample = corpus (every residual is its own centroid, ADC
+        reconstructs exactly) -> IVF-PQ == brute force."""
+        rng = np.random.default_rng(22)
+        m = rng.normal(size=(16, 8)).astype(np.float32)
+        ds = _mk_ds(m)
+        bf = S.knn_bruteforce(ds, n_queries=2, k=5).to_pandas()
+        apx = S.knn_ivfpq(ds, n_queries=2, k=5, n_lists=2, nprobe=2,
+                          m=2, ksub=16, sample_size=16,
+                          index_dir=str(tmp_path / "x")).to_pandas()
+        for q in (0, 1):
+            a = bf[bf["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            b = apx[apx["qid"] == q].sort_values("rank")["vec_id"].tolist()
+            assert a == b
+
+    def test_matches_flat_replay(self, ray_session, tmp_path):
+        """Distributed path == plain numpy replay through the shared pure
+        kernels — the exact discipline oracle_dump.knn_ivfpq_expected
+        gates at sf0.01."""
+        rng = np.random.default_rng(23)
+        raw = rng.normal(size=(80, 16)).astype(np.float32)
+        ds = _mk_ds(raw)
+        n_lists, nprobe, m, ksub = 6, 2, 4, 8
+        out = S.knn_ivfpq(ds, n_queries=2, k=6, n_lists=n_lists,
+                          nprobe=nprobe, m=m, ksub=ksub, sample_size=80,
+                          index_dir=str(tmp_path / "r")).to_pandas()
+
+        mat = S._normalize(raw.astype(np.float64))
+        vids = np.arange(80, dtype=np.int64)
+        h = (vids.astype(np.uint64) * np.uint64(2654435761)) \
+            & np.uint64(0xFFFFFFFF)
+        order = np.lexsort((vids, h.astype(np.int64)))
+        sample = mat[order]
+        cent = S._kmeans_fit(sample, n_lists)
+        sassign = np.argmax(np.round(sample @ cent.T, 6), axis=1)
+        books = S._pq_fit(sample - cent[sassign], m, ksub)
+        assign = np.argmax(np.round(mat @ cent.T, 6), axis=1)
+        codes = S.pq_encode(mat - cent[assign], books)
+        qm = mat[:2]
+        probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+        qdotc = np.round(qm @ cent.T, 6)
+        for q in (0, 1):
+            cmask = np.isin(assign, probe_lists[q]) & (vids != q)
+            adc = S.pq_adc_scores(qm[q], books, codes[cmask])
+            s = np.round(qdotc[q][assign[cmask]] + adc, 6)
+            v = vids[cmask]
+            idx = np.lexsort((v, -s))[:6]
+            g = out[out["qid"] == q].sort_values("rank")
+            assert g["vec_id"].tolist() == [int(x) for x in v[idx]]
+            assert np.allclose(g["score"].to_numpy(), s[idx], atol=0)
+
+    def test_index_build_is_idempotent(self, ray_session, tmp_path):
+        """Second call with the same index_dir reuses the _COMPLETE
+        layout (build once, probe many)."""
+        import os
+        rng = np.random.default_rng(24)
+        ds = _mk_ds(rng.normal(size=(40, 8)).astype(np.float32))
+        d = str(tmp_path / "idem")
+        a = S.knn_ivfpq(ds, n_queries=2, k=4, n_lists=4, nprobe=4,
+                        m=2, ksub=8, sample_size=40,
+                        index_dir=d).to_pandas()
+        mtimes = {f: os.stat(os.path.join(d, f)).st_mtime_ns
+                  for f in os.listdir(d)}
+        b = S.knn_ivfpq(ds, n_queries=2, k=4, n_lists=4, nprobe=4,
+                        m=2, ksub=8, sample_size=40,
+                        index_dir=d).to_pandas()
+        assert a.equals(b)
+        for f, t in mtimes.items():
+            assert os.stat(os.path.join(d, f)).st_mtime_ns == t
