@@ -324,3 +324,147 @@ def rolling_sum(
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
+
+
+def bfd_pack_reference(items, bin_size: int):
+    """Independent single-process best-fit-decreasing packer (the oracle
+    twin's kernel — plain Python lists, no numpy). ``items`` is a list of
+    (doc_id, chunk_idx, length, is_full) tuples from ONE partition.
+    Returns rows (doc_id, chunk_idx, item_len, bin_idx, slot)."""
+    full = sorted([t for t in items if t[3]], key=lambda t: (t[0], t[1]))
+    pool = sorted([t for t in items if not t[3]],
+                  key=lambda t: (-t[2], t[0], t[1]))
+    rows = []
+    for b, (did, ci, ln, _) in enumerate(full):
+        rows.append((did, ci, ln, b, 0))
+    nfull = len(full)
+    residuals: list = []  # residual capacity per open pool bin
+    fills: list = []      # item count per open pool bin
+    for did, ci, ln, _ in pool:
+        best = -1
+        for i, r in enumerate(residuals):
+            if r >= ln and (best < 0 or r < residuals[best]):
+                best = i
+        if best < 0:
+            residuals.append(bin_size - ln)
+            fills.append(1)
+            rows.append((did, ci, ln, nfull + len(residuals) - 1, 0))
+        else:
+            rows.append((did, ci, ln, nfull + best, fills[best]))
+            residuals[best] -= ln
+            fills[best] += 1
+    return rows
+
+
+def pack_bfd(ds: "ray.data.Dataset", n_col: str = "n_tokens",
+             id_col: str = "doc_id", bin_size: int = 512,
+             part_size: int = 4096) -> "ray.data.Dataset":
+    """Best-fit-decreasing DOC-ATOMIC sequence packing (Ding et al. 2024,
+    "Fewer Truncations Improve Language Modeling"): unlike the GPT-style
+    concat-and-cut (``pack_sequences``), a document shorter than
+    ``bin_size`` is NEVER split across training sequences — bins are
+    filled by best-fit over whole documents, so the only truncations are
+    docs longer than a bin (pre-split into full-bin chunks + a remainder
+    that joins the pool, the paper's treatment).
+
+    Deterministic spec (what the oracle replays):
+      - doc with n tokens -> ceil(n/bin_size) items; items 0..k-2 are
+        full-bin chunks, each a dedicated bin; the remainder enters the
+        BFD pool — unless it is exactly bin_size tokens (n divisible by
+        bin_size), which is also a dedicated bin. n = 0 emits nothing.
+      - partition = doc_id // part_size; packing runs per partition.
+      - dedicated bins first, numbered 0..F-1 in (doc_id, chunk_idx)
+        order; pool items sorted by (len desc, doc_id, chunk_idx), each
+        placed in the open bin with the SMALLEST residual that fits
+        (ties -> lowest bin index), else a new bin.
+
+    Output: one row per item — (part, bin_idx, slot, doc_id, chunk_idx,
+    item_len), ``slot`` = placement order within the bin.
+
+    Scale shape: items are 5 int64s (text never moves); ONE groupby
+    exchange on the doc-range partition key; each partition packs
+    independently (greedy packing is sequential only WITHIN a partition —
+    the documented assumption is that padding efficiency is measured per
+    ``part_size``-doc slice, which at corpus scale is statistically
+    indistinguishable from global packing). The in-kernel scan is a
+    vectorized residual argmin per item."""
+    B = int(bin_size)
+
+    def explode(b: pa.Table) -> pa.Table:
+        did = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        did, n = did[keep], n[keep]
+        k = -(-n // B)  # chunks per doc
+        tot = int(k.sum())
+        rep_did = np.repeat(did, k)
+        # chunk_idx 0..k-1 per doc via global arange minus segment starts
+        starts = np.repeat(np.cumsum(k) - k, k)
+        ci = np.arange(tot, dtype=np.int64) - starts
+        is_last = ci == np.repeat(k - 1, k)
+        rem = np.repeat(n - (k - 1) * B, k)
+        ln = np.where(is_last, rem, B)
+        return pa.table({
+            "doc_id": pa.array(rep_did, pa.int64()),
+            "chunk_idx": pa.array(ci, pa.int64()),
+            "item_len": pa.array(ln, pa.int64()),
+            "is_full": pa.array(~is_last | (ln == B), pa.bool_()),
+            "part": pa.array(rep_did // np.int64(part_size), pa.int64()),
+        })
+
+    def pack_part(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = g["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = g["item_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # a full-length LAST chunk is still a dedicated bin (is_full above
+        # marks len == B remainders full) — matches the reference split
+        isf = g["is_full"].to_numpy(zero_copy_only=False)
+
+        out_d, out_c, out_l, out_b, out_s = [], [], [], [], []
+        forder = np.lexsort((ci[isf], did[isf]))
+        fd, fc, fl = did[isf][forder], ci[isf][forder], ln[isf][forder]
+        out_d.extend(fd.tolist())
+        out_c.extend(fc.tolist())
+        out_l.extend(fl.tolist())
+        out_b.extend(range(len(fd)))
+        out_s.extend([0] * len(fd))
+        nfull = len(fd)
+
+        pool = ~isf
+        porder = np.lexsort((ci[pool], did[pool], -ln[pool]))
+        pd, pc_, pl = did[pool][porder], ci[pool][porder], ln[pool][porder]
+        residuals = np.empty(len(pd), dtype=np.int64)
+        fills = np.empty(len(pd), dtype=np.int64)
+        nb = 0
+        for i in range(len(pd)):
+            L = pl[i]
+            r = residuals[:nb]
+            fit = r >= L
+            if fit.any():
+                cand = np.where(fit, r, np.iinfo(np.int64).max)
+                best = int(np.argmin(cand))  # ties -> lowest index
+                out_b.append(nfull + best)
+                out_s.append(int(fills[best]))
+                residuals[best] -= L
+                fills[best] += 1
+            else:
+                residuals[nb] = B - L
+                fills[nb] = 1
+                out_b.append(nfull + nb)
+                out_s.append(0)
+                nb += 1
+            out_d.append(int(pd[i]))
+            out_c.append(int(pc_[i]))
+            out_l.append(int(L))
+        return pa.table({
+            "part": pa.array([part] * len(out_d), pa.int64()),
+            "bin_idx": pa.array(out_b, pa.int64()),
+            "slot": pa.array(out_s, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "chunk_idx": pa.array(out_c, pa.int64()),
+            "item_len": pa.array(out_l, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("part").map_groups(pack_part, batch_format="pyarrow")

@@ -303,6 +303,26 @@ def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
                           bin_size=512)
 
 
+def q_pack_bfd(sf_dir: str) -> "ray.data.Dataset":
+    """Best-fit-decreasing DOC-ATOMIC packing (Ding et al. 2024, "Fewer
+    Truncations Improve Language Modeling"): docs shorter than a bin are
+    never split across training sequences; bins fill by best-fit over
+    whole docs within doc-range partitions (window.pack_bfd — items are
+    5 int64s, one groupby exchange, text never moves). Hash-gated against
+    a plain-Python independent BFD replay (oracle_dump.pack_bfd_expected);
+    the two sides share only the deterministic spec, not the packer."""
+    from ..functions.window import pack_bfd
+    from . import oracle_dump as OD
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    OD.dump("pack_bfd", OD.file_fingerprint(src),
+            lambda: OD.pack_bfd_expected(sf_dir))
+    counts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        T.token_count_batch, batch_format="pyarrow")
+    return pack_bfd(counts, n_col="n_tokens", id_col="doc_id",
+                    bin_size=512, part_size=256)
+
+
 def q_pack_shuffled(sf_dir: str) -> "ray.data.Dataset":
     """Shuffle-then-pack (the actual LM training layout): docs ordered by a
     deterministic md5 shuffle key, concatenated and cut into 512-token
@@ -7553,7 +7573,7 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
                    "price_quantiles_approx", "event_heavy_hitters",
-                   "knn_ivf", "knn_pq", "knn_ivfpq",
+                   "knn_ivf", "knn_pq", "knn_ivfpq", "pack_bfd",
                    "unigram_vocab", "unigram_encode",
                    "wordpiece_merges", "wordpiece_encode"):
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
@@ -7707,6 +7727,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "knn_ivf": q_knn_ivf,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
+    "pack_bfd": q_pack_bfd,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

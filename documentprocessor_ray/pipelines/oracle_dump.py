@@ -958,3 +958,49 @@ def knn_ivfpq_expected(sf_dir: str, n_queries: int = 4, k: int = 10,
         "rank": pa.array(out_r, pa.int64()),
         "score": pa.array(out_s, pa.float64()),
     })
+
+
+def pack_bfd_expected(sf_dir: str, bin_size: int = 512,
+                      part_size: int = 256) -> pa.Table:
+    """Twin of q_pack_bfd: plain-Python best-fit-decreasing packing
+    (window.bfd_pack_reference — list scan, no numpy) over items built
+    with the same split rule (full-bin chunks dedicated, remainder pools
+    unless exactly bin_size) and the same doc-range partitioning. The
+    distributed side implements the argmin scan independently
+    (vectorized residual search), so equality is a real two-implementation
+    gate on the whole deterministic spec."""
+    import re
+
+    from ..functions.window import bfd_pack_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    by_part: dict = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = re.sub(r"^\s+|\s+$", "", text or "")
+        n = 0 if s == "" else len(re.split(r"\s+", s))
+        if n == 0:
+            continue
+        k = -(-n // bin_size)
+        for ci in range(k):
+            ln = bin_size if ci < k - 1 else n - (k - 1) * bin_size
+            by_part.setdefault(did // part_size, []).append(
+                (did, ci, ln, ln == bin_size))
+    out_p, out_b, out_s, out_d, out_c, out_l = [], [], [], [], [], []
+    for part in sorted(by_part):
+        for did, ci, ln, b, slot in bfd_pack_reference(by_part[part],
+                                                       bin_size):
+            out_p.append(part)
+            out_b.append(b)
+            out_s.append(slot)
+            out_d.append(did)
+            out_c.append(ci)
+            out_l.append(ln)
+    return pa.table({
+        "part": pa.array(out_p, pa.int64()),
+        "bin_idx": pa.array(out_b, pa.int64()),
+        "slot": pa.array(out_s, pa.int64()),
+        "doc_id": pa.array(out_d, pa.int64()),
+        "chunk_idx": pa.array(out_c, pa.int64()),
+        "item_len": pa.array(out_l, pa.int64()),
+    })
