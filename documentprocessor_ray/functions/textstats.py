@@ -1361,3 +1361,431 @@ def trigram_backoff_reference(doc_ids: List[int], texts: List[str],
             total += s
         out.append((int(did), len(h3), total, total // len(h3)))
     return out
+
+
+# --- interpolated Kneser-Ney trigram LM (KenLM/CCNet-standard smoothing) ---
+
+_KN_D = 0.75  # fixed absolute discount (Chen & Goodman 1999 default) —
+#               parameter-free and deterministic at any scale; estimated
+#               discounts would need count-of-count global passes
+
+
+def kn_surprisal_micro(c3, c2ctx, t_uv, t_vw, t_vmid, t_vdot, n_w,
+                       nbb: int, V: int = _LM_V) -> np.ndarray:
+    """Per-position interpolated Kneser-Ney surprisal in int64 micro-nats
+    — the ONE shared pure kernel both the distributed operator and the
+    single-process twin call with identical integer stats, so float
+    arithmetic happens exactly once per position in one fixed expression
+    order:
+
+        p1 = (N1+(.w) + 1) / (N1+(..) + V)          (add-one floor)
+        p2 = (max(N1+(.vw)-D, 0) + D*N1+(v.)*p1) / N1+(.v.)   [p1 if 0]
+        p3 = (max(c(uvw)-D, 0) + D*N1+(uv.)*p2) / c(uv)       [p2 if 0]
+        surprisal = round(-1e6 * ln(p3))
+
+    All inputs are exact int64 counts; p3 > 0 always (p1 > 0, and a
+    nonzero c(uv) implies N1+(uv.) >= 1)."""
+    D = _KN_D
+    c3 = np.asarray(c3, np.float64)
+    c2ctx = np.asarray(c2ctx, np.float64)
+    t_uv = np.asarray(t_uv, np.float64)
+    t_vw = np.asarray(t_vw, np.float64)
+    t_vmid = np.asarray(t_vmid, np.float64)
+    t_vdot = np.asarray(t_vdot, np.float64)
+    n_w = np.asarray(n_w, np.float64)
+    p1 = (n_w + 1.0) / (float(nbb) + float(V))
+    p2 = np.where(t_vmid > 0,
+                  (np.maximum(t_vw - D, 0.0) + D * t_vdot * p1)
+                  / np.maximum(t_vmid, 1.0),
+                  p1)
+    p3 = np.where(c2ctx > 0,
+                  (np.maximum(c3 - D, 0.0) + D * t_uv * p2)
+                  / np.maximum(c2ctx, 1.0),
+                  p2)
+    return np.round(-1e6 * np.log(p3)).astype(np.int64)
+
+
+def kn_trigram(ds: "ray.data.Dataset", train_col: str = "is_train",
+               num_buckets=None) -> "ray.data.Dataset":
+    """Interpolated Kneser-Ney trigram surprisal per document — the
+    smoothing KenLM implements and CCNet's perplexity filter actually
+    uses (Wenzek et al. 2020 build their filter on KenLM 5-gram models;
+    Kneser & Ney 1995; Chen & Goodman 1999), fit on the
+    ``train_col``-flagged reference slice, scoring EVERY document.
+
+    Unlike stupid backoff (trigram_backoff), KN interpolates all orders
+    at every position and its lower orders use CONTINUATION counts
+    (how many distinct contexts a gram completes), not raw counts —
+    which requires distinct-type statistics that are NOT sum-mergeable
+    across batches. The scale shape therefore adds one type-dedup
+    exchange in front:
+
+      1. type dedup: distinct trigram types (bucketed on h(trigram)) and
+         distinct bigram types (bucketed on h(bigram)) from the train
+         slice; each surviving type emits +1 cells for the five
+         continuation stats, now sum-mergeable. The cell table is
+         vocab-bounded and materialized ONCE; N1+(..) — the global
+         distinct-bigram-type count — is one driver scalar summed off it
+         (the knn_int8 maxabs pattern).
+      2. resolve hop at bucket(h(w)): occurrences pick up N1+(.w).
+      3. score hop at bucket(h(v)): c(uvw), c(uv), N1+(uv.), N1+(.vw),
+         N1+(.v.), N1+(v.) ALL co-locate at the middle word's bucket by
+         routing construction; the shared kernel scores every position
+         vectorized, partials sum per doc.
+
+    Occurrence rows are one per distinct (doc, trigram) with a count;
+    count cells are combiner-aggregated per batch; text never rides an
+    exchange. Output: (doc_id, n_scored, kn_surp_micro, mean_kn_micro),
+    exact int64 micro-nats."""
+    from ..sharding import auto_buckets, bucket_of_ints
+    from .agg import bucketed_group_sum
+
+    nb = num_buckets or auto_buckets(None)
+    Z = np.empty(0, np.int64)
+
+    def _uni(role, doc_id, h_tri, h_bictx, h_bi, h_v, h_w, kind, h, cnt,
+             pkey) -> pa.Table:
+        return pa.table({
+            "role": pa.array(role, pa.int64()),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "h_tri": pa.array(h_tri, pa.int64()),
+            "h_bictx": pa.array(h_bictx, pa.int64()),
+            "h_bi": pa.array(h_bi, pa.int64()),
+            "h_v": pa.array(h_v, pa.int64()),
+            "h_w": pa.array(h_w, pa.int64()),
+            "kind": pa.array(kind, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "pkey": pa.array(pkey, pa.int64())})
+
+    def _empty() -> pa.Table:
+        return _uni(Z, Z, Z, Z, Z, Z, Z, Z, Z, Z, Z)
+
+    def _hash_streams(batch: pa.Table):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tr = batch[train_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        split, _ = _tokens_list(
+            pc.utf8_lower(batch["text"].combine_chunks()))
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        th = _token_hashes(np.asarray(flat, dtype=object))
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        th64 = th.view(np.int64)
+        sh2 = shingle_hashes(th, 2).view(np.int64)
+        sh3 = shingle_hashes(th, 3).view(np.int64)
+        v2 = (doc_of[:-1] == doc_of[1:]) if len(th) >= 2 \
+            else np.empty(0, bool)
+        v3 = (doc_of[:-2] == doc_of[2:]) if len(th) >= 3 \
+            else np.empty(0, bool)
+        tr_pos = tr[doc_of] == 1
+        return ids, doc_of, th64, sh2, sh3, v2, v3, tr_pos
+
+    def _batch_distinct(h: np.ndarray, *companions):
+        """Distinct h with companion fields (identical per h) — the
+        per-batch combiner in front of the type-dedup exchange."""
+        if len(h) == 0:
+            return (Z,) + tuple(Z for _ in companions)
+        order = np.argsort(h)
+        h = h[order]
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        keep = order[new]
+        return (h[new],) + tuple(c[keep] for c in companions)
+
+    def emit_types(batch: pa.Table) -> pa.Table:
+        (_, _, th64, sh2, sh3, v2, v3, tr_pos) = _hash_streams(batch)
+        tabs = []
+        p3 = np.flatnonzero(v3 & tr_pos[:-2]) if len(v3) else Z
+        if len(p3):
+            h3, h2c, h2p, hv = _batch_distinct(
+                sh3[p3], sh2[p3], sh2[p3 + 1], th64[p3 + 1])
+            n = len(h3)
+            z = np.zeros(n, np.int64)
+            tabs.append(_uni(
+                np.full(n, 2, np.int64), z, h3, h2c, h2p, hv, z, z, z,
+                np.ones(n, np.int64), bucket_of_ints(h3, nb)))
+        p2 = np.flatnonzero(v2 & tr_pos[:-1]) if len(v2) else Z
+        if len(p2):
+            h2, hf, hs = _batch_distinct(sh2[p2], th64[p2], th64[p2 + 1])
+            n = len(h2)
+            z = np.zeros(n, np.int64)
+            tabs.append(_uni(
+                np.full(n, 3, np.int64), z, z, z, h2, hf, hs, z, z,
+                np.ones(n, np.int64), bucket_of_ints(h2, nb)))
+        return pa.concat_tables(tabs) if tabs else _empty()
+
+    def dedup_types(g: pa.Table) -> pa.Table:
+        """Global type dedup inside the bucket; each surviving type emits
+        +1 continuation cells, pre-summed per key before leaving."""
+        g = g.combine_chunks()
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        tabs = []
+
+        def _cells(kind: int, keys: np.ndarray, routes: np.ndarray):
+            if len(keys) == 0:
+                return
+            order = np.lexsort((routes, keys))
+            k, r = keys[order], routes[order]
+            new = np.empty(len(k), bool)
+            new[0] = True
+            new[1:] = (k[1:] != k[:-1]) | (r[1:] != r[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, len(k))).astype(np.int64)
+            n = len(starts)
+            z = np.zeros(n, np.int64)
+            tabs.append(_uni(
+                np.ones(n, np.int64), z, z, z, z, z, z,
+                np.full(n, kind, np.int64), k[starts], cnt,
+                bucket_of_ints(r[starts], nb)))
+
+        m3 = roles == 2
+        if m3.any():
+            h3 = g["h_tri"].to_numpy(zero_copy_only=False)[m3]
+            h2c = g["h_bictx"].to_numpy(zero_copy_only=False)[m3]
+            h2p = g["h_bi"].to_numpy(zero_copy_only=False)[m3]
+            hv = g["h_v"].to_numpy(zero_copy_only=False)[m3]
+            h3, h2c, h2p, hv = _batch_distinct(h3, h2c, h2p, hv)
+            _cells(2, h2c, hv)   # N1+(uv.) keyed (u,v), routed v
+            _cells(3, h2p, hv)   # N1+(.vw) keyed (v,w), routed v
+            _cells(4, hv, hv)    # N1+(.v.) keyed v
+        m2 = roles == 3
+        if m2.any():
+            h2 = g["h_bi"].to_numpy(zero_copy_only=False)[m2]
+            hf = g["h_v"].to_numpy(zero_copy_only=False)[m2]
+            hs = g["h_w"].to_numpy(zero_copy_only=False)[m2]
+            h2, hf, hs = _batch_distinct(h2, hf, hs)
+            _cells(5, hf, hf)    # N1+(v.) keyed v
+            _cells(6, hs, hs)    # N1+(.w) keyed w
+        return pa.concat_tables(tabs) if tabs else _empty()
+
+    def emit_main(batch: pa.Table) -> pa.Table:
+        (ids, doc_of, th64, sh2, sh3, v2, v3,
+         tr_pos) = _hash_streams(batch)
+        tabs = []
+        p3 = np.flatnonzero(v3) if len(v3) else Z
+        if len(p3):
+            occ = pa.table({
+                "doc_id": pa.array(ids[doc_of[p3]], pa.int64()),
+                "h_tri": pa.array(sh3[p3], pa.int64()),
+                "h_bictx": pa.array(sh2[p3], pa.int64()),
+                "h_bi": pa.array(sh2[p3 + 1], pa.int64()),
+                "h_v": pa.array(th64[p3 + 1], pa.int64()),
+                "h_w": pa.array(th64[p3 + 2], pa.int64()),
+            }).group_by(["doc_id", "h_tri"]).aggregate(
+                [("h_bictx", "min"), ("h_bi", "min"), ("h_v", "min"),
+                 ("h_w", "min"), ([], "count_all")])
+            n = occ.num_rows
+            hw = occ["h_w_min"].to_numpy(zero_copy_only=False)
+            z = np.zeros(n, np.int64)
+            tabs.append(_uni(
+                z, occ["doc_id"].to_numpy(zero_copy_only=False),
+                occ["h_tri"].to_numpy(zero_copy_only=False),
+                occ["h_bictx_min"].to_numpy(zero_copy_only=False),
+                occ["h_bi_min"].to_numpy(zero_copy_only=False),
+                occ["h_v_min"].to_numpy(zero_copy_only=False),
+                hw, z, z,
+                occ["count_all"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                bucket_of_ints(hw, nb)))
+        # raw count cells (train): kind 0 c(uvw) routed v, kind 1 c(uv)
+        # routed v (its second word)
+        t3 = np.flatnonzero(v3 & tr_pos[:-2]) if len(v3) else Z
+        t2 = np.flatnonzero(v2 & tr_pos[:-1]) if len(v2) else Z
+        for kind, hh, route in ((0, sh3[t3], th64[t3 + 1]),
+                                (1, sh2[t2], th64[t2 + 1])):
+            if len(hh) == 0:
+                continue
+            order = np.lexsort((route, hh))
+            h_s, r_s = hh[order], route[order]
+            new = np.empty(len(h_s), bool)
+            new[0] = True
+            new[1:] = (h_s[1:] != h_s[:-1]) | (r_s[1:] != r_s[:-1])
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.append(starts, len(h_s))).astype(np.int64)
+            n = len(starts)
+            z = np.zeros(n, np.int64)
+            tabs.append(_uni(
+                np.ones(n, np.int64), z, z, z, z, z, z,
+                np.full(n, kind, np.int64), h_s[starts], cnt,
+                bucket_of_ints(r_s[starts], nb)))
+        return pa.concat_tables(tabs) if tabs else _empty()
+
+    def _kind_map(g: pa.Table, want: int):
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        m = (roles == 1) & (kinds == want)
+        h = g["h"].to_numpy(zero_copy_only=False)[m]
+        c = g["cnt"].to_numpy(zero_copy_only=False)[m]
+        if len(h) == 0:
+            return Z, Z
+        order = np.argsort(h)
+        h, c = h[order], c[order]
+        new = np.empty(len(h), bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        return h[starts], np.add.reduceat(c, starts)
+
+    def resolve_nw(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        kinds = g["kind"].to_numpy(zero_copy_only=False)
+        occ = g.filter(pa.array(roles == 0))
+        cells = g.filter(pa.array((roles == 1) & (kinds != 6)))
+        if occ.num_rows:
+            wk, wc = _kind_map(g, 6)
+            h_w = occ["h_w"].to_numpy(zero_copy_only=False)
+            n_w = _count_lookup(wk, wc, h_w)
+            h_v = occ["h_v"].to_numpy(zero_copy_only=False)
+            occ = occ.set_column(
+                occ.schema.get_field_index("h_w"), "h_w",
+                pa.array(n_w, pa.int64()))
+            occ = occ.set_column(
+                occ.schema.get_field_index("pkey"), "pkey",
+                pa.array(bucket_of_ints(h_v, nb), pa.int64()))
+        return pa.concat_tables([occ, cells])
+
+    def make_score(nbb: int):
+        def score(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            roles = g["role"].to_numpy(zero_copy_only=False)
+            occ = g.filter(pa.array(roles == 0))
+            if occ.num_rows == 0:
+                return pa.table({
+                    "doc_id": pa.array(Z, pa.int64()),
+                    "n_scored": pa.array(Z, pa.int64()),
+                    "kn_surp_micro": pa.array(Z, pa.int64())})
+            c3 = _count_lookup(*_kind_map(g, 0),
+                               occ["h_tri"]
+                               .to_numpy(zero_copy_only=False))
+            c2ctx = _count_lookup(*_kind_map(g, 1),
+                                  occ["h_bictx"]
+                                  .to_numpy(zero_copy_only=False))
+            t_uv = _count_lookup(*_kind_map(g, 2),
+                                 occ["h_bictx"]
+                                 .to_numpy(zero_copy_only=False))
+            t_vw = _count_lookup(*_kind_map(g, 3),
+                                 occ["h_bi"]
+                                 .to_numpy(zero_copy_only=False))
+            t_vmid = _count_lookup(*_kind_map(g, 4),
+                                   occ["h_v"]
+                                   .to_numpy(zero_copy_only=False))
+            t_vdot = _count_lookup(*_kind_map(g, 5),
+                                   occ["h_v"]
+                                   .to_numpy(zero_copy_only=False))
+            n_w = occ["h_w"].to_numpy(zero_copy_only=False)
+            s = kn_surprisal_micro(c3, c2ctx, t_uv, t_vw, t_vmid,
+                                   t_vdot, n_w, nbb)
+            cnt = occ["cnt"].to_numpy(zero_copy_only=False)
+            did = occ["doc_id"].to_numpy(zero_copy_only=False)
+            part = pa.table({
+                "doc_id": pa.array(did, pa.int64()),
+                "n_scored": pa.array(cnt, pa.int64()),
+                "kn_surp_micro": pa.array(cnt * s, pa.int64()),
+            }).group_by("doc_id").aggregate(
+                [("n_scored", "sum"), ("kn_surp_micro", "sum")])
+            return pa.table({
+                "doc_id": part["doc_id"],
+                "n_scored": pc.cast(part["n_scored_sum"], pa.int64()),
+                "kn_surp_micro": pc.cast(part["kn_surp_micro_sum"],
+                                         pa.int64())})
+        return score
+
+    def final(b: pa.Table) -> pa.Table:
+        n = b["n_scored"].to_numpy(zero_copy_only=False)
+        s = b["kn_surp_micro"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_scored": b["n_scored"],
+            "kn_surp_micro": b["kn_surp_micro"],
+            "mean_kn_micro": pa.array(s // np.maximum(n, 1), pa.int64())})
+
+    typed_cells = ds.map_batches(emit_types, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(dedup_types, batch_format="pyarrow") \
+        .materialize()
+
+    def _nbb_part(b: pa.Table) -> pa.Table:
+        kinds = b["kind"].to_numpy(zero_copy_only=False)
+        cnts = b["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array(
+            [int(cnts[kinds == 6].sum())], pa.int64())})
+
+    nbb = int(typed_cells.map_batches(
+        _nbb_part, batch_format="pyarrow").sum("n") or 0)
+
+    partials = ds.map_batches(emit_main, batch_format="pyarrow") \
+        .union(typed_cells) \
+        .groupby("pkey").map_groups(resolve_nw, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(make_score(nbb),
+                                    batch_format="pyarrow")
+    return bucketed_group_sum(partials, "doc_id",
+                              ["n_scored", "kn_surp_micro"]) \
+        .map_batches(final, batch_format="pyarrow")
+
+
+def kn_trigram_reference(doc_ids: List[int], texts: List[str],
+                         trains: List[int]) -> List[tuple]:
+    """Single-process twin of kn_trigram: plain re tokenization, dict/set
+    n-gram type and count statistics from the train slice, one scoring
+    loop over every doc's trigram positions — no Ray, no exchanges.
+    Shares ONLY the pure hash and kn_surprisal_micro kernels."""
+    import re
+
+    tri: dict = {}
+    bictx: dict = {}
+    tri_types: dict = {}   # h3 -> (h2ctx, h2, hv)
+    bi_types: dict = {}    # h2 -> (hfirst, hsecond)
+    hashed = []
+    for did, text, is_t in zip(doc_ids, texts, trains):
+        toks = re.split(r"\s+", re.sub(r"^\s+|\s+$", "", text.lower()))
+        th = _token_hashes(np.asarray(toks, dtype=object))
+        h3 = shingle_hashes(th, 3).view(np.int64)
+        h2 = shingle_hashes(th, 2).view(np.int64)
+        h1 = th.view(np.int64)
+        hashed.append((did, h3, h2, h1))
+        if is_t:
+            for i in range(len(h3)):
+                k = int(h3[i])
+                tri[k] = tri.get(k, 0) + 1
+                tri_types[k] = (int(h2[i]), int(h2[i + 1]),
+                                int(h1[i + 1]))
+            for i in range(len(h2)):
+                k = int(h2[i])
+                bictx[k] = bictx.get(k, 0) + 1
+                bi_types[k] = (int(h1[i]), int(h1[i + 1]))
+    t_uv: dict = {}
+    t_vw: dict = {}
+    t_vmid: dict = {}
+    for h2c, h2p, hv in tri_types.values():
+        t_uv[h2c] = t_uv.get(h2c, 0) + 1
+        t_vw[h2p] = t_vw.get(h2p, 0) + 1
+        t_vmid[hv] = t_vmid.get(hv, 0) + 1
+    t_vdot: dict = {}
+    n_w: dict = {}
+    for hf, hs in bi_types.values():
+        t_vdot[hf] = t_vdot.get(hf, 0) + 1
+        n_w[hs] = n_w.get(hs, 0) + 1
+    nbb = len(bi_types)
+
+    out = []
+    for did, h3, h2, h1 in hashed:
+        if len(h3) == 0:
+            continue  # no trigram positions -> no row (distributed parity)
+        s = kn_surprisal_micro(
+            np.array([tri.get(int(v), 0) for v in h3], np.int64),
+            np.array([bictx.get(int(v), 0) for v in h2[:-1]], np.int64),
+            np.array([t_uv.get(int(v), 0) for v in h2[:-1]], np.int64),
+            np.array([t_vw.get(int(v), 0) for v in h2[1:]], np.int64),
+            np.array([t_vmid.get(int(v), 0) for v in h1[1:-1]],
+                     np.int64),
+            np.array([t_vdot.get(int(v), 0) for v in h1[1:-1]],
+                     np.int64),
+            np.array([n_w.get(int(v), 0) for v in h1[2:]], np.int64),
+            nbb)
+        tot = int(s.sum())
+        out.append((did, len(h3), tot, tot // len(h3)))
+    return out

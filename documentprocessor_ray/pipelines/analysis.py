@@ -448,6 +448,32 @@ def q_trigram_backoff(sf_dir: str) -> "ray.data.Dataset":
     return T.trigram_backoff(ds)
 
 
+def q_kn_trigram(sf_dir: str) -> "ray.data.Dataset":
+    """Interpolated Kneser-Ney trigram surprisal (Kneser & Ney 1995; Chen
+    & Goodman 1999 — the smoothing KenLM implements and CCNet's filter
+    actually uses), fit on the lang='en' slice, scoring every doc. KN's
+    lower orders use CONTINUATION counts (distinct-type statistics, not
+    sum-mergeable), so the scale shape adds a type-dedup exchange in
+    front of the resolve/score hops (textstats.kn_trigram); the
+    distinct-bigram-type total N1+(..) is one driver scalar off the
+    materialized vocab-bounded cell table. Oracle-DUMP twin: dict/set
+    replay sharing only the hash + kn_surprisal_micro kernels."""
+    from . import oracle_dump as OD
+
+    OD.dump("kn_trigram",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.kn_trigram_expected(sf_dir))
+
+    def tag(b: pa.Table) -> pa.Table:
+        tr = pc.cast(pc.equal(b["lang"], "en"), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "is_train": tr})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]) \
+        .map_batches(tag, batch_format="pyarrow")
+    return T.kn_trigram(ds)
+
+
 def q_ppl_buckets(sf_dir: str) -> "ray.data.Dataset":
     """CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020
     §4.3) composed on the trigram stupid-backoff scores: global terciles
@@ -7566,6 +7592,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "bigram_surprisal", "dsir_logweight", "trigram_backoff",
+                   "kn_trigram",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
@@ -7728,6 +7755,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "pack_bfd": q_pack_bfd,
+    "kn_trigram": q_kn_trigram,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

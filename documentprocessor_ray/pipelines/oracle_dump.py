@@ -1004,3 +1004,23 @@ def pack_bfd_expected(sf_dir: str, bin_size: int = 512,
         "chunk_idx": pa.array(out_c, pa.int64()),
         "item_len": pa.array(out_l, pa.int64()),
     })
+
+
+def kn_trigram_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_kn_trigram: dict/set Kneser-Ney statistics fit on the
+    lang='en' slice, one scoring loop per doc through the SHARED
+    kn_surprisal_micro kernel — no Ray, no type-dedup exchange."""
+    from ..functions.textstats import kn_trigram_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    trains = [1 if l == "en" else 0 for l in t["lang"].to_pylist()]
+    rows = sorted(kn_trigram_reference(ids, texts, trains))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_scored": pa.array([r[1] for r in rows], pa.int64()),
+        "kn_surp_micro": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_kn_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })

@@ -221,3 +221,81 @@ class TestPackBfd:
         assert n_bins == -(-total // 512)  # perfect packing here
         fills = out.groupby(["part", "bin_idx"])["item_len"].sum()
         assert (fills == 512).all()
+
+
+from documentprocessor_ray.functions.textstats import (  # noqa: E402
+    kn_surprisal_micro, kn_trigram, kn_trigram_reference)
+
+
+def _docs_ds(texts, trains, parallelism=3):
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "is_train": pa.array(trains, pa.int64()),
+    })
+    return ray.data.from_arrow(t).repartition(parallelism)
+
+
+class TestKnTrigram:
+    def test_kernel_branches(self):
+        """All three interpolation levels: seen trigram context, unseen
+        trigram context but seen middle word, fully unseen."""
+        nbb = 10
+        # seen everything
+        a = kn_surprisal_micro([3], [4], [2], [2], [5], [3], [4], nbb)
+        # unseen trigram context -> falls to p2
+        b = kn_surprisal_micro([0], [0], [0], [2], [5], [3], [4], nbb)
+        # unseen middle word -> falls to p1
+        c = kn_surprisal_micro([0], [0], [0], [0], [0], [0], [4], nbb)
+        # fully unseen word -> add-one floor
+        d = kn_surprisal_micro([0], [0], [0], [0], [0], [0], [0], nbb)
+        assert a[0] < b[0] < c[0] < d[0]
+
+    def test_continuation_beats_raw_count(self):
+        """The defining KN property: 'francisco' is frequent but follows
+        only ONE context, so its continuation probability is lower than
+        an equally-frequent word with many distinct predecessors."""
+        train = " ".join(["san francisco"] * 20) + " " + \
+            " ".join(f"w{i} city" for i in range(20))
+        # score two probe docs whose last word differs only there
+        probe_f = "a b francisco"
+        probe_c = "a b city"
+        rows = kn_trigram_reference([0, 1, 2], [train, probe_f, probe_c],
+                                    [1, 0, 0])
+        by_id = {r[0]: r for r in rows}
+        # both probes back off to the unigram continuation level
+        assert by_id[1][2] > by_id[2][2]
+
+    def test_distributed_matches_reference(self, ray_session):
+        rng = np.random.default_rng(41)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+                 for _ in range(60)]
+        trains = [int(i % 3 == 0) for i in range(60)]
+        out = kn_trigram(_docs_ds(texts, trains)).to_pandas()
+        exp = kn_trigram_reference(list(range(60)), texts, trains)
+        got = sorted(map(tuple, out[["doc_id", "n_scored",
+                                     "kn_surp_micro", "mean_kn_micro"]]
+                         .to_numpy().tolist()))
+        assert got == sorted(exp)
+
+    def test_parallelism_invariance(self, ray_session):
+        rng = np.random.default_rng(42)
+        vocab = [f"t{i}" for i in range(12)]
+        texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(40)]
+        trains = [1] * 20 + [0] * 20
+        a = kn_trigram(_docs_ds(texts, trains, parallelism=1)).to_pandas()
+        b = kn_trigram(_docs_ds(texts, trains, parallelism=8)).to_pandas()
+        key = ["doc_id", "n_scored", "kn_surp_micro", "mean_kn_micro"]
+        assert sorted(map(tuple, a[key].to_numpy().tolist())) == \
+            sorted(map(tuple, b[key].to_numpy().tolist()))
+
+    def test_empty_train_slice(self, ray_session):
+        """No train docs: every stat is 0, every position scores the
+        add-one floor — and nothing crashes."""
+        texts = ["alpha beta gamma delta", "x y z"]
+        out = kn_trigram(_docs_ds(texts, [0, 0],
+                                  parallelism=1)).to_pandas()
+        assert len(out) == 2
+        floor = kn_surprisal_micro([0], [0], [0], [0], [0], [0], [0], 0)
+        assert (out["mean_kn_micro"] == floor[0]).all()
