@@ -1789,3 +1789,49 @@ def kn_trigram_reference(doc_ids: List[int], texts: List[str],
         tot = int(s.sum())
         out.append((did, len(h3), tot, tot // len(h3)))
     return out
+
+
+def blocklist_scan(ds: "ray.data.Dataset",
+                   phrases: List[str]) -> "ray.data.Dataset":
+    """C4-style banned-word/phrase page filter (Raffel et al. 2020 drop
+    pages containing any blocklisted word; RefinedWeb/FineWeb keep the
+    same gate): token-boundary phrase matching over whitespace-normalized
+    lowered text, fully vectorized — text is lowered, trimmed, runs of
+    whitespace collapsed to one space, padded with one space each side,
+    and each phrase matches as a substring ``' phrase '`` (so 'slow'
+    never fires inside 'slowly'). Zero shuffles, one pass; the phrase
+    list is a handful of compiled constants per task, never shipped per
+    batch.
+
+    Output: (doc_id, blocked, n_matches, matched_phrase) — n_matches is
+    the count of DISTINCT phrases present; matched_phrase the first hit
+    in list order (null when clean). Exact SQL twin via the same
+    normalize + LIKE chain."""
+    pl = [" " + " ".join(p.split()) + " " for p in phrases]
+    raw = list(phrases)
+
+    def scan(b: pa.Table) -> pa.Table:
+        text = b["text"].combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(pc.utf8_lower(text),
+                                       r"^\s+|\s+$", ""),
+            r"\s+", " ")
+        padded = pc.binary_join_element_wise(" ", norm, " ", "")
+        hits = [pc.match_substring(padded, p)
+                .to_numpy(zero_copy_only=False) for p in pl]
+        stack = np.stack(hits) if hits else \
+            np.zeros((0, b.num_rows), bool)
+        n = stack.sum(axis=0).astype(np.int64)
+        blocked = (n > 0).astype(np.int64)
+        first = np.where(stack.any(axis=0),
+                         stack.argmax(axis=0), -1)
+        matched = pa.array(
+            [raw[i] if i >= 0 else None for i in first.tolist()],
+            pa.string())
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "blocked": pa.array(blocked, pa.int64()),
+            "n_matches": pa.array(n, pa.int64()),
+            "matched_phrase": matched})
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -448,6 +448,86 @@ def q_trigram_backoff(sf_dir: str) -> "ray.data.Dataset":
     return T.trigram_backoff(ds)
 
 
+_BLOCKLIST = ["slow", "batch batch", "the customer", "vector join"]
+
+
+def q_blocklist_filter(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style banned-phrase page gate (Raffel et al. 2020 §2.2's 'bad
+    words' filter shape): token-boundary phrase matching over
+    whitespace-normalized lowered text, zero shuffles
+    (textstats.blocklist_scan). Exact SQL twin — the identical
+    normalize + ' phrase ' LIKE chain."""
+    return T.blocklist_scan(
+        _read(sf_dir, "documents", ["doc_id", "text"]), _BLOCKLIST)
+
+
+def q_tokbin_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Indexed binary token-shard sink + source round trip (the
+    Megatron-style .bin/.idx layout LM trainers mmap — sources/tokbin.py):
+    documents tokenized and hashed-vocab encoded to list<int32> ids,
+    written as 8 deterministic shards (ONE groupby exchange, one task per
+    shard, driver never sees token bytes), read back one task per shard,
+    and reduced to a per-doc position-weighted checksum. The oracle-DUMP
+    twin computes the checksum directly with no binary format, so the
+    hash gate proves the sink+source preserved ids, order and doc
+    mapping exactly."""
+    import tempfile
+
+    from ..sources.tokbin import read_token_shards, write_token_shards
+    from . import oracle_dump as OD
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    OD.dump("tokbin_roundtrip", OD.file_fingerprint(src),
+            lambda: OD.tokbin_roundtrip_expected(sf_dir))
+
+    def encode(b: pa.Table) -> pa.Table:
+        split, empty = T._tokens_list(
+            pc.utf8_lower(b["text"].combine_chunks()))
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        emp = empty.to_numpy(zero_copy_only=False)
+        lens = np.where(emp, 0, lens)
+        flat_all = split.flatten().to_numpy(zero_copy_only=False)
+        # drop the [''] artifact rows RE2 split leaves for empty text
+        keep = np.repeat(~emp, np.where(emp, 1, lens)
+                         if len(emp) else lens)
+        flat = flat_all[keep] if len(flat_all) else flat_all
+        ids = (T._token_hashes(np.asarray(flat, dtype=object))
+               % np.uint64(32768)).astype(np.int32) \
+            if len(flat) else np.empty(0, np.int32)
+        off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        col = pa.ListArray.from_arrays(
+            pa.array(off, pa.int64()).cast(pa.int32()),
+            pa.array(ids, pa.int32()))
+        return pa.table({"doc_id": b["doc_id"], "tokens": col})
+
+    shard_dir = tempfile.mkdtemp(prefix="dpray_tokbin_")
+    manifest = write_token_shards(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(encode, batch_format="pyarrow"),
+        shard_dir, num_shards=8)
+    manifest.materialize()  # consuming the manifest IS the write
+
+    def checksum(b: pa.Table) -> pa.Table:
+        col = b["tokens"].combine_chunks()
+        lens = pc.list_value_length(col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        run = np.concatenate(([0], np.cumsum((pos + 1) * (flat + 1))))
+        chk = run[starts + lens] - run[starts]  # 0 for empty docs
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "ids_checksum": pa.array(chk, pa.int64())})
+
+    return read_token_shards(shard_dir) \
+        .map_batches(checksum, batch_format="pyarrow")
+
+
 def q_kn_trigram(sf_dir: str) -> "ray.data.Dataset":
     """Interpolated Kneser-Ney trigram surprisal (Kneser & Ney 1995; Chen
     & Goodman 1999 — the smoothing KenLM implements and CCNet's filter
@@ -7592,7 +7672,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "bigram_surprisal", "dsir_logweight", "trigram_backoff",
-                   "kn_trigram",
+                   "kn_trigram", "tokbin_roundtrip",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
@@ -7606,6 +7686,21 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
     ORACLE_SQL[_dump_name] = _OD.sql_for(_dump_name)
 
 # ppl_buckets composes ON the trigram dump: identical quantile_disc + CASE
+# blocklist_filter: identical normalize + token-boundary LIKE chain,
+# generated from the same _BLOCKLIST constant the Ray side compiles
+_BL_LIKE = ["p LIKE '% " + " ".join(p.split()) + " %'" for p in _BLOCKLIST]
+ORACLE_SQL["blocklist_filter"] = (
+    "WITH n AS (SELECT doc_id, ' ' || regexp_replace(regexp_replace("
+    "lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') || ' ' AS p"
+    " FROM documents) SELECT doc_id, "
+    "(CASE WHEN " + " OR ".join(_BL_LIKE) + " THEN 1 ELSE 0 END)::BIGINT"
+    " AS blocked, (" +
+    " + ".join("(" + c + ")::BIGINT" for c in _BL_LIKE) +
+    ") AS n_matches, CASE " +
+    " ".join("WHEN " + c + " THEN '" + p + "'"
+             for c, p in zip(_BL_LIKE, _BLOCKLIST)) +
+    " ELSE NULL END AS matched_phrase FROM n")
+
 ORACLE_SQL["ppl_buckets"] = f"""
     WITH s AS (SELECT * FROM
                read_parquet('{_OD.dump_path("trigram_backoff")}')),
@@ -7756,6 +7851,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "knn_ivfpq": q_knn_ivfpq,
     "pack_bfd": q_pack_bfd,
     "kn_trigram": q_kn_trigram,
+    "tokbin_roundtrip": q_tokbin_roundtrip,
+    "blocklist_filter": q_blocklist_filter,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

@@ -1024,3 +1024,36 @@ def kn_trigram_expected(sf_dir: str) -> pa.Table:
         "kn_surp_micro": pa.array([r[2] for r in rows], pa.int64()),
         "mean_kn_micro": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+def tokbin_roundtrip_expected(sf_dir: str, vocab: int = 32768) -> pa.Table:
+    """Twin of q_tokbin_roundtrip: tokenize + hashed-vocab encode in one
+    plain pass and compute the position-weighted checksum DIRECTLY — no
+    binary format anywhere. A hash match proves the distributed
+    .bin/.idx sink + source preserved every sequence's ids, order and
+    doc mapping exactly."""
+    import re
+
+    from ..functions.textstats import _token_hashes
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    out_d, out_n, out_c = [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = re.sub(r"^\s+|\s+$", "", (text or "").lower())
+        toks = re.split(r"\s+", s) if s else []
+        if toks:
+            ids = (_token_hashes(np.asarray(toks, dtype=object))
+                   % np.uint64(vocab)).astype(np.int64)
+            pos = np.arange(1, len(ids) + 1, dtype=np.int64)
+            chk = int((pos * (ids + 1)).sum())
+        else:
+            ids, chk = np.empty(0, np.int64), 0
+        out_d.append(int(did))
+        out_n.append(len(ids))
+        out_c.append(chk)
+    return pa.table({
+        "doc_id": pa.array(out_d, pa.int64()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+        "ids_checksum": pa.array(out_c, pa.int64()),
+    })

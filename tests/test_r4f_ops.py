@@ -1,5 +1,7 @@
 """Round-4f operators: IVF-PQ ANN (pruned partition reads + residual PQ)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -299,3 +301,68 @@ class TestKnTrigram:
         assert len(out) == 2
         floor = kn_surprisal_micro([0], [0], [0], [0], [0], [0], [0], 0)
         assert (out["mean_kn_micro"] == floor[0]).all()
+
+
+from documentprocessor_ray.sources.tokbin import (  # noqa: E402
+    _decode_shard, _encode_shard, read_token_shards, write_token_shards)
+
+
+class TestTokbin:
+    def test_codec_roundtrip_pure(self):
+        did = np.array([3, 7, 9], np.int64)
+        lens = np.array([4, 0, 2], np.int64)
+        flat = np.array([1, 2, 3, 4, 90, 91], np.int32)
+        bin_b, idx_b = _encode_shard(did, flat, lens)
+        d2, off, t2 = _decode_shard(idx_b, bin_b)
+        assert d2.tolist() == [3, 7, 9]
+        assert off.tolist() == [0, 4, 4, 6]
+        assert t2.tolist() == [1, 2, 3, 4, 90, 91]
+
+    def test_codec_rejects_corruption(self):
+        bin_b, idx_b = _encode_shard(np.array([1], np.int64),
+                                     np.array([5, 6], np.int32),
+                                     np.array([2], np.int64))
+        with pytest.raises(ValueError, match="magic"):
+            _decode_shard(b"XXXXXXXX" + idx_b[8:], bin_b)
+        with pytest.raises(ValueError, match="torn"):
+            _decode_shard(idx_b[:-4], bin_b)
+        with pytest.raises(ValueError, match="length"):
+            _decode_shard(idx_b, bin_b[:-4])
+
+    def _toks_ds(self, rng, n_docs=40):
+        lens = rng.integers(0, 30, size=n_docs)
+        offs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = rng.integers(0, 32768, size=int(lens.sum())) \
+            .astype(np.int32)
+        col = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int64()).cast(pa.int32()),
+            pa.array(flat, pa.int32()))
+        t = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                      "tokens": col})
+        return t, ray.data.from_arrow(t).repartition(5)
+
+    def test_write_read_roundtrip(self, ray_session, tmp_path):
+        rng = np.random.default_rng(51)
+        t, ds = self._toks_ds(rng)
+        man = write_token_shards(ds, str(tmp_path), num_shards=4) \
+            .to_pandas()
+        assert man["n_seqs"].sum() == 40
+        back = read_token_shards(str(tmp_path)).to_pandas()
+        got = {int(r.doc_id): list(r.tokens) for r in back.itertuples()}
+        exp = {i: t["tokens"][i].as_py() for i in range(40)}
+        assert got == exp
+
+    def test_deterministic_bytes(self, ray_session, tmp_path):
+        import hashlib
+        rng = np.random.default_rng(52)
+        _, ds = self._toks_ds(rng)
+        h = []
+        for sub in ("a", "b"):
+            d = tmp_path / sub
+            write_token_shards(ds, str(d), num_shards=3).materialize()
+            digest = hashlib.md5()
+            for f in sorted(os.listdir(d)):
+                digest.update(open(d / f, "rb").read())
+            h.append(digest.hexdigest())
+        assert h[0] == h[1]
