@@ -448,6 +448,23 @@ def q_trigram_backoff(sf_dir: str) -> "ray.data.Dataset":
     return T.trigram_backoff(ds)
 
 
+def q_cdc_chunk_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Content-defined chunking (Gear/FastCDC shape, windowless 64-byte
+    rolling hash) + cross-doc chunk-level first-wins dedup rollup
+    (functions/cdc.py): per-doc chunking is local, then two ~32 B/row
+    exchanges (hash hop -> winner pick, doc hop -> rollup); chunk text
+    never moves. Gated against the INDEPENDENT sequential per-byte Gear
+    loop + dict dedup replay (oracle_dump.cdc_chunk_stats_expected) —
+    the vectorized 64-shifted-adds hash stream vs the textbook loop."""
+    from . import oracle_dump as OD
+    from ..functions.cdc import cdc_chunk_stats
+
+    OD.dump("cdc_chunk_stats",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.cdc_chunk_stats_expected(sf_dir))
+    return cdc_chunk_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 _BLOCKLIST = ["slow", "batch batch", "the customer", "vector join"]
 
 
@@ -7672,7 +7689,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "bigram_surprisal", "dsir_logweight", "trigram_backoff",
-                   "kn_trigram", "tokbin_roundtrip",
+                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
@@ -7853,6 +7870,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "kn_trigram": q_kn_trigram,
     "tokbin_roundtrip": q_tokbin_roundtrip,
     "blocklist_filter": q_blocklist_filter,
+    "cdc_chunk_stats": q_cdc_chunk_stats,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

@@ -1057,3 +1057,21 @@ def tokbin_roundtrip_expected(sf_dir: str, vocab: int = 32768) -> pa.Table:
         "n_tokens": pa.array(out_n, pa.int64()),
         "ids_checksum": pa.array(out_c, pa.int64()),
     })
+
+
+def cdc_chunk_stats_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_cdc_chunk_stats: sequential per-byte Gear boundaries
+    (the independent implementation) + dict first-wins dedup in
+    ascending (doc_id, chunk_idx) order."""
+    from ..functions.cdc import cdc_chunk_stats_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    rows = sorted(cdc_chunk_stats_reference(t["doc_id"].to_pylist(),
+                                            t["text"].to_pylist()))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_chunks": pa.array([r[1] for r in rows], pa.int64()),
+        "n_dup_chunks": pa.array([r[2] for r in rows], pa.int64()),
+        "dup_bytes": pa.array([r[3] for r in rows], pa.int64()),
+    })

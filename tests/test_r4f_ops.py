@@ -366,3 +366,69 @@ class TestTokbin:
                 digest.update(open(d / f, "rb").read())
             h.append(digest.hexdigest())
         assert h[0] == h[1]
+
+
+from documentprocessor_ray.functions.cdc import (  # noqa: E402
+    cdc_boundaries, cdc_boundaries_reference, cdc_chunk_stats,
+    cdc_chunk_stats_reference)
+
+
+class TestCdc:
+    def test_vectorized_matches_sequential(self):
+        rng = np.random.default_rng(61)
+        for trial in range(20):
+            n = int(rng.integers(0, 2000))
+            data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+            assert cdc_boundaries(data) == \
+                cdc_boundaries_reference(data), f"trial {trial} n={n}"
+
+    def test_size_bounds(self):
+        rng = np.random.default_rng(62)
+        data = bytes(rng.integers(0, 256, size=5000, dtype=np.uint8))
+        cuts = cdc_boundaries(data, min_size=16, max_size=256)
+        sizes = np.diff(np.concatenate(([0], cuts)))
+        assert cuts[-1] == 5000
+        assert (sizes[:-1] >= 16).all() and (sizes <= 256).all()
+
+    def test_realignment_after_insertion(self):
+        """The content-defined property: inserting bytes near the front
+        only reshapes nearby chunks — boundaries far past the edit
+        re-align at +len(insert)."""
+        rng = np.random.default_rng(63)
+        data = bytes(rng.integers(0, 256, size=4000, dtype=np.uint8))
+        ins = b"XYZ"
+        edited = data[:100] + ins + data[100:]
+        a = set(cdc_boundaries(data))
+        b = set(cdc_boundaries(edited))
+        far_a = {c for c in a if c > 1000}
+        realigned = {c + len(ins) for c in far_a}
+        # nearly all far boundaries survive the edit shifted by +3
+        assert len(realigned & b) >= 0.9 * len(far_a) > 0
+
+    def test_shared_passage_detected(self, ray_session):
+        rng = np.random.default_rng(64)
+        base = " ".join(f"tok{int(x)}" for x in rng.integers(0, 999, 300))
+        uniq = " ".join(f"one{int(x)}" for x in rng.integers(0, 999, 300))
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([base, uniq, base + " tail tail"],
+                             pa.string())}))
+        out = cdc_chunk_stats(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_dup_chunks"] == 0  # first wins
+        assert out.loc[1, "n_dup_chunks"] == 0  # nothing shared
+        assert out.loc[2, "n_dup_chunks"] > 0   # copy of doc 0 detected
+        assert out.loc[2, "dup_bytes"] > 0
+
+    def test_distributed_matches_reference(self, ray_session):
+        rng = np.random.default_rng(65)
+        texts = [" ".join(f"w{int(x)}" for x in
+                          rng.integers(0, 50, rng.integers(0, 200)))
+                 for _ in range(40)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(6)
+        out = cdc_chunk_stats(ds).to_pandas()
+        exp = cdc_chunk_stats_reference(list(range(40)), texts)
+        got = sorted(map(tuple, out[["doc_id", "n_chunks", "n_dup_chunks",
+                                     "dup_bytes"]].to_numpy().tolist()))
+        assert got == sorted(exp)
