@@ -1398,7 +1398,12 @@ def kn_surprisal_micro(c3, c2ctx, t_uv, t_vw, t_vmid, t_vdot, n_w,
                   (np.maximum(t_vw - D, 0.0) + D * t_vdot * p1)
                   / np.maximum(t_vmid, 1.0),
                   p1)
-    p3 = np.where(c2ctx > 0,
+    # trigram level is usable only when the context has at least one
+    # CONTINUATION type (t_uv > 0); a bigram seen only at a train
+    # document's tail has c2ctx > 0 but no continuation — interpolating
+    # there would yield p3 = 0 (log-inf). c3 > 0 implies t_uv >= 1, so
+    # the guard loses nothing.
+    p3 = np.where((c2ctx > 0) & (t_uv > 0),
                   (np.maximum(c3 - D, 0.0) + D * t_uv * p2)
                   / np.maximum(c2ctx, 1.0),
                   p2)
@@ -1704,7 +1709,10 @@ def kn_trigram(ds: "ray.data.Dataset", train_col: str = "is_train",
             "kn_surp_micro": b["kn_surp_micro"],
             "mean_kn_micro": pa.array(s // np.maximum(n, 1), pa.int64())})
 
-    typed_cells = ds.map_batches(emit_types, batch_format="pyarrow") \
+    # the type pass only reads the train slice — push the filter into
+    # the scan so non-train docs are never tokenized twice
+    typed_cells = ds.filter(expr=f"{train_col} == 1") \
+        .map_batches(emit_types, batch_format="pyarrow") \
         .groupby("pkey").map_groups(dedup_types, batch_format="pyarrow") \
         .materialize()
 

@@ -488,8 +488,6 @@ def q_tokbin_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     twin computes the checksum directly with no binary format, so the
     hash gate proves the sink+source preserved ids, order and doc
     mapping exactly."""
-    import tempfile
-
     from ..sources.tokbin import read_token_shards, write_token_shards
     from . import oracle_dump as OD
 
@@ -519,7 +517,12 @@ def q_tokbin_roundtrip(sf_dir: str) -> "ray.data.Dataset":
             pa.array(ids, pa.int32()))
         return pa.table({"doc_id": b["doc_id"], "tokens": col})
 
-    shard_dir = tempfile.mkdtemp(prefix="dpray_tokbin_")
+    st = os.stat(src)
+    import hashlib as _hl
+    fp = _hl.md5(f"{os.path.normpath(src)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    shard_dir = os.path.join("/tmp/dpray_tokbin", fp)
+    os.makedirs(shard_dir, exist_ok=True)
     manifest = write_token_shards(
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(encode, batch_format="pyarrow"),
@@ -558,6 +561,7 @@ def q_kn_trigram(sf_dir: str) -> "ray.data.Dataset":
     from . import oracle_dump as OD
 
     OD.dump("kn_trigram",
+            "v2|" +  # v2: t_uv > 0 guard on the trigram level (log-0 fix)
             OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
             lambda: OD.kn_trigram_expected(sf_dir))
 

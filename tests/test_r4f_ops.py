@@ -432,3 +432,13 @@ class TestCdc:
         got = sorted(map(tuple, out[["doc_id", "n_chunks", "n_dup_chunks",
                                      "dup_bytes"]].to_numpy().tolist()))
         assert got == sorted(exp)
+
+    def test_tail_bigram_no_log_zero(self):
+        """A train bigram occurring only at a document tail has
+        c(uv) > 0 but zero continuations; the trigram level must fall
+        to p2 instead of producing log(0)."""
+        train = "a b tailu tailv"
+        probe = "tailu tailv c"
+        rows = kn_trigram_reference([0, 1], [train, probe], [1, 0])
+        by_id = {r[0]: r for r in rows}
+        assert 0 < by_id[1][2] < 40_000_000  # finite micro-nats
