@@ -448,6 +448,56 @@ def q_trigram_backoff(sf_dir: str) -> "ray.data.Dataset":
     return T.trigram_backoff(ds)
 
 
+def q_corpus_dolma(sf_dir: str) -> "ray.data.Dataset":
+    """A Dolma-flavored cleaning composition (Soldaini et al. 2024 chain
+    a taboo-word gate, dedup, and an LM-quality cut) built entirely from
+    this round's gated operators: C4 banned-phrase gate (blocked = 0) ->
+    CDC chunk-dedup majority-unique gate (2*n_dup_chunks <= n_chunks) ->
+    Kneser-Ney perplexity tercile tail drop. Survivor doc_ids; each stage
+    is the exact operator its standalone query gates, and the twin
+    composes the blocklist SQL + the two dump tables with the identical
+    quantile_disc cut, so the full pipeline hash-gates as one unit."""
+    from ..functions.agg import grouped_quantile_disc
+    from ..functions.joins import semi_join
+
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    bl = T.blocklist_scan(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          _BLOCKLIST) \
+        .filter(expr="blocked == 0").select_columns(["doc_id"])
+    q_schema = pa.schema([("doc_id", pa.int64())])
+
+    def rename_cdc(b: pa.Table) -> pa.Table:
+        keep = 2 * b["n_dup_chunks"].to_numpy(zero_copy_only=False) <= \
+            b["n_chunks"].to_numpy(zero_copy_only=False)
+        return pa.table({"cdc_id": pc.cast(b["doc_id"], pa.int64())}) \
+            .filter(pa.array(keep))
+
+    cdc_keep = q_cdc_chunk_stats(sf_dir) \
+        .map_batches(rename_cdc, batch_format="pyarrow")
+    surv = semi_join(bl, cdc_keep, left_on="doc_id", keep_on="cdc_id",
+                     size_hint=n_docs, left_schema=q_schema)
+
+    kn = q_kn_trigram(sf_dir).materialize()
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "g", pa.array(np.zeros(b.num_rows, np.int64), pa.int64()))
+
+    qt = grouped_quantile_disc(
+        kn.map_batches(const_key, batch_format="pyarrow"),
+        ["g"], "mean_kn_micro", [2.0 / 3], ["q2"]).take_all()
+    t2 = int(qt[0]["q2"])
+
+    def rename_kn(b: pa.Table) -> pa.Table:
+        keep = b["mean_kn_micro"].to_numpy(zero_copy_only=False) <= t2
+        return pa.table({"kn_id": pc.cast(b["doc_id"], pa.int64())}) \
+            .filter(pa.array(keep))
+
+    kn_keep = kn.map_batches(rename_kn, batch_format="pyarrow")
+    return semi_join(surv, kn_keep, left_on="doc_id", keep_on="kn_id",
+                     size_hint=n_docs, left_schema=q_schema)
+
+
 def q_cdc_chunk_stats(sf_dir: str) -> "ray.data.Dataset":
     """Content-defined chunking (Gear/FastCDC shape, windowless 64-byte
     rolling hash) + cross-doc chunk-level first-wins dedup rollup
@@ -8670,3 +8720,20 @@ ORACLE_SQL["corpus_fineweb"] = f"""
       AND d.doc_id IN (SELECT doc_id FROM ({ORACLE_SQL["ppl_buckets"]}) p
                        WHERE p.bucket != 'tail')"""
 QUERIES["corpus_fineweb"] = q_corpus_fineweb
+
+
+# corpus_dolma: blocklist SQL + the two dump tables + identical
+# quantile_disc cut, composed as one hash-gated unit
+ORACLE_SQL["corpus_dolma"] = f"""
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM ({ORACLE_SQL["blocklist_filter"]}) b
+                       WHERE b.blocked = 0)
+      AND d.doc_id IN (SELECT doc_id FROM
+                       read_parquet('{_OD.dump_path("cdc_chunk_stats")}') c
+                       WHERE 2 * c.n_dup_chunks <= c.n_chunks)
+      AND d.doc_id IN (
+        WITH s AS (SELECT * FROM
+                   read_parquet('{_OD.dump_path("kn_trigram")}')),
+        t AS (SELECT quantile_disc(mean_kn_micro, 2.0/3) AS q2 FROM s)
+        SELECT s.doc_id FROM s, t WHERE s.mean_kn_micro <= t.q2)"""
+QUERIES["corpus_dolma"] = q_corpus_dolma
