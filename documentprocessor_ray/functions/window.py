@@ -468,3 +468,128 @@ def pack_bfd(ds: "ray.data.Dataset", n_col: str = "n_tokens",
 
     return ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("part").map_groups(pack_part, batch_format="pyarrow")
+
+
+def assemble_packed_bins(ids_ds: "ray.data.Dataset",
+                         assign_ds: "ray.data.Dataset",
+                         bin_size: int = 512, pad_id: int = 0,
+                         num_buckets: Optional[int] = None
+                         ) -> "ray.data.Dataset":
+    """Materialize pack_bfd's assignments into actual padded training
+    sequences: each (part, bin_idx) bin gathers its items' token slices
+    in slot order and pads to ``bin_size`` with ``pad_id``. Output:
+    (bin_key = part * 2^32 + bin_idx, tokens list<int32> of exactly
+    bin_size).
+
+    Two exchanges, token ids move ONCE: assignment rows (5 int64s) hop
+    to bucket(doc_id) where each doc's ids are sliced per item, then the
+    sliced items (carrying only their own bytes) hop to bucket(bin_key)
+    for slot-ordered concatenation. Docs' full token lists are never
+    replicated per item and never visit the driver."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = num_buckets or auto_buckets(None)
+    B = int(bin_size)
+
+    def key_ids(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "role": pa.array(np.zeros(len(did), np.int64), pa.int64()),
+            "doc_id": b["doc_id"],
+            "tokens": b["tokens"],
+            "chunk_idx": pa.array(np.zeros(len(did), np.int64),
+                                  pa.int64()),
+            "slot": pa.array(np.zeros(len(did), np.int64), pa.int64()),
+            "item_len": pa.array(np.zeros(len(did), np.int64),
+                                 pa.int64()),
+            "bin_key": pa.array(np.zeros(len(did), np.int64), pa.int64()),
+            "pkey": pa.array(bucket_of_ints(did, nb), pa.int64())})
+
+    def key_assign(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = b["part"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bi = b["bin_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = part * np.int64(1 << 32) + bi
+        empty = pa.array(
+            np.empty(0, np.int32), pa.int32())
+        tok = pa.ListArray.from_arrays(
+            pa.array(np.zeros(len(did) + 1, np.int32), pa.int32()),
+            empty)
+        return pa.table({
+            "role": pa.array(np.ones(len(did), np.int64), pa.int64()),
+            "doc_id": b["doc_id"],
+            "tokens": tok,
+            "chunk_idx": b["chunk_idx"],
+            "slot": b["slot"],
+            "item_len": b["item_len"],
+            "bin_key": pa.array(bk, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(did, nb), pa.int64())})
+
+    def slice_items(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        ids_rows = g.filter(pa.array(roles == 0))
+        asn = g.filter(pa.array(roles == 1))
+        if asn.num_rows == 0:
+            return pa.table({
+                "bin_key": pa.array(np.empty(0, np.int64), pa.int64()),
+                "slot": pa.array(np.empty(0, np.int64), pa.int64()),
+                "item": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(1, np.int32), pa.int32()),
+                    pa.array(np.empty(0, np.int32), pa.int32()))})
+        tok_of = {int(d): t for d, t in
+                  zip(ids_rows["doc_id"].to_pylist(),
+                      ids_rows["tokens"].to_pylist())}
+        out_bk, out_slot, out_items = [], [], []
+        for d, ci, ln, slot, bk in zip(asn["doc_id"].to_pylist(),
+                                       asn["chunk_idx"].to_pylist(),
+                                       asn["item_len"].to_pylist(),
+                                       asn["slot"].to_pylist(),
+                                       asn["bin_key"].to_pylist()):
+            ids = tok_of[int(d)]
+            out_bk.append(bk)
+            out_slot.append(slot)
+            out_items.append(ids[ci * B:ci * B + ln])
+        return pa.table({
+            "bin_key": pa.array(out_bk, pa.int64()),
+            "slot": pa.array(out_slot, pa.int64()),
+            "item": pa.array(out_items, pa.list_(pa.int32()))})
+
+    def add_binkey_bucket(b: pa.Table) -> pa.Table:
+        bk = b["bin_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "pkey2", pa.array(bucket_of_ints(bk, nb), pa.int64()))
+
+    def assemble(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        bk = g["bin_key"].to_numpy(zero_copy_only=False)
+        slot = g["slot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((slot, bk))
+        items = g["item"].to_pylist()
+        out_bk: list = []
+        out_tok: list = []
+        cur = None
+        buf: list = []
+        for i in order:
+            if bk[i] != cur:
+                if cur is not None:
+                    buf.extend([pad_id] * (B - len(buf)))
+                    out_bk.append(int(cur))
+                    out_tok.append(buf)
+                cur = bk[i]
+                buf = []
+            buf.extend(items[i])
+        if cur is not None:
+            buf.extend([pad_id] * (B - len(buf)))
+            out_bk.append(int(cur))
+            out_tok.append(buf)
+        return pa.table({
+            "bin_key": pa.array(out_bk, pa.int64()),
+            "tokens": pa.array(out_tok, pa.list_(pa.int32()))})
+
+    unioned = ids_ds.map_batches(key_ids, batch_format="pyarrow").union(
+        assign_ds.map_batches(key_assign, batch_format="pyarrow"))
+    items = unioned.groupby("pkey").map_groups(slice_items,
+                                               batch_format="pyarrow")
+    return items.map_batches(add_binkey_bucket, batch_format="pyarrow") \
+        .groupby("pkey2").map_groups(assemble, batch_format="pyarrow")

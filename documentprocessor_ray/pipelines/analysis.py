@@ -528,6 +528,29 @@ def q_blocklist_filter(sf_dir: str) -> "ray.data.Dataset":
         _read(sf_dir, "documents", ["doc_id", "text"]), _BLOCKLIST)
 
 
+def _hashed_ids_batch(b: pa.Table) -> pa.Table:
+    split, empty = T._tokens_list(
+        pc.utf8_lower(b["text"].combine_chunks()))
+    lens = pc.list_value_length(split) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    emp = empty.to_numpy(zero_copy_only=False)
+    lens = np.where(emp, 0, lens)
+    flat_all = split.flatten().to_numpy(zero_copy_only=False)
+    # drop the [''] artifact rows RE2 split leaves for empty text
+    keep = np.repeat(~emp, np.where(emp, 1, lens)
+                     if len(emp) else lens)
+    flat = flat_all[keep] if len(flat_all) else flat_all
+    ids = (T._token_hashes(np.asarray(flat, dtype=object))
+           % np.uint64(32768)).astype(np.int32) \
+        if len(flat) else np.empty(0, np.int32)
+    off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    col = pa.ListArray.from_arrays(
+        pa.array(off, pa.int64()).cast(pa.int32()),
+        pa.array(ids, pa.int32()))
+    return pa.table({"doc_id": b["doc_id"], "tokens": col})
+
+
 def q_tokbin_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     """Indexed binary token-shard sink + source round trip (the
     Megatron-style .bin/.idx layout LM trainers mmap — sources/tokbin.py):
@@ -545,27 +568,7 @@ def q_tokbin_roundtrip(sf_dir: str) -> "ray.data.Dataset":
     OD.dump("tokbin_roundtrip", OD.file_fingerprint(src),
             lambda: OD.tokbin_roundtrip_expected(sf_dir))
 
-    def encode(b: pa.Table) -> pa.Table:
-        split, empty = T._tokens_list(
-            pc.utf8_lower(b["text"].combine_chunks()))
-        lens = pc.list_value_length(split) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        emp = empty.to_numpy(zero_copy_only=False)
-        lens = np.where(emp, 0, lens)
-        flat_all = split.flatten().to_numpy(zero_copy_only=False)
-        # drop the [''] artifact rows RE2 split leaves for empty text
-        keep = np.repeat(~emp, np.where(emp, 1, lens)
-                         if len(emp) else lens)
-        flat = flat_all[keep] if len(flat_all) else flat_all
-        ids = (T._token_hashes(np.asarray(flat, dtype=object))
-               % np.uint64(32768)).astype(np.int32) \
-            if len(flat) else np.empty(0, np.int32)
-        off = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=off[1:])
-        col = pa.ListArray.from_arrays(
-            pa.array(off, pa.int64()).cast(pa.int32()),
-            pa.array(ids, pa.int32()))
-        return pa.table({"doc_id": b["doc_id"], "tokens": col})
+    encode = _hashed_ids_batch
 
     st = os.stat(src)
     import hashlib as _hl
@@ -589,6 +592,71 @@ def q_tokbin_roundtrip(sf_dir: str) -> "ray.data.Dataset":
         pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
         run = np.concatenate(([0], np.cumsum((pos + 1) * (flat + 1))))
         chk = run[starts + lens] - run[starts]  # 0 for empty docs
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "ids_checksum": pa.array(chk, pa.int64())})
+
+    return read_token_shards(shard_dir) \
+        .map_batches(checksum, batch_format="pyarrow")
+
+
+def q_trainready_shards(sf_dir: str) -> "ray.data.Dataset":
+    """The complete corpus -> training-batches-on-disk path as ONE gated
+    unit: hashed-vocab token ids -> best-fit-decreasing doc-atomic
+    packing (pack_bfd assignments) -> bins MATERIALIZED (each bin gathers
+    its items' token slices in slot order, padded to 512 — token ids
+    move once through two narrow exchanges, window.assemble_packed_bins)
+    -> written as Megatron-style .bin/.idx shards -> read back -> per-bin
+    position-weighted checksum. The twin replays tokenize/split/
+    independent-BFD/assemble/checksum with no Ray and no binary format,
+    so the hash gate covers packing, materialization AND the shard
+    round trip end-to-end."""
+    import hashlib as _hl
+
+    from ..functions.window import assemble_packed_bins, pack_bfd
+    from ..sources.tokbin import read_token_shards, write_token_shards
+    from . import oracle_dump as OD
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    OD.dump("trainready_shards", OD.file_fingerprint(src),
+            lambda: OD.trainready_shards_expected(sf_dir))
+
+    ids = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_hashed_ids_batch, batch_format="pyarrow") \
+        .materialize()  # consumed twice (counts + assembly); narrow rows
+
+    def counts(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(b["tokens"]), pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": n})
+
+    assign = pack_bfd(ids.map_batches(counts, batch_format="pyarrow"),
+                      bin_size=512, part_size=256)
+    bins = assemble_packed_bins(ids, assign, bin_size=512)
+
+    def to_sink(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(b["bin_key"], pa.int64()),
+                         "tokens": b["tokens"]})
+
+    st = os.stat(src)
+    fp = _hl.md5(f"{os.path.normpath(src)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    shard_dir = os.path.join("/tmp/dpray_trainready", fp)
+    os.makedirs(shard_dir, exist_ok=True)
+    write_token_shards(bins.map_batches(to_sink, batch_format="pyarrow"),
+                       shard_dir, num_shards=8).materialize()
+
+    def checksum(b: pa.Table) -> pa.Table:
+        col = b["tokens"].combine_chunks()
+        lens = pc.list_value_length(col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts,
+                                                               lens)
+        run = np.concatenate(([0], np.cumsum((pos + 1) * (flat + 1))))
+        chk = run[starts + lens] - run[starts]
         return pa.table({
             "doc_id": b["doc_id"],
             "n_tokens": pa.array(lens, pa.int64()),
@@ -7744,6 +7812,7 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "bigram_surprisal", "dsir_logweight", "trigram_backoff",
                    "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats",
+                   "trainready_shards",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
@@ -7925,6 +7994,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "tokbin_roundtrip": q_tokbin_roundtrip,
     "blocklist_filter": q_blocklist_filter,
     "cdc_chunk_stats": q_cdc_chunk_stats,
+    "trainready_shards": q_trainready_shards,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

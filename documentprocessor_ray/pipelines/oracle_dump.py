@@ -1075,3 +1075,59 @@ def cdc_chunk_stats_expected(sf_dir: str) -> pa.Table:
         "n_dup_chunks": pa.array([r[2] for r in rows], pa.int64()),
         "dup_bytes": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+def trainready_shards_expected(sf_dir: str, bin_size: int = 512,
+                               part_size: int = 256,
+                               vocab: int = 32768) -> pa.Table:
+    """Twin of q_trainready_shards: tokenize + hashed-vocab encode, the
+    SAME item-split spec, the INDEPENDENT plain-Python BFD packer, bins
+    assembled in slot order and padded, checksummed directly — no Ray,
+    no exchanges, no binary shards."""
+    import re
+
+    from ..functions.textstats import _token_hashes
+    from ..functions.window import bfd_pack_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids_of: dict = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = re.sub(r"^\s+|\s+$", "", (text or "").lower())
+        toks = re.split(r"\s+", s) if s else []
+        ids_of[int(did)] = (
+            (_token_hashes(np.asarray(toks, dtype=object))
+             % np.uint64(vocab)).astype(np.int64).tolist()
+            if toks else [])
+    by_part: dict = {}
+    for did, ids in ids_of.items():
+        n = len(ids)
+        if n == 0:
+            continue
+        k = -(-n // bin_size)
+        for ci in range(k):
+            ln = bin_size if ci < k - 1 else n - (k - 1) * bin_size
+            by_part.setdefault(did // part_size, []).append(
+                (did, ci, ln, ln == bin_size))
+    out_key, out_n, out_c = [], [], []
+    for part in sorted(by_part):
+        bins: dict = {}
+        for did, ci, ln, b, slot in bfd_pack_reference(by_part[part],
+                                                       bin_size):
+            bins.setdefault(b, []).append(
+                (slot, ids_of[did][ci * bin_size:ci * bin_size + ln]))
+        for b, items in bins.items():
+            buf: list = []
+            for _, chunk in sorted(items, key=lambda x: x[0]):
+                buf.extend(chunk)
+            buf.extend([0] * (bin_size - len(buf)))
+            ids = np.asarray(buf, dtype=np.int64)
+            pos = np.arange(1, len(ids) + 1, dtype=np.int64)
+            out_key.append(part * (1 << 32) + b)
+            out_n.append(len(ids))
+            out_c.append(int((pos * (ids + 1)).sum()))
+    return pa.table({
+        "doc_id": pa.array(out_key, pa.int64()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+        "ids_checksum": pa.array(out_c, pa.int64()),
+    })

@@ -442,3 +442,44 @@ class TestCdc:
         rows = kn_trigram_reference([0, 1], [train, probe], [1, 0])
         by_id = {r[0]: r for r in rows}
         assert 0 < by_id[1][2] < 40_000_000  # finite micro-nats
+
+
+from documentprocessor_ray.functions.window import (  # noqa: E402
+    assemble_packed_bins)
+
+
+class TestAssemblePackedBins:
+    def test_bins_are_exact_and_doc_atomic(self, ray_session):
+        rng = np.random.default_rng(71)
+        lens = rng.integers(1, 200, size=30)
+        ids_rows = [rng.integers(0, 1000, size=n).astype(np.int32).tolist()
+                    for n in lens]
+        ids = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "tokens": pa.array(ids_rows, pa.list_(pa.int32()))}))
+        counts = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "n_tokens": pa.array([int(x) for x in lens], pa.int64())}))
+        assign = pack_bfd(counts, bin_size=256, part_size=100)
+        bins = assemble_packed_bins(ids, assign,
+                                    bin_size=256).to_pandas()
+        # every bin is exactly bin_size tokens after padding
+        assert (bins["tokens"].map(len) == 256).all()
+        # doc-atomicity through materialization: every doc's id stream
+        # appears contiguously inside exactly one bin
+        blob = {int(r.bin_key): list(r.tokens)
+                for r in bins.itertuples()}
+        found = 0
+        for d in range(30):
+            seq = ids_rows[d]
+            hit = any(any(tok[i:i + len(seq)] == seq
+                          for i in range(0, 257 - len(seq)))
+                      for tok in blob.values())
+            found += hit
+        assert found == 30
+        # total non-pad token count is preserved
+        tot = sum(len(r) for r in ids_rows)
+        nonpad = sum(1 for tok in blob.values() for x in tok if x != 0)
+        # pad_id 0 can also be a real id; bound instead of equality
+        assert nonpad <= tot
+        assert sum(len(tok) for tok in blob.values()) >= tot
