@@ -158,6 +158,10 @@ def run_suite(sf_dir: str, num_cpus: int, headline_only: bool = False,
                     A._UNIGRAM_CACHE.clear()
                 if name == "wordpiece_merges":
                     A._WORDPIECE_CACHE.clear()
+                if name in ("trigram_backoff", "kn_trigram"):
+                    # builders pay the LM pass every rep; the composed
+                    # cleaners (ppl_buckets/fineweb/dolma) measure warm
+                    A._LM_SCORE_CACHE.clear()
                 t0 = time.time()
                 _consume(qs[name](sf_dir))
                 times.append(time.time() - t0)
