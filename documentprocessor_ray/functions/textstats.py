@@ -1843,3 +1843,148 @@ def blocklist_scan(ds: "ray.data.Dataset",
             "matched_phrase": matched})
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# --- corpus drift: pairwise Jensen-Shannon divergence between sources ---
+
+def js_contrib_micro(c_a: np.ndarray, n_a: int, c_b: np.ndarray,
+                     n_b: int) -> np.ndarray:
+    """Per-word Jensen-Shannon contribution in int64 micro-nats — the ONE
+    shared pure kernel: p = c_a/n_a, q = c_b/n_b, m = (p+q)/2,
+    contrib = 0.5*(p*ln(p/m) + q*ln(q/m)) with 0*ln0 = 0, rounded ONCE
+    per word to 1e-6 nats so any summation order gives identical int64
+    totals. Inputs are exact integer counts."""
+    p = c_a.astype(np.float64) / float(n_a)
+    q = c_b.astype(np.float64) / float(n_b)
+    m = 0.5 * (p + q)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta = np.where(p > 0, p * np.log(p / m), 0.0)
+        tb = np.where(q > 0, q * np.log(q / m), 0.0)
+    return np.round(1e6 * 0.5 * (ta + tb)).astype(np.int64)
+
+
+def source_divergence(ds: "ray.data.Dataset",
+                      num_buckets=None) -> "ray.data.Dataset":
+    """Pairwise Jensen-Shannon divergence between the per-source unigram
+    token distributions — the corpus-drift monitor a multi-source
+    training pipeline runs per ingest (did crawl batch X shift away from
+    the reference mix?). Output: (source_a, source_b, js_micro) for every
+    unordered source pair, exact int64 micro-nats.
+
+    Scale shape: per-source token totals are K driver scalars (one tiny
+    aggregate); (source, word-hash) counts combiner-aggregate per batch
+    and exchange ONCE on bucket(h(word)) — every word's K counts
+    co-locate, so each bucket computes its words' contributions for ALL
+    K*(K-1)/2 pairs vectorized and emits K^2/2 partial rows; the final
+    reduce touches num_buckets * pairs tiny rows. The vocab-sized count
+    table is never assembled anywhere."""
+    import ray
+
+    from ..sharding import auto_buckets, bucket_of_ints
+    from .agg import bucketed_group_sum_multi
+
+    nb = num_buckets or auto_buckets(None)
+
+    def totals(b: pa.Table) -> pa.Table:
+        split, empty = _tokens_list(
+            pc.utf8_lower(b["text"].combine_chunks()))
+        lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.where(empty.to_numpy(zero_copy_only=False), 0, lens)
+        t = pa.table({"source": b["source"],
+                      "n": pa.array(lens, pa.int64())}) \
+            .group_by("source").aggregate([("n", "sum")])
+        return pa.table({"source": t["source"],
+                         "n": pc.cast(t["n_sum"], pa.int64())})
+
+    tot = ds.map_batches(totals, batch_format="pyarrow") \
+        .groupby("source").sum("n").take_all()
+    n_of = {r["source"]: int(r["sum(n)"]) for r in tot}
+    sources = sorted(n_of)
+    shared = ray.put((sources, n_of))
+
+    def emit(b: pa.Table) -> pa.Table:
+        split, empty = _tokens_list(
+            pc.utf8_lower(b["text"].combine_chunks()))
+        raw_lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        emp = empty.to_numpy(zero_copy_only=False)
+        lens = np.where(emp, 0, raw_lens)
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        keep = np.repeat(~emp, raw_lens)  # drop the [''] RE2 artifact
+        flat = flat[keep] if len(flat) else flat
+        th = _token_hashes(np.asarray(flat, dtype=object)).view(np.int64)
+        src = np.repeat(np.asarray(b["source"].to_pylist(), dtype=object),
+                        lens)
+        tbl = pa.table({
+            "h": pa.array(th, pa.int64()),
+            "source": pa.array(src.tolist(), pa.string()),
+        }).group_by(["h", "source"]).aggregate([([], "count_all")])
+        h = tbl["h"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "h": tbl["h"],
+            "source": tbl["source"],
+            "cnt": pc.cast(tbl["count_all"], pa.int64()),
+            "pkey": pa.array(bucket_of_ints(h, nb), pa.int64())})
+
+    def score(g: pa.Table) -> pa.Table:
+        srcs, totals_of = ray.get(shared)
+        g = g.combine_chunks()
+        h = g["h"].to_numpy(zero_copy_only=False)
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        # distinct words in this bucket -> dense row index
+        uh, inv = np.unique(h, return_inverse=True)
+        k = len(srcs)
+        sidx = {s: i for i, s in enumerate(srcs)}
+        mat = np.zeros((len(uh), k), np.int64)
+        cols = np.array([sidx[s] for s in src], np.int64)
+        np.add.at(mat, (inv, cols), cnt)
+        out_a, out_b, out_j = [], [], []
+        for i in range(k):
+            for j in range(i + 1, k):
+                contrib = js_contrib_micro(mat[:, i], totals_of[srcs[i]],
+                                           mat[:, j], totals_of[srcs[j]])
+                out_a.append(srcs[i])
+                out_b.append(srcs[j])
+                out_j.append(int(contrib.sum()))
+        return pa.table({
+            "source_a": pa.array(out_a, pa.string()),
+            "source_b": pa.array(out_b, pa.string()),
+            "js_micro": pa.array(out_j, pa.int64())})
+
+    partials = ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(score, batch_format="pyarrow")
+    return bucketed_group_sum_multi(partials, ["source_a", "source_b"],
+                                    ["js_micro"])
+
+
+def source_divergence_reference(texts: List[str],
+                                sources: List[str]) -> List[tuple]:
+    """Single-process twin: dict unigram counts per source, one pass over
+    the union vocabulary through the SHARED js_contrib_micro kernel."""
+    import re
+
+    counts: dict = {}
+    n_of: dict = {}
+    for text, s in zip(texts, sources):
+        toks = re.split(r"\s+",
+                        re.sub(r"^\s+|\s+$", "", (text or "").lower()))
+        toks = [t for t in toks if t != ""]
+        th = _token_hashes(np.asarray(toks, dtype=object)).view(np.int64) \
+            if toks else np.empty(0, np.int64)
+        n_of[s] = n_of.get(s, 0) + len(th)
+        d = counts.setdefault(s, {})
+        for v in th:
+            d[int(v)] = d.get(int(v), 0) + 1
+    srcs = sorted(n_of)
+    out = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            vocab = sorted(set(counts.get(a, {})) | set(counts.get(b, {})))
+            c_a = np.array([counts[a].get(w, 0) for w in vocab], np.int64)
+            c_b = np.array([counts[b].get(w, 0) for w in vocab], np.int64)
+            js = int(js_contrib_micro(c_a, n_of[a], c_b, n_of[b]).sum())
+            out.append((a, b, js))
+    return out

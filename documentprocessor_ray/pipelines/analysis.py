@@ -689,6 +689,23 @@ def q_trainready_shards(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(checksum, batch_format="pyarrow")
 
 
+def q_source_divergence(sf_dir: str) -> "ray.data.Dataset":
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the corpus-drift monitor (textstats.source_divergence):
+    per-source totals are K driver scalars, (source, word) counts exchange
+    ONCE on bucket(h(word)), each bucket computes all pairs' contributions
+    vectorized through the shared js_contrib_micro kernel (quantize-once
+    micro-nats, so summation order is irrelevant). Oracle-DUMP twin: dict
+    replay through the same kernel."""
+    from . import oracle_dump as OD
+
+    OD.dump("source_divergence",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.source_divergence_expected(sf_dir))
+    return T.source_divergence(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]))
+
+
 def q_kn_trigram(sf_dir: str) -> "ray.data.Dataset":
     """Interpolated Kneser-Ney trigram surprisal (Kneser & Ney 1995; Chen
     & Goodman 1999 — the smoothing KenLM implements and CCNet's filter
@@ -7834,7 +7851,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "bigram_surprisal", "dsir_logweight", "trigram_backoff",
-                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats",
+                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats", "source_divergence",
                    "trainready_shards",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
@@ -8018,6 +8035,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "blocklist_filter": q_blocklist_filter,
     "cdc_chunk_stats": q_cdc_chunk_stats,
     "trainready_shards": q_trainready_shards,
+    "source_divergence": q_source_divergence,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

@@ -1131,3 +1131,19 @@ def trainready_shards_expected(sf_dir: str, bin_size: int = 512,
         "n_tokens": pa.array(out_n, pa.int64()),
         "ids_checksum": pa.array(out_c, pa.int64()),
     })
+
+
+def source_divergence_expected(sf_dir: str) -> pa.Table:
+    """Twin of q_source_divergence: dict unigram counts per source, one
+    union-vocabulary pass through the shared js_contrib_micro kernel."""
+    from ..functions.textstats import source_divergence_reference
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["text", "source"])
+    rows = sorted(source_divergence_reference(t["text"].to_pylist(),
+                                              t["source"].to_pylist()))
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], pa.string()),
+        "source_b": pa.array([r[1] for r in rows], pa.string()),
+        "js_micro": pa.array([r[2] for r in rows], pa.int64()),
+    })

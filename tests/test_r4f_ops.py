@@ -483,3 +483,57 @@ class TestAssemblePackedBins:
         # pad_id 0 can also be a real id; bound instead of equality
         assert nonpad <= tot
         assert sum(len(tok) for tok in blob.values()) >= tot
+
+
+from documentprocessor_ray.functions.textstats import (  # noqa: E402
+    js_contrib_micro, source_divergence, source_divergence_reference)
+
+
+class TestSourceDivergence:
+    def test_kernel_properties(self):
+        c_a = np.array([5, 0, 3], np.int64)
+        c_b = np.array([5, 2, 0], np.int64)
+        # symmetry
+        assert js_contrib_micro(c_a, 8, c_b, 7).sum() == \
+            js_contrib_micro(c_b, 7, c_a, 8).sum()
+        # identical distributions -> 0
+        assert js_contrib_micro(c_a, 8, c_a, 8).sum() == 0
+        # bounded by ln 2 per total mass: full-JS of disjoint dists
+        d_a = np.array([4, 0], np.int64)
+        d_b = np.array([0, 4], np.int64)
+        js = js_contrib_micro(d_a, 4, d_b, 4).sum()
+        assert abs(js - round(1e6 * np.log(2))) <= 2
+
+    def test_distributed_matches_reference(self, ray_session):
+        rng = np.random.default_rng(81)
+        vocab = [f"w{i}" for i in range(40)]
+        texts, sources = [], []
+        for i in range(60):
+            s = ("alpha", "beta", "gamma")[i % 3]
+            # give each source a skewed slice of the vocab
+            lo = {"alpha": 0, "beta": 10, "gamma": 20}[s]
+            texts.append(" ".join(
+                rng.choice(vocab[lo:lo + 20], size=30)))
+            sources.append(s)
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(sources, pa.string())})).repartition(5)
+        out = source_divergence(ds).to_pandas()
+        exp = source_divergence_reference(texts, sources)
+        got = sorted(map(tuple, out[["source_a", "source_b", "js_micro"]]
+                         .to_numpy().tolist()))
+        assert got == sorted(exp)
+        assert len(got) == 3
+        # disjoint-ish sources diverge measurably
+        assert all(r[2] > 100_000 for r in got)
+
+    def test_identical_sources_zero(self, ray_session):
+        texts = ["x y z w"] * 10
+        sources = ["a"] * 5 + ["b"] * 5
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(sources, pa.string())}))
+        out = source_divergence(ds).to_pandas()
+        assert out["js_micro"].tolist() == [0]
