@@ -689,6 +689,27 @@ def q_trainready_shards(sf_dir: str) -> "ray.data.Dataset":
         .map_batches(checksum, batch_format="pyarrow")
 
 
+def q_audio_fp_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Near-duplicate audio detection by constellation fingerprints (the
+    Shazam landmark shape, Wang 2003): REAL PCM-WAV decode + per-frame
+    dominant-bin landmarks on the actor pool, one bucket(fh) exchange
+    emitting capped co-occurrence pairs, bucketed pair-count sum,
+    shared >= 5 gate (stages/multimodal.audio_fingerprint_pairs). The
+    corpus plants near-duplicates with DIFFERENT bytes (0.8x amplitude +
+    noise) so only the landmark path can pair them — payload equality
+    cannot. Oracle-DUMP twin: single-process fingerprints through the
+    shared kernel + dict matching with the identical per-hash cap."""
+    from ..stages.multimodal import (audio_fingerprint_pairs,
+                                     synth_audio_neardup_table)
+    from . import oracle_dump as OD
+
+    n = max(30, int(3000 * _sf_of_dir(sf_dir)))
+    media = synth_audio_neardup_table(n_assets=n, seed=7)
+    OD.dump("audio_fp_pairs", f"afp:v2:n{n}:seed7",
+            lambda: OD.audio_fp_pairs_expected(media))
+    return audio_fingerprint_pairs(ray.data.from_arrow(media))
+
+
 def q_source_divergence(sf_dir: str) -> "ray.data.Dataset":
     """Pairwise Jensen-Shannon divergence between per-source unigram
     distributions — the corpus-drift monitor (textstats.source_divergence):
@@ -7851,7 +7872,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "bigram_surprisal", "dsir_logweight", "trigram_backoff",
-                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats", "source_divergence",
+                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats", "source_divergence", "audio_fp_pairs",
                    "trainready_shards",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
@@ -8036,6 +8057,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "cdc_chunk_stats": q_cdc_chunk_stats,
     "trainready_shards": q_trainready_shards,
     "source_divergence": q_source_divergence,
+    "audio_fp_pairs": q_audio_fp_pairs,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

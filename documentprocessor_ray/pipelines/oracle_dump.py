@@ -1147,3 +1147,38 @@ def source_divergence_expected(sf_dir: str) -> pa.Table:
         "source_b": pa.array([r[1] for r in rows], pa.string()),
         "js_micro": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def audio_fp_pairs_expected(media: pa.Table, min_shared: int = 5,
+                            group_cap: int = 16) -> pa.Table:
+    """Twin of q_audio_fp_pairs: single-process fingerprints through the
+    shared audio_fingerprint kernel + dict hash->members matching with
+    the SAME lexicographic per-hash cap — no Ray, no exchanges."""
+    from ..functions.textstats import _token_hashes  # noqa: F401 (unused)
+    from ..stages.multimodal import RawCodec, audio_fingerprint
+
+    codec = RawCodec()
+    members: dict = {}
+    for i in range(media.num_rows):
+        if media["kind"][i].as_py() != "audio":
+            continue
+        aid = media["asset_id"][i].as_py()
+        wav = np.asarray(codec.decode_audio(media["payload"][i].as_py(),
+                                            media["meta"][i].as_py()),
+                         dtype=np.float64)
+        for h in audio_fingerprint(wav):
+            members.setdefault(int(h), []).append(aid)
+    counts: dict = {}
+    for h, aids in members.items():
+        aids = sorted(aids)[:group_cap]
+        for x in range(len(aids)):
+            for y in range(x + 1, len(aids)):
+                k = (aids[x], aids[y])
+                counts[k] = counts.get(k, 0) + 1
+    rows = sorted((a, b, c) for (a, b), c in counts.items()
+                  if c >= min_shared)
+    return pa.table({
+        "asset_a": pa.array([r[0] for r in rows], pa.string()),
+        "asset_b": pa.array([r[1] for r in rows], pa.string()),
+        "shared": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -2115,3 +2115,162 @@ def image_phash_pairs(media_ds, max_hamming: int = 3,
         concurrency=concurrency)
     return hamming_sig_pairs(sigs.select_columns(["doc_id", "simhash"]),
                              max_hamming=max_hamming)
+
+
+# --- audio fingerprinting (constellation hashes, Wang 2003 shape) ---
+
+def audio_fingerprint(wav: np.ndarray, frame: int = 512,
+                      fan: int = 3) -> np.ndarray:
+    """Constellation fingerprint hashes for one clip — the Shazam shape
+    (Wang 2003): Hann-windowed rfft power per frame, ONE dominant bin per
+    frame (DC skipped), then hashes of the (peak[t], peak[t+d], d)
+    landmark pairs for d in 1..fan. Robust to amplitude scaling and
+    additive low-level noise because only peak BIN INDICES survive into
+    the hash. Pure and shared with the oracle twin; returns the DISTINCT
+    hash set (int64)."""
+    n = len(wav) // frame
+    if n < 2:
+        return np.empty(0, np.int64)
+    w = np.hanning(frame)
+    m = wav[:n * frame].reshape(n, frame).astype(np.float64) * w
+    spec = np.abs(np.fft.rfft(m, axis=1)) ** 2
+    peaks = (spec[:, 1:].argmax(axis=1) + 1).astype(np.uint64)
+    hs = []
+    for d in range(1, fan + 1):
+        if n <= d:
+            break
+        h = (peaks[:-d] << np.uint64(24)) \
+            ^ (peaks[d:] << np.uint64(4)) ^ np.uint64(d)
+        hs.append(h.astype(np.int64))
+    if not hs:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(hs))
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: decode each audio asset and explode its distinct
+    constellation hashes to (asset_id, fh) rows; the matcher then plays
+    the usual banded-exchange game on fh. In-band error channel (M31)."""
+
+    def __init__(self, codec: Optional[Codec] = None, frame: int = 512,
+                 fan: int = 3):
+        self.codec = codec or RawCodec()
+        self.frame = frame
+        self.fan = fan
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fhs = [], []
+        metas = batch["meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for i in range(batch.num_rows):
+            aid = batch["asset_id"][i].as_py()
+            try:
+                wav = np.asarray(
+                    self.codec.decode_audio(payloads[i], metas[i]),
+                    dtype=np.float64)
+                h = audio_fingerprint(wav, self.frame, self.fan)
+            except Exception:
+                continue  # unmatched assets simply emit no hashes
+            ids.extend([aid] * len(h))
+            fhs.append(h)
+        flat = np.concatenate(fhs) if fhs else np.empty(0, np.int64)
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "fh": pa.array(flat, pa.int64())})
+
+
+def audio_fingerprint_pairs(ds, min_shared: int = 5,
+                            group_cap: int = 16,
+                            frame: int = 512, fan: int = 3,
+                            codec: Optional[Codec] = None,
+                            num_buckets: Optional[int] = None):
+    """Near-duplicate audio pairs by shared constellation hashes: decode +
+    fingerprint on the actor pool, ONE exchange on bucket(fh) emits
+    co-occurring asset pairs per hash (per-hash fan-out capped at
+    ``group_cap`` assets — a degenerate hash shared by everything would
+    otherwise emit O(n^2); drops are deterministic lexicographic, same
+    rule both sides), then a bucketed pair-count sum keeps pairs sharing
+    >= min_shared hashes. Output (asset_a, asset_b, shared)."""
+    import ray.data  # noqa: F401
+
+    from ..sharding import auto_buckets, bucket_of_ints
+    from ..functions.agg import bucketed_group_sum_multi
+
+    nb = num_buckets or auto_buckets(None)
+    kwargs = {"codec": codec, "frame": frame, "fan": fan} \
+        if codec is not None else {"frame": frame, "fan": fan}
+
+    fps = ds.filter(expr="kind == 'audio'").map_batches(
+        AudioFingerprintStage, fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 4))
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        fh = b["fh"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pkey", pa.array(bucket_of_ints(fh, nb), pa.int64()))
+
+    def copairs(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        fh = g["fh"].to_numpy(zero_copy_only=False)
+        aid = np.asarray(g["asset_id"].to_pylist(), dtype=object)
+        order = np.lexsort((aid, fh))
+        fh, aid = fh[order], aid[order]
+        starts = np.flatnonzero(np.r_[True, fh[1:] != fh[:-1]]) \
+            if len(fh) else np.empty(0, np.int64)
+        ends = np.r_[starts[1:], len(fh)] if len(fh) else starts
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            members = aid[s:min(e, s + group_cap)]
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    out_a.append(members[x])
+                    out_b.append(members[y])
+        return pa.table({
+            "asset_a": pa.array(out_a, pa.string()),
+            "asset_b": pa.array(out_b, pa.string()),
+            "shared": pa.array(np.ones(len(out_a), np.int64), pa.int64())})
+
+    counted = bucketed_group_sum_multi(
+        fps.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey").map_groups(copairs, batch_format="pyarrow"),
+        ["asset_a", "asset_b"], ["shared"])
+    return counted.filter(expr=f"shared >= {int(min_shared)}")
+
+
+def synth_audio_neardup_table(n_assets: int = 30,
+                              seed: int = 7) -> pa.Table:
+    """Deterministic REAL-WAV media table with planted NEAR-duplicates:
+    each base asset is a 16-segment sine melody encoded as PCM16 WAV; every 4th
+    asset replays the previous asset's sines at 0.8x amplitude with
+    additive noise (sigma 0.005) — different bytes, same spectral
+    landmarks, so only the fingerprint path (not payload equality) can
+    pair them. Shared by the Ray query and its oracle dump."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    seg = 512
+    n_seg = 16
+    n_samp = seg * n_seg
+    ts = np.arange(seg, dtype=np.float64)
+    prev = None
+    for i in range(n_assets):
+        if i % 4 == 3 and prev is not None:
+            sig = prev * 0.8 + rng.normal(0, 0.005, size=n_samp)
+        else:
+            # a "melody": each 512-sample segment has its own dominant
+            # tone, so the per-frame peak track varies and the
+            # constellation is rich (a constant spectrum would collapse
+            # to fan-out many identical landmarks)
+            melody = rng.integers(5, 200, size=n_seg)
+            sig = np.concatenate([
+                0.4 * np.sin(2 * np.pi * int(f) * ts / seg)
+                for f in melody])
+            prev = sig
+        payload = encode_wav_pcm16(np.clip(sig, -1, 1), 16000)
+        rows.append({
+            "asset_id": f"clip-{i:05d}",
+            "kind": "audio",
+            "payload": payload,
+            "meta": {"format": "wav", "width": 0, "height": 0,
+                     "sample_rate": 16000, "n_frames": 0},
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

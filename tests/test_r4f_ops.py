@@ -537,3 +537,47 @@ class TestSourceDivergence:
             "source": pa.array(sources, pa.string())}))
         out = source_divergence(ds).to_pandas()
         assert out["js_micro"].tolist() == [0]
+
+
+from documentprocessor_ray.stages.multimodal import (  # noqa: E402
+    RawCodec, audio_fingerprint, audio_fingerprint_pairs,
+    synth_audio_neardup_table)
+
+
+class TestAudioFingerprint:
+    def test_amplitude_and_noise_invariance(self):
+        """The landmark property: scaling and low-level noise keep the
+        peak-bin track, so the hash sets match almost entirely."""
+        rng = np.random.default_rng(91)
+        seg, n_seg = 512, 16
+        ts = np.arange(seg, dtype=np.float64)
+        sig = np.concatenate([
+            0.4 * np.sin(2 * np.pi * int(f) * ts / seg)
+            for f in rng.integers(5, 200, size=n_seg)])
+        a = set(audio_fingerprint(sig).tolist())
+        b = set(audio_fingerprint(
+            sig * 0.5 + rng.normal(0, 0.004, len(sig))).tolist())
+        assert len(a & b) >= 0.9 * len(a) > 0
+
+    def test_distinct_clips_share_little(self):
+        rng = np.random.default_rng(92)
+        seg, n_seg = 512, 16
+        ts = np.arange(seg, dtype=np.float64)
+        clips = [np.concatenate([
+            0.4 * np.sin(2 * np.pi * int(f) * ts / seg)
+            for f in rng.integers(5, 200, size=n_seg)])
+            for _ in range(2)]
+        a = set(audio_fingerprint(clips[0]).tolist())
+        b = set(audio_fingerprint(clips[1]).tolist())
+        assert len(a & b) < 5
+
+    def test_planted_pairs_recovered(self, ray_session):
+        media = synth_audio_neardup_table(n_assets=24, seed=7)
+        out = audio_fingerprint_pairs(
+            ray.data.from_arrow(media)).to_pandas()
+        got = set(map(tuple, out[["asset_a", "asset_b"]]
+                      .to_numpy().tolist()))
+        exp = {(f"clip-{i-1:05d}", f"clip-{i:05d}")
+               for i in range(24) if i % 4 == 3}
+        assert got == exp
+        assert (out["shared"] >= 5).all()
