@@ -710,6 +710,24 @@ def q_audio_fp_pairs(sf_dir: str) -> "ray.data.Dataset":
     return audio_fingerprint_pairs(ray.data.from_arrow(media))
 
 
+def q_video_clip_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Video clip-containment detection: per-frame aHash landmark sets
+    (real raw-rgb24 decode on the actor pool) through the SAME generic
+    shared-hash matcher as audio constellations
+    (stages/multimodal.video_clip_pairs). The corpus plants byte-identical
+    frame sub-ranges under new asset ids (a cut/trim), which payload
+    equality cannot pair but frame-level landmarks must. Oracle-DUMP
+    twin: single-process landmarks + dict matching, identical cap."""
+    from ..stages.multimodal import synth_video_clip_table, video_clip_pairs
+    from . import oracle_dump as OD
+
+    n = max(30, int(3000 * _sf_of_dir(sf_dir)))
+    media = synth_video_clip_table(n_assets=n, seed=9)
+    OD.dump("video_clip_pairs", f"vcp:v1:n{n}:seed9",
+            lambda: OD.video_clip_pairs_expected(media))
+    return video_clip_pairs(ray.data.from_arrow(media))
+
+
 def q_source_divergence(sf_dir: str) -> "ray.data.Dataset":
     """Pairwise Jensen-Shannon divergence between per-source unigram
     distributions — the corpus-drift monitor (textstats.source_divergence):
@@ -7872,7 +7890,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "bigram_surprisal", "dsir_logweight", "trigram_backoff",
-                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats", "source_divergence", "audio_fp_pairs",
+                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats", "source_divergence", "audio_fp_pairs", "video_clip_pairs",
                    "trainready_shards",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
@@ -8058,6 +8076,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "trainready_shards": q_trainready_shards,
     "source_divergence": q_source_divergence,
     "audio_fp_pairs": q_audio_fp_pairs,
+    "video_clip_pairs": q_video_clip_pairs,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

@@ -1182,3 +1182,36 @@ def audio_fp_pairs_expected(media: pa.Table, min_shared: int = 5,
         "asset_b": pa.array([r[1] for r in rows], pa.string()),
         "shared": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def video_clip_pairs_expected(media: pa.Table, min_shared: int = 5,
+                              group_cap: int = 16) -> pa.Table:
+    """Twin of q_video_clip_pairs: single-process frame aHash landmarks
+    through the shared video_frame_sigs kernel + dict matching with the
+    identical per-hash lexicographic cap."""
+    from ..stages.multimodal import RawCodec, video_frame_sigs
+
+    codec = RawCodec()
+    members: dict = {}
+    for i in range(media.num_rows):
+        if media["kind"][i].as_py() != "video":
+            continue
+        aid = media["asset_id"][i].as_py()
+        frames = codec.decode_video_frames(media["payload"][i].as_py(),
+                                           media["meta"][i].as_py(), 1)
+        for h in video_frame_sigs(frames):
+            members.setdefault(int(h), []).append(aid)
+    counts: dict = {}
+    for h, aids in members.items():
+        aids = sorted(aids)[:group_cap]
+        for x in range(len(aids)):
+            for y in range(x + 1, len(aids)):
+                k = (aids[x], aids[y])
+                counts[k] = counts.get(k, 0) + 1
+    rows = sorted((a, b, c) for (a, b), c in counts.items()
+                  if c >= min_shared)
+    return pa.table({
+        "asset_a": pa.array([r[0] for r in rows], pa.string()),
+        "asset_b": pa.array([r[1] for r in rows], pa.string()),
+        "shared": pa.array([r[2] for r in rows], pa.int64()),
+    })

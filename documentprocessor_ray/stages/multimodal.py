@@ -2196,13 +2196,28 @@ def audio_fingerprint_pairs(ds, min_shared: int = 5,
     from ..sharding import auto_buckets, bucket_of_ints
     from ..functions.agg import bucketed_group_sum_multi
 
-    nb = num_buckets or auto_buckets(None)
     kwargs = {"codec": codec, "frame": frame, "fan": fan} \
         if codec is not None else {"frame": frame, "fan": fan}
 
     fps = ds.filter(expr="kind == 'audio'").map_batches(
         AudioFingerprintStage, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=8, concurrency=(1, 4))
+    return shared_hash_pairs(fps, min_shared=min_shared,
+                             group_cap=group_cap, num_buckets=num_buckets)
+
+
+def shared_hash_pairs(fps, min_shared: int = 5, group_cap: int = 16,
+                      num_buckets: Optional[int] = None):
+    """Generic landmark matcher over (asset_id, fh) rows — shared by the
+    audio-constellation and video-clip paths: ONE exchange on bucket(fh)
+    emits co-occurring asset pairs per hash (per-hash fan-out capped at
+    group_cap in lexicographic order, same rule as the oracle replay),
+    then a bucketed pair-count sum keeps pairs sharing >= min_shared
+    hashes. Output (asset_a, asset_b, shared)."""
+    from ..sharding import auto_buckets, bucket_of_ints
+    from ..functions.agg import bucketed_group_sum_multi
+
+    nb = num_buckets or auto_buckets(None)
 
     def add_pkey(b: pa.Table) -> pa.Table:
         fh = b["fh"].to_numpy(zero_copy_only=False)
@@ -2272,5 +2287,103 @@ def synth_audio_neardup_table(n_assets: int = 30,
             "payload": payload,
             "meta": {"format": "wav", "width": 0, "height": 0,
                      "sample_rate": 16000, "n_frames": 0},
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+# --- video clip-containment detection (per-frame aHash landmarks) ---
+
+def video_frame_sigs(frames) -> np.ndarray:
+    """Per-frame 64-bit aHash landmark set for one video (the same
+    block-mean aHash ImageAHashStage uses, applied frame-wise). A clip
+    cut from a longer video shares byte-identical frames, so its
+    landmark set is a subset of the source's. Pure, shared with the
+    oracle twin; returns DISTINCT int64 hashes."""
+    sigs = []
+    for f in frames:
+        luma = (f.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+        small = _resize_nn(luma[..., None], 8, 8)[..., 0]
+        bits = (small.astype(np.int64)
+                > int(small.astype(np.int64).mean())).ravel()
+        sig = np.uint64(0)
+        for b in np.flatnonzero(bits):
+            sig |= np.uint64(1) << np.uint64(b)
+        sigs.append(np.int64(sig.astype(np.int64)))
+    if not sigs:
+        return np.empty(0, np.int64)
+    return np.unique(np.asarray(sigs, dtype=np.int64))
+
+
+class VideoFrameSigStage:
+    """Actor-pool stage: decode EVERY frame (stride 1 — containment needs
+    the full track) and explode the distinct frame-hash landmarks to
+    (asset_id, fh) rows for shared_hash_pairs."""
+
+    def __init__(self, codec: Optional[Codec] = None):
+        self.codec = codec or RawCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fhs = [], []
+        metas = batch["meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for i in range(batch.num_rows):
+            aid = batch["asset_id"][i].as_py()
+            try:
+                frames = self.codec.decode_video_frames(
+                    payloads[i], metas[i], 1)
+                h = video_frame_sigs(frames)
+            except Exception:
+                continue
+            ids.extend([aid] * len(h))
+            fhs.append(h)
+        flat = np.concatenate(fhs) if fhs else np.empty(0, np.int64)
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "fh": pa.array(flat, pa.int64())})
+
+
+def video_clip_pairs(ds, min_shared: int = 5, group_cap: int = 16,
+                     codec: Optional[Codec] = None,
+                     num_buckets: Optional[int] = None):
+    """Clip-containment pairs: videos sharing >= min_shared distinct
+    frame aHashes (a cut/trim of a source video re-uses its frames
+    byte-for-byte; re-encoded near-dups would need Hamming-tolerant
+    matching — image_phash_pairs' banded exchange is the template)."""
+    kwargs = {"codec": codec} if codec is not None else {}
+    fps = ds.filter(expr="kind == 'video'").map_batches(
+        VideoFrameSigStage, fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 4))
+    return shared_hash_pairs(fps, min_shared=min_shared,
+                             group_cap=group_cap, num_buckets=num_buckets)
+
+
+def synth_video_clip_table(n_assets: int = 30, seed: int = 9) -> pa.Table:
+    """Deterministic raw-rgb24 video table with planted CLIPS: every 4th
+    asset is frames [4, 12) of the previous asset (byte-identical
+    sub-range, different asset) — the containment case only frame-level
+    landmarks can pair. 16 frames of 32x32 structured noise per base."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    h = w = 32
+    prev = None
+    for i in range(n_assets):
+        if i % 4 == 3 and prev is not None:
+            frames = prev[4 * h * w * 3:12 * h * w * 3]
+        else:
+            # per-frame random block pattern (distinct aHash per frame)
+            fr = []
+            for _ in range(16):
+                base = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+                fr.append(np.repeat(np.repeat(base, 8, 0), 8, 1))
+            frames = np.concatenate([f.ravel() for f in fr]) \
+                .astype(np.uint8).tobytes()
+            prev = frames
+        rows.append({
+            "asset_id": f"vid-{i:05d}",
+            "kind": "video",
+            "payload": frames,
+            "meta": {"format": "rgb24", "width": w, "height": h,
+                     "sample_rate": 0, "n_frames": len(frames)
+                     // (h * w * 3)},
         })
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)

@@ -581,3 +581,30 @@ class TestAudioFingerprint:
                for i in range(24) if i % 4 == 3}
         assert got == exp
         assert (out["shared"] >= 5).all()
+
+
+from documentprocessor_ray.stages.multimodal import (  # noqa: E402
+    synth_video_clip_table, video_clip_pairs, video_frame_sigs)
+
+
+class TestVideoClipPairs:
+    def test_planted_clips_recovered(self, ray_session):
+        media = synth_video_clip_table(n_assets=24, seed=9)
+        out = video_clip_pairs(ray.data.from_arrow(media)).to_pandas()
+        got = set(map(tuple, out[["asset_a", "asset_b"]]
+                      .to_numpy().tolist()))
+        exp = {(f"vid-{i-1:05d}", f"vid-{i:05d}")
+               for i in range(24) if i % 4 == 3}
+        assert got == exp
+        assert (out["shared"] >= 5).all()
+
+    def test_sig_kernel_distinct_frames(self):
+        rng = np.random.default_rng(95)
+        frames = [np.repeat(np.repeat(
+            rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8), 8, 0),
+            8, 1) for _ in range(10)]
+        sigs = video_frame_sigs(frames)
+        assert len(sigs) >= 8  # block patterns hash distinctly
+        # a sub-range's landmark set is a subset of the source's
+        sub = video_frame_sigs(frames[2:7])
+        assert set(sub.tolist()) <= set(sigs.tolist())
