@@ -1988,3 +1988,94 @@ def source_divergence_reference(texts: List[str],
             js = int(js_contrib_micro(c_a, n_of[a], c_b, n_of[b]).sum())
             out.append((a, b, js))
     return out
+
+
+# --- TextTiling topic segmentation (Hearst 1997) ---
+
+def tiling_boundaries(th: np.ndarray, w: int = 20,
+                      step: int = 10) -> List[int]:
+    """Topic-boundary TOKEN offsets for one document (Hearst 1997
+    TextTiling, block-comparison variant): token-count vectors over
+    adjacent w-token blocks at every step-token gap, lexical cohesion =
+    cosine similarity (quantized ONCE to 1e-6), depth score at each gap
+    = (nearest left peak - score) + (nearest right peak - score), and a
+    boundary wherever depth > mean_depth (mean over gaps, quantized) —
+    the parameter-free cutoff. Pure (operates on token hashes), shared
+    by the distributed operator and the oracle twin; all comparisons
+    happen on int64-quantized values so float noise cannot move a
+    boundary."""
+    n = len(th)
+    gaps = list(range(w, n - w + 1, step))
+    if not gaps:
+        return []
+    scores = np.empty(len(gaps), np.int64)
+    for gi, g in enumerate(gaps):
+        left = th[g - w:g]
+        right = th[g:g + w]
+        ul, cl = np.unique(left, return_counts=True)
+        ur, cr = np.unique(right, return_counts=True)
+        common, li, ri = np.intersect1d(ul, ur, assume_unique=True,
+                                        return_indices=True)
+        dot = int((cl[li].astype(np.int64)
+                   * cr[ri].astype(np.int64)).sum())
+        na = float((cl.astype(np.int64) ** 2).sum())
+        nb = float((cr.astype(np.int64) ** 2).sum())
+        scores[gi] = int(np.round(1e6 * dot / np.sqrt(na * nb)))
+    # depth: rise to the nearest strictly-higher run on each side
+    depth = np.zeros(len(gaps), np.int64)
+    for i in range(len(gaps)):
+        lpeak = scores[i]
+        j = i - 1
+        while j >= 0 and scores[j] >= lpeak:
+            lpeak = scores[j]
+            j -= 1
+        rpeak = scores[i]
+        j = i + 1
+        while j < len(gaps) and scores[j] >= rpeak:
+            rpeak = scores[j]
+            j += 1
+        depth[i] = (lpeak - scores[i]) + (rpeak - scores[i])
+    if not depth.any():
+        return []
+    thresh = int(depth.sum() // len(depth))  # exact integer mean floor
+    return [gaps[i] for i in range(len(gaps))
+            if depth[i] > thresh and depth[i] > 0]
+
+
+def text_tiling(ds: "ray.data.Dataset", w: int = 20,
+                step: int = 10) -> "ray.data.Dataset":
+    """TextTiling topic segmentation per document — the RAG-prep chunker
+    that cuts at SUBJECT shifts instead of fixed token windows
+    (chunk_text): zero shuffles, one vectorized tokenize pass, the pure
+    tiling_boundaries kernel per doc. Output: (doc_id, n_tokens,
+    n_tiles, boundary_checksum) where n_tiles = boundaries + 1 and the
+    checksum is sum((i+1) * (offset+1)) — order-sensitive, so the gate
+    pins every boundary position."""
+    def score(b: pa.Table) -> pa.Table:
+        split, empty = _tokens_list(
+            pc.utf8_lower(b["text"].combine_chunks()))
+        raw_lens = pc.list_value_length(split) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        emp = empty.to_numpy(zero_copy_only=False)
+        lens = np.where(emp, 0, raw_lens)
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        keep = np.repeat(~emp, raw_lens)
+        flat = flat[keep] if len(flat) else flat
+        th = _token_hashes(np.asarray(flat, dtype=object)).view(np.int64)
+        starts = np.cumsum(lens) - lens
+        out_n, out_t, out_c = [], [], []
+        for i in range(len(lens)):
+            doc_th = th[starts[i]:starts[i] + lens[i]]
+            bounds = tiling_boundaries(doc_th, w, step)
+            chk = sum((k + 1) * (off + 1)
+                      for k, off in enumerate(bounds))
+            out_n.append(int(lens[i]))
+            out_t.append(len(bounds) + 1)
+            out_c.append(chk)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "n_tiles": pa.array(out_t, pa.int64()),
+            "boundary_checksum": pa.array(out_c, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

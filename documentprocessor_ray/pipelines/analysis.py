@@ -710,6 +710,22 @@ def q_audio_fp_pairs(sf_dir: str) -> "ray.data.Dataset":
     return audio_fingerprint_pairs(ray.data.from_arrow(media))
 
 
+def q_text_tiling(sf_dir: str) -> "ray.data.Dataset":
+    """TextTiling topic segmentation (Hearst 1997): block-comparison
+    lexical cohesion valleys become tile boundaries — the RAG chunker
+    that cuts at subject shifts instead of fixed windows (chunk_text).
+    Zero shuffles; every score/depth/threshold comparison happens on
+    int64-quantized values (textstats.tiling_boundaries), so the
+    order-sensitive boundary checksum hash-gates every cut position.
+    Oracle-DUMP twin: per-doc loop through the shared kernel."""
+    from . import oracle_dump as OD
+
+    OD.dump("text_tiling",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.text_tiling_expected(sf_dir))
+    return T.text_tiling(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_video_clip_pairs(sf_dir: str) -> "ray.data.Dataset":
     """Video clip-containment detection: per-frame aHash landmark sets
     (real raw-rgb24 decode on the actor pool) through the SAME generic
@@ -7890,7 +7906,7 @@ from . import oracle_dump as _OD  # noqa: E402 — after ORACLE_SQL is built
 for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "image_phash_pairs", "kmeans_clusters", "semdedup",
                    "bigram_surprisal", "dsir_logweight", "trigram_backoff",
-                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats", "source_divergence", "audio_fp_pairs", "video_clip_pairs",
+                   "kn_trigram", "tokbin_roundtrip", "cdc_chunk_stats", "source_divergence", "audio_fp_pairs", "video_clip_pairs", "text_tiling",
                    "trainready_shards",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
@@ -8077,6 +8093,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "source_divergence": q_source_divergence,
     "audio_fp_pairs": q_audio_fp_pairs,
     "video_clip_pairs": q_video_clip_pairs,
+    "text_tiling": q_text_tiling,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

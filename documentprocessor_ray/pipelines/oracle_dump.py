@@ -1215,3 +1215,33 @@ def video_clip_pairs_expected(media: pa.Table, min_shared: int = 5,
         "asset_b": pa.array([r[1] for r in rows], pa.string()),
         "shared": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def text_tiling_expected(sf_dir: str, w: int = 20,
+                         step: int = 10) -> pa.Table:
+    """Twin of q_text_tiling: plain per-doc loop through the shared
+    tiling_boundaries kernel — no Ray."""
+    import re
+
+    from ..functions.textstats import _token_hashes, tiling_boundaries
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    out_d, out_n, out_t, out_c = [], [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        s = re.sub(r"^\s+|\s+$", "", (text or "").lower())
+        toks = re.split(r"\s+", s) if s else []
+        th = _token_hashes(np.asarray(toks, dtype=object)) \
+            .view(np.int64) if toks else np.empty(0, np.int64)
+        bounds = tiling_boundaries(th, w, step)
+        out_d.append(int(did))
+        out_n.append(len(th))
+        out_t.append(len(bounds) + 1)
+        out_c.append(sum((k + 1) * (off + 1)
+                         for k, off in enumerate(bounds)))
+    return pa.table({
+        "doc_id": pa.array(out_d, pa.int64()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+        "n_tiles": pa.array(out_t, pa.int64()),
+        "boundary_checksum": pa.array(out_c, pa.int64()),
+    })

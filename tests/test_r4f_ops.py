@@ -608,3 +608,52 @@ class TestVideoClipPairs:
         # a sub-range's landmark set is a subset of the source's
         sub = video_frame_sigs(frames[2:7])
         assert set(sub.tolist()) <= set(sigs.tolist())
+
+
+from documentprocessor_ray.functions.textstats import (  # noqa: E402
+    _token_hashes as _th_kernel, text_tiling, tiling_boundaries)
+
+
+class TestTextTiling:
+    def _hashes(self, words):
+        return _th_kernel(np.asarray(words, dtype=object)).view(np.int64)
+
+    def test_planted_topic_shift(self):
+        """Two disjoint vocabularies glued at token 100: exactly one deep
+        cohesion valley, and the detected boundary lands near it."""
+        rng = np.random.default_rng(101)
+        a = [f"alpha{int(x)}" for x in rng.integers(0, 8, 100)]
+        b = [f"beta{int(x)}" for x in rng.integers(0, 8, 100)]
+        bounds = tiling_boundaries(self._hashes(a + b), w=20, step=10)
+        assert len(bounds) >= 1
+        assert any(abs(x - 100) <= 10 for x in bounds)
+
+    def test_uniform_doc_has_fewer_cuts(self):
+        rng = np.random.default_rng(102)
+        uni = [f"w{int(x)}" for x in rng.integers(0, 8, 200)]
+        shift = [f"a{int(x)}" for x in rng.integers(0, 8, 100)] + \
+                [f"b{int(x)}" for x in rng.integers(0, 8, 100)]
+        n_uni = len(tiling_boundaries(self._hashes(uni), 20, 10))
+        n_shift = len(tiling_boundaries(self._hashes(shift), 20, 10))
+        assert n_shift >= 1
+        assert n_uni <= n_shift + 1  # no planted valley to find
+
+    def test_short_doc_no_boundaries(self):
+        assert tiling_boundaries(self._hashes(["x"] * 30), 20, 10) == []
+
+    def test_distributed_matches_kernel(self, ray_session):
+        rng = np.random.default_rng(103)
+        texts = [" ".join(f"t{int(x)}" for x in
+                          rng.integers(0, 30, rng.integers(0, 300)))
+                 for _ in range(30)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(4)
+        out = text_tiling(ds).to_pandas().set_index("doc_id")
+        for d, text in enumerate(texts):
+            toks = text.split()
+            th = self._hashes(toks) if toks else np.empty(0, np.int64)
+            bounds = tiling_boundaries(th, 20, 10)
+            assert out.loc[d, "n_tiles"] == len(bounds) + 1
+            assert out.loc[d, "boundary_checksum"] == \
+                sum((k + 1) * (off + 1) for k, off in enumerate(bounds))
