@@ -354,8 +354,15 @@ def build_ivf_index(ds: "ray.data.Dataset", index_dir: str,
     here it is hive-partitioned parquet with identical pruning semantics."""
     marker = os.path.join(index_dir, "_COMPLETE")
     cent_path = os.path.join(index_dir, "centroids.npy")
+    params = f"n_lists={n_lists},sample={sample_size},iters={iters}," \
+             f"seed={seed}"
     if os.path.exists(marker) and os.path.exists(cent_path):
-        return np.load(cent_path)
+        with open(marker) as f:
+            if f.read() == params:
+                return np.load(cent_path)
+    if os.path.isdir(index_dir):
+        import shutil
+        shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     sample = _hash_sample(ds, sample_size)
     cent = _kmeans_fit(sample, n_lists, iters, seed)
@@ -377,15 +384,17 @@ def build_ivf_index(ds: "ray.data.Dataset", index_dir: str,
                        partition_cols=["list_id"])
     np.save(cent_path, cent)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(params)
     return cent
 
 
 def ivf_probe_dirs(index_dir: str, cent: np.ndarray, qm: np.ndarray,
-                   nprobe: int) -> Tuple[Dict[int, str], List[str]]:
+                   nprobe: int
+                   ) -> Tuple[Dict[int, str], List[str], np.ndarray]:
     """The union of per-query probe lists -> existing partition directories.
-    Returns ({list_id: dir}, all_dirs) so callers (and the pruned-read
-    pytest) can see exactly which fraction of the layout a probe touches."""
+    Returns ({list_id: dir}, all_dirs, probe_lists) so callers (and the
+    pruned-read pytest) see exactly which fraction of the layout a probe
+    touches, and the probe-selection rule lives in ONE place."""
     lists_root = os.path.join(index_dir, "lists")
     all_dirs = sorted(d for d in os.listdir(lists_root)
                       if d.startswith("list_id="))
@@ -396,7 +405,8 @@ def ivf_probe_dirs(index_dir: str, cent: np.ndarray, qm: np.ndarray,
         d = os.path.join(lists_root, f"list_id={l}")
         if os.path.isdir(d):
             probed[l] = d
-    return probed, [os.path.join(lists_root, d) for d in all_dirs]
+    return probed, [os.path.join(lists_root, d) for d in all_dirs], \
+        probe_lists
 
 
 def knn_ivf(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
@@ -421,9 +431,8 @@ def knn_ivf(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
         index_dir = tempfile.mkdtemp(prefix="dpray_ivf_")
     cent = build_ivf_index(ds, index_dir, n_lists=n_lists,
                            sample_size=sample_size, concurrency=concurrency)
-    probed, all_dirs = ivf_probe_dirs(index_dir, cent, qm, nprobe)
-
-    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    probed, all_dirs, probe_lists = ivf_probe_dirs(index_dir, cent, qm,
+                                                    nprobe)
     probes = {int(q): set(int(x) for x in probe_lists[i])
               for i, q in enumerate(qids)}
     shared = ray.put((qids, qm, probes))
@@ -442,7 +451,7 @@ def knn_ivf(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
                           "rank": pa.array([], pa.int64()),
                           "sim": pa.array([], pa.float64())})
         out = ray.data.from_arrow(empty)
-        return (out, {}, all_dirs) if return_probes else out
+        return (out, probed, all_dirs) if return_probes else out
     assigned = ray.data.read_parquet(files)
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -696,9 +705,18 @@ def build_ivfpq_index(ds: "ray.data.Dataset", index_dir: str,
     marker = os.path.join(index_dir, "_COMPLETE")
     cent_path = os.path.join(index_dir, "centroids.npy")
     books_path = os.path.join(index_dir, "books.npy")
+    params = f"n_lists={n_lists},m={m},ksub={ksub},sample={sample_size}," \
+             f"iters={iters}"
     if os.path.exists(marker) and os.path.exists(cent_path) \
             and os.path.exists(books_path):
-        return np.load(cent_path), np.load(books_path)
+        with open(marker) as f:
+            if f.read() == params:  # reuse only a same-geometry index
+                return np.load(cent_path), np.load(books_path)
+    # stale or differently-parameterized layout: wipe it — write_parquet
+    # APPENDS files, so rebuilding into a dirty dir would double rows
+    if os.path.isdir(index_dir):
+        import shutil
+        shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     sample = _hash_sample(ds, sample_size)
     cent = _kmeans_fit(sample, n_lists, iters)
@@ -713,7 +731,7 @@ def build_ivfpq_index(ds: "ray.data.Dataset", index_dir: str,
     np.save(cent_path, cent)
     np.save(books_path, books)
     with open(marker, "w") as f:
-        f.write("ok")
+        f.write(params)
     return cent, books
 
 
@@ -742,9 +760,8 @@ def knn_ivfpq(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
     cent, books = build_ivfpq_index(
         ds, index_dir, n_lists=n_lists, m=m, ksub=ksub,
         sample_size=sample_size, concurrency=concurrency)
-    probed, all_dirs = ivf_probe_dirs(index_dir, cent, qm, nprobe)
-
-    probe_lists = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]
+    probed, all_dirs, probe_lists = ivf_probe_dirs(index_dir, cent, qm,
+                                                    nprobe)
     probes = {int(q): set(int(x) for x in probe_lists[i])
               for i, q in enumerate(qids)}
     qdotc = np.round(qm @ cent.T, 6)
@@ -761,7 +778,7 @@ def knn_ivfpq(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
                           "rank": pa.array([], pa.int64()),
                           "score": pa.array([], pa.float64())})
         out = ray.data.from_arrow(empty)
-        return (out, {}, all_dirs) if return_probes else out
+        return (out, probed, all_dirs) if return_probes else out
     codes_ds = ray.data.read_parquet(files)
 
     def local_topk(batch: pa.Table) -> pa.Table:

@@ -1749,7 +1749,7 @@ def kn_trigram_reference(doc_ids: List[int], texts: List[str],
     bi_types: dict = {}    # h2 -> (hfirst, hsecond)
     hashed = []
     for did, text, is_t in zip(doc_ids, texts, trains):
-        toks = re.split(r"\s+", re.sub(r"^\s+|\s+$", "", text.lower()))
+        toks = re.split(r"\s+", re.sub(r"^\s+|\s+$", "", (text or "").lower()))
         th = _token_hashes(np.asarray(toks, dtype=object))
         h3 = shingle_hashes(th, 3).view(np.int64)
         h2 = shingle_hashes(th, 2).view(np.int64)
@@ -1827,12 +1827,15 @@ def blocklist_scan(ds: "ray.data.Dataset",
         padded = pc.binary_join_element_wise(" ", norm, " ", "")
         hits = [pc.match_substring(padded, p)
                 .to_numpy(zero_copy_only=False) for p in pl]
-        stack = np.stack(hits) if hits else \
-            np.zeros((0, b.num_rows), bool)
-        n = stack.sum(axis=0).astype(np.int64)
+        if hits:
+            stack = np.stack(hits)
+            n = stack.sum(axis=0).astype(np.int64)
+            first = np.where(stack.any(axis=0),
+                             stack.argmax(axis=0), -1)
+        else:  # empty blocklist: nothing is ever blocked
+            n = np.zeros(b.num_rows, np.int64)
+            first = np.full(b.num_rows, -1, np.int64)
         blocked = (n > 0).astype(np.int64)
-        first = np.where(stack.any(axis=0),
-                         stack.argmax(axis=0), -1)
         matched = pa.array(
             [raw[i] if i >= 0 else None for i in first.tolist()],
             pa.string())
@@ -1854,8 +1857,11 @@ def js_contrib_micro(c_a: np.ndarray, n_a: int, c_b: np.ndarray,
     contrib = 0.5*(p*ln(p/m) + q*ln(q/m)) with 0*ln0 = 0, rounded ONCE
     per word to 1e-6 nats so any summation order gives identical int64
     totals. Inputs are exact integer counts."""
-    p = c_a.astype(np.float64) / float(n_a)
-    q = c_b.astype(np.float64) / float(n_b)
+    # a zero-token source has all-zero counts; divide by max(n,1) so its
+    # distribution is exactly zero instead of NaN (the other side then
+    # contributes q*ln2 per word, the correct JS against an empty dist)
+    p = c_a.astype(np.float64) / float(max(n_a, 1))
+    q = c_b.astype(np.float64) / float(max(n_b, 1))
     m = 0.5 * (p + q)
     with np.errstate(divide="ignore", invalid="ignore"):
         ta = np.where(p > 0, p * np.log(p / m), 0.0)

@@ -303,6 +303,17 @@ def q_pack_sequences(sf_dir: str) -> "ray.data.Dataset":
                           bin_size=512)
 
 
+def _dir_key(src: str, version: str = "v1") -> str:
+    """Stable /tmp cache-dir key for a derived artifact of ``src``:
+    md5(version:path:size:mtime_ns)[:12] — regenerating the source file
+    invalidates the key (the WARC-cache staleness discipline)."""
+    import hashlib as _hl
+
+    st = os.stat(src)
+    return _hl.md5(f"{version}:{os.path.normpath(src)}:{st.st_size}:"
+                   f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
+
+
 def q_pack_bfd(sf_dir: str) -> "ray.data.Dataset":
     """Best-fit-decreasing DOC-ATOMIC packing (Ding et al. 2024, "Fewer
     Truncations Improve Language Modeling"): docs shorter than a bin are
@@ -570,11 +581,7 @@ def q_tokbin_roundtrip(sf_dir: str) -> "ray.data.Dataset":
 
     encode = _hashed_ids_batch
 
-    st = os.stat(src)
-    import hashlib as _hl
-    fp = _hl.md5(f"{os.path.normpath(src)}:{st.st_size}:"
-                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
-    shard_dir = os.path.join("/tmp/dpray_tokbin", fp)
+    shard_dir = os.path.join("/tmp/dpray_tokbin", _dir_key(src))
     os.makedirs(shard_dir, exist_ok=True)
     manifest = write_token_shards(
         _read(sf_dir, "documents", ["doc_id", "text"])
@@ -635,8 +642,6 @@ def q_trainready_shards(sf_dir: str) -> "ray.data.Dataset":
     independent-BFD/assemble/checksum with no Ray and no binary format,
     so the hash gate covers packing, materialization AND the shard
     round trip end-to-end."""
-    import hashlib as _hl
-
     from ..functions.window import assemble_packed_bins, pack_bfd
     from ..sources.tokbin import read_token_shards, write_token_shards
     from . import oracle_dump as OD
@@ -661,10 +666,7 @@ def q_trainready_shards(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"doc_id": pc.cast(b["bin_key"], pa.int64()),
                          "tokens": b["tokens"]})
 
-    st = os.stat(src)
-    fp = _hl.md5(f"{os.path.normpath(src)}:{st.st_size}:"
-                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
-    shard_dir = os.path.join("/tmp/dpray_trainready", fp)
+    shard_dir = os.path.join("/tmp/dpray_trainready", _dir_key(src))
     os.makedirs(shard_dir, exist_ok=True)
     write_token_shards(bins.map_batches(to_sink, batch_format="pyarrow"),
                        shard_dir, num_shards=8).materialize()
@@ -3432,14 +3434,12 @@ def q_knn_ivfpq(sf_dir: str) -> "ray.data.Dataset":
     from . import oracle_dump as OD
 
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    fp = _hl.md5(f"v1:{os.path.normpath(src)}:{st.st_size}:"
-                 f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
     OD.dump("knn_ivfpq", OD.file_fingerprint(src),
             lambda: OD.knn_ivfpq_expected(sf_dir))
     return S.knn_ivfpq(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                        n_queries=4, k=10,
-                       index_dir=os.path.join("/tmp/dpray_ivfpq", fp))
+                       index_dir=os.path.join("/tmp/dpray_ivfpq",
+                                              _dir_key(src)))
 
 
 def q_bitext_mine(sf_dir: str) -> "ray.data.Dataset":

@@ -1154,7 +1154,6 @@ def audio_fp_pairs_expected(media: pa.Table, min_shared: int = 5,
     """Twin of q_audio_fp_pairs: single-process fingerprints through the
     shared audio_fingerprint kernel + dict hash->members matching with
     the SAME lexicographic per-hash cap — no Ray, no exchanges."""
-    from ..functions.textstats import _token_hashes  # noqa: F401 (unused)
     from ..stages.multimodal import RawCodec, audio_fingerprint
 
     codec = RawCodec()

@@ -133,26 +133,28 @@ def read_token_shards(shard_dir: str) -> "ray.data.Dataset":
     items = ray.data.from_items([{"idx_path": p} for p in paths])
 
     def parse(b: pa.Table) -> pa.Table:
-        out_did, out_off, out_flat = [], [0], []
+        # one Arrow chunk PER SHARD: each chunk's 32-bit list offsets only
+        # span that shard's tokens, so a batch of many large shards can
+        # never overflow the int32 offset space of a single ListArray
+        tabs = []
         for p in b["idx_path"].to_pylist():
             with open(p, "rb") as f:
                 idx_bytes = f.read()
             with open(p[:-4] + ".bin", "rb") as f:
                 bin_bytes = f.read()
             did, offsets, toks = _decode_shard(idx_bytes, bin_bytes)
-            out_did.append(did)
-            base = out_off[-1]
-            out_off.extend((base + offsets[1:]).tolist())
-            out_flat.append(toks)
-        did = np.concatenate(out_did) if out_did else \
-            np.empty(0, np.int64)
-        flat = np.concatenate(out_flat) if out_flat else \
-            np.empty(0, np.int32)
-        col = pa.ListArray.from_arrays(
-            pa.array(np.asarray(out_off, dtype=np.int64), pa.int64())
-            .cast(pa.int32()),
-            pa.array(flat, pa.int32()))
-        return pa.table({"doc_id": pa.array(did, pa.int64()),
-                         "tokens": col})
+            col = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int64()).cast(pa.int32()),
+                pa.array(toks, pa.int32()))
+            tabs.append(pa.table({
+                "doc_id": pa.array(did, pa.int64()),
+                "tokens": col}))
+        if not tabs:
+            return pa.table({
+                "doc_id": pa.array(np.empty(0, np.int64), pa.int64()),
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(1, np.int32), pa.int32()),
+                    pa.array(np.empty(0, np.int32), pa.int32()))})
+        return pa.concat_tables(tabs)
 
     return items.map_batches(parse, batch_format="pyarrow")

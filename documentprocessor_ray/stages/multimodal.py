@@ -2191,11 +2191,6 @@ def audio_fingerprint_pairs(ds, min_shared: int = 5,
     otherwise emit O(n^2); drops are deterministic lexicographic, same
     rule both sides), then a bucketed pair-count sum keeps pairs sharing
     >= min_shared hashes. Output (asset_a, asset_b, shared)."""
-    import ray.data  # noqa: F401
-
-    from ..sharding import auto_buckets, bucket_of_ints
-    from ..functions.agg import bucketed_group_sum_multi
-
     kwargs = {"codec": codec, "frame": frame, "fan": fan} \
         if codec is not None else {"frame": frame, "fan": fan}
 

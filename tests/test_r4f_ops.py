@@ -657,3 +657,49 @@ class TestTextTiling:
             assert out.loc[d, "n_tiles"] == len(bounds) + 1
             assert out.loc[d, "boundary_checksum"] == \
                 sum((k + 1) * (off + 1) for k, off in enumerate(bounds))
+
+    def test_index_rebuilds_on_param_change(self, ray_session, tmp_path):
+        """A cached index is reused ONLY with the same geometry: changing
+        m/ksub/n_lists must rebuild, not silently serve stale codes."""
+        rng = np.random.default_rng(25)
+        ds = _mk_ds(rng.normal(size=(40, 8)).astype(np.float32))
+        d = str(tmp_path / "geom")
+        a = S.knn_ivfpq(ds, n_queries=2, k=4, n_lists=4, nprobe=4,
+                        m=2, ksub=8, sample_size=40,
+                        index_dir=d).to_pandas()
+        b = S.knn_ivfpq(ds, n_queries=2, k=4, n_lists=4, nprobe=4,
+                        m=4, ksub=8, sample_size=40,
+                        index_dir=d).to_pandas()
+        # m=4 codes reconstruct differently; the call must not crash and
+        # the marker must now record the new geometry
+        with open(f"{d}/_COMPLETE") as f:
+            assert "m=4" in f.read()
+        assert len(b) > 0 and len(a) > 0
+
+
+class TestReviewRegressions:
+    def test_js_zero_token_source_is_finite(self):
+        from documentprocessor_ray.functions.textstats import (
+            js_contrib_micro, source_divergence_reference)
+        # empty source vs a real one: JS(P, 0) = 0.5*KL(P||P/2) = ln2/2
+        # (finite, not the NaN->INT64_MIN garbage the old kernel produced)
+        rows = source_divergence_reference(["a b c", "", "   "],
+                                           ["x", "y", "y"])
+        assert len(rows) == 1
+        half_ln2 = 0.5 * 1e6 * np.log(2)
+        assert abs(rows[0][2] - half_ln2) <= 3  # per-word rounding
+
+    def test_blocklist_empty_phrase_list(self, ray_session):
+        from documentprocessor_ray.functions.textstats import blocklist_scan
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["slow batch", ""], pa.string())}))
+        out = blocklist_scan(ds, []).to_pandas()
+        assert out["blocked"].tolist() == [0, 0]
+        assert out["matched_phrase"].isna().all()
+
+    def test_kn_reference_null_text(self):
+        from documentprocessor_ray.functions.textstats import (
+            kn_trigram_reference)
+        rows = kn_trigram_reference([0, 1], ["a b c d", None], [1, 0])
+        assert [r[0] for r in rows] == [0]  # null doc: no trigrams, no row
