@@ -712,6 +712,33 @@ def q_audio_fp_pairs(sf_dir: str) -> "ray.data.Dataset":
     return audio_fingerprint_pairs(ray.data.from_arrow(media))
 
 
+def q_spatial_join(sf_dir: str) -> "ray.data.Dataset":
+    """Grid-partitioned spatial distance join (the SpatialHadoop/SJMP
+    cell-blocking shape, functions/spatial.py): embedding dims 1-2
+    quantized to int64 coordinates (floor(1e6*x + 0.5), the knn_int8
+    convention DuckDB replays exactly), 3x3 cell replication, one cell
+    exchange, exact-once ownership (home cell of the smaller id). All
+    distance math is int64, so the twin is an EXACT SQL self-join."""
+    from ..functions.spatial import spatial_join
+
+    def to_points(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        n = len(col)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mat = flat.reshape(n, -1)
+        return pa.table({
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            "x": pa.array(np.floor(1e6 * mat[:, 0] + 0.5)
+                          .astype(np.int64), pa.int64()),
+            "y": pa.array(np.floor(1e6 * mat[:, 1] + 0.5)
+                          .astype(np.int64), pa.int64())})
+
+    pts = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(to_points, batch_format="pyarrow")
+    return spatial_join(pts, radius=50000)
+
+
 def q_text_tiling(sf_dir: str) -> "ray.data.Dataset":
     """TextTiling topic segmentation (Hearst 1997): block-comparison
     lexical cohesion valleys become tile boundaries — the RAG chunker
@@ -7936,6 +7963,17 @@ ORACLE_SQL["blocklist_filter"] = (
              for c, p in zip(_BL_LIKE, _BLOCKLIST)) +
     " ELSE NULL END AS matched_phrase FROM n")
 
+ORACLE_SQL["spatial_join"] = r"""
+    WITH p AS (SELECT vec_id,
+                      CAST(FLOOR(1e6 * embedding[1] + 0.5) AS BIGINT) AS x,
+                      CAST(FLOOR(1e6 * embedding[2] + 0.5) AS BIGINT) AS y
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 2500000000"""
+
 ORACLE_SQL["ppl_buckets"] = f"""
     WITH s AS (SELECT * FROM
                read_parquet('{_OD.dump_path("trigram_backoff")}')),
@@ -8094,6 +8132,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "audio_fp_pairs": q_audio_fp_pairs,
     "video_clip_pairs": q_video_clip_pairs,
     "text_tiling": q_text_tiling,
+    "spatial_join": q_spatial_join,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

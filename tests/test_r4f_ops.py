@@ -703,3 +703,45 @@ class TestReviewRegressions:
             kn_trigram_reference)
         rows = kn_trigram_reference([0, 1], ["a b c d", None], [1, 0])
         assert [r[0] for r in rows] == [0]  # null doc: no trigrams, no row
+
+
+from documentprocessor_ray.functions.spatial import (  # noqa: E402
+    spatial_join, spatial_join_reference)
+
+
+class TestSpatialJoin:
+    def _pts_ds(self, ids, xs, ys, parallelism=4):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "x": pa.array(xs, pa.int64()),
+            "y": pa.array(ys, pa.int64())})).repartition(parallelism)
+
+    def test_boundary_inclusive_and_cross_cell(self, ray_session):
+        # r=10: (0,0)-(10,0) exactly r apart but in DIFFERENT cells
+        # (cells of side 10) -> only the 3x3 replication can pair them;
+        # (0,0)-(11,0) is just outside
+        ds = self._pts_ds([1, 2, 3], [0, 10, 21], [0, 0, 0])
+        out = spatial_join(ds, radius=10).to_pandas()
+        got = set(map(tuple, out[["id_a", "id_b"]].to_numpy().tolist()))
+        assert got == {(1, 2)}
+        assert out["d2"].tolist() == [100]
+
+    def test_matches_bruteforce_with_negatives(self, ray_session):
+        rng = np.random.default_rng(111)
+        n = 200
+        ids = list(range(n))
+        xs = rng.integers(-500, 500, n).tolist()
+        ys = rng.integers(-500, 500, n).tolist()
+        out = spatial_join(self._pts_ds(ids, xs, ys),
+                           radius=60).to_pandas()
+        got = sorted(map(tuple, out[["id_a", "id_b", "d2"]]
+                         .to_numpy().tolist()))
+        exp = sorted(spatial_join_reference(ids, xs, ys, 60))
+        assert got == exp
+        # exactly-once: no duplicate pairs
+        assert len(got) == len(set((a, b) for a, b, _ in got))
+
+    def test_dense_cluster_all_pairs(self, ray_session):
+        ds = self._pts_ds([5, 6, 7, 8], [0, 1, 2, 3], [0, 0, 0, 0])
+        out = spatial_join(ds, radius=5).to_pandas()
+        assert len(out) == 6  # C(4,2), all within r
