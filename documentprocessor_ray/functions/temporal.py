@@ -213,3 +213,71 @@ def range_join_broadcast(
         return pa.table(out)
 
     return points.map_batches(match, batch_format="pyarrow")
+
+
+def match_pattern(ds: "ray.data.Dataset", pattern: List[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", type_col: str = "event_type",
+                  num_buckets: Optional[int] = None) -> "ray.data.Dataset":
+    """MATCH_RECOGNIZE-style CONTIGUOUS event-sequence detection per user
+    (the SQL:2016 row-pattern shape for a fixed literal pattern): a match
+    starts at every event whose next len(pattern)-1 events IN THE SAME
+    USER'S (ts, event_id)-ordered stream carry exactly the pattern's
+    types. Output: (user_id, start_event) per match, overlaps allowed —
+    the semantics of the DuckDB lead()-chain twin.
+
+    Scale shape: ONE bucketed shuffle on hash(user); inside each bucket
+    a single lexsort orders every user's stream at once and the pattern
+    test is len(pattern)-1 shifted vector compares with a same-user
+    boundary mask — no per-user loop, no per-row Python. Pattern length
+    is a constant; rows are 3 int64s + a dictionary-encoded type."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = num_buckets or auto_buckets(None)
+    L = len(pattern)
+    if L == 0:
+        raise ValueError("empty pattern")
+    code_of = {t: i for i, t in enumerate(pattern)}
+
+    def add_pkey(b: pa.Table) -> pa.Table:
+        uid = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = b[ts_col].combine_chunks()
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        types = b[type_col].to_pylist()
+        # only the pattern's own types need codes; everything else is -1
+        codes = np.array([code_of.get(t, -1) for t in types], np.int64)
+        return pa.table({
+            user_col: pa.array(uid, pa.int64()),
+            "_ts": ts,
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "_code": pa.array(codes, pa.int64()),
+            "pkey": pa.array(bucket_of_ints(uid, nb), pa.int64())})
+
+    pat_codes = np.array([code_of[t] for t in pattern], np.int64)
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        uid = g[user_col].to_numpy(zero_copy_only=False)
+        ts = g["_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        code = g["_code"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, code = uid[order], eid[order], code[order]
+        n = len(uid)
+        if n < L:
+            return pa.table({
+                "user_id": pa.array(np.empty(0, np.int64), pa.int64()),
+                "start_event": pa.array(np.empty(0, np.int64),
+                                        pa.int64())})
+        ok = code[:n - L + 1] == pat_codes[0]
+        for k in range(1, L):
+            ok &= code[k:n - L + 1 + k] == pat_codes[k]
+            ok &= uid[k:n - L + 1 + k] == uid[:n - L + 1]
+        hits = np.flatnonzero(ok)
+        return pa.table({
+            "user_id": pa.array(uid[hits], pa.int64()),
+            "start_event": pa.array(eid[hits], pa.int64())})
+
+    return ds.map_batches(add_pkey, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(scan, batch_format="pyarrow")

@@ -712,6 +712,20 @@ def q_audio_fp_pairs(sf_dir: str) -> "ray.data.Dataset":
     return audio_fingerprint_pairs(ray.data.from_arrow(media))
 
 
+def q_match_pattern(sf_dir: str) -> "ray.data.Dataset":
+    """SQL:2016 MATCH_RECOGNIZE shape for a literal contiguous pattern:
+    every view -> click -> purchase run inside a user's
+    (ts, event_id)-ordered stream (functions/temporal.match_pattern —
+    one user shuffle, shifted vector compares, no per-user loop). Exact
+    SQL twin: a lead()-chain over the same window."""
+    from ..functions.temporal import match_pattern
+
+    return match_pattern(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_id", "event_type"]),
+        ["view", "click", "purchase"])
+
+
 def q_spatial_join(sf_dir: str) -> "ray.data.Dataset":
     """Grid-partitioned spatial distance join (the SpatialHadoop/SJMP
     cell-blocking shape, functions/spatial.py): embedding dims 1-2
@@ -7963,6 +7977,15 @@ ORACLE_SQL["blocklist_filter"] = (
              for c, p in zip(_BL_LIKE, _BLOCKLIST)) +
     " ELSE NULL END AS matched_phrase FROM n")
 
+ORACLE_SQL["match_pattern"] = r"""
+    WITH o AS (SELECT user_id, event_id, event_type AS t0,
+                      lead(event_type, 1) OVER w AS t1,
+                      lead(event_type, 2) OVER w AS t2
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id AS start_event FROM o
+    WHERE t0 = 'view' AND t1 = 'click' AND t2 = 'purchase'"""
+
 ORACLE_SQL["spatial_join"] = r"""
     WITH p AS (SELECT vec_id,
                       CAST(FLOOR(1e6 * embedding[1] + 0.5) AS BIGINT) AS x,
@@ -8133,6 +8156,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "video_clip_pairs": q_video_clip_pairs,
     "text_tiling": q_text_tiling,
     "spatial_join": q_spatial_join,
+    "match_pattern": q_match_pattern,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

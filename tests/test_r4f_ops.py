@@ -745,3 +745,44 @@ class TestSpatialJoin:
         ds = self._pts_ds([5, 6, 7, 8], [0, 1, 2, 3], [0, 0, 0, 0])
         out = spatial_join(ds, radius=5).to_pandas()
         assert len(out) == 6  # C(4,2), all within r
+
+
+from documentprocessor_ray.functions.temporal import match_pattern  # noqa: E402
+
+
+class TestMatchPattern:
+    def _ev_ds(self, rows, parallelism=3):
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        })).repartition(parallelism)
+
+    def test_contiguity_and_user_boundary(self, ray_session):
+        rows = [
+            (1, 10, 100, "a"), (1, 20, 101, "b"), (1, 30, 102, "c"),
+            # interrupted: a x b c
+            (2, 10, 200, "a"), (2, 20, 201, "x"), (2, 30, 202, "b"),
+            (2, 40, 203, "c"),
+            # pattern split ACROSS users must not match
+            (3, 10, 300, "a"), (3, 20, 301, "b"),
+            (4, 30, 400, "c"),
+        ]
+        out = match_pattern(self._ev_ds(rows),
+                            ["a", "b", "c"]).to_pandas()
+        got = set(map(tuple, out[["user_id", "start_event"]]
+                      .to_numpy().tolist()))
+        assert got == {(1, 100)}
+
+    def test_overlapping_matches(self, ray_session):
+        rows = [(1, t, 100 + t, "a") for t in range(4)]
+        out = match_pattern(self._ev_ds(rows), ["a", "a"]).to_pandas()
+        assert sorted(out["start_event"].tolist()) == [100, 101, 102]
+
+    def test_tie_broken_by_event_id(self, ray_session):
+        # same ts: order by event_id decides contiguity
+        rows = [(1, 10, 2, "b"), (1, 10, 1, "a"), (1, 10, 3, "c")]
+        out = match_pattern(self._ev_ds(rows),
+                            ["a", "b", "c"]).to_pandas()
+        assert out["start_event"].tolist() == [1]
