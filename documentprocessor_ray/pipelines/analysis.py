@@ -712,6 +712,61 @@ def q_audio_fp_pairs(sf_dir: str) -> "ray.data.Dataset":
     return audio_fingerprint_pairs(ray.data.from_arrow(media))
 
 
+def q_spatial_knn(sf_dir: str) -> "ray.data.Dataset":
+    """Radius-bounded spatial k-nearest-neighbors: the grid join's pair
+    stream (both directions) reduced to each point's 5 nearest within
+    the radius, ties broken by neighbor id — a per-key top-k over the
+    cell exchange, no all-pairs anywhere. Exact SQL twin: row_number
+    over the same integer distances."""
+    from ..functions.spatial import spatial_join
+
+    def to_points(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        n = len(col)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mat = flat.reshape(n, -1)
+        return pa.table({
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            "x": pa.array(np.floor(1e6 * mat[:, 0] + 0.5)
+                          .astype(np.int64), pa.int64()),
+            "y": pa.array(np.floor(1e6 * mat[:, 1] + 0.5)
+                          .astype(np.int64), pa.int64())})
+
+    pts = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(to_points, batch_format="pyarrow")
+    pairs = spatial_join(pts, radius=50000)
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        c = b["id_b"].to_numpy(zero_copy_only=False)
+        d = b["d2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pid": pa.array(np.concatenate([a, c]), pa.int64()),
+            "nid": pa.array(np.concatenate([c, a]), pa.int64()),
+            "d2": pa.array(np.concatenate([d, d]), pa.int64())})
+
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        pid = g["pid"].to_numpy(zero_copy_only=False)
+        nid = g["nid"].to_numpy(zero_copy_only=False)
+        d2 = g["d2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, d2, pid))
+        pid, nid, d2 = pid[order], nid[order], d2[order]
+        starts = np.flatnonzero(np.r_[True, pid[1:] != pid[:-1]])
+        within = np.arange(len(pid)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(pid)]))
+        keep = within < 5
+        return pa.table({
+            "pid": pa.array(pid[keep], pa.int64()),
+            "nid": pa.array(nid[keep], pa.int64()),
+            "rank": pa.array(within[keep] + 1, pa.int64()),
+            "d2": pa.array(d2[keep], pa.int64())})
+
+    return pairs.map_batches(both_dirs, batch_format="pyarrow") \
+        .groupby("pid").map_groups(topk, batch_format="pyarrow")
+
+
 def q_match_pattern(sf_dir: str) -> "ray.data.Dataset":
     """SQL:2016 MATCH_RECOGNIZE shape for a literal contiguous pattern:
     every view -> click -> purchase run inside a user's
@@ -7977,6 +8032,22 @@ ORACLE_SQL["blocklist_filter"] = (
              for c, p in zip(_BL_LIKE, _BLOCKLIST)) +
     " ELSE NULL END AS matched_phrase FROM n")
 
+ORACLE_SQL["spatial_knn"] = r"""
+    WITH p AS (SELECT vec_id,
+                      CAST(FLOOR(1e6 * embedding[1] + 0.5) AS BIGINT) AS x,
+                      CAST(FLOOR(1e6 * embedding[2] + 0.5) AS BIGINT) AS y
+               FROM embeddings),
+    e AS (SELECT a.vec_id AS pid, b.vec_id AS nid,
+                 (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+          FROM p a JOIN p b ON a.vec_id <> b.vec_id
+          WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                <= 2500000000),
+    r AS (SELECT pid, nid, d2,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY d2, nid) AS rank
+          FROM e)
+    SELECT pid, nid, rank, d2 FROM r WHERE rank <= 5"""
+
 ORACLE_SQL["match_pattern"] = r"""
     WITH o AS (SELECT user_id, event_id, event_type AS t0,
                       lead(event_type, 1) OVER w AS t1,
@@ -8157,6 +8228,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "text_tiling": q_text_tiling,
     "spatial_join": q_spatial_join,
     "match_pattern": q_match_pattern,
+    "spatial_knn": q_spatial_knn,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

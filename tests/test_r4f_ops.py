@@ -786,3 +786,14 @@ class TestMatchPattern:
         out = match_pattern(self._ev_ds(rows),
                             ["a", "b", "c"]).to_pandas()
         assert out["start_event"].tolist() == [1]
+
+    def test_spatial_knn_rank_semantics(self, ray_session):
+        """kNN over the pair stream: rank orders by (d2, nid), k bounds
+        the neighbor count, and every neighbor is within the radius."""
+        from documentprocessor_ray.pipelines.analysis import q_spatial_knn
+        out = q_spatial_knn("/root/testdata/sf0.001").to_pandas()
+        assert (out["d2"] <= 50000 * 50000).all()
+        g = out[out["pid"] == out["pid"].iloc[0]].sort_values("rank")
+        assert g["rank"].tolist() == list(range(1, len(g) + 1))
+        assert g["d2"].is_monotonic_increasing
+        assert (out.groupby("pid")["rank"].max() <= 5).all()
