@@ -86,7 +86,7 @@ BENCH_QUERIES = [
     "csv_ingest", "domain_mixture", "curriculum_pack", "wds_ingest",
     "interleaved_pack", "unigram_vocab", "unigram_encode",
     "wordpiece_merges", "wordpiece_encode", "extract_corrected",
-    "knn_pq", "knn_ivfpq", "pack_bfd", "kn_trigram", "tokbin_roundtrip", "blocklist_filter", "cdc_chunk_stats", "corpus_dolma", "trainready_shards", "source_divergence", "audio_fp_pairs", "video_clip_pairs", "text_tiling", "spatial_join", "match_pattern", "spatial_knn", "trigram_backoff", "link_communities", "ppl_buckets",
+    "knn_pq", "knn_ivfpq", "pack_bfd", "kn_trigram", "tokbin_roundtrip", "blocklist_filter", "cdc_chunk_stats", "corpus_dolma", "trainready_shards", "source_divergence", "audio_fp_pairs", "video_clip_pairs", "text_tiling", "spatial_join", "match_pattern", "spatial_knn", "mixture_quota", "trigram_backoff", "link_communities", "ppl_buckets",
     "corpus_fineweb",
 ]
 

@@ -712,6 +712,33 @@ def q_audio_fp_pairs(sf_dir: str) -> "ray.data.Dataset":
     return audio_fingerprint_pairs(ray.data.from_arrow(media))
 
 
+def q_mixture_quota(sf_dir: str) -> "ray.data.Dataset":
+    """Largest-remainder apportionment of a 10,000-doc sampling budget
+    across sources (the exact integer PLAN that complements
+    domain_mixture's temperature weights): quota_s = floor(B*n_s/N) plus
+    one extra for the largest remainders (ties -> source asc) until the
+    budget is exact. Counts come from one combiner-first groupby; the
+    apportionment itself is K tiny driver rows — a plan, not data.
+    Exact SQL twin via the same integer div/mod + row_number."""
+    B = 10000
+    counts = _read(sf_dir, "documents", ["source"]) \
+        .groupby("source").count().take_all()
+    rows = sorted((r["source"], int(r["count()"])) for r in counts)
+    tot = sum(n for _, n in rows)
+    base = [(s_, n, (B * n) // tot, (B * n) % tot) for s_, n in rows]
+    leftover = B - sum(b for _, _, b, _ in base)
+    order = sorted(range(len(base)),
+                   key=lambda i: (-base[i][3], base[i][0]))
+    bonus = set(order[:leftover])
+    out = pa.table({
+        "source": pa.array([b[0] for b in base], pa.string()),
+        "n": pa.array([b[1] for b in base], pa.int64()),
+        "quota": pa.array(
+            [b[2] + (1 if i in bonus else 0)
+             for i, b in enumerate(base)], pa.int64())})
+    return ray.data.from_arrow(out)
+
+
 def q_spatial_knn(sf_dir: str) -> "ray.data.Dataset":
     """Radius-bounded spatial k-nearest-neighbors: the grid join's pair
     stream (both directions) reduced to each point's 5 nearest within
@@ -8032,6 +8059,20 @@ ORACLE_SQL["blocklist_filter"] = (
              for c, p in zip(_BL_LIKE, _BLOCKLIST)) +
     " ELSE NULL END AS matched_phrase FROM n")
 
+ORACLE_SQL["mixture_quota"] = r"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents
+               GROUP BY source),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+    q AS (SELECT source, n, (10000 * n) // tot AS base,
+                 (10000 * n) % tot AS rem FROM c, t),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q),
+    l AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS leftover FROM q)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r, l"""
+
 ORACLE_SQL["spatial_knn"] = r"""
     WITH p AS (SELECT vec_id,
                       CAST(FLOOR(1e6 * embedding[1] + 0.5) AS BIGINT) AS x,
@@ -8229,6 +8270,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "spatial_join": q_spatial_join,
     "match_pattern": q_match_pattern,
     "spatial_knn": q_spatial_knn,
+    "mixture_quota": q_mixture_quota,
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,

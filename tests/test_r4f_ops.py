@@ -797,3 +797,15 @@ class TestMatchPattern:
         assert g["rank"].tolist() == list(range(1, len(g) + 1))
         assert g["d2"].is_monotonic_increasing
         assert (out.groupby("pid")["rank"].max() <= 5).all()
+
+
+class TestMixtureQuota:
+    def test_budget_exact_and_largest_remainder(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import (
+            q_mixture_quota)
+        out = q_mixture_quota("/root/testdata/sf0.001").to_pandas()
+        assert out["quota"].sum() == 10000
+        # proportionality: quota within 1 of the exact share
+        tot = out["n"].sum()
+        exact = 10000 * out["n"] / tot
+        assert ((out["quota"] - exact).abs() <= 1).all()
