@@ -93,19 +93,27 @@ def global_rank(
     descending: bool = True,
     n_tiles: Optional[int] = None,
     num_buckets: Optional[int] = None,
+    max_driver_keys: int = 65536,
 ) -> "ray.data.Dataset":
     """Dense global ordering (``row_number() OVER (ORDER BY key, tie_col)``)
     without a global sort: the zipWithIndex primitive.
 
-    Two passes:
-      1. a combiner-first per-``key``-value count aggregate (tiny output:
-         one row per DISTINCT key value — bounded by the key's value range,
-         e.g. document lengths, NOT by row count) whose cumulative sums
-         become the rank offset of every key value; broadcast once with
-         ``ray.put``.
-      2. one hash shuffle of (key, tie_col) rows into buckets; inside each
-         bucket a single lexsort ranks every key-group at once
-         (rank = broadcast offset[key] + position within the key group).
+    Two regimes, switched on the measured DISTINCT count of ``key``:
+
+    * **small cardinality** (≤ ``max_driver_keys``, e.g. document lengths,
+      dates): a combiner-first per-key-value count aggregate (one row per
+      distinct value) whose cumulative sums become each value's rank
+      offset; broadcast once with ``ray.put``, then one hash shuffle of
+      (key, tie_col) rows — inside each bucket a single lexsort ranks
+      every key-group at once.
+    * **high cardinality** (> ``max_driver_keys``): the driver NEVER holds
+      the histogram. Distinct-key counts stay a Dataset; keys are
+      range-bucketed by value, per-bucket totals (≤ ``num_buckets``
+      scalars) give cross-bucket cumulative offsets on the driver, and
+      per-key offsets are derived INSIDE each bucket (local sort + cumsum
+      of the bucket's distinct keys) co-grouped with that bucket's data
+      rows in one shuffle. Driver state: ``num_buckets`` scalars + 3
+      aggregates, independent of distinct-key count.
 
     ``n_tiles`` additionally emits the exact SQL ``ntile(n)`` bucket
     (first n_rows % n tiles get the larger size), computed from the global
@@ -121,8 +129,12 @@ def global_rank(
                          "c": pc.cast(t["count_all"], pa.int64())})
 
     counts = ds.map_batches(partial_counts, batch_format="pyarrow") \
-        .groupby(key).aggregate(ray.data.aggregate.Sum("c"))
-    # driver holds one row per distinct key VALUE (not per input row)
+        .groupby(key).aggregate(ray.data.aggregate.Sum("c")).materialize()
+    if counts.count() > max_driver_keys:
+        return _global_rank_distributed(
+            ds, counts, key, tie_col, descending, n_tiles, num_buckets)
+    # driver holds one row per distinct key VALUE (not per input row),
+    # bounded by max_driver_keys
     ct = counts.to_pandas()
     order = np.argsort(ct[key].to_numpy())
     if descending:
@@ -174,6 +186,124 @@ def global_rank(
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def _global_rank_distributed(
+    ds: "ray.data.Dataset",
+    counts: "ray.data.Dataset",
+    key: str,
+    tie_col: str,
+    descending: bool,
+    n_tiles: Optional[int],
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """High-cardinality leg of :func:`global_rank`: per-key rank offsets are
+    computed distributed, never collected.
+
+    ``counts`` is the materialized (key, c=count) distinct-key dataset.
+    Keys are partitioned into ``num_buckets`` contiguous VALUE ranges (so
+    bucket order == key order); the driver sees only the per-bucket row
+    totals, turns them into cross-bucket cumulative offsets (``num_buckets``
+    int64s, broadcast via ``ray.put``), and one shuffle co-groups each
+    bucket's distinct-key counts with its data rows. Inside the group the
+    bucket's own keys are sorted + cumsum'd to per-key offsets and the data
+    rows ranked against them — identical output to the broadcast-LUT leg.
+    """
+    import ray.data.aggregate as _agg
+
+    mm = counts.aggregate(_agg.Min(key), _agg.Max(key),
+                          _agg.Sum("sum(c)"))
+    kmin = int(mm[f"min({key})"])
+    kmax = int(mm[f"max({key})"])
+    total = int(mm["sum(sum(c))"])
+    span = kmax - kmin + 1  # Python ints: no int64 overflow
+    nb = max(1, min(num_buckets, span))
+    width = np.uint64(-(-span // nb))
+    # two's-complement distance works for ANY int64 pair (0 <= dist < 2^64)
+    base = np.uint64(kmin & 0xFFFFFFFFFFFFFFFF)
+
+    def rb_of(vals: np.ndarray) -> np.ndarray:
+        d = vals.astype(np.int64).view(np.uint64) - base
+        return (d // width).astype(np.int64)
+
+    def count_rows(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key: pa.array(kv, pa.int64()),
+                         "v": pc.cast(b["sum(c)"], pa.int64()),
+                         "rb": pa.array(rb_of(kv), pa.int64()),
+                         "tag": pa.array(np.ones(len(kv), np.int64))})
+
+    # per-bucket totals -> driver: <= num_buckets rows, NOT per-key
+    ckeys = counts.map_batches(count_rows, batch_format="pyarrow") \
+        .materialize()
+
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"rb": b["rb"], "v": b["v"]}).group_by("rb") \
+            .aggregate([("v", "sum")])
+        return pa.table({"rb": t["rb"], "bc": t["v_sum"]})
+
+    bt = ckeys.map_batches(bucket_partials, batch_format="pyarrow") \
+        .groupby("rb").aggregate(ray.data.aggregate.Sum("bc")).to_pandas()
+    rb_ids = bt["rb"].to_numpy().astype(np.int64)
+    rb_tot = bt["sum(bc)"].to_numpy().astype(np.int64)
+    order = np.argsort(rb_ids)
+    if descending:
+        order = order[::-1]
+    boff = np.zeros(nb, np.int64)
+    boff[rb_ids[order]] = np.concatenate(
+        [[0], np.cumsum(rb_tot[order])[:-1]])
+    shared = ray.put(boff)
+
+    def data_rows(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = b[tie_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({key: pa.array(kv, pa.int64()),
+                         "v": pa.array(tv, pa.int64()),
+                         "rb": pa.array(rb_of(kv), pa.int64()),
+                         "tag": pa.array(np.zeros(len(kv), np.int64))})
+
+    unioned = ds.map_batches(data_rows, batch_format="pyarrow").union(ckeys)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        bo = ray.get(shared)
+        tag = g["tag"].to_numpy(zero_copy_only=False)
+        kv = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = g["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rb = int(g["rb"][0].as_py())
+        cmask = tag == 1
+        ck, cc = kv[cmask], vv[cmask]
+        o = np.argsort(-ck if descending else ck)
+        off = bo[rb] + np.concatenate([[0], np.cumsum(cc[o])[:-1]])
+        lut_order = np.argsort(ck[o])
+        lut_keys = ck[o][lut_order]
+        lut_off = off[lut_order]
+        dk, dt = kv[~cmask], vv[~cmask]
+        srt = np.lexsort((dt, -dk if descending else dk))
+        dk_s, dt_s = dk[srt], dt[srt]
+        starts = np.flatnonzero(np.r_[True, dk_s[1:] != dk_s[:-1]]) \
+            if len(dk_s) else np.zeros(0, np.int64)
+        within = np.arange(len(dk_s)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(dk_s)]))
+        rank = lut_off[np.searchsorted(lut_keys, dk_s)] + within + 1
+        cols = {key: pa.array(dk_s, pa.int64()),
+                tie_col: pa.array(dt_s, pa.int64()),
+                "rnk": pa.array(rank, pa.int64())}
+        if n_tiles:
+            n, k = total, n_tiles
+            big = n % k
+            size_big, size_small = -(-n // k), n // k
+            cut = big * size_big
+            r = rank
+            tile = np.where(
+                r <= cut,
+                -(-r // max(size_big, 1)),
+                big + -(-(r - cut) // max(size_small, 1)))
+            cols["quartile" if k == 4 else f"tile{k}"] = \
+                pa.array(tile.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return unioned.groupby("rb").map_groups(
+        rank_group, batch_format="pyarrow")
 
 
 def pack_sequences(ds: "ray.data.Dataset", n_col: str = "n_tokens",

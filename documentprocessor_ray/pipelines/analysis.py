@@ -7213,10 +7213,9 @@ def q_crawl_clean(sf_dir: str) -> "ray.data.Dataset":
     from ..functions.joins import semi_join
     from ..sources.warc import read_warc, write_warc_shards
 
-    sfname = os.path.basename(os.path.normpath(sf_dir))
     shard_dir = write_warc_shards(
         os.path.join(sf_dir, "documents.parquet"),
-        os.path.join("/tmp/dpray_warc", sfname), num_shards=8)
+        _warc_shard_dir(sf_dir), num_shards=8)
 
     def decode(batch: pa.Table) -> pa.Table:
         ids = [int(r.rsplit(":", 1)[-1].rstrip(">"))
