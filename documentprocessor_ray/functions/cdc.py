@@ -91,16 +91,19 @@ def cdc_boundaries_reference(data: bytes, mask: int = 0x3F,
     prev = 0
     h = np.uint64(0)
     msk = np.uint64(mask)
-    for i in range(n):
-        h = (h << _ONE) + _GEAR[data[i]]
-        pos = i + 1
-        if pos - prev >= min_size and pos - prev <= max_size \
-                and (h & msk) == 0 and pos < n:
-            out.append(pos)
-            prev = pos
-        elif pos - prev >= max_size:
-            out.append(pos)
-            prev = pos
+    # the Gear recurrence is mod-2^64 BY DESIGN; silence numpy's expected
+    # per-wrap RuntimeWarning so worker logs stay readable
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            h = (h << _ONE) + _GEAR[data[i]]
+            pos = i + 1
+            if pos - prev >= min_size and pos - prev <= max_size \
+                    and (h & msk) == 0 and pos < n:
+                out.append(pos)
+                prev = pos
+            elif pos - prev >= max_size:
+                out.append(pos)
+                prev = pos
     if prev < n:
         out.append(n)
     return out

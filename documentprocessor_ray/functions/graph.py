@@ -53,6 +53,12 @@ def pagerank(
     nb = num_buckets or auto_buckets(None)
     d_ppm = np.int64(damping_ppm)
 
+    if small_graph_rows:
+        # count() would execute the upstream edge-extraction pipeline and
+        # the algorithm below would execute it AGAIN (r4 ADVICE:
+        # q_link_communities re-parsed all HTML twice) — pin the edge
+        # blocks once and reuse the handle on either path
+        edges = edges.materialize()
     if small_graph_rows and edges.count() <= small_graph_rows:
         # tiny-graph short-circuit (the dedup-clustering lesson: per-round
         # session overhead dwarfs the work below ~1e6 edges): the SAME
@@ -235,6 +241,12 @@ def triangle_counts(
 
     nb = num_buckets or auto_buckets(None)
 
+    if small_graph_rows:
+        # count() would execute the upstream edge-extraction pipeline and
+        # the algorithm below would execute it AGAIN (r4 ADVICE:
+        # q_link_communities re-parsed all HTML twice) — pin the edge
+        # blocks once and reuse the handle on either path
+        edges = edges.materialize()
     if small_graph_rows and edges.count() <= small_graph_rows:
         # tiny-graph short-circuit (the dedup-clustering lesson: chained
         # exchange overhead dwarfs the work below ~1e6 edges): the SAME
@@ -430,6 +442,12 @@ def kcore(
 
     nb = num_buckets or auto_buckets(None)
 
+    if small_graph_rows:
+        # count() would execute the upstream edge-extraction pipeline and
+        # the algorithm below would execute it AGAIN (r4 ADVICE:
+        # q_link_communities re-parsed all HTML twice) — pin the edge
+        # blocks once and reuse the handle on either path
+        edges = edges.materialize()
     if small_graph_rows and edges.count() <= small_graph_rows:
         def one_task(b: pa.Table) -> pa.Table:
             pairs = zip(
@@ -570,6 +588,12 @@ def label_propagation(
 
     nb = num_buckets or auto_buckets(None)
 
+    if small_graph_rows:
+        # count() would execute the upstream edge-extraction pipeline and
+        # the algorithm below would execute it AGAIN (r4 ADVICE:
+        # q_link_communities re-parsed all HTML twice) — pin the edge
+        # blocks once and reuse the handle on either path
+        edges = edges.materialize()
     if small_graph_rows and edges.count() <= small_graph_rows:
         def one_task(b: pa.Table) -> pa.Table:
             pairs = zip(

@@ -42,12 +42,22 @@ def spatial_join(ds: "ray.data.Dataset", radius: int,
     apart). ``cell_cap`` bounds in-cell membership: overfull cells keep
     the lexicographically-first members and the drop is deterministic
     (same rule as the oracle replay) — at production scale an overfull
-    r-cell means the radius is too coarse for the data density."""
+    r-cell means the radius is too coarse for the data density; every
+    cap hit is surfaced with a WARNING log so the coverage loss is
+    visible before any gate diff (r4 ADVICE).
+
+    Coordinate-range invariant (r4 ADVICE): the cell key packs
+    (cell_x, cell_y) as ``cell_x * 2^32 + cell_y``, which is injective
+    — collision-free — iff both cell coordinates fit signed 32 bits,
+    i.e. |coord / radius| < 2^31. That is checked VECTORIZED per batch
+    and violated input raises with guidance instead of silently merging
+    cells ~2^32 apart in y."""
     from ..sharding import auto_buckets, bucket_of_ints
 
     nb = num_buckets or auto_buckets(None)
     r = np.int64(radius)
     r2 = r * r
+    _LIM = np.int64(1) << 31
 
     def emit(b: pa.Table) -> pa.Table:
         pid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -55,6 +65,15 @@ def spatial_join(ds: "ray.data.Dataset", radius: int,
         y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cx = np.floor_divide(x, r)
         cy = np.floor_divide(y, r)
+        if len(cx) and (max(abs(int(cx.min())), abs(int(cx.max())),
+                            abs(int(cy.min())), abs(int(cy.max())))
+                        + 1 >= int(_LIM)):
+            raise ValueError(
+                "spatial_join cell coordinates exceed signed 32 bits "
+                f"(|coord/radius| must be < 2^31; got cx range "
+                f"[{cx.min()}, {cx.max()}], cy range [{cy.min()}, "
+                f"{cy.max()}]) — the packed cell key would collide. "
+                "Quantize coarser or pre-shift coordinates.")
         n = len(pid)
         reps = []
         for dx in (-1, 0, 1):
@@ -87,7 +106,12 @@ def spatial_join(ds: "ray.data.Dataset", radius: int,
             if len(cell) else np.empty(0, np.int64)
         ends = np.r_[starts[1:], len(cell)] if len(cell) else starts
         out_a, out_b, out_d = [], [], []
+        n_overfull = 0
+        n_dropped = 0
         for s, e in zip(starts, ends):
+            if e - s > cell_cap:
+                n_overfull += 1
+                n_dropped += (e - s) - cell_cap
             e = min(e, s + cell_cap)
             cp, cx_, cy_, ch = pid[s:e], x[s:e], y[s:e], home[s:e]
             if not ch.any():
@@ -101,6 +125,15 @@ def spatial_join(ds: "ray.data.Dataset", radius: int,
             out_a.extend(cp[ii].tolist())
             out_b.extend(cp[jj].tolist())
             out_d.extend(d2[ii, jj].tolist())
+        if n_overfull:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "spatial_join: %d cell(s) hit cell_cap=%d in this group "
+                "(%d replicated member rows deterministically dropped) — "
+                "pairs touching the dropped members are NOT reported; "
+                "raise cell_cap or coarsen the radius",
+                n_overfull, cell_cap, n_dropped)
         return pa.table({
             "id_a": pa.array(out_a, pa.int64()),
             "id_b": pa.array(out_b, pa.int64()),

@@ -581,7 +581,11 @@ def q_tokbin_roundtrip(sf_dir: str) -> "ray.data.Dataset":
 
     encode = _hashed_ids_batch
 
-    shard_dir = os.path.join("/tmp/dpray_tokbin", _dir_key(src))
+    # shard count + encoding params live in the cache key (r4 ADVICE):
+    # changing num_shards or the hashed vocab must miss, not glob stale
+    # shard-*.idx files back in
+    shard_dir = os.path.join("/tmp/dpray_tokbin",
+                             _dir_key(src, version="s8-hv32768-v1"))
     os.makedirs(shard_dir, exist_ok=True)
     manifest = write_token_shards(
         _read(sf_dir, "documents", ["doc_id", "text"])
@@ -624,7 +628,11 @@ def _lm_scored_cached(sf_dir: str, which: str) -> "ray.data.Dataset":
     if ds is None:
         builder = q_kn_trigram if which == "kn" else q_trigram_backoff
         ds = builder(sf_dir).materialize()
-        stale = [k for k in _LM_SCORE_CACHE if k[2] != key[2]]
+        # bound the cache (r4 ADVICE): evict entries from other Ray
+        # sessions AND other sf_dirs — only the current corpus's scores
+        # stay pinned in the object store
+        stale = [k for k in _LM_SCORE_CACHE
+                 if k[2] != key[2] or k[0] != key[0]]
         for k in stale:
             del _LM_SCORE_CACHE[k]
         _LM_SCORE_CACHE[key] = ds
@@ -666,7 +674,9 @@ def q_trainready_shards(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"doc_id": pc.cast(b["bin_key"], pa.int64()),
                          "tokens": b["tokens"]})
 
-    shard_dir = os.path.join("/tmp/dpray_trainready", _dir_key(src))
+    shard_dir = os.path.join(
+        "/tmp/dpray_trainready",
+        _dir_key(src, version="s8-b512-p256-hv32768-v1"))
     os.makedirs(shard_dir, exist_ok=True)
     write_token_shards(bins.map_batches(to_sink, batch_format="pyarrow"),
                        shard_dir, num_shards=8).materialize()
