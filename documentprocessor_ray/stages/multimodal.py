@@ -1078,6 +1078,22 @@ def _vp8l_sub(size: int, bits: int) -> int:
     return (size + (1 << bits) - 1) >> bits
 
 
+def _vp8l_dist_map() -> list:
+    """The spec's 120-entry short-distance neighbor map (WebP lossless
+    bitstream spec, 'Decoding of Distances'): dist_codes 1..120 address
+    nearby PIXELS rather than scan-line distances. The map is generated,
+    not transcribed: all (dx, dy) with dy in 0..7, dx in -7..8 (dy == 0
+    restricted to dx >= 1), enumerated by increasing squared distance,
+    larger dy first within a tie, positive dx before its negative."""
+    cand = [(dx, dy) for dy in range(8) for dx in range(-7, 9)
+            if dy > 0 or dx >= 1]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+    return cand
+
+
+_VP8L_DIST_MAP = _vp8l_dist_map()
+
+
 def _vp8l_decode_image(br: _LsbReader, w: int, h: int,
                        is_level0: bool) -> np.ndarray:
     """DecodeImageStream: returns (h*w,) uint32 ARGB pixels."""
@@ -1168,11 +1184,13 @@ def _vp8l_decode_image(br: _LsbReader, w: int, h: int,
             length = _vp8l_copy_val(s - 256, br)
             dist_sym = br.read_code(g[4])
             dist_code = _vp8l_copy_val(dist_sym, br)
-            if dist_code <= 120:
-                raise NotImplementedError(
-                    "VP8L short-distance-map back-refs (dist_code <= 120) "
-                    "not supported in this from-scratch build")
-            dist = dist_code - 120
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                ddx, ddy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = ddy * xsize + ddx
+                if dist < 1:
+                    dist = 1
             if dist > pos:
                 raise ValueError("VP8L back-ref beyond start")
             for _ in range(length):

@@ -2,7 +2,11 @@
 and its oracle_sql() twin on an sf dir; compare row count, column names and
 order-insensitive values. Usage:
 
-    python scripts/check_oracle.py [sf_dir] [query ...]
+    python scripts/check_oracle.py [sf_dir] [query ...] [--json OUT.json]
+
+With --json, a driver-format record per query ({rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err, secs}) is written to OUT.json —
+the full-registry correctness artifact (CORRECTNESS_full_r{N}.json).
 """
 
 from __future__ import annotations
@@ -45,8 +49,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    records = {}
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  ignore_reinit_error=True, log_to_driver=False)
@@ -63,32 +74,45 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {"err": None, "hash_match": None, "oracle_rows": None,
+               "rows_match": None, "schema_match": None, "spark_rows": None,
+               "secs": None}
+        records[name] = rec
         t0 = time.time()
         try:
             mine = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: query raised {type(e).__name__}: {e}")
+            rec["err"] = f"query raised {type(e).__name__}: {e}"
+            print(f"FAIL  {name}: {rec['err']}")
             continue
         dt = time.time() - t0
+        rec["secs"] = round(dt, 2)
+        rec["spark_rows"] = len(mine)
         if name not in oracles:
+            rec["rows_match"] = len(mine) > 0
             print(f"ok    {name}: rows-only ({len(mine)} rows, {dt:.1f}s)")
             continue
         try:
             exp = canon(con.execute(oracles[name]).df())
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: oracle SQL raised {e}")
+            rec["err"] = f"oracle SQL raised {e}"
+            print(f"FAIL  {name}: {rec['err']}")
             continue
-        if list(mine.columns) != list(exp.columns):
+        rec["oracle_rows"] = len(exp)
+        rec["schema_match"] = list(mine.columns) == list(exp.columns)
+        if not rec["schema_match"]:
             failures.append(name)
             print(f"FAIL  {name}: columns {list(mine.columns)} != {list(exp.columns)}")
             continue
-        if len(mine) != len(exp):
+        rec["rows_match"] = len(mine) == len(exp)
+        if not rec["rows_match"]:
             failures.append(name)
             print(f"FAIL  {name}: rows {len(mine)} != {len(exp)}")
             continue
         eq = mine.equals(exp)
+        rec["hash_match"] = bool(eq)
         if not eq:
             # locate first differing cell for debugging
             diff_cols = [c for c in mine.columns if not mine[c].equals(exp[c])]
@@ -105,6 +129,14 @@ def main():
             failures.append(name)
             continue
         print(f"ok    {name}: {len(mine)} rows match ({dt:.1f}s)")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(records),
+                       "n_failures": len(failures), "failures": failures,
+                       "results": records}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(records)} queries)")
     print("\n" + ("ALL OK" if not failures else f"FAILURES: {failures}"))
     sys.exit(1 if failures else 0)
 

@@ -269,29 +269,89 @@ class TestRealCodecRouting:
             encode_webp_lossless(img, subtract_green=True), {})
         assert (out == img).all()
 
+    def test_real_vp8x_container_routes_to_honest_error(self):
+        """A REAL libwebp-encoded file (CPython's test corpus: VP8X
+        extended container + ALPH chunk + lossy VP8 frame) must route
+        through the RIFF walker to the documented lossy-VP8 gap error,
+        not crash on the VP8X/ALPH chunks."""
+        import glob
+
+        hits = glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
+                         "test_email/data/python.webp")
+        if not hits:
+            pytest.skip("no real webp fixture in this environment")
+        data = open(hits[0], "rb").read()
+        with pytest.raises(NotImplementedError, match="lossy"):
+            _webp_decode(data)
+
     def test_lossy_vp8_raises(self):
         payload = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + \
             b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
         with pytest.raises(NotImplementedError):
             _webp_decode(payload)
 
-    def test_short_distance_refs_raise(self):
-        """dist_code <= 120 (the spec's neighbor map) is a documented gap."""
+    def test_short_distance_map_above_pixel(self):
+        """dist_code 1 -> neighbor (0, 1): copy the pixel directly above
+        (spec short-distance map, r4 VERDICT codec-gap item)."""
+        from documentprocessor_ray.stages.multimodal import _green_code
+
+        bw = _LsbWriter()
+        _header(bw, 4, 2)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        bw.put(0, 1)
+        _put_literal_codes(bw, 0)
+        for gval in (10, 20, 30, 40):
+            c, n = _green_code(gval, 0)
+            bw.put_code(c, n)
+            bw.put_code(5, 8)    # red
+            bw.put_code(6, 8)    # blue
+            bw.put_code(255, 8)  # alpha
+        c, n = _green_code(256 + 3, 0)  # length sym 3 -> length 4
+        bw.put_code(c, n)
+        bw.put_code(0, 5)  # dist sym 0 -> dist_code 1 -> (0, 1)
+        out = _webp_decode(_wrap(b"\x2f" + bw.getvalue()))
+        assert out.shape == (2, 4, 3)
+        for x, g in enumerate((10, 20, 30, 40)):
+            assert out[0, x].tolist() == [5, g, 6]
+        assert (out[1] == out[0]).all()
+
+    def test_short_distance_map_prev_pixel(self):
+        """dist_code 2 -> neighbor (1, 0): distance 1, i.e. run of the
+        previous pixel."""
+        from documentprocessor_ray.stages.multimodal import _green_code
+
         bw = _LsbWriter()
         _header(bw, 4, 1)
         bw.put(0, 1)
         bw.put(0, 1)
         bw.put(0, 1)
         _put_literal_codes(bw, 0)
-        # one literal, then a back-ref with dist_code 1 (sym 0)
-        from documentprocessor_ray.stages.multimodal import _green_code
-        c, n = _green_code(99, 0)
+        c, n = _green_code(7, 0)
         bw.put_code(c, n)
-        bw.put_code(5, 8)
-        bw.put_code(6, 8)
+        bw.put_code(1, 8)
+        bw.put_code(2, 8)
         bw.put_code(255, 8)
-        c, n = _green_code(256, 0)  # length sym 0 -> length 1
+        c, n = _green_code(256 + 2, 0)  # length sym 2 -> length 3
         bw.put_code(c, n)
-        bw.put_code(0, 5)           # distance sym 0 -> dist_code 1
-        with pytest.raises(NotImplementedError):
-            _webp_decode(_wrap(b"\x2f" + bw.getvalue()))
+        bw.put_code(1, 5)  # dist sym 1 -> dist_code 2 -> (1, 0)
+        out = _webp_decode(_wrap(b"\x2f" + bw.getvalue()))
+        assert out.shape == (1, 4, 3)
+        assert (out == np.array([1, 7, 2], np.uint8)).all()
+
+    def test_dist_map_matches_spec_table(self):
+        """The generated neighbor map must reproduce the spec's published
+        120-entry table: spot-check the documented head and the d=25/26
+        tie-break runs, plus the structural invariants."""
+        from documentprocessor_ray.stages.multimodal import _VP8L_DIST_MAP
+
+        m = [tuple(p) for p in _VP8L_DIST_MAP]
+        assert len(m) == 120 and len(set(m)) == 120
+        assert m[:10] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2),
+                          (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1)]
+        assert m[34:40] == [(0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3),
+                            (5, 0)]
+        assert m[40:44] == [(1, 5), (-1, 5), (5, 1), (-5, 1)]
+        ds = [dx * dx + dy * dy for dx, dy in m]
+        assert ds == sorted(ds)
+        assert all(0 <= dy <= 7 and -7 <= dx <= 8 for dx, dy in m)
