@@ -568,6 +568,7 @@ def run_scored_extraction(
     scorer_concurrency=(1, 4),
     scorer_batch_size: int = 64,
     scorer_resources: Optional[Dict[str, Any]] = None,
+    use_pixels: bool = False,
     **kwargs,
 ) -> "ray.data.Dataset":
     """Extraction + model-scoring path: the heuristic pipeline keeps the
@@ -579,16 +580,27 @@ def run_scored_extraction(
     (default {"num_cpus": 1}); a real GPU model (A4-A6, hf_scorers) passes
     {"num_gpus": 1} — or a fraction to pack several scorer actors per
     device — and Ray schedules the pool onto GPU nodes with no other
-    change to the pipeline."""
+    change to the pipeline.
+
+    ``use_pixels=True`` is the REAL-PIXELS vision variant: instead of the
+    word stream, each scorer actor re-loads the doc's page pixels from the
+    media store (refs ride the cheap spans_out column; pixels move ONCE,
+    storage -> scorer actor, never through the reassembly exchange) and
+    calls ``scorer.predict_image`` per page — the production shape for
+    Donut/IDEFICS2, where the model wants the page image, not OCR words.
+    Requires a vision scorer (donut-hf / idefics2-hf / det-vision)."""
     from ..stages.scorer import ScorerStage
 
     docs = ray.data.read_parquet(documents_dir)
     kwargs.setdefault("size_hint", docs.count())  # metadata-only on a fresh read
     ds = build_pipeline(docs.select_columns(["doc_id", "spans"]), media_dir,
                         keep_words=True, **kwargs)
+    ctor = {"model": model}
+    if use_pixels:
+        ctor.update(use_pixels=True, media_dir=media_dir)
     return ds.map_batches(
         ScorerStage,
-        fn_constructor_kwargs={"model": model},
+        fn_constructor_kwargs=ctor,
         batch_format="pyarrow",
         batch_size=scorer_batch_size,
         concurrency=scorer_concurrency,

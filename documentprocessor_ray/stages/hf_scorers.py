@@ -246,9 +246,51 @@ class HFIdefics2Scorer(_HFVisionGenScorer):
         return parse_json_output(text)
 
 
+class DeterministicVisionScorer(_HFVisionGenScorer):
+    """Torch-free stand-in that drives the REAL pixels entry point —
+    ``_HFVisionGenScorer.predict_image`` (pixels -> _generate_text ->
+    _parse -> entities) — end-to-end in CI (r4 VERDICT stretch item:
+    close the glyph-canvas caveat).
+
+    "Generation" is the in-repo deterministic OCR chain reading the page
+    PIXELS (the same preprocess + kernel + box normalization the span
+    stage runs, so on this corpus the vision path sees exactly the page
+    the heuristic path saw), serialized to the CORD-v2 tag stream the
+    way ``TagGenScorer`` serializes it; parsing is the shared Donut tag
+    parser. A production deployment swaps ``_generate_text`` for a real
+    VLM decode and nothing else changes."""
+
+    def __init__(self, seed: int = 33):
+        from ..ocr_kernel import OcrKernel
+        from .scorer import TagGenScorer
+
+        self._tag = TagGenScorer(seed)  # weight build = actor-state cost
+        self._kernel = OcrKernel()
+
+    def _ocr_words(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        from ..oracle.boxes import normalize_boxes
+        from .preprocess import PreprocessConfig, preprocess
+
+        pre = preprocess(image, PreprocessConfig())
+        h, w = pre.shape[:2]
+        return normalize_boxes(self._kernel.detect_and_recognize(pre), w, h)
+
+    def _generate_text(self, image: np.ndarray) -> str:
+        words = self._ocr_words(image)
+        if not words:
+            return ""
+        return self._tag._generate(words)
+
+    def _parse(self, text: str) -> Dict[str, Any]:
+        from ..functions.parsers import parse_tagged_output
+
+        return parse_tagged_output(text)
+
+
 # importing this module registers the HF-backed names; stages/scorer.py
 # resolves "*-hf" names by importing it lazily, so get_scorer("donut-hf")
 # works without the caller touching this module
 register_scorer("layoutlmv3-hf", HFLayoutLMv3Scorer)
 register_scorer("donut-hf", HFDonutScorer)
 register_scorer("idefics2-hf", HFIdefics2Scorer)
+register_scorer("det-vision", DeterministicVisionScorer)

@@ -22,7 +22,7 @@ load cost is real (built once per actor), predictions are deterministic.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
@@ -288,7 +288,7 @@ _REGISTRY = {"rule": RuleScorer, "null": NullScorer,
              "donut": TagGenScorer, "idefics2": JsonGenScorer}
 
 
-_HF_NAMES = ("layoutlmv3-hf", "donut-hf", "idefics2-hf")
+_HF_NAMES = ("layoutlmv3-hf", "donut-hf", "idefics2-hf", "det-vision")
 
 
 def get_scorer(name: str, **kwargs) -> BaseScorer:
@@ -333,8 +333,50 @@ class ScorerStage:
     concurrency=(1, N), batch_size=B, num_cpus=1)`` — swap num_cpus for
     num_gpus=1 when the scorer is a real GPU model (A4-A6)."""
 
-    def __init__(self, model: str = "rule"):
+    def __init__(self, model: str = "rule", use_pixels: bool = False,
+                 media_dir: Optional[str] = None):
         self.scorer = get_scorer(model)
+        self.use_pixels = use_pixels
+        self.store = None
+        if use_pixels:
+            if media_dir is None:
+                raise ValueError("use_pixels=True requires media_dir")
+            if not hasattr(self.scorer, "predict_image"):
+                raise TypeError(
+                    f"scorer '{model}' has no predict_image; pixels mode "
+                    "needs a vision scorer (donut-hf / idefics2-hf / "
+                    "det-vision)")
+            from ..corpus import MediaStore
+
+            self.store = MediaStore(media_dir)
+
+    def _predict_pixels(self, spans: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Per-doc vision prediction over the REAL page pixels: load each
+        media page referenced by the doc's spans_out (order-preserving
+        dedupe — one line span per page line shares the page's ref), run
+        ``scorer.predict_image`` per page, consolidate field-wise (first
+        page with the field wins, M25's consolidation shape; items
+        concatenate across pages)."""
+        refs: List[str] = []
+        for s in spans or []:
+            r = s.get("media_ref")
+            if s.get("kind") == "media" and r and (not refs or refs[-1] != r):
+                if r not in refs:
+                    refs.append(r)
+        merged: Dict[str, Any] = {}
+        items: List[Any] = []
+        for r in refs:
+            img = self.store.load(r)
+            if img is None:
+                continue
+            ents = self.scorer.predict_image(img)
+            for kind in ["vendor", "date", "total", "subtotal", "tax"]:
+                if kind not in merged and ents.get(kind) is not None:
+                    merged[kind] = ents[kind]
+            items.extend(ents.get("items", []))
+        if items:
+            merged["items"] = items
+        return merged
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ent_struct = pa.struct([
@@ -346,6 +388,17 @@ class ScorerStage:
             k: [] for k in ["model_vendor", "model_date", "model_total",
                             "model_subtotal", "model_tax"]}
         n_items: List[int] = []
+        if self.use_pixels:
+            for spans in batch["spans_out"].to_pylist():
+                ents = self._predict_pixels(spans)
+                for kind in ["vendor", "date", "total", "subtotal", "tax"]:
+                    out_cols[f"model_{kind}"].append(ents.get(kind))
+                n_items.append(len(ents.get("items", [])))
+            res = batch
+            for name, vals in out_cols.items():
+                res = res.append_column(name, pa.array(vals, ent_struct))
+            return res.append_column("model_n_items",
+                                     pa.array(n_items, pa.int64()))
         for wlist in batch["words"].to_pylist():
             words = [{"text": w["text"],
                       "box": [w["x0"], w["y0"], w["x1"], w["y1"]],

@@ -134,6 +134,70 @@ class TestScoredPipeline:
             assert row["model_vendor"] is not None
 
 
+class TestPixelsScoredPath:
+    """REAL-PIXELS scored variant (r4 VERDICT stretch item): the scorer
+    actor re-loads page pixels from the media store and drives
+    _HFVisionGenScorer.predict_image end-to-end via the deterministic
+    vision stand-in."""
+
+    def test_pixels_path_matches_words_path_single_page(
+            self, ray_session, small_corpus):
+        from documentprocessor_ray.pipelines.extract import (
+            run_scored_extraction)
+
+        docs_dir, media_dir = small_corpus
+        words_out = run_scored_extraction(
+            docs_dir, media_dir, model="donut").to_pandas() \
+            .set_index("doc_id").sort_index()
+        px_out = run_scored_extraction(
+            docs_dir, media_dir, model="det-vision",
+            use_pixels=True).to_pandas().set_index("doc_id").sort_index()
+        assert list(words_out.index) == list(px_out.index)
+
+        def media_refs(spans):
+            return {s["media_ref"] for s in spans
+                    if s["kind"] == "media" and s["media_ref"]}
+
+        n_single = 0
+        for did in words_out.index:
+            w, p = words_out.loc[did], px_out.loc[did]
+            refs = media_refs(p["spans_out"])
+            if len(refs) != 1 or w["n_words"] == 0:
+                continue
+            n_single += 1
+            # same page pixels -> same OCR words -> identical CORD-v2
+            # generation -> identical parsed entities
+            for f in ("model_vendor", "model_date", "model_total",
+                      "model_subtotal", "model_tax"):
+                assert w[f] == p[f], (did, f, w[f], p[f])
+        assert n_single > 0  # the gate actually compared docs
+
+    def test_pixels_path_multi_page_and_no_media(
+            self, ray_session, small_corpus):
+        from documentprocessor_ray.pipelines.extract import (
+            run_scored_extraction)
+
+        docs_dir, media_dir = small_corpus
+        out = run_scored_extraction(
+            docs_dir, media_dir, model="det-vision",
+            use_pixels=True).to_pandas()
+        done = out[out["status"] == "done"]
+        assert len(done) > 0
+        for _, row in done.iterrows():
+            has_media = any(s["kind"] == "media" and s["media_ref"]
+                            for s in row["spans_out"])
+            if not has_media:
+                assert row["model_vendor"] is None
+
+    def test_pixels_mode_requires_vision_scorer(self):
+        from documentprocessor_ray.stages.scorer import ScorerStage
+
+        with pytest.raises(TypeError, match="predict_image"):
+            ScorerStage(model="rule", use_pixels=True, media_dir="/tmp")
+        with pytest.raises(ValueError, match="media_dir"):
+            ScorerStage(model="det-vision", use_pixels=True)
+
+
 class TestHFAdapters:
     """Import-guarded HF scorers (stages/hf_scorers.py): the pure pieces run
     without torch; construction raises the install hint when libs absent."""
