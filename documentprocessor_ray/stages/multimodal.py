@@ -620,9 +620,13 @@ _JPEG_SIG = b"\xff\xd8"
 
 def _tiff_decode(b: bytes) -> np.ndarray:
     """TIFF 6.0 baseline subset: II/MM byte order, first IFD, 8-bit
-    grayscale or RGB, chunky planar config, strip layout, Compression =
-    none (1) or PackBits (32773). Output (H, W, 3) uint8 RGB (grayscale
-    replicated). Unsupported variants raise (in-band error upstream)."""
+    grayscale, RGB or RGBA (ExtraSamples alpha dropped, matching the
+    reference's RGBA->RGB load at cli/utils.py:110-114), chunky planar
+    config, strip layout, Compression = none (1) or PackBits (32773).
+    Output (H, W, 3) uint8 RGB (grayscale replicated). Unsupported
+    variants raise (in-band error upstream). RGBA leg validated against a
+    real libtiff-encoded file (CPython test corpus) in
+    tests/test_multimodal.py."""
     b = bytes(b)
     if b[:4] == b"II*\x00":
         end = "little"
@@ -663,8 +667,9 @@ def _tiff_decode(b: bytes) -> np.ndarray:
     comp = tags.get(259, [1])[0]
     planar = tags.get(284, [1])[0]
     rows_per_strip = tags.get(278, [h])[0]
-    if any(x != 8 for x in bps) or spp not in (1, 3) or planar != 1:
-        raise ValueError("TIFF decoder supports 8-bit gray/RGB chunky only")
+    if any(x != 8 for x in bps) or spp not in (1, 3, 4) or planar != 1:
+        raise ValueError(
+            "TIFF decoder supports 8-bit gray/RGB/RGBA chunky only")
     if comp not in (1, 32773):
         raise ValueError(f"TIFF compression {comp} not supported "
                          "(none/PackBits only)")
@@ -694,6 +699,8 @@ def _tiff_decode(b: bytes) -> np.ndarray:
     arr = np.frombuffer(bytes(pix[:need]), np.uint8).reshape(h, w, spp)
     if spp == 1:
         return np.repeat(arr, 3, axis=2)
+    if spp == 4:
+        return arr[:, :, :3].copy()  # drop ExtraSamples alpha
     return arr.copy()
 
 
@@ -1596,11 +1603,11 @@ def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False,
 
 class RealCodec(Codec):
     """Production codec seam. PNG, baseline JPEG, TIFF (8-bit strips,
-    none/PackBits), GIF and lossless WebP (VP8L) decode FOR REAL (pure
-    numpy + stdlib) — the reference's PIL image surface
-    (cli/utils.py:98-117); lossy-VP8 WebP and VP8L short-distance-map
-    back-refs are the two documented gaps. mp3/mp4 still need
-    soundfile / pyav, absent in this container — wire them here and
+    none/PackBits), GIF and lossless WebP (VP8L, incl. the short-distance
+    neighbor map) decode FOR REAL (pure numpy + stdlib) — the reference's
+    PIL image surface (cli/utils.py:98-117); lossy-VP8 WebP is the one
+    documented gap (see README 'Known environment gaps'). mp3/mp4 still
+    need soundfile / pyav, absent in this container — wire them here and
     nothing else changes."""
 
     def decode_image(self, payload, meta):
@@ -1646,16 +1653,40 @@ class RawCodec(Codec):
         h = int.from_bytes(b[22:26], "little", signed=True)
         bpp = int.from_bytes(b[28:30], "little")
         comp = int.from_bytes(b[30:34], "little")
-        if bpp != 24 or comp != 0:
-            raise ValueError(f"RawCodec: only 24-bit uncompressed BMP (got {bpp}bpp comp={comp})")
+        # 24bpp BI_RGB, 32bpp BI_RGB (BGRX) and 32bpp BI_BITFIELDS with
+        # byte-aligned masks (the layout real encoders emit for BGRA; the
+        # masks follow the info header, V4/V5 headers included) — the
+        # 32bpp/bitfields leg is validated against a real BITMAPV5HEADER
+        # file from the CPython test corpus in tests/test_multimodal.py
+        if bpp == 24 and comp == 0:
+            nch, order = 3, (2, 1, 0)  # BGR
+        elif bpp == 32 and comp in (0, 3):
+            nch = 4
+            if comp == 3:
+                # masks sit at file offset 54 for BOTH header layouts:
+                # after a 40-byte BITMAPINFOHEADER, or as the bV4/bV5
+                # mask fields of the larger headers
+                masks = [int.from_bytes(b[54 + 4 * i:58 + 4 * i], "little")
+                         for i in range(3)]
+                byte_of = {0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}
+                if any(m not in byte_of for m in masks):
+                    raise ValueError(
+                        f"RawCodec: non-byte-aligned BMP bitfields {masks}")
+                order = tuple(byte_of[m] for m in masks)  # (R, G, B) bytes
+            else:
+                order = (2, 1, 0)  # BGRX
+        else:
+            raise ValueError(
+                f"RawCodec: only 24/32-bit uncompressed BMP "
+                f"(got {bpp}bpp comp={comp})")
         bottom_up = h > 0
         h = abs(h)
-        row = ((w * 3 + 3) // 4) * 4
+        row = ((w * nch + 3) // 4) * 4
         data = np.frombuffer(b, dtype=np.uint8, count=row * h, offset=pix_off)
-        img = data.reshape(h, row)[:, : w * 3].reshape(h, w, 3)
+        img = data.reshape(h, row)[:, : w * nch].reshape(h, w, nch)
         if bottom_up:
             img = img[::-1]
-        return img[:, :, ::-1].copy()  # BGR -> RGB
+        return img[:, :, list(order)].copy()
 
     def decode_audio(self, payload, meta):
         b = bytes(payload)

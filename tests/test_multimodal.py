@@ -445,3 +445,71 @@ class TestMediaStoreRealImages:
         (tmp_path / "x.png").write_bytes(encode_png(b))
         store = MediaStore(str(tmp_path))
         assert np.array_equal(np.asarray(store.load("x")), a)
+
+
+class TestRealEncoderInterop:
+    """Cross-format interop on REAL files (CPython's test corpus: the same
+    16x16 logo independently encoded by real libpng/BMP/libtiff/GIF/JPEG
+    encoders). The lossless trio must decode PIXEL-IDENTICAL through our
+    three independent from-scratch decoders; GIF (palettized) and JPEG
+    (lossy) must agree within their formats' error envelopes. This is the
+    strongest available evidence these codecs read real-world files, not
+    just their own round trips."""
+
+    BASE = None
+
+    @classmethod
+    def setup_class(cls):
+        import glob
+
+        hits = glob.glob(
+            "/root/.pyenv/versions/*/lib/python*/test/imghdrdata/")
+        cls.BASE = hits[0] if hits else None
+
+    def _read(self, name):
+        return open(self.BASE + name, "rb").read()
+
+    def test_lossless_trio_pixel_identical(self):
+        from documentprocessor_ray.stages.multimodal import (
+            RawCodec, _png_decode, _tiff_decode)
+
+        if not self.BASE:
+            pytest.skip("no real image fixtures in this environment")
+        png = _png_decode(self._read("python.png"))
+        bmp = RawCodec().decode_image(
+            np.frombuffer(self._read("python.bmp"), np.uint8),
+            {"format": "bmp"})  # real BITMAPV5HEADER, 32bpp BI_BITFIELDS
+        tif = _tiff_decode(self._read("python.tiff"))  # real RGBA strips
+        assert png.shape == bmp.shape == tif.shape == (16, 16, 3)
+        assert np.array_equal(png, bmp)
+        assert np.array_equal(png, tif)
+
+    def test_gif_palette_envelope(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode, _png_decode)
+
+        if not self.BASE:
+            pytest.skip("no real image fixtures in this environment")
+        png = _png_decode(self._read("python.png"))
+        gif = _gif_decode(self._read("python.gif"))
+        assert gif.shape == (16, 16, 3)
+        d = np.abs(gif.astype(int) - png.astype(int))
+        assert (d.max(axis=2) == 0).mean() > 0.6  # most pixels exact
+        assert d.mean() < 10  # palette quantization, not garbage
+
+    def test_jpeg_lossy_envelope(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _jpeg_decode, _png_decode)
+
+        if not self.BASE:
+            pytest.skip("no real image fixtures in this environment")
+        png = _png_decode(self._read("python.png"))
+        import os
+
+        names = [n for n in ("python.jpg", "python-raw.jpg")
+                 if os.path.exists(self.BASE + n)]
+        for name in names:
+            jpg = _jpeg_decode(self._read(name))
+            assert jpg.shape == (16, 16, 3)
+            d = np.abs(jpg.astype(int) - png.astype(int))
+            assert d.mean() < 15  # lossy but recognizably the same image
