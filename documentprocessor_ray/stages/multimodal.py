@@ -333,8 +333,10 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
                 samp = body[7 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 15, body[8 + 3 * c]))
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise ValueError("progressive JPEG not supported")
+        elif marker == 0xC2:  # progressive DCT: dedicated multi-scan path
+            return _jpeg_decode_progressive(b)
+        elif marker in (0xC6, 0xCA, 0xCE):
+            raise ValueError("hierarchical/lossless JPEG not supported")
         elif marker in (0xC9, 0xCB, 0xCD, 0xCF):
             raise ValueError("arithmetic-coded JPEG not supported")
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
@@ -446,6 +448,286 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
     bl = y + 1.772 * (cb - 128)
     rgb = np.stack([r, g, bl], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_entropy_segments(b: bytes, pos: int):
+    """Collect one scan's entropy-coded data starting at ``pos``: returns
+    (segments, new_pos). Segments split at restart markers (RSTn);
+    stuffed 0xFF00 bytes are unstuffed; stops at any other marker."""
+    segs: List[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(b):
+        if b[i] == 0xFF and i + 1 < len(b):
+            nxt = b[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b[i])
+        i += 1
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _jpeg_decode_progressive(b: bytes) -> np.ndarray:
+    """Progressive JPEG decoder (ITU-T T.81 Annex G, successive
+    approximation + spectral selection — the jdphuff.c semantics): DC
+    first/refinement scans (interleaved or not), per-component AC
+    first/refinement scans with EOB-run coding, ZRL, restart markers,
+    tables redefinable between scans. Coefficients accumulate across
+    scans in zigzag order; dequant + IDCT + upsample + color-convert run
+    once at the end (identical math to the baseline path, so a
+    progressive encoding of the same quantized coefficients decodes
+    pixel-identically — gated in tests/test_multimodal.py, plus a real
+    libjpeg-encoded progressive fixture)."""
+    b = bytes(b)
+    pos = 2
+    qt: Dict[int, np.ndarray] = {}
+    huff: Dict = {}
+    sof = None
+    dri = 0
+    coefs: Dict[int, np.ndarray] = {}   # cid -> (grid_by, grid_bx, 64) zz
+    truedim: Dict[int, tuple] = {}      # cid -> (by, bx) true block dims
+    hmax = vmax = mcux = mcuy = 0
+    while pos < len(b) - 1:
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(b[pos:pos + 2], "big")
+        body = b[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i:i + 64], np.uint8)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i:i + 128], ">u2")
+                    i += 128
+                qt[tq] = tbl.astype(np.int64)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                i += 1
+                counts = list(body[i:i + 16])
+                i += 16
+                n = sum(counts)
+                huff[(tc, th)] = _huff_canonical(counts, list(body[i:i + n]))
+                i += n
+        elif marker == 0xC2:
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, body[8 + 3 * c]))
+            sof = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hi, vi, _tq in comps:
+                coefs[cid] = np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
+                cw = -(-w * hi // hmax)
+                ch = -(-h * vi // vmax)
+                truedim[cid] = (-(-ch // 8), -(-cw // 8))
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            sel = [(body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                    body[2 + 2 * c] & 15) for c in range(ns)]
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah = body[3 + 2 * ns] >> 4
+            al = body[3 + 2 * ns] & 15
+            segs, pos = _jpeg_entropy_segments(b, pos)
+            _jpeg_progressive_scan(sof, sel, ss, se, ah, al, segs, dri,
+                                   huff, coefs, truedim, mcux, mcuy)
+    if sof is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    h, w, comps = sof
+
+    # dequant + IDCT once, after all scans
+    full = []
+    for cid, hi, vi, tq in comps:
+        arr = coefs[cid]
+        gy, gx, _ = arr.shape
+        q = qt[tq]
+        plane = np.zeros((gy * 8, gx * 8), np.int64)
+        deq = arr * q  # zigzag order
+        for by in range(gy):
+            for bx in range(gx):
+                block = np.zeros(64, np.float64)
+                block[_ZZ_FLAT] = deq[by, bx]
+                f = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                          hmax // hi, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = full[0].astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (f.astype(np.float64) for f in full[:3])
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bl = y + 1.772 * (cb - 128)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_progressive_scan(sof, sel, ss, se, ah, al, segs, dri, huff,
+                           coefs, truedim, mcux, mcuy) -> None:
+    """Decode one progressive scan into the coefficient store.
+
+    DC scans (ss == 0) may be interleaved (MCU order over the padded
+    grid); AC scans are single-component, raster order over the TRUE
+    block dims (T.81 G: non-interleaved scans cover ceil(cw/8) x
+    ceil(ch/8) blocks, not the MCU-padded grid). Restart intervals reset
+    the bit reader, DC predictors and the EOB run."""
+    h, w, comps = sof
+    by_id = {c[0]: c for c in comps}
+
+    if ss == 0:  # ---- DC scan ----
+        tables = {}
+        for cs, td, _ta in sel:
+            tables[cs] = huff.get((0, td))
+        seg_idx = 0
+        reader = _BitReader(segs[0])
+        pred = {cs: 0 for cs, *_ in sel}
+        if len(sel) > 1:
+            units = mcux * mcuy
+        else:
+            cs0 = sel[0][0]
+            tby, tbx = truedim[cs0]
+            units = tby * tbx
+        for m in range(units):
+            if dri and m and m % dri == 0:
+                seg_idx += 1
+                reader = _BitReader(segs[seg_idx])
+                pred = {cs: 0 for cs, *_ in sel}
+            for cs, _td, _ta in sel:
+                _, hi, vi, _tq = by_id[cs]
+                arr = coefs[cs]
+                if len(sel) > 1:
+                    my, mx = divmod(m, mcux)
+                    blocks = [((my * vi + v), (mx * hi + hh))
+                              for v in range(vi) for hh in range(hi)]
+                else:
+                    tby, tbx = truedim[cs]
+                    blocks = [divmod(m, tbx)]
+                for yy, xx in blocks:
+                    if ah == 0:
+                        t = reader.read_huff(tables[cs])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[cs] += diff
+                        arr[yy, xx, 0] = pred[cs] << al
+                    else:
+                        if reader.read_bit():
+                            arr[yy, xx, 0] |= (1 << al)
+        return
+
+    # ---- AC scan: exactly one component ----
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs, _td, ta = sel[0]
+    hac = huff[(1, ta)]
+    arr = coefs[cs]
+    tby, tbx = truedim[cs]
+    p1 = 1 << al
+    m1 = -p1
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    eobrun = 0
+    for m in range(tby * tbx):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            reader = _BitReader(segs[seg_idx])
+            eobrun = 0
+        yy, xx = divmod(m, tbx)
+        zz = arr[yy, xx]
+        if ah == 0:  # ---- first AC scan ----
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.read_huff(hac)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    if r:  # EOBn: run includes this block
+                        eobrun = (1 << r) + reader.read_bits(r) - 1
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                zz[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # ---- AC refinement scan (jdphuff semantics) ----
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.read_huff(hac)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "bad refinement magnitude in AC scan")
+                        newval = p1 if reader.read_bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    # advance over nonzero-history coefs (correction
+                    # bits) and r zero-history coefs
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # every run-member block still consumes correction bits
+                # for its already-nonzero coefficients
+                while k <= se:
+                    if zz[k] != 0:
+                        if reader.read_bit() and not (zz[k] & p1):
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 class _BitWriter:
@@ -609,6 +891,252 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quant: int = 1,
+                            subsample: bool = False) -> bytes:
+    """Progressive JPEG encoder (T.81 Annex G, jcphuff.c semantics —
+    round-trip counterpart of _jpeg_decode_progressive). Same DCT/quant
+    math as encode_jpeg, so decoding its output must be PIXEL-IDENTICAL
+    to the baseline round trip of the same image. Scan script: DC first
+    (interleaved, Al=1) -> AC first per component (Ss=1..63, Al=1, with
+    EOB-run accumulation + ZRL) -> DC refinement -> AC refinement per
+    component (buffered correction bits, the full jcphuff protocol).
+    Test scaffolding, not a production encoder."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    # progressive AC alphabet: EOBn (r<15, s=0), ZRL, and all (r, 1..10)
+    ac_syms = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_counts = [0] * 8 + [len(ac_syms)] + [0] * 7
+    dc_table = {}
+    for (ln, code), sym in _huff_canonical(dc_counts, dc_syms).items():
+        dc_table[sym] = (code, ln)
+    ac_table = {}
+    for (ln, code), sym in _huff_canonical(ac_counts, ac_syms).items():
+        ac_table[sym] = (code, ln)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, bch = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128
+        if subsample:
+            def ds2(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                q = np.zeros((hh, ww))
+                q[:p.shape[0], :p.shape[1]] = p
+                if p.shape[0] < hh:
+                    q[p.shape[0]:, :p.shape[1]] = p[-1:]
+                if p.shape[1] < ww:
+                    q[:, p.shape[1]:] = q[:, p.shape[1] - 1:p.shape[1]]
+                return (q[0::2, 0::2] + q[1::2, 0::2] + q[0::2, 1::2]
+                        + q[1::2, 1::2]) / 4
+            planes = [y, ds2(cb), ds2(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []       # per comp: (grid_by, grid_bx, 64) zigzag int64
+    truedims = []
+    for p, (hi, vi) in zip(planes, samps):
+        ph, pw = mcuy * vi * 8, mcux * hi * 8
+        q = np.zeros((ph, pw))
+        ch, cw = p.shape
+        q[:ch, :cw] = p
+        if ch < ph:
+            q[ch:, :cw] = p[-1:, :]
+        if cw < pw:
+            q[:, cw:] = q[:, cw - 1:cw]
+        gy, gx = ph // 8, pw // 8
+        arr = np.zeros((gy, gx, 64), np.int64)
+        for by in range(gy):
+            for bx in range(gx):
+                blk = q[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                c = _DCT_C @ blk @ _DCT_C.T
+                arr[by, bx] = np.round(c / quant).astype(np.int64) \
+                    .reshape(-1)[_ZZ_FLAT]
+        coefs.append(arr)
+        truedims.append((-(-ch // 8), -(-cw // 8)))
+
+    def wsym(wtr, tbl, sym):
+        code, ln = tbl[sym]
+        wtr.write(code, ln)
+
+    def scan_dc_first(al: int) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * len(planes)
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (hi, vi) in enumerate(samps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        val = int(coefs[ci][my * vi + v, mx * hi + hh, 0]) \
+                            >> al
+                        diff = val - pred[ci]
+                        pred[ci] = val
+                        t = _mag_cat(diff)
+                        wsym(wtr, dc_table, t)
+                        if t:
+                            wtr.write(diff if diff >= 0
+                                      else diff + (1 << t) - 1, t)
+        return wtr.flush()
+
+    def scan_dc_refine(al: int) -> bytes:
+        wtr = _BitWriter()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (hi, vi) in enumerate(samps):
+                for v in range(vi):
+                    for hh in range(hi):
+                        wtr.write((int(coefs[ci][my * vi + v,
+                                                 mx * hi + hh, 0])
+                                   >> al) & 1, 1)
+        return wtr.flush()
+
+    def scan_ac_first(ci: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                wsym(wtr, ac_table, nbits << 4)
+                if nbits:
+                    wtr.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        tby, tbx = truedims[ci]
+        for m in range(tby * tbx):
+            yy, xx = divmod(m, tbx)
+            zz = coefs[ci][yy, xx]
+            run = 0
+            for k in range(1, 64):
+                val = int(zz[k])
+                a = abs(val) >> al
+                if a == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    wsym(wtr, ac_table, 0xF0)
+                    run -= 16
+                s = a.bit_length()
+                vpt = a if val > 0 else -a
+                wsym(wtr, ac_table, (run << 4) | s)
+                wtr.write(vpt if vpt >= 0 else vpt + (1 << s) - 1, s)
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    def scan_ac_refine(ci: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        eobrun = 0
+        gbuf: List[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, gbuf
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                wsym(wtr, ac_table, nbits << 4)
+                if nbits:
+                    wtr.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+                for bit in gbuf:
+                    wtr.write(bit, 1)
+                gbuf = []
+
+        p1 = 1 << al
+        tby, tbx = truedims[ci]
+        for m in range(tby * tbx):
+            yy, xx = divmod(m, tbx)
+            zz = coefs[ci][yy, xx]
+            absv = [abs(int(zz[k])) >> al for k in range(64)]
+            eobpos = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eobpos = k
+            run = 0
+            br: List[int] = []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eobpos:
+                    flush_eob()
+                    wsym(wtr, ac_table, 0xF0)
+                    run -= 16
+                    for bit in br:
+                        wtr.write(bit, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                wsym(wtr, ac_table, (run << 4) | 1)
+                wtr.write(1 if int(zz[k]) > 0 else 0, 1)
+                for bit in br:
+                    wtr.write(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                gbuf.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    def sos(selectors: List[tuple], ss_: int, se_: int, ah_: int,
+            al_: int) -> bytes:
+        body = bytes([len(selectors)])
+        for cid, td, ta in selectors:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss_, se_, (ah_ << 4) | al_])
+        return seg(0xDA, body)
+
+    qtbl = np.full(64, quant, np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qtbl))
+    nc = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci, (hi, vi) in enumerate(samps):
+        sof += bytes([ci + 1, (hi << 4) | vi, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    allsel = [(ci + 1, 0, 0) for ci in range(nc)]
+    out += sos(allsel, 0, 0, 0, 1) + scan_dc_first(1)
+    for ci in range(nc):
+        out += sos([(ci + 1, 0, 0)], 1, 63, 0, 1) + scan_ac_first(ci, 1)
+    out += sos(allsel, 0, 0, 1, 0) + scan_dc_refine(0)
+    for ci in range(nc):
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0) + scan_ac_refine(ci, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
