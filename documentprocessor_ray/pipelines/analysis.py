@@ -2975,6 +2975,27 @@ def q_doc_length_rank(sf_dir: str) -> "ray.data.Dataset":
                        n_tiles=4)
 
 
+def q_doc_rank_dist(sf_dir: str) -> "ray.data.Dataset":
+    """The DISTRIBUTED-offsets leg of global_rank under a hash gate: rank
+    on a per-doc-distinct composite key (n_chars*1e6 + doc_id — distinct
+    count == row count, the exact case the driver histogram must NOT
+    hold), with max_driver_keys forced low so the value-range-bucket path
+    runs at every sf. Driver state: num_buckets scalars, never the
+    per-key histogram (functions/window._global_rank_distributed)."""
+    from ..functions.window import global_rank
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"len_key": pa.array(n * 1_000_000 + d, pa.int64()),
+                         "doc_id": b["doc_id"]})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(key_batch, batch_format="pyarrow")
+    return global_rank(ds, key="len_key", tie_col="doc_id",
+                       descending=False, max_driver_keys=64)
+
+
 def q_repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition signals (top-token share, duplicate 2-/3-gram
     counts) + a fixed-threshold repetition flag, exact-rational compares."""
@@ -5755,6 +5776,11 @@ ORACLE_SQL: Dict[str, str] = {
                row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
                ntile(4) OVER (ORDER BY n_chars DESC, doc_id) AS quartile
         FROM documents""",
+    "doc_rank_dist": """
+        SELECT (n_chars * 1000000 + doc_id) AS len_key, doc_id,
+               row_number() OVER (
+                   ORDER BY n_chars * 1000000 + doc_id, doc_id) AS rnk
+        FROM documents""",
     "repetition_stats": r"""
         WITH base AS (
           SELECT doc_id, regexp_replace(text,'^\s+|\s+$','','g') AS tt
@@ -8179,6 +8205,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pii_redact": q_pii_redact,
     "repetition_stats": q_repetition_stats,
     "doc_length_rank": q_doc_length_rank,
+    "doc_rank_dist": q_doc_rank_dist,
     "event_pivot": q_event_pivot,
     "length_outliers": q_length_outliers,
     "user_activity_full": q_user_activity_full,

@@ -607,3 +607,19 @@ class TestProgressiveJpeg:
         img = _jpeg_decode(open(path, "rb").read())
         assert img.shape == (3688, 1022, 3)
         assert 180 < img.mean() < 250
+
+    def test_mediastore_loads_progressive_jpg_page(self, tmp_path):
+        """A .jpg page in the media store that happens to be PROGRESSIVE
+        loads through RealCodec transparently (the reference's PIL loader
+        handles either; now so do we)."""
+        from documentprocessor_ray.corpus import MediaStore
+        from documentprocessor_ray.stages.multimodal import (
+            encode_jpeg_progressive)
+
+        img = np.full((32, 40), 230, np.uint8)
+        img[8:12, 4:30] = 10
+        (tmp_path / "page.jpg").write_bytes(
+            encode_jpeg_progressive(img, quant=1))
+        out = MediaStore(str(tmp_path)).load("page")
+        assert out.shape == (32, 40, 3)
+        assert np.array_equal(out[:, :, 0], img)  # quant=1 gray: lossless
