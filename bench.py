@@ -41,7 +41,8 @@ BENCH_QUERIES = [
     "fingerprint", "langid", "winnow_fingerprint", "exact_dedup", "chunk_dedup",
     "incremental_dedup",
     "pii_redact", "redact_numbers", "compression_ratio", "props_extract", "repetition_stats",
-    "doc_length_rank", "doc_rank_dist", "revenue_rollup", "event_pivot",
+    "doc_length_rank", "doc_rank_dist", "codec_matrix", "revenue_rollup",
+    "event_pivot",
     "length_outliers",
     "user_activity_full", "funnel", "source_cap", "source_lang_mode",
     "pack_sequences", "pack_shuffled", "source_enrich", "chunk_text",

@@ -3842,6 +3842,28 @@ def q_image_features(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(scalarize, batch_format="pyarrow")
 
 
+def q_codec_matrix(sf_dir: str) -> "ray.data.Dataset":
+    """Cross-format codec matrix as a DISTRIBUTED stage: real encoded
+    payloads in every lossless image format this build decodes (PNG x2
+    filter modes, BMP, TIFF none/PackBits, GIF, WebP-VP8L x2 transform
+    modes) flow through the AutoCodec actor pool and reduce to per-asset
+    pixel digests. The oracle-dump twin computes the SAME digests from
+    the source pixel arrays with NO codec involved, so the hash gate
+    proves each from-scratch decoder reproduced its encoder's input
+    bit-exactly through the production media seam
+    (stages/multimodal.py:ImageDecodeDigestStage)."""
+    from ..stages.multimodal import (
+        ImageDecodeDigestStage, synth_codec_matrix_table)
+    from . import oracle_dump as OD
+
+    n = max(24, int(2400 * _sf_of_dir(sf_dir)))
+    OD.dump("codec_matrix", f"cmatrix:v1:n{n}:seed9",
+            lambda: OD.codec_matrix_expected(n))
+    ds = ray.data.from_arrow(synth_codec_matrix_table(n_assets=n, seed=9))
+    return ds.map_batches(ImageDecodeDigestStage, batch_format="pyarrow",
+                          batch_size=8, concurrency=(1, 4))
+
+
 def q_image_phash_pairs(sf_dir: str) -> "ray.data.Dataset":
     """Perceptual (aHash) image near-dup pairs: actor-pool decode+hash
     stage feeding the SAME banded Hamming exchange as text simhash
@@ -8069,6 +8091,7 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "pca_project",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
+                   "codec_matrix",
                    "audio_features", "audio_spectral", "image_edges",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
@@ -8308,6 +8331,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "spatial_knn": q_spatial_knn,
     "mixture_quota": q_mixture_quota,
     "image_features": q_image_features,
+    "codec_matrix": q_codec_matrix,
     "audio_features": q_audio_features,
     "audio_spectral": q_audio_spectral,
     "image_edges": q_image_edges,

@@ -1244,3 +1244,27 @@ def text_tiling_expected(sf_dir: str, w: int = 20,
         "n_tiles": pa.array(out_t, pa.int64()),
         "boundary_checksum": pa.array(out_c, pa.int64()),
     })
+
+
+def codec_matrix_expected(n_assets: int, seed: int = 9) -> pa.Table:
+    """Twin of q_codec_matrix — CODEC-FREE: every matrix format is
+    lossless, so the expected digest comes straight from the SOURCE pixel
+    arrays (codec_matrix_images), never touching a decoder. A hash match
+    therefore proves the distributed stage's real decoders reproduced
+    their encoders' input bit-exactly."""
+    from ..stages.multimodal import codec_matrix_images, pixel_digest
+
+    ids, ws, hs, lum, digs = [], [], [], [], []
+    for aid, _fmt, img in codec_matrix_images(n_assets, seed):
+        ids.append(aid)
+        hs.append(img.shape[0])
+        ws.append(img.shape[1])
+        lum.append(int(round(float(img.mean()) * 1000)))
+        digs.append(pixel_digest(img))
+    return pa.table({
+        "asset_id": pa.array(ids, pa.string()),
+        "width": pa.array(ws, pa.int64()),
+        "height": pa.array(hs, pa.int64()),
+        "mean_luma_milli": pa.array(lum, pa.int64()),
+        "pix_digest": pa.array(digs, pa.string()),
+    })

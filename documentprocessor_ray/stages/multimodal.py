@@ -2619,6 +2619,101 @@ def synth_media_table(n_assets: int = 30, seed: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+CODEC_MATRIX_FORMATS = ("png", "png_f2", "bmp", "tiff", "tiff_pb", "gif",
+                        "webp", "webp_sg")
+
+
+def pixel_digest(img: np.ndarray) -> str:
+    """Stable digest of decoded pixels (shape + bytes) — the pure kernel
+    both the distributed codec-matrix stage and its codec-free oracle
+    replay share."""
+    a = np.ascontiguousarray(img.astype(np.uint8))
+    return hashlib.blake2b(
+        str(a.shape).encode() + a.tobytes(), digest_size=12).hexdigest()
+
+
+def codec_matrix_images(n_assets: int = 32, seed: int = 9):
+    """Deterministic source images for the cross-format codec matrix:
+    seeded 16-color palette images (GIF's <=256-color constraint; every
+    format in the matrix is LOSSLESS, so the expected pixel digest is
+    format-independent and computable WITHOUT any codec). Yields
+    (asset_id, fmt, img)."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    out = []
+    for i in range(n_assets):
+        fmt = CODEC_MATRIX_FORMATS[i % len(CODEC_MATRIX_FORMATS)]
+        h = int(rng.integers(9, 33))
+        w = int(rng.integers(9, 33))
+        img = pal[rng.integers(0, 16, (h, w))]
+        out.append((f"cm-{i:05d}-{fmt}", fmt, img))
+    return out
+
+
+def synth_codec_matrix_table(n_assets: int = 32, seed: int = 9) -> pa.Table:
+    """REAL encoded payloads cycling through every lossless image format
+    this build decodes — PNG (two filter modes), BMP, TIFF (none +
+    PackBits), GIF (LZW), WebP-VP8L (plain + subtract-green). The decode
+    stage must reproduce the SOURCE pixels bit-exactly for every row."""
+    enc = {
+        "png": lambda im: encode_png(im, filter_type=0),
+        "png_f2": lambda im: encode_png(im, filter_type=2),
+        "bmp": encode_bmp,
+        "tiff": lambda im: encode_tiff(im, packbits=False),
+        "tiff_pb": lambda im: encode_tiff(im, packbits=True),
+        "gif": encode_gif,
+        "webp": lambda im: encode_webp_lossless(im, subtract_green=False),
+        "webp_sg": lambda im: encode_webp_lossless(im, subtract_green=True),
+    }
+    container = {"png": "png", "png_f2": "png", "bmp": "bmp",
+                 "tiff": "tiff", "tiff_pb": "tiff", "gif": "gif",
+                 "webp": "webp", "webp_sg": "webp"}
+    rows = []
+    for aid, fmt, img in codec_matrix_images(n_assets, seed):
+        rows.append({
+            "asset_id": aid,
+            "kind": "image",
+            "payload": enc[fmt](img),
+            "meta": {"format": container[fmt],
+                     "width": img.shape[1], "height": img.shape[0],
+                     "sample_rate": 0, "n_frames": 0},
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class ImageDecodeDigestStage:
+    """Actor-pool decode -> pixel digest over REAL encoded payloads (the
+    cross-format codec matrix): AutoCodec routes BMP to RawCodec and
+    everything else to RealCodec's signature sniffing — the same seam
+    production media flows through. Output (asset_id, width, height,
+    mean_luma_milli, pix_digest); the oracle replay computes the same
+    digests from the SOURCE pixel arrays, codec-free, so a hash match
+    proves every decoder reproduced its input exactly through the
+    distributed stage."""
+
+    def __init__(self, codec: Optional[Codec] = None):
+        self.codec = codec or AutoCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, lum, digs = [], [], [], [], []
+        metas = batch["meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for i in range(batch.num_rows):
+            img = self.codec.decode_image(payloads[i], metas[i])
+            ids.append(batch["asset_id"][i].as_py())
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            lum.append(int(round(float(img.mean()) * 1000)))
+            digs.append(pixel_digest(img))
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "mean_luma_milli": pa.array(lum, pa.int64()),
+            "pix_digest": pa.array(digs, pa.string()),
+        })
+
+
 def build_media_pipeline(ds, kind: str, codec: Optional[Codec] = None,
                          batch_size: int = 8, concurrency=(1, 4)):
     """Route a media Dataset through the stage for ``kind``. Small batches:

@@ -623,3 +623,24 @@ class TestProgressiveJpeg:
         out = MediaStore(str(tmp_path)).load("page")
         assert out.shape == (32, 40, 3)
         assert np.array_equal(out[:, :, 0], img)  # quant=1 gray: lossless
+
+
+class TestCodecMatrix:
+    def test_every_lossless_format_roundtrips_through_stage(self):
+        """The codec-matrix stage must reproduce source pixels bit-exactly
+        for every format variant, single-process (the distributed variant
+        is hash-gated by q_codec_matrix's codec-free oracle dump)."""
+        from documentprocessor_ray.stages.multimodal import (
+            CODEC_MATRIX_FORMATS, ImageDecodeDigestStage,
+            codec_matrix_images, pixel_digest, synth_codec_matrix_table)
+
+        n = 2 * len(CODEC_MATRIX_FORMATS)
+        t = synth_codec_matrix_table(n_assets=n, seed=9)
+        out = ImageDecodeDigestStage()(t)
+        got = dict(zip(out["asset_id"].to_pylist(),
+                       out["pix_digest"].to_pylist()))
+        fmts_seen = set()
+        for aid, fmt, img in codec_matrix_images(n, 9):
+            assert got[aid] == pixel_digest(img), (aid, fmt)
+            fmts_seen.add(fmt)
+        assert fmts_seen == set(CODEC_MATRIX_FORMATS)
