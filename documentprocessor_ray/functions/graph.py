@@ -97,9 +97,12 @@ def pagerank(
             "c": pa.nulls(n, pa.int64()),
             "pkey": pa.array(bucket_of_ints(src, nb), pa.int64())})
 
-    # static: edges grouped by bucket(src), materialized once
+    # static: edges grouped by bucket(src), materialized once; the raw
+    # small-path materialization is released right after so the two full
+    # edge copies never stay pinned together
     E = edges.map_batches(both_dirs, batch_format="pyarrow") \
         .repartition(nb).materialize()
+    edges = None
 
     def init_scores(g: pa.Table) -> pa.Table:
         src = g["src"].to_numpy(zero_copy_only=False)
@@ -284,6 +287,7 @@ def triangle_counts(
     ded = edges.map_batches(canon, batch_format="pyarrow") \
         .groupby("pkey").map_groups(dedup, batch_format="pyarrow") \
         .materialize()
+    edges = None  # release the raw small-path materialization
 
     def endpoints(b: pa.Table) -> pa.Table:
         n = np.concatenate([
@@ -480,6 +484,7 @@ def kcore(
     cur = edges.map_batches(canon, batch_format="pyarrow") \
         .groupby("pkey").map_groups(dedup, batch_format="pyarrow") \
         .materialize()
+    edges = None  # release the raw small-path materialization
     n_edges = cur.count()
 
     def endpoints(b: pa.Table) -> pa.Table:
@@ -626,6 +631,7 @@ def label_propagation(
     cur = edges.map_batches(canon, batch_format="pyarrow") \
         .groupby("pkey").map_groups(dedup, batch_format="pyarrow") \
         .materialize()
+    edges = None  # release the raw small-path materialization
 
     def init_labels(b: pa.Table) -> pa.Table:
         n = np.unique(np.concatenate([

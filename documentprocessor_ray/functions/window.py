@@ -171,21 +171,29 @@ def global_rank(
                 tie_col: pa.array(tv_s, pa.int64()),
                 "rnk": pa.array(rank, pa.int64())}
         if n_tiles:
-            n, k = total, n_tiles
-            big = n % k
-            size_big, size_small = -(-n // k), n // k
-            cut = big * size_big
-            r = rank
-            tile = np.where(
-                r <= cut,
-                -(-r // max(size_big, 1)),
-                big + -(-(r - cut) // max(size_small, 1)))
-            cols["quartile" if k == 4 else f"tile{k}"] = \
-                pa.array(tile.astype(np.int64), pa.int64())
+            name, col = _ntile_col(rank, total, n_tiles)
+            cols[name] = col
         return pa.table(cols)
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def _ntile_col(rank: np.ndarray, total: int, n_tiles: int):
+    """Exact SQL ntile(n) from the global rank in closed form (first
+    ``total % n`` tiles get the larger size). Returns (column_name,
+    int64 array) — shared by both global_rank legs so their outputs
+    cannot diverge."""
+    n, k = total, n_tiles
+    big = n % k
+    size_big, size_small = -(-n // k), n // k
+    cut = big * size_big
+    tile = np.where(
+        rank <= cut,
+        -(-rank // max(size_big, 1)),
+        big + -(-(rank - cut) // max(size_small, 1)))
+    return ("quartile" if k == 4 else f"tile{k}",
+            pa.array(tile.astype(np.int64), pa.int64()))
 
 
 def _global_rank_distributed(
@@ -202,13 +210,20 @@ def _global_rank_distributed(
 
     ``counts`` is the materialized (key, c=count) distinct-key dataset.
     Keys are partitioned into ``num_buckets`` contiguous VALUE ranges (so
-    bucket order == key order); the driver sees only the per-bucket row
-    totals, turns them into cross-bucket cumulative offsets (``num_buckets``
-    int64s, broadcast via ``ray.put``), and one shuffle co-groups each
-    bucket's distinct-key counts with its data rows. Inside the group the
-    bucket's own keys are sorted + cumsum'd to per-key offsets and the data
-    rows ranked against them — identical output to the broadcast-LUT leg.
-    """
+    bucket order == key order) whose boundaries come from a DETERMINISTIC
+    hash-sample of the distinct keys (TeraSort-style sample-sort split
+    points, ~64 sampled keys per bucket) — equal-WIDTH ranges would
+    collapse under outlier keys (one sentinel next to epoch-nano
+    timestamps puts every real key in one bucket). The driver holds the
+    bounded sample + per-bucket row totals, turns the totals into
+    cross-bucket cumulative offsets (``num_buckets`` int64s, broadcast
+    via ``ray.put``), and one shuffle co-groups each bucket's
+    distinct-key counts with its data rows. Inside the group the bucket's
+    own keys are sorted + cumsum'd to per-key offsets and the data rows
+    ranked against them — identical output to the broadcast-LUT leg at
+    ANY choice of boundaries (they only steer load balance). Balance is
+    over DISTINCT keys; a single key value's rows still co-locate (the
+    documented skew caveat)."""
     import ray.data.aggregate as _agg
 
     mm = counts.aggregate(_agg.Min(key), _agg.Max(key),
@@ -218,13 +233,31 @@ def _global_rank_distributed(
     total = int(mm["sum(sum(c))"])
     span = kmax - kmin + 1  # Python ints: no int64 overflow
     nb = max(1, min(num_buckets, span))
-    width = np.uint64(-(-span // nb))
-    # two's-complement distance works for ANY int64 pair (0 <= dist < 2^64)
-    base = np.uint64(kmin & 0xFFFFFFFFFFFFFFFF)
+
+    # deterministic hash-stride sample of distinct keys -> split points
+    n_distinct = counts.count()  # metadata: counts is materialized
+    stride = max(1, n_distinct // (nb * 64))
+
+    def sample_keys(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if stride > 1:
+            h = kv.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            kv = kv[h % np.uint64(stride) == 0]
+        return pa.table({"s": pa.array(kv, pa.int64())})
+
+    samp = np.sort(counts.map_batches(
+        sample_keys, batch_format="pyarrow").to_pandas()["s"].to_numpy())
+    if len(samp) >= nb:
+        bounds = samp[np.linspace(0, len(samp) - 1,
+                                  nb + 1).astype(np.int64)[1:-1]]
+    else:  # degenerate sample: fall back to equal-width split points
+        width = -(-span // nb)
+        bounds = np.array([min(kmin + width * i, (1 << 63) - 1)
+                           for i in range(1, nb)], np.int64)
 
     def rb_of(vals: np.ndarray) -> np.ndarray:
-        d = vals.astype(np.int64).view(np.uint64) - base
-        return (d // width).astype(np.int64)
+        return np.searchsorted(bounds, vals.astype(np.int64),
+                               side="right").astype(np.int64)
 
     def count_rows(b: pa.Table) -> pa.Table:
         kv = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -289,17 +322,8 @@ def _global_rank_distributed(
                 tie_col: pa.array(dt_s, pa.int64()),
                 "rnk": pa.array(rank, pa.int64())}
         if n_tiles:
-            n, k = total, n_tiles
-            big = n % k
-            size_big, size_small = -(-n // k), n // k
-            cut = big * size_big
-            r = rank
-            tile = np.where(
-                r <= cut,
-                -(-r // max(size_big, 1)),
-                big + -(-(r - cut) // max(size_small, 1)))
-            cols["quartile" if k == 4 else f"tile{k}"] = \
-                pa.array(tile.astype(np.int64), pa.int64())
+            name, col = _ntile_col(rank, total, n_tiles)
+            cols[name] = col
         return pa.table(cols)
 
     return unioned.groupby("rb").map_groups(

@@ -593,8 +593,10 @@ def run_scored_extraction(
 
     docs = ray.data.read_parquet(documents_dir)
     kwargs.setdefault("size_hint", docs.count())  # metadata-only on a fresh read
+    # pixels mode reads only spans_out + the media store — don't assemble
+    # and ship the (heavy) per-doc word structs it would never look at
     ds = build_pipeline(docs.select_columns(["doc_id", "spans"]), media_dir,
-                        keep_words=True, **kwargs)
+                        keep_words=not use_pixels, **kwargs)
     ctor = {"model": model}
     if use_pixels:
         ctor.update(use_pixels=True, media_dir=media_dir)

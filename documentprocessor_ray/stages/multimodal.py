@@ -282,6 +282,27 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_assemble_rgb(planes: List[np.ndarray], samps: List[tuple],
+                       hmax: int, vmax: int, h: int, w: int) -> np.ndarray:
+    """Shared tail of BOTH JPEG decoders (baseline + progressive):
+    chroma upsample, crop to (h, w), grayscale replicate or BT.601
+    YCbCr->RGB. One copy so the pixel-identity contract between the two
+    paths holds by construction."""
+    full = []
+    for p, (hi, vi) in zip(planes, samps):
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = full[0].astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (f.astype(np.float64) for f in full[:3])
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bl = y + 1.772 * (cb - 128)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _jpeg_decode(b: bytes) -> np.ndarray:
     """Pure numpy+stdlib baseline JPEG decoder (ITU-T T.81 sequential DCT,
     Huffman, 8-bit): JFIF/EXIF wrappers, 1- or 3-component scans, any
@@ -434,20 +455,9 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
                     planes[cs][y0:y0 + 8, x0:x0 + 8] = \
                         np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
 
-    full = []
-    for cid, hi, vi, _tq in comps:
-        p = planes[cid]
-        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        g = full[0].astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = (f.astype(np.float64) for f in full[:3])
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    bl = y + 1.772 * (cb - 128)
-    rgb = np.stack([r, g, bl], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _jpeg_assemble_rgb([planes[cid] for cid, *_ in comps],
+                              [(hi, vi) for _cid, hi, vi, _tq in comps],
+                              hmax, vmax, h, w)
 
 
 def _jpeg_entropy_segments(b: bytes, pos: int):
@@ -570,7 +580,7 @@ def _jpeg_decode_progressive(b: bytes) -> np.ndarray:
     h, w, comps = sof
 
     # dequant + IDCT once, after all scans
-    full = []
+    planes = []
     for cid, hi, vi, tq in comps:
         arr = coefs[cid]
         gy, gx, _ = arr.shape
@@ -584,18 +594,10 @@ def _jpeg_decode_progressive(b: bytes) -> np.ndarray:
                 f = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
                 plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
                     np.clip(np.round(f) + 128, 0, 255).astype(np.int64)
-        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
-                          hmax // hi, axis=1)
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        g = full[0].astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = (f.astype(np.float64) for f in full[:3])
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    bl = y + 1.772 * (cb - 128)
-    rgb = np.stack([r, g, bl], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        planes.append(plane)
+    return _jpeg_assemble_rgb(planes,
+                              [(hi, vi) for _cid, hi, vi, _tq in comps],
+                              hmax, vmax, h, w)
 
 
 def _jpeg_progressive_scan(sof, sel, ss, se, ah, al, segs, dri, huff,
@@ -1198,6 +1200,13 @@ def _tiff_decode(b: bytes) -> np.ndarray:
     if any(x != 8 for x in bps) or spp not in (1, 3, 4) or planar != 1:
         raise ValueError(
             "TIFF decoder supports 8-bit gray/RGB/RGBA chunky only")
+    photometric = tags.get(262, [1])[0]
+    if spp == 4 and photometric != 2:
+        # 4 samples that are NOT RGB+alpha (e.g. Separated/CMYK,
+        # photometric 5) must raise, not silently drop the K channel
+        raise ValueError(
+            f"TIFF spp=4 with photometric {photometric} not supported "
+            "(RGB + ExtraSamples alpha only)")
     if comp not in (1, 32773):
         raise ValueError(f"TIFF compression {comp} not supported "
                          "(none/PackBits only)")

@@ -360,9 +360,8 @@ class ScorerStage:
         refs: List[str] = []
         for s in spans or []:
             r = s.get("media_ref")
-            if s.get("kind") == "media" and r and (not refs or refs[-1] != r):
-                if r not in refs:
-                    refs.append(r)
+            if s.get("kind") == "media" and r and r not in refs:
+                refs.append(r)
         merged: Dict[str, Any] = {}
         items: List[Any] = []
         for r in refs:

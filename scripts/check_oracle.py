@@ -91,7 +91,14 @@ def main():
         rec["spark_rows"] = len(mine)
         if name not in oracles:
             rec["rows_match"] = len(mine) > 0
-            print(f"ok    {name}: rows-only ({len(mine)} rows, {dt:.1f}s)")
+            if not rec["rows_match"]:
+                # keep the artifact and the exit status consistent: an
+                # empty rows-only result is a failure in both
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only query returned 0 rows")
+            else:
+                print(f"ok    {name}: rows-only ({len(mine)} rows, "
+                      f"{dt:.1f}s)")
             continue
         try:
             exp = canon(con.execute(oracles[name]).df())

@@ -128,3 +128,27 @@ class TestGlobalRankDistributed:
                 pa.int64())}),
             batch_format="pyarrow").sum("bad")
         assert bad == 0
+
+    def test_outlier_key_distribution(self, ray_session):
+        """Review fix: equal-width range buckets collapse when one
+        sentinel key (0) sits next to timestamp-like keys (~1.7e18).
+        Sample-based split points must keep the result exact (and spread
+        the real keys); verify exact ranks under that distribution."""
+        from documentprocessor_ray.functions.window import global_rank
+
+        rng = np.random.default_rng(21)
+        n = 3000
+        key = np.int64(1_700_000_000_000_000_000) + \
+            rng.integers(0, 10_000_000, n).astype(np.int64)
+        key[:25] = 0  # missing-value sentinels
+        ids = rng.permutation(n).astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({
+            "k": pa.array(key, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64())}))
+        out = global_rank(ds, "k", "doc_id", descending=False,
+                          max_driver_keys=8).to_pandas() \
+            .sort_values("rnk").reset_index(drop=True)
+        order = np.lexsort((ids, key))
+        assert (out["k"].to_numpy() == key[order]).all()
+        assert (out["doc_id"].to_numpy() == ids[order]).all()
+        assert (out["rnk"].to_numpy() == np.arange(1, n + 1)).all()
