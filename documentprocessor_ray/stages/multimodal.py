@@ -95,58 +95,113 @@ def _png_decode(b: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
-        raise ValueError(
-            f"PNG decoder supports 8-bit non-interlaced only "
-            f"(depth={depth}, interlace={interlace})")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
-    stride = w * channels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    rows = raw.reshape(h, stride + 1)
-    ftypes = rows[:, 0]
-    out = np.zeros((h, stride), np.int64)
-    prev = np.zeros(stride, np.int64)
-    bpp = channels
-    for y in range(h):
-        f = int(ftypes[y])
-        row = rows[y, 1:].astype(np.int64)
-        if f == 0:
-            rec = row
-        elif f == 1:  # Sub: cumulative sum per channel lane, mod 256
-            lanes = row.reshape(w, bpp)
-            rec = np.cumsum(lanes, axis=0, dtype=np.int64).reshape(stride) & 255
-        elif f == 2:  # Up
-            rec = (row + prev) & 255
-        elif f in (3, 4):  # Average / Paeth: left dependency -> pixel loop
-            rec = np.zeros(stride, np.int64)
-            lanes = row.reshape(w, bpp)
-            up = prev.reshape(w, bpp)
-            recl = rec.reshape(w, bpp)
-            left = np.zeros(bpp, np.int64)
-            ul = np.zeros(bpp, np.int64)
-            for x in range(w):
-                if f == 3:
-                    recl[x] = (lanes[x] + (left + up[x]) // 2) & 255
-                else:
-                    p = left + up[x] - ul
-                    pa_ = np.abs(p - left)
-                    pb_ = np.abs(p - up[x])
-                    pc_ = np.abs(p - ul)
-                    pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
-                                    np.where(pb_ <= pc_, up[x], ul))
-                    recl[x] = (lanes[x] + pred) & 255
-                left = recl[x]
-                ul = up[x]
-            rec = recl.reshape(stride)
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        out[y] = rec
-        prev = rec
-    pix = out.astype(np.uint8).reshape(h, w, channels)
+    if depth < 8 and ctype not in (0, 3):
+        raise ValueError(f"PNG depth {depth} only valid for gray/palette")
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    # filtering operates on BYTES with the spec's byte-granular bpp
+    bpp = max(1, channels * depth // 8)
+
+    def unfilter(rows: np.ndarray, ph: int, pstride: int) -> np.ndarray:
+        ftypes = rows[:, 0]
+        out = np.zeros((ph, pstride), np.int64)
+        prev = np.zeros(pstride, np.int64)
+        n_units = pstride // bpp
+        for y in range(ph):
+            f = int(ftypes[y])
+            row = rows[y, 1:].astype(np.int64)
+            if f == 0:
+                rec = row
+            elif f == 1:  # Sub: cumulative sum per byte lane, mod 256
+                lanes = row.reshape(n_units, bpp)
+                rec = np.cumsum(lanes, axis=0, dtype=np.int64) \
+                    .reshape(pstride) & 255
+            elif f == 2:  # Up
+                rec = (row + prev) & 255
+            elif f in (3, 4):  # Average / Paeth: left dep -> pixel loop
+                rec = np.zeros(pstride, np.int64)
+                lanes = row.reshape(n_units, bpp)
+                up = prev.reshape(n_units, bpp)
+                recl = rec.reshape(n_units, bpp)
+                left = np.zeros(bpp, np.int64)
+                ul = np.zeros(bpp, np.int64)
+                for x in range(n_units):
+                    if f == 3:
+                        recl[x] = (lanes[x] + (left + up[x]) // 2) & 255
+                    else:
+                        p = left + up[x] - ul
+                        pa_ = np.abs(p - left)
+                        pb_ = np.abs(p - up[x])
+                        pc_ = np.abs(p - ul)
+                        pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                        np.where(pb_ <= pc_, up[x], ul))
+                        recl[x] = (lanes[x] + pred) & 255
+                    left = recl[x]
+                    ul = up[x]
+                rec = recl.reshape(pstride)
+            else:
+                raise ValueError(f"unknown PNG filter type {f}")
+            out[y] = rec
+            prev = rec
+        return out
+
+    def unpack(rec: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """(ph, pstride) filtered bytes -> (ph, pw*channels) 8-bit
+        samples (16-bit truncates to the high byte; sub-byte depths
+        unpack MSB-first; gray sub-byte scales to full range, palette
+        indices stay raw)."""
+        if depth == 8:
+            return rec[:, :pw * channels]
+        if depth == 16:
+            return rec[:, 0::2][:, :pw * channels]
+        bits = np.unpackbits(rec.astype(np.uint8), axis=1)
+        if depth == 1:
+            v = bits[:, :pw]
+        elif depth == 2:
+            v = (2 * bits[:, 0::2] + bits[:, 1::2])[:, :pw]
+        else:  # 4
+            v = (8 * bits[:, 0::4] + 4 * bits[:, 1::4]
+                 + 2 * bits[:, 2::4] + bits[:, 3::4])[:, :pw]
+        if ctype == 0:  # gray: scale to 8-bit full range
+            v = v * {1: 255, 2: 85, 4: 17}[depth]
+        return v
+
+    def pstride_of(pw: int) -> int:
+        return -(-pw * channels * depth // 8)
+
+    if interlace == 0:
+        stride = pstride_of(w)
+        if len(data) != h * (stride + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        samples = unpack(unfilter(data.reshape(h, stride + 1), h, stride),
+                         h, w)
+    elif interlace == 1:  # Adam7: 7 independent sub-images
+        img = np.zeros((h, w, channels), np.int64)
+        pos = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pstride_of(pw)
+            take = ph * (pstride + 1)
+            chunk = data[pos:pos + take]
+            if len(chunk) != take:
+                raise ValueError("PNG Adam7 pass data truncated")
+            pos += take
+            s = unpack(unfilter(chunk.reshape(ph, pstride + 1),
+                                ph, pstride), ph, pw)
+            img[y0::dy, x0::dx] = s.reshape(ph, pw, channels)
+        samples = img.reshape(h, w * channels)
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    pix = samples.astype(np.uint8).reshape(h, w, channels)
     if ctype == 0:
         return np.repeat(pix, 3, axis=2)
     if ctype == 2:

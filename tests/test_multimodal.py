@@ -644,3 +644,98 @@ class TestCodecMatrix:
             assert got[aid] == pixel_digest(img), (aid, fmt)
             fmts_seen.add(fmt)
         assert fmts_seen == set(CODEC_MATRIX_FORMATS)
+
+
+class TestPngFullDepths:
+    """PNG generalization (r5): sub-byte depths (1/2/4, gray + palette),
+    16-bit (high-byte truncation) and Adam7 interlace — hand-crafted
+    streams, since the minimal encoder only writes 8-bit RGB."""
+
+    @staticmethod
+    def _chunk(typ, body):
+        import zlib
+
+        return len(body).to_bytes(4, "big") + typ + body + \
+            (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+
+    @classmethod
+    def _make_png(cls, w, h, depth, ctype, scanlines, plte=None,
+                  interlace=0):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + cls._chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += cls._chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        return out + cls._chunk(b"IDAT", zlib.compress(scanlines)) + \
+            cls._chunk(b"IEND", b"")
+
+    @staticmethod
+    def _pack_bits(vals, depth):
+        bits = np.zeros(len(vals) * depth, np.uint8)
+        for i, v in enumerate(vals):
+            for j in range(depth):
+                bits[i * depth + j] = (int(v) >> (depth - 1 - j)) & 1
+        return np.packbits(bits).tobytes()
+
+    def test_sub_byte_gray_and_palette(self):
+        from documentprocessor_ray.stages.multimodal import _png_decode
+
+        rng = np.random.default_rng(0)
+        vals = rng.integers(0, 2, (3, 10))
+        sl = b"".join(b"\x00" + self._pack_bits(vals[y], 1)
+                      for y in range(3))
+        img = _png_decode(self._make_png(10, 3, 1, 0, sl))
+        assert np.array_equal(img[:, :, 0], vals * 255)
+
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (2, 7))
+        sl = b"".join(b"\x00" + self._pack_bits(idx[y], 4)
+                      for y in range(2))
+        img = _png_decode(self._make_png(7, 2, 4, 3, sl, plte=pal))
+        assert np.array_equal(img, pal[idx])
+
+    def test_two_bit_gray_with_up_filter(self):
+        from documentprocessor_ray.stages.multimodal import _png_decode
+
+        rng = np.random.default_rng(1)
+        vals = rng.integers(0, 4, (3, 9))
+        rows = []
+        prev = np.zeros(-(-9 * 2 // 8), np.int64)
+        for y in range(3):
+            raw = np.frombuffer(self._pack_bits(vals[y], 2),
+                                np.uint8).astype(np.int64)
+            rows.append(b"\x02" + bytes(((raw - prev) & 255)
+                                        .astype(np.uint8)))
+            prev = raw
+        img = _png_decode(self._make_png(9, 3, 2, 0, b"".join(rows)))
+        assert np.array_equal(img[:, :, 0], vals * 85)
+
+    def test_sixteen_bit_rgb(self):
+        from documentprocessor_ray.stages.multimodal import _png_decode
+
+        rng = np.random.default_rng(2)
+        v16 = rng.integers(0, 65536, (2, 5, 3))
+        sl = b"".join(b"\x00" + v16[y].astype(">u2").tobytes()
+                      for y in range(2))
+        img = _png_decode(self._make_png(5, 2, 16, 2, sl))
+        assert np.array_equal(img, (v16 >> 8).astype(np.uint8))
+
+    def test_adam7_interlace(self):
+        from documentprocessor_ray.stages.multimodal import _png_decode
+
+        rng = np.random.default_rng(3)
+        w = h = 9
+        src = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = b""
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            sub = src[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                buf += b"\x00" + row.tobytes()
+        img = _png_decode(self._make_png(w, h, 8, 2, buf, interlace=1))
+        assert np.array_equal(img, src)
