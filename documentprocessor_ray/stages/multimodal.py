@@ -1417,7 +1417,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int
 
 def _gif_decode(b: bytes) -> np.ndarray:
     """GIF87a/89a decoder: global/local color table, LZW image data, first
-    frame, non-interlaced. Output (H, W, 3) uint8 RGB."""
+    frame, interlaced or not (the 8/8/4/2 four-pass row order). Output
+    (H, W, 3) uint8 RGB."""
     b = bytes(b)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -1439,8 +1440,6 @@ def _gif_decode(b: bytes) -> np.ndarray:
             h = int.from_bytes(b[pos + 7:pos + 9], "little")
             iflags = b[pos + 9]
             pos += 10
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
             pal = gct
             if iflags & 0x80:
                 lct_size = 2 << (iflags & 7)
@@ -1461,7 +1460,16 @@ def _gif_decode(b: bytes) -> np.ndarray:
                 _gif_lzw_decode(bytes(data), min_code, w * h), np.uint8)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
-            return pal[idx[:w * h].astype(np.int64)].reshape(h, w, 3).copy()
+            grid = idx[:w * h].astype(np.int64).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows stored in the 4 passes
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                deint = np.empty_like(grid)
+                deint[order] = grid
+                grid = deint
+            return pal[grid].copy()
         elif block == 0x3B:  # trailer
             break
         else:

@@ -739,3 +739,26 @@ class TestPngFullDepths:
                 buf += b"\x00" + row.tobytes()
         img = _png_decode(self._make_png(w, h, 8, 2, buf, interlace=1))
         assert np.array_equal(img, src)
+
+
+class TestGifInterlace:
+    def test_interlaced_gif_deinterlaces(self):
+        """Interlaced GIF (r5): rows arrive in the spec's 8/8/4/2 pass
+        order. Build one by encoding the rows in storage order and
+        setting the interlace flag; decode must restore the original."""
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode, encode_gif)
+
+        rng = np.random.default_rng(4)
+        h, w = 13, 6
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        src = pal[rng.integers(0, 8, (h, w))]
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        enc = bytearray(encode_gif(src[order]))
+        gct_size = 2 << (enc[10] & 7)
+        desc = 13 + 3 * gct_size
+        assert enc[desc] == 0x2C
+        enc[desc + 9] |= 0x40  # flip the interlace flag
+        out = _gif_decode(bytes(enc))
+        assert np.array_equal(out, src)
