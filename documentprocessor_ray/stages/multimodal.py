@@ -1207,7 +1207,8 @@ def _tiff_decode(b: bytes) -> np.ndarray:
     """TIFF 6.0 baseline subset: II/MM byte order, first IFD, 8-bit
     grayscale, RGB or RGBA (ExtraSamples alpha dropped, matching the
     reference's RGBA->RGB load at cli/utils.py:110-114), chunky planar
-    config, strip layout, Compression = none (1) or PackBits (32773).
+    config, strip layout, Compression = none (1), Deflate (8/32946) or
+    PackBits (32773), horizontal-differencing predictor (tag 317).
     Output (H, W, 3) uint8 RGB (grayscale replicated). Unsupported
     variants raise (in-band error upstream). RGBA leg validated against a
     real libtiff-encoded file (CPython test corpus) in
@@ -1262,9 +1263,12 @@ def _tiff_decode(b: bytes) -> np.ndarray:
         raise ValueError(
             f"TIFF spp=4 with photometric {photometric} not supported "
             "(RGB + ExtraSamples alpha only)")
-    if comp not in (1, 32773):
+    if comp not in (1, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} not supported "
-                         "(none/PackBits only)")
+                         "(none/PackBits/Deflate only)")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
 
     def unpackbits(data: bytes) -> bytes:
         out = bytearray()
@@ -1284,11 +1288,21 @@ def _tiff_decode(b: bytes) -> np.ndarray:
     pix = bytearray()
     for off, cnt in zip(strip_offs, strip_counts):
         chunk = b[off:off + cnt]
-        pix += unpackbits(chunk) if comp == 32773 else chunk
+        if comp == 32773:
+            pix += unpackbits(chunk)
+        elif comp in (8, 32946):  # Adobe/legacy Deflate
+            import zlib
+
+            pix += zlib.decompress(bytes(chunk))
+        else:
+            pix += chunk
     need = h * w * spp
     if len(pix) < need:
         raise ValueError("TIFF strip data truncated")
     arr = np.frombuffer(bytes(pix[:need]), np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo per row/channel
+        arr = (np.cumsum(arr.astype(np.int64), axis=1)
+               & 0xFF).astype(np.uint8)
     if spp == 1:
         return np.repeat(arr, 3, axis=2)
     if spp == 4:
@@ -2235,8 +2249,9 @@ class RealCodec(Codec):
 
 class RawCodec(Codec):
     """WORKING pure-numpy codec for uncompressed containers — no external
-    libraries: 24-bit uncompressed BMP (BITMAPINFOHEADER), 16-bit PCM WAV
-    (RIFF), and raw interleaved rgb24 video (meta declares the frame shape).
+    libraries: BMP (8-bit palette, 24-bit, 32-bit incl. BI_BITFIELDS),
+    WAV (PCM 8/16/24/32-bit + IEEE float 32/64, RIFF), and raw
+    interleaved rgb24 video (meta declares the frame shape).
     Compressed formats (png/jpeg/mp3/mp4) still need RealCodec's external
     libs; route by ``meta.format`` (see AutoCodec).
 
@@ -2258,6 +2273,22 @@ class RawCodec(Codec):
         # masks follow the info header, V4/V5 headers included) — the
         # 32bpp/bitfields leg is validated against a real BITMAPV5HEADER
         # file from the CPython test corpus in tests/test_multimodal.py
+        if bpp == 8 and comp == 0:
+            # palettized: BGRA quads follow the info header
+            hdr = int.from_bytes(b[14:18], "little")
+            n_colors = int.from_bytes(b[46:50], "little") or 256
+            poff = 14 + hdr
+            quads = np.frombuffer(b, np.uint8, count=4 * n_colors,
+                                  offset=poff).reshape(-1, 4)
+            pal = quads[:, [2, 1, 0]]  # BGRx -> RGB
+            bottom_up = h > 0
+            h = abs(h)
+            row = ((w + 3) // 4) * 4
+            idx = np.frombuffer(b, np.uint8, count=row * h,
+                                offset=pix_off).reshape(h, row)[:, :w]
+            if bottom_up:
+                idx = idx[::-1]
+            return pal[idx.astype(np.int64)].copy()
         if bpp == 24 and comp == 0:
             nch, order = 3, (2, 1, 0)  # BGR
         elif bpp == 32 and comp in (0, 3):
@@ -2277,7 +2308,7 @@ class RawCodec(Codec):
                 order = (2, 1, 0)  # BGRX
         else:
             raise ValueError(
-                f"RawCodec: only 24/32-bit uncompressed BMP "
+                f"RawCodec: only 8/24/32-bit uncompressed BMP "
                 f"(got {bpp}bpp comp={comp})")
         bottom_up = h > 0
         h = abs(h)
@@ -2311,9 +2342,32 @@ class RawCodec(Codec):
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if fmt is None or data is None:
             raise ValueError("RawCodec: missing fmt/data chunk")
-        if fmt["audio_format"] != 1 or fmt["bits"] != 16:
-            raise ValueError("RawCodec: only 16-bit PCM WAV")
-        samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        af, bits = fmt["audio_format"], fmt["bits"]
+        if af == 1 and bits == 16:
+            samples = np.frombuffer(data, dtype="<i2") \
+                .astype(np.float32) / 32768.0
+        elif af == 1 and bits == 8:  # 8-bit PCM is UNSIGNED per RIFF
+            samples = (np.frombuffer(data, dtype=np.uint8)
+                       .astype(np.float32) - 128.0) / 128.0
+        elif af == 1 and bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3)
+            v = (raw[:, 0].astype(np.int32)
+                 | (raw[:, 1].astype(np.int32) << 8)
+                 | (raw[:, 2].astype(np.int32) << 16))
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = v.astype(np.float32) / float(1 << 23)
+        elif af == 1 and bits == 32:
+            samples = np.frombuffer(data, dtype="<i4") \
+                .astype(np.float32) / float(1 << 31)
+        elif af == 3 and bits == 32:  # IEEE float
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        elif af == 3 and bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(
+                f"RawCodec: unsupported WAV (format {af}, {bits}-bit); "
+                "PCM 8/16/24/32 and IEEE float 32/64 only")
         ch = fmt["channels"]
         if ch > 1:
             samples = samples[: len(samples) - len(samples) % ch]

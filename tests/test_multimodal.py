@@ -762,3 +762,142 @@ class TestGifInterlace:
         enc[desc + 9] |= 0x40  # flip the interlace flag
         out = _gif_decode(bytes(enc))
         assert np.array_equal(out, src)
+
+
+class TestTiffDeflatePredictor:
+    """TIFF Deflate (8/32946) + horizontal-differencing predictor (317),
+    hand-crafted little-endian streams (the minimal encoder only writes
+    none/PackBits)."""
+
+    @staticmethod
+    def _make_tiff(img, comp, predictor):
+        import zlib
+
+        h, w = img.shape[:2]
+        spp = 1 if img.ndim == 2 else 3
+        arr = img.astype(np.uint8)
+        if predictor == 2:
+            a = arr.reshape(h, w, spp).astype(np.int64)
+            d = np.empty_like(a)
+            d[:, 0] = a[:, 0]
+            d[:, 1:] = (a[:, 1:] - a[:, :-1]) & 0xFF
+            arr = d.astype(np.uint8)
+        raw = arr.tobytes()
+        data = zlib.compress(raw) if comp in (8, 32946) else raw
+
+        def ent(tag, typ, cnt, val):
+            return tag.to_bytes(2, "little") + typ.to_bytes(2, "little") \
+                + cnt.to_bytes(4, "little") + val
+
+        def short(v):
+            return v.to_bytes(2, "little") + b"\x00\x00"
+
+        def long_(v):
+            return v.to_bytes(4, "little")
+
+        n = 10
+        ifd_size = 2 + 12 * n + 4
+        bps_off = 8 + ifd_size
+        extra = 6 if spp == 3 else 0
+        data_off = bps_off + extra
+        entries = [
+            ent(256, 3, 1, short(w)), ent(257, 3, 1, short(h)),
+            ent(258, 3, 3, long_(bps_off)) if spp == 3
+            else ent(258, 3, 1, short(8)),
+            ent(259, 3, 1, short(comp)),
+            ent(262, 3, 1, short(2 if spp == 3 else 1)),
+            ent(273, 4, 1, long_(data_off)),
+            ent(277, 3, 1, short(spp)),
+            ent(278, 3, 1, short(h)),
+            ent(279, 4, 1, long_(len(data))),
+            ent(317, 3, 1, short(predictor)),
+        ]
+        out = b"II*\x00" + (8).to_bytes(4, "little")
+        out += n.to_bytes(2, "little") + b"".join(entries) + b"\x00" * 4
+        if spp == 3:
+            out += (8).to_bytes(2, "little") * 3
+        return out + data
+
+    def test_deflate_rgb(self):
+        from documentprocessor_ray.stages.multimodal import _tiff_decode
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (7, 9, 3), dtype=np.uint8)
+        for comp in (8, 32946):
+            out = _tiff_decode(self._make_tiff(img, comp, 1))
+            assert np.array_equal(out, img), comp
+
+    def test_deflate_with_predictor(self):
+        from documentprocessor_ray.stages.multimodal import _tiff_decode
+
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, (5, 11, 3), dtype=np.uint8)
+        out = _tiff_decode(self._make_tiff(img, 8, 2))
+        assert np.array_equal(out, img)
+        gray = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+        out = _tiff_decode(self._make_tiff(gray, 8, 2))
+        assert np.array_equal(out[:, :, 0], gray)
+
+
+class TestBmpPaletteAndWavFormats:
+    def test_bmp_8bit_palette(self):
+        from documentprocessor_ray.stages.multimodal import RawCodec
+
+        rng = np.random.default_rng(7)
+        h, w = 6, 10
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        row = ((w + 3) // 4) * 4
+        # BITMAPFILEHEADER + BITMAPINFOHEADER(40) + 256 BGRA quads + rows
+        pix_off = 14 + 40 + 4 * 256
+        body = bytearray()
+        body += b"BM" + (pix_off + row * h).to_bytes(4, "little")
+        body += b"\x00\x00\x00\x00" + pix_off.to_bytes(4, "little")
+        body += (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+        body += h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+        body += (8).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        body += (row * h).to_bytes(4, "little") + b"\x00" * 8
+        body += (256).to_bytes(4, "little") + (0).to_bytes(4, "little")
+        quads = np.zeros((256, 4), np.uint8)
+        quads[:, 0] = pal[:, 2]  # B
+        quads[:, 1] = pal[:, 1]  # G
+        quads[:, 2] = pal[:, 0]  # R
+        body += quads.tobytes()
+        padded = np.zeros((h, row), np.uint8)
+        padded[:, :w] = idx
+        body += padded[::-1].tobytes()  # bottom-up
+        out = RawCodec().decode_image(
+            np.frombuffer(bytes(body), np.uint8), {"format": "bmp"})
+        assert np.array_equal(out, pal[idx.astype(np.int64)])
+
+    def test_wav_sample_formats(self):
+        from documentprocessor_ray.stages.multimodal import RawCodec
+
+        def wav(fmt_code, bits, payload):
+            fmt = fmt_code.to_bytes(2, "little") + (1).to_bytes(2, "little") \
+                + (16000).to_bytes(4, "little") + (0).to_bytes(4, "little") \
+                + (0).to_bytes(2, "little") + bits.to_bytes(2, "little")
+            body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+            body += b"data" + len(payload).to_bytes(4, "little") + payload
+            return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+        rc = RawCodec()
+        # 8-bit unsigned PCM: 128 -> 0.0, 255 -> ~+1
+        s = rc.decode_audio(wav(1, 8, bytes([128, 0, 255])), {})
+        assert abs(s[0]) < 1e-6 and s[1] == -1.0
+        # 24-bit PCM: 0x800000 is most negative
+        pay = (0x400000).to_bytes(3, "little") + \
+            (0x800000).to_bytes(3, "little")
+        s = rc.decode_audio(wav(1, 24, pay), {})
+        assert abs(s[0] - 0.5) < 1e-6 and s[1] == -1.0
+        # 32-bit PCM
+        pay = np.array([1 << 30, -(1 << 31)], "<i4").tobytes()
+        s = rc.decode_audio(wav(1, 32, pay), {})
+        assert abs(s[0] - 0.5) < 1e-6 and s[1] == -1.0
+        # IEEE float 32 and 64
+        s = rc.decode_audio(wav(3, 32, np.array([0.5, -0.25], "<f4")
+                                .tobytes()), {})
+        assert abs(s[0] - 0.5) < 1e-6 and abs(s[1] + 0.25) < 1e-6
+        s = rc.decode_audio(wav(3, 64, np.array([0.125], "<f8")
+                                .tobytes()), {})
+        assert abs(s[0] - 0.125) < 1e-6
