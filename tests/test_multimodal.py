@@ -901,3 +901,31 @@ class TestBmpPaletteAndWavFormats:
         s = rc.decode_audio(wav(3, 64, np.array([0.125], "<f8")
                                 .tobytes()), {})
         assert abs(s[0] - 0.125) < 1e-6
+
+    def test_real_wav_fixtures_cross_depth_consistency(self):
+        """REAL files (CPython test corpus): the same pluck recording at
+        8/16/24/32-bit PCM must decode to the same waveform through the
+        four independent sample-format legs — within each depth's
+        quantization error."""
+        import glob
+
+        from documentprocessor_ray.stages.multimodal import RawCodec
+
+        base = glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
+                         "audiodata/")
+        if not base:
+            pytest.skip("no real audio fixtures in this environment")
+        rc = RawCodec()
+        waves = {}
+        for bits in (8, 16, 24, 32):
+            import os
+
+            p = os.path.join(base[0], f"pluck-pcm{bits}.wav")
+            if os.path.exists(p):
+                waves[bits] = rc.decode_audio(open(p, "rb").read(), {})
+        assert 16 in waves and len(waves) >= 3
+        ref = waves[16]
+        for bits, s in waves.items():
+            assert len(s) == len(ref)
+            tol = 0.01 if bits == 8 else 1e-4
+            assert float(np.abs(s - ref).max()) < tol, bits
