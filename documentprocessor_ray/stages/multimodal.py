@@ -2321,8 +2321,12 @@ class RawCodec(Codec):
 
     def decode_audio(self, payload, meta):
         b = bytes(payload)
+        if b[:4] == b".snd":
+            return _au_decode(b)
+        if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+            return _aiff_decode(b)
         if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-            raise ValueError("RawCodec: not a RIFF/WAVE payload")
+            raise ValueError("RawCodec: not a RIFF/WAVE/AU/AIFF payload")
         pos = 12
         fmt = None
         data = None
@@ -2417,6 +2421,113 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     body = (b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
             + b"data" + len(pcm).to_bytes(4, "little") + pcm)
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _ulaw_expand(x: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> 16-bit-range linear (ITU-T G.711 decode)."""
+    x = (~x.astype(np.int64)) & 0xFF
+    sign = x & 0x80
+    exp = (x >> 4) & 7
+    mant = x & 0xF
+    v = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -v, v)
+
+
+def _alaw_expand(x: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte -> 16-bit-range linear."""
+    x = x.astype(np.int64) ^ 0x55
+    sign = x & 0x80
+    exp = (x >> 4) & 7
+    mant = x & 0xF
+    v = np.where(exp == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    # G.711 A-law: the (xored) sign bit SET means positive
+    return np.where(sign, v, -v)
+
+
+def _pcm_be(data: bytes, bits: int) -> np.ndarray:
+    """Big-endian signed PCM -> float32 in [-1, 1) (AU/AIFF payloads)."""
+    if bits == 8:  # AU/AIFF 8-bit PCM is SIGNED (unlike RIFF)
+        return np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    if bits == 16:
+        return np.frombuffer(data, ">i2").astype(np.float32) / 32768.0
+    if bits == 24:
+        raw = np.frombuffer(data, np.uint8)
+        raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3)
+        v = ((raw[:, 0].astype(np.int32) << 16)
+             | (raw[:, 1].astype(np.int32) << 8)
+             | raw[:, 2].astype(np.int32))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return v.astype(np.float32) / float(1 << 23)
+    if bits == 32:
+        return np.frombuffer(data, ">i4").astype(np.float32) / float(1 << 31)
+    raise ValueError(f"unsupported big-endian PCM width {bits}")
+
+
+def _au_decode(b: bytes) -> np.ndarray:
+    """Sun/NeXT .au (the .snd header): big-endian PCM 8/16/24/32,
+    float 32/64, G.711 mu-law/A-law. Mono downmix like the WAV path.
+    Validated against CPython's real pluck-pcm*.au fixtures (same
+    recording as the WAV twins)."""
+    off = int.from_bytes(b[4:8], "big")
+    enc = int.from_bytes(b[12:16], "big")
+    channels = int.from_bytes(b[20:24], "big")
+    data = b[off:]
+    if enc == 1:
+        s = _ulaw_expand(np.frombuffer(data, np.uint8)) \
+            .astype(np.float32) / 32768.0
+    elif enc in (2, 3, 4, 5):
+        s = _pcm_be(data, {2: 8, 3: 16, 4: 24, 5: 32}[enc])
+    elif enc == 6:
+        s = np.frombuffer(data, ">f4").astype(np.float32)
+    elif enc == 7:
+        s = np.frombuffer(data, ">f8").astype(np.float32)
+    elif enc == 27:
+        s = _alaw_expand(np.frombuffer(data, np.uint8)) \
+            .astype(np.float32) / 32768.0
+    else:
+        raise ValueError(f"AU encoding {enc} not supported")
+    if channels > 1:
+        s = s[:len(s) - len(s) % channels].reshape(-1, channels).mean(axis=1)
+    return s
+
+
+def _aiff_decode(b: bytes) -> np.ndarray:
+    """AIFF / AIFC (IFF FORM container): COMM + SSND chunks, big-endian
+    PCM 8/16/24/32; AIFC compression types 'NONE', 'ulaw', 'alaw'.
+    Validated against CPython's real pluck fixtures."""
+    is_aifc = b[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "big")
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    channels = int.from_bytes(comm[0:2], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    ctype = comm[18:22] if is_aifc and len(comm) >= 22 else b"NONE"
+    off = int.from_bytes(ssnd[0:4], "big")
+    data = ssnd[8 + off:]
+    if ctype in (b"NONE", b"none"):
+        s = _pcm_be(data, bits)
+    elif ctype in (b"ulaw", b"ULAW"):
+        s = _ulaw_expand(np.frombuffer(data, np.uint8)) \
+            .astype(np.float32) / 32768.0
+    elif ctype in (b"alaw", b"ALAW"):
+        s = _alaw_expand(np.frombuffer(data, np.uint8)) \
+            .astype(np.float32) / 32768.0
+    else:
+        raise ValueError(f"AIFC compression {ctype!r} not supported")
+    if channels > 1:
+        s = s[:len(s) - len(s) % channels].reshape(-1, channels).mean(axis=1)
+    return s
 
 
 class AutoCodec(Codec):

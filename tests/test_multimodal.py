@@ -929,3 +929,37 @@ class TestBmpPaletteAndWavFormats:
             assert len(s) == len(ref)
             tol = 0.01 if bits == 8 else 1e-4
             assert float(np.abs(s - ref).max()) < tol, bits
+
+    def test_real_au_aiff_cross_container_consistency(self):
+        """AU (.snd) and AIFF/AIFC containers, incl. G.711 mu-law/A-law:
+        every CPython pluck fixture must decode to the same waveform as
+        the 16-bit WAV ground truth, within its encoding's quantization
+        error."""
+        import glob
+        import os
+
+        from documentprocessor_ray.stages.multimodal import RawCodec
+
+        bases = glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
+                          "audiodata/")
+        if not bases:
+            pytest.skip("no real audio fixtures in this environment")
+        base = bases[0]
+        rc = RawCodec()
+        ref = rc.decode_audio(
+            open(os.path.join(base, "pluck-pcm16.wav"), "rb").read(), {})
+        cases = {"pluck-pcm16.au": 1e-3, "pluck-pcm16.aiff": 1e-3,
+                 "pluck-pcm24.au": 1e-3, "pluck-pcm32.aiff": 1e-3,
+                 "pluck-pcm8.au": 0.01, "pluck-pcm8.aiff": 0.01,
+                 "pluck-ulaw.au": 0.02, "pluck-ulaw.aifc": 0.02,
+                 "pluck-alaw.aifc": 0.02}
+        ran = 0
+        for name, tol in cases.items():
+            p = os.path.join(base, name)
+            if not os.path.exists(p):
+                continue
+            s = rc.decode_audio(open(p, "rb").read(), {})
+            assert len(s) == len(ref), name
+            assert float(np.abs(s - ref).max()) < tol, name
+            ran += 1
+        assert ran >= 5
