@@ -2340,6 +2340,8 @@ class RawCodec(Codec):
                     "channels": int.from_bytes(body[2:4], "little"),
                     "sample_rate": int.from_bytes(body[4:8], "little"),
                     "bits": int.from_bytes(body[14:16], "little"),
+                    "sub_format": int.from_bytes(body[24:26], "little")
+                    if len(body) >= 26 else 0,
                 }
             elif cid == b"data":
                 data = body
@@ -2347,6 +2349,8 @@ class RawCodec(Codec):
         if fmt is None or data is None:
             raise ValueError("RawCodec: missing fmt/data chunk")
         af, bits = fmt["audio_format"], fmt["bits"]
+        if af == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code leads the
+            af = fmt["sub_format"]  # SubFormat GUID
         if af == 1 and bits == 16:
             samples = np.frombuffer(data, dtype="<i2") \
                 .astype(np.float32) / 32768.0

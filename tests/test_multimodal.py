@@ -942,9 +942,13 @@ class TestBmpPaletteAndWavFormats:
 
         bases = glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
                           "audiodata/")
+        # pick a version that still ships the AU/AIFC twins (3.13 keeps
+        # only WAV after the audioop removal)
+        bases = [b for b in bases
+                 if os.path.exists(os.path.join(b, "pluck-ulaw.au"))]
         if not bases:
             pytest.skip("no real audio fixtures in this environment")
-        base = bases[0]
+        base = sorted(bases)[0]
         rc = RawCodec()
         ref = rc.decode_audio(
             open(os.path.join(base, "pluck-pcm16.wav"), "rb").read(), {})
@@ -963,3 +967,23 @@ class TestBmpPaletteAndWavFormats:
             assert float(np.abs(s - ref).max()) < tol, name
             ran += 1
         assert ran >= 5
+
+    def test_real_wave_format_extensible(self):
+        """WAVE_FORMAT_EXTENSIBLE (0xFFFE) fixture from CPython 3.13:
+        the SubFormat GUID's leading code routes to the right PCM leg."""
+        import glob
+        import os
+
+        from documentprocessor_ray.stages.multimodal import RawCodec
+
+        hits = glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
+                         "audiodata/pluck-pcm24-ext.wav")
+        if not hits:
+            pytest.skip("no extensible-WAV fixture in this environment")
+        rc = RawCodec()
+        ext = rc.decode_audio(open(hits[0], "rb").read(), {})
+        plain = rc.decode_audio(open(
+            os.path.join(os.path.dirname(hits[0]), "pluck-pcm24.wav"),
+            "rb").read(), {})
+        assert len(ext) == len(plain)
+        assert float(np.abs(ext - plain).max()) < 1e-6
