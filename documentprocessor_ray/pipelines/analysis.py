@@ -3846,18 +3846,20 @@ def q_codec_matrix(sf_dir: str) -> "ray.data.Dataset":
     """Cross-format codec matrix as a DISTRIBUTED stage: real encoded
     payloads in every lossless image format this build decodes (PNG x2
     filter modes, BMP, TIFF none/PackBits, GIF, WebP-VP8L x2 transform
-    modes) flow through the AutoCodec actor pool and reduce to per-asset
-    pixel digests. The oracle-dump twin computes the SAME digests from
-    the source pixel arrays with NO codec involved, so the hash gate
-    proves each from-scratch decoder reproduced its encoder's input
-    bit-exactly through the production media seam
+    modes) plus BOTH JPEG scan modes flow through the AutoCodec actor
+    pool and reduce to per-asset pixel digests. For the lossless rows the
+    oracle-dump twin computes the SAME digests from the source pixel
+    arrays with NO codec involved (decoder == encoder-input, bit-exact);
+    for the JPEG rows the twin decodes the BASELINE bytes while the
+    distributed side decodes progressive bytes, pinning the two scan
+    machineries against each other
     (stages/multimodal.py:ImageDecodeDigestStage)."""
     from ..stages.multimodal import (
         ImageDecodeDigestStage, synth_codec_matrix_table)
     from . import oracle_dump as OD
 
     n = max(24, int(2400 * _sf_of_dir(sf_dir)))
-    OD.dump("codec_matrix", f"cmatrix:v1:n{n}:seed9",
+    OD.dump("codec_matrix", f"cmatrix:v2:n{n}:seed9",
             lambda: OD.codec_matrix_expected(n))
     ds = ray.data.from_arrow(synth_codec_matrix_table(n_assets=n, seed=9))
     return ds.map_batches(ImageDecodeDigestStage, batch_format="pyarrow",

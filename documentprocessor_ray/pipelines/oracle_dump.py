@@ -1247,15 +1247,22 @@ def text_tiling_expected(sf_dir: str, w: int = 20,
 
 
 def codec_matrix_expected(n_assets: int, seed: int = 9) -> pa.Table:
-    """Twin of q_codec_matrix — CODEC-FREE: every matrix format is
-    lossless, so the expected digest comes straight from the SOURCE pixel
-    arrays (codec_matrix_images), never touching a decoder. A hash match
-    therefore proves the distributed stage's real decoders reproduced
-    their encoders' input bit-exactly."""
-    from ..stages.multimodal import codec_matrix_images, pixel_digest
+    """Twin of q_codec_matrix. Lossless rows are CODEC-FREE: the expected
+    digest comes straight from the SOURCE pixel arrays
+    (codec_matrix_images), never touching a decoder — a hash match proves
+    the distributed stage's real decoders reproduced their encoders'
+    input bit-exactly. The two JPEG rows decode the BASELINE encoding
+    here (single-process) while the distributed side decodes the payload
+    it carries — progressive bytes for 'jpeg_prog' — so the hash gate
+    pins the progressive and sequential scan machineries against each
+    other on every asset."""
+    from ..stages.multimodal import (
+        _jpeg_decode, codec_matrix_images, encode_jpeg, pixel_digest)
 
     ids, ws, hs, lum, digs = [], [], [], [], []
-    for aid, _fmt, img in codec_matrix_images(n_assets, seed):
+    for aid, fmt, img in codec_matrix_images(n_assets, seed):
+        if fmt in ("jpeg", "jpeg_prog"):
+            img = _jpeg_decode(encode_jpeg(img, quant=2, subsample=True))
         ids.append(aid)
         hs.append(img.shape[0])
         ws.append(img.shape[1])

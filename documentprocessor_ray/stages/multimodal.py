@@ -2861,7 +2861,7 @@ def synth_media_table(n_assets: int = 30, seed: int = 5) -> pa.Table:
 
 
 CODEC_MATRIX_FORMATS = ("png", "png_f2", "bmp", "tiff", "tiff_pb", "gif",
-                        "webp", "webp_sg")
+                        "webp", "webp_sg", "jpeg", "jpeg_prog")
 
 
 def pixel_digest(img: np.ndarray) -> str:
@@ -2875,10 +2875,14 @@ def pixel_digest(img: np.ndarray) -> str:
 
 def codec_matrix_images(n_assets: int = 32, seed: int = 9):
     """Deterministic source images for the cross-format codec matrix:
-    seeded 16-color palette images (GIF's <=256-color constraint; every
-    format in the matrix is LOSSLESS, so the expected pixel digest is
-    format-independent and computable WITHOUT any codec). Yields
-    (asset_id, fmt, img)."""
+    seeded 16-color palette images (GIF's <=256-color constraint). The
+    lossless formats' expected pixel digest is format-independent and
+    computable WITHOUT any codec; the two JPEG variants share quantized
+    coefficients by construction (same DCT/quant math in both encoders),
+    so their decodes are pixel-identical to EACH OTHER — the oracle twin
+    decodes the BASELINE bytes while the distributed stage decodes the
+    payload it carries (progressive for 'jpeg_prog'), gating the two
+    scan machineries against each other. Yields (asset_id, fmt, img)."""
     rng = np.random.default_rng(seed)
     pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
     out = []
@@ -2905,10 +2909,14 @@ def synth_codec_matrix_table(n_assets: int = 32, seed: int = 9) -> pa.Table:
         "gif": encode_gif,
         "webp": lambda im: encode_webp_lossless(im, subtract_green=False),
         "webp_sg": lambda im: encode_webp_lossless(im, subtract_green=True),
+        "jpeg": lambda im: encode_jpeg(im, quant=2, subsample=True),
+        "jpeg_prog": lambda im: encode_jpeg_progressive(im, quant=2,
+                                                        subsample=True),
     }
     container = {"png": "png", "png_f2": "png", "bmp": "bmp",
                  "tiff": "tiff", "tiff_pb": "tiff", "gif": "gif",
-                 "webp": "webp", "webp_sg": "webp"}
+                 "webp": "webp", "webp_sg": "webp", "jpeg": "jpeg",
+                 "jpeg_prog": "jpeg"}
     rows = []
     for aid, fmt, img in codec_matrix_images(n_assets, seed):
         rows.append({

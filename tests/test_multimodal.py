@@ -634,6 +634,9 @@ class TestCodecMatrix:
             CODEC_MATRIX_FORMATS, ImageDecodeDigestStage,
             codec_matrix_images, pixel_digest, synth_codec_matrix_table)
 
+        from documentprocessor_ray.stages.multimodal import (
+            _jpeg_decode, encode_jpeg)
+
         n = 2 * len(CODEC_MATRIX_FORMATS)
         t = synth_codec_matrix_table(n_assets=n, seed=9)
         out = ImageDecodeDigestStage()(t)
@@ -641,6 +644,11 @@ class TestCodecMatrix:
                        out["pix_digest"].to_pylist()))
         fmts_seen = set()
         for aid, fmt, img in codec_matrix_images(n, 9):
+            if fmt in ("jpeg", "jpeg_prog"):
+                # progressive payload must match the BASELINE decode of
+                # the same source (shared quantized coefficients)
+                img = _jpeg_decode(encode_jpeg(img, quant=2,
+                                               subsample=True))
             assert got[aid] == pixel_digest(img), (aid, fmt)
             fmts_seen.add(fmt)
         assert fmts_seen == set(CODEC_MATRIX_FORMATS)
