@@ -2216,13 +2216,15 @@ def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False,
 
 
 class RealCodec(Codec):
-    """Production codec seam. PNG, baseline JPEG, TIFF (8-bit strips,
-    none/PackBits), GIF and lossless WebP (VP8L, incl. the short-distance
-    neighbor map) decode FOR REAL (pure numpy + stdlib) — the reference's
-    PIL image surface (cli/utils.py:98-117); lossy-VP8 WebP is the one
-    documented gap (see README 'Known environment gaps'). mp3/mp4 still
-    need soundfile / pyav, absent in this container — wire them here and
-    nothing else changes."""
+    """Production codec seam. PNG (all spec depths 1-16, Adam7), JPEG
+    (sequential AND progressive), TIFF (8-bit strips,
+    none/PackBits/Deflate, predictor, RGBA), GIF (LZW, interlaced) and
+    lossless WebP (VP8L, incl. the short-distance neighbor map) decode
+    FOR REAL (pure numpy + stdlib) — the reference's PIL image surface
+    (cli/utils.py:98-117); lossy-VP8 WebP is the one documented gap (see
+    README 'Known environment gaps'). mp3/mp4 still need soundfile /
+    pyav, absent in this container — wire them here and nothing else
+    changes."""
 
     def decode_image(self, payload, meta):
         head = bytes(payload[:8])
