@@ -350,3 +350,157 @@ def grouped_quantile_approx(
 
     return ds.map_batches(combine, batch_format="pyarrow") \
         .groupby("pkey").map_groups(local, batch_format="pyarrow")
+
+
+def ks_pairs(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+) -> "ray.data.Dataset":
+    """Pairwise two-sample Kolmogorov-Smirnov distance between every pair
+    of groups' int64 value distributions — the distribution-drift companion
+    to ``source_divergence`` (which compares token unigrams; this compares
+    any numeric column, e.g. doc lengths across languages).
+
+    Statistic: ``d_micro = max_v |floor(1e6*F_a(v)) - floor(1e6*F_b(v))|``
+    over the union value grid — the micro-quantized ECDF sup-distance
+    (within 2e-6 of the exact KS D, and bit-stable: both the engine and the
+    DuckDB twin evaluate the identical integer floor formula, so summation
+    or scan order can never flip the result).
+
+    Plan shape (the 100-TB story): rows collapse to ``(group, value) ->
+    count`` histogram cells inside map_batches (combiner-first), the cells
+    merge in ONE bucketed exchange on hash(value), and the merged cells —
+    bounded by |groups| x |distinct values|, NOT row count — gather to a
+    single vectorized reducer that answers every pair at once (same
+    bounded-cell argument as grouped_quantile_disc; for near-unique value
+    columns pre-bucket the value first). int64-safe while
+    ``1e6 * max_group_count`` fits 63 bits, i.e. up to ~9e12 rows/group.
+    """
+    nb = auto_buckets(None)
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col]) \
+            .group_by([group_col, value_col]).aggregate([([], "count_all")])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pkey": pa.array(bucket_of_ints(v, nb), pa.int64()),
+            "g": t[group_col],
+            "v": pa.array(v, pa.int64()),
+            "cnt": pc.cast(t["count_all"], pa.int64()),
+        })
+
+    def merge_cells(g: pa.Table) -> pa.Table:
+        t = g.select(["g", "v", "cnt"]).group_by(["g", "v"]) \
+            .aggregate([("cnt", "sum")])
+        return pa.table({"pkey": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "g": t["g"], "v": t["v"],
+                         "cnt": pc.cast(t["cnt_sum"], pa.int64())})
+
+    def ks_all_pairs(cells: pa.Table) -> pa.Table:
+        gs = cells["g"].combine_chunks().to_numpy(zero_copy_only=False)
+        vs = cells["v"].to_numpy(zero_copy_only=False)
+        cs = cells["cnt"].to_numpy(zero_copy_only=False)
+        grid = np.unique(vs)
+        groups = sorted(set(gs.tolist()))
+        # per-group micro-ECDF on the union grid (vectorized scatter-add)
+        fm = {}
+        tot = {}
+        for gname in groups:
+            m = gs == gname
+            counts = np.zeros(len(grid), np.int64)
+            np.add.at(counts, np.searchsorted(grid, vs[m]), cs[m])
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            tot[gname] = n
+            fm[gname] = (1_000_000 * cum) // n
+        out_a, out_b, out_na, out_nb, out_d = [], [], [], [], []
+        for i, a in enumerate(groups):
+            for b_ in groups[i + 1:]:
+                out_a.append(a)
+                out_b.append(b_)
+                out_na.append(tot[a])
+                out_nb.append(tot[b_])
+                out_d.append(int(np.abs(fm[a] - fm[b_]).max()))
+        return pa.table({
+            "g_a": pa.array(out_a, pa.string()),
+            "g_b": pa.array(out_b, pa.string()),
+            "n_a": pa.array(out_na, pa.int64()),
+            "n_b": pa.array(out_nb, pa.int64()),
+            "d_micro": pa.array(out_d, pa.int64()),
+        })
+
+    return ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(merge_cells, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(
+            lambda g: ks_all_pairs(g), batch_format="pyarrow")
+
+
+def chi2_assoc(
+    ds: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+) -> "ray.data.Dataset":
+    """Chi-square test of association between two categorical columns
+    (feature-selection / leakage-audit primitive): one output row with
+    ``chi2_micro`` (Pearson X^2 in micro units), ``dof``, and ``n``.
+
+    Integer-exact contract: per contingency cell (INCLUDING empty cells of
+    the full category cross product, whose expected count is positive),
+    ``contrib = floor(1e6 * (N*o - r*c)^2 / (r*c*N))`` summed over cells —
+    floors on both sides, order-free because flooring happens per cell.
+    The engine computes contributions in unbounded Python ints (the final
+    reduce touches |A| x |B| cells, not rows); the DuckDB twin uses
+    HUGEINT, exact while ``1e6*(N*o)^2`` fits 127 bits (~1e16 rows).
+
+    Plan shape: rows collapse to ``(a, b) -> count`` cells per batch
+    (combiner-first), cells merge in one exchange bounded by the category
+    product — never by row count.
+    """
+    nb = auto_buckets(None)
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = b.select([col_a, col_b]).group_by([col_a, col_b]) \
+            .aggregate([([], "count_all")])
+        h = _composite_key_hash(t, [col_a, col_b])
+        return pa.table({
+            "pkey": pa.array(bucket_of_ints(h, nb), pa.int64()),
+            "a": t[col_a], "b": t[col_b],
+            "cnt": pc.cast(t["count_all"], pa.int64()),
+        })
+
+    def merge_cells(g: pa.Table) -> pa.Table:
+        t = g.select(["a", "b", "cnt"]).group_by(["a", "b"]) \
+            .aggregate([("cnt", "sum")])
+        return pa.table({"pkey": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "a": t["a"], "b": t["b"],
+                         "cnt": pc.cast(t["cnt_sum"], pa.int64())})
+
+    def finalize(cells: pa.Table) -> pa.Table:
+        a = cells["a"].to_pylist()
+        b = cells["b"].to_pylist()
+        c = cells["cnt"].to_pylist()
+        obs = {(x, y): int(v) for x, y, v in zip(a, b, c)}
+        rows = sorted({x for x, _ in obs})
+        cols = sorted({y for _, y in obs})
+        r = {x: sum(v for (xx, _), v in obs.items() if xx == x)
+             for x in rows}
+        ctot = {y: sum(v for (_, yy), v in obs.items() if yy == y)
+                for y in cols}
+        n = sum(obs.values())
+        chi2_micro = 0
+        for x in rows:
+            for y in cols:
+                o = obs.get((x, y), 0)
+                num = n * o - r[x] * ctot[y]
+                chi2_micro += (1_000_000 * num * num) // (r[x] * ctot[y] * n)
+        return pa.table({
+            "chi2_micro": pa.array([chi2_micro], pa.int64()),
+            "dof": pa.array([(len(rows) - 1) * (len(cols) - 1)], pa.int64()),
+            "n": pa.array([n], pa.int64()),
+        })
+
+    return ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(merge_cells, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(
+            lambda g: finalize(g), batch_format="pyarrow")

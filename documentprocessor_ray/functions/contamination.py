@@ -171,3 +171,165 @@ def substring_dedup(ds: "ray.data.Dataset",
     return ds.map_batches(emit, batch_format="pyarrow") \
         .groupby("pkey").map_groups(resolve_bucket, batch_format="pyarrow") \
         .groupby("pkey").map_groups(finalize_bucket, batch_format="pyarrow")
+
+
+def _excise(bs: bytes, positions: np.ndarray, k: int):
+    """Merge duplicated-window byte intervals ``[p, p+k)``, widen every
+    merged span outward to UTF-8 character boundaries (so the pruned text
+    is always valid UTF-8 even when a window starts mid-character), and
+    excise them. Returns (pruned_bytes, n_spans, n_removed_bytes).
+
+    Shared verbatim by the distributed operator and the oracle-dump replay
+    — the gate checks the aggregation seam (bucketed exchange vs dict),
+    not this pure kernel.
+    """
+    if len(positions) == 0:
+        return bs, 0, 0
+    arr = np.sort(positions.astype(np.int64))
+    # sorted equal-length windows: the running span end is always
+    # last_p + k, so spans break exactly where the position gap exceeds k
+    brk = np.nonzero(np.diff(arr) > k)[0]
+    starts = arr[np.concatenate([[0], brk + 1])]
+    ends = arr[np.concatenate([brk, [len(arr) - 1]])] + k
+    merged = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        while s > 0 and (bs[s] & 0xC0) == 0x80:
+            s -= 1
+        while e < len(bs) and (bs[e] & 0xC0) == 0x80:
+            e += 1
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    pieces = []
+    prev = 0
+    removed = 0
+    for s, e in merged:
+        pieces.append(bs[prev:s])
+        removed += e - s
+        prev = e
+    pieces.append(bs[prev:])
+    return b"".join(pieces), len(merged), removed
+
+
+def substring_prune(ds: "ray.data.Dataset",
+                    k: int = 40) -> "ray.data.Dataset":
+    """Duplicate-SPAN REMOVAL — the second half of Lee et al. 2022 (their
+    ExactSubstr dedup deletes the duplicated spans rather than dropping
+    whole documents); ``substring_dedup`` above only COUNTS duplicated
+    windows. Returns (doc_id, n_spans, n_removed, pruned_text).
+
+    Three-hop plan, each hop linear in distinct windows (never positions):
+      1. per-(hash, doc) DISTINCT candidate rows, bucketed on hash(h);
+      2. per hash-bucket, hashes seen in >= 2 distinct docs bounce back as
+         (doc_id, h) rows bucketed on hash(doc_id) — each doc receives only
+         ITS duplicated window-hash set, so nothing is broadcast;
+      3. the text rides ONCE into the same doc-bucket (union, one
+         exchange), where each doc re-hashes its windows locally, marks
+         positions whose hash is in its dup set, and excises via _excise.
+
+    Collision contract: 64-bit rolling hashes stand in for window content
+    (~n^2/2^64), the same accepted tradeoff as substring_dedup/jaccard.
+    """
+    nb = auto_buckets(None)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        hs, off = _window_hashes([t or "" for t in texts], k)
+        out_h, out_d = [], []
+        for i, d in enumerate(ids):
+            seg = hs[off[i]:off[i + 1]]
+            if len(seg):
+                u = np.unique(seg)
+                out_h.append(u)
+                out_d.append(np.full(len(u), d, np.int64))
+        h = (np.concatenate(out_h) if out_h
+             else np.empty(0, np.uint64)).view(np.int64)
+        dcol = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        return pa.table({
+            "pkey": pa.array(bucket_of_ints(h, nb), pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "doc_id": pa.array(dcol, pa.int64()),
+        })
+
+    def resolve_bucket(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        if len(h):
+            seg_start = np.empty(len(h), dtype=bool)
+            seg_start[0] = True
+            np.not_equal(h[1:], h[:-1], out=seg_start[1:])
+            seg_id = np.cumsum(seg_start) - 1
+            docs_per_h = np.bincount(seg_id)
+            keep = docs_per_h[seg_id] >= 2
+            h, d = h[keep], d[keep]
+        return pa.table({
+            "pkey": pa.array(bucket_of_ints(d, nb), pa.int64()),
+            "doc_id": pa.array(d, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "text": pa.array([""] * len(d), pa.string()),
+            "is_text": pa.array(np.zeros(len(d), np.bool_)),
+        })
+
+    dup = ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(resolve_bucket, batch_format="pyarrow")
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pkey": pa.array(bucket_of_ints(ids, nb), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "h": pa.array(np.zeros(len(ids), np.int64)),
+            "text": batch["text"],
+            "is_text": pa.array(np.ones(len(ids), np.bool_)),
+        })
+
+    texts = ds.map_batches(text_rows, batch_format="pyarrow")
+
+    def finalize(g: pa.Table) -> pa.Table:
+        is_t = g["is_text"].to_numpy(zero_copy_only=False)
+        dup_part = g.filter(pa.array(~is_t))
+        txt_part = g.filter(pa.array(is_t))
+        dd = dup_part["doc_id"].to_numpy(zero_copy_only=False)
+        dh = dup_part["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dh, dd))
+        dd, dh = dd[order], dh[order]
+        out = {"doc_id": [], "n_spans": [], "n_removed": [],
+               "pruned_text": []}
+        ids = txt_part["doc_id"].to_numpy(zero_copy_only=False)
+        texts_py = txt_part["text"].to_pylist()
+        # ONE vectorized hashing pass over the whole bucket's text
+        hs_all, off = _window_hashes([t or "" for t in texts_py], k)
+        h_all = hs_all.view(np.int64)
+        for i, txt in enumerate(texts_py):
+            d = int(ids[i])
+            lo = np.searchsorted(dd, d, side="left")
+            hi = np.searchsorted(dd, d, side="right")
+            myh = dh[lo:hi]  # sorted by construction
+            bs = (txt or "").encode("utf-8")
+            n_spans = 0
+            n_removed = 0
+            pruned = bs
+            hi64 = h_all[off[i]:off[i + 1]]
+            if len(myh) and len(hi64):
+                idx = np.searchsorted(myh, hi64)
+                idx_c = np.minimum(idx, len(myh) - 1)
+                mask = myh[idx_c] == hi64
+                pos = np.nonzero(mask)[0]
+                pruned, n_spans, n_removed = _excise(bs, pos, k)
+            out["doc_id"].append(d)
+            out["n_spans"].append(n_spans)
+            out["n_removed"].append(n_removed)
+            out["pruned_text"].append(pruned.decode("utf-8"))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "n_spans": pa.array(out["n_spans"], pa.int64()),
+            "n_removed": pa.array(out["n_removed"], pa.int64()),
+            "pruned_text": pa.array(out["pruned_text"], pa.string()),
+        })
+
+    return dup.union(texts).groupby("pkey") \
+        .map_groups(finalize, batch_format="pyarrow")

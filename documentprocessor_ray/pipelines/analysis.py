@@ -9145,3 +9145,90 @@ ORACLE_SQL["corpus_dolma"] = f"""
         t AS (SELECT quantile_disc(mean_kn_micro, 2.0/3) AS q2 FROM s)
         SELECT s.doc_id FROM s, t WHERE s.mean_kn_micro <= t.q2)"""
 QUERIES["corpus_dolma"] = q_corpus_dolma
+
+
+def q_ks_lang_length(sf_dir: str) -> "ray.data.Dataset":
+    """Pairwise two-sample KS distance between every language pair's
+    doc-length distribution (agg.ks_pairs) — the numeric-column drift
+    monitor next to source_divergence's token-level JS. Micro-quantized
+    ECDF sup-distance: both sides evaluate the identical
+    floor(1e6*cum/n) integer formula on the union value grid, so the
+    EXACT SQL twin hash-matches bit-for-bit."""
+    from ..functions.agg import ks_pairs
+
+    return ks_pairs(_read(sf_dir, "documents", ["lang", "n_chars"]),
+                    "lang", "n_chars")
+
+
+ORACLE_SQL["ks_lang_length"] = """
+    WITH cells AS (SELECT lang AS g, n_chars AS v,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT v FROM cells),
+    tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY g),
+    f AS (SELECT t.g, t.n, gr.v,
+                 CAST((1000000 * sum(COALESCE(c.c, 0))
+                       OVER (PARTITION BY t.g ORDER BY gr.v)) // t.n
+                      AS BIGINT) AS fm
+          FROM tot t CROSS JOIN grid gr
+          LEFT JOIN cells c ON c.g = t.g AND c.v = gr.v)
+    SELECT a.g AS g_a, b.g AS g_b,
+           CAST(max(a.n) AS BIGINT) AS n_a,
+           CAST(max(b.n) AS BIGINT) AS n_b,
+           CAST(max(abs(a.fm - b.fm)) AS BIGINT) AS d_micro
+    FROM f a JOIN f b ON a.v = b.v AND a.g < b.g
+    GROUP BY a.g, b.g"""
+QUERIES["ks_lang_length"] = q_ks_lang_length
+
+
+def q_chi2_lang_source(sf_dir: str) -> "ray.data.Dataset":
+    """Chi-square association between lang and source (agg.chi2_assoc) —
+    the categorical-balance audit (is language independent of source?).
+    Integer-exact: per cell of the FULL category cross product,
+    floor(1e6*(N*o - r*c)^2 / (r*c*N)) summed; engine uses unbounded
+    Python ints over the tiny cell table, the twin HUGEINT."""
+    from ..functions.agg import chi2_assoc
+
+    return chi2_assoc(_read(sf_dir, "documents", ["lang", "source"]),
+                      "lang", "source")
+
+
+ORACLE_SQL["chi2_lang_source"] = """
+    WITH cells AS (SELECT lang AS a, source AS b,
+                          CAST(count(*) AS HUGEINT) AS o
+                   FROM documents GROUP BY 1, 2),
+    ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+    nn AS (SELECT sum(o) AS n FROM cells),
+    grid AS (SELECT ra.a, ra.r, cb.b, cb.c FROM ra CROSS JOIN cb),
+    fl AS (SELECT g.a, g.b, g.r, g.c, COALESCE(cl.o, 0) AS o
+           FROM grid g LEFT JOIN cells cl ON cl.a = g.a AND cl.b = g.b),
+    contrib AS (SELECT (1000000::HUGEINT * (nn.n * o - r * c)
+                        * (nn.n * o - r * c)) // (r * c * nn.n) AS cm
+                FROM fl, nn)
+    SELECT CAST((SELECT sum(cm) FROM contrib) AS BIGINT) AS chi2_micro,
+           CAST((SELECT (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                 FROM cells) AS BIGINT) AS dof,
+           CAST((SELECT n FROM nn) AS BIGINT) AS n"""
+QUERIES["chi2_lang_source"] = q_chi2_lang_source
+
+
+def q_substring_prune(sf_dir: str) -> "ray.data.Dataset":
+    """Duplicate-span REMOVAL (Lee et al. 2022's ExactSubstr delete step;
+    substring_dedup only counts): contamination.substring_prune — dup
+    window-hash sets bounce back to their documents through doc-bucketed
+    exchanges (nothing broadcast), spans merge and excise on UTF-8 char
+    boundaries. Oracle-DUMP twin: dict replay through the shared
+    _window_hashes/_excise kernels."""
+    from ..functions.contamination import substring_prune
+    from . import oracle_dump as OD
+
+    OD.dump("substring_prune",
+            OD.file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            lambda: OD.substring_prune_expected(sf_dir))
+    return substring_prune(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=40)
+
+
+ORACLE_SQL["substring_prune"] = _OD.sql_for("substring_prune")
+QUERIES["substring_prune"] = q_substring_prune

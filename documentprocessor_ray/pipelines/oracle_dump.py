@@ -1275,3 +1275,40 @@ def codec_matrix_expected(n_assets: int, seed: int = 9) -> pa.Table:
         "mean_luma_milli": pa.array(lum, pa.int64()),
         "pix_digest": pa.array(digs, pa.string()),
     })
+
+
+def substring_prune_expected(sf_dir: str, k: int = 40) -> pa.Table:
+    """Twin of q_substring_prune: single-process dict replay — window-hash
+    -> doc-set over every document, dup set = hashes in >= 2 docs, then the
+    SAME _window_hashes + _excise kernels per doc. The distributed op's
+    three bucketed exchanges are what the gate actually tests."""
+    from ..functions.contamination import _excise, _window_hashes
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = [x or "" for x in t["text"].to_pylist()]
+    hs, off = _window_hashes(texts, k)
+    docs_per_hash: dict = {}
+    for i, d in enumerate(ids):
+        for h in np.unique(hs[off[i]:off[i + 1]]).tolist():
+            s = docs_per_hash.setdefault(h, set())
+            s.add(d)
+    dup = {h for h, s in docs_per_hash.items() if len(s) >= 2}
+    out_id, out_ns, out_nr, out_tx = [], [], [], []
+    for i, d in enumerate(ids):
+        seg = hs[off[i]:off[i + 1]]
+        bs = texts[i].encode("utf-8")
+        pos = np.array([j for j, h in enumerate(seg.tolist()) if h in dup],
+                       dtype=np.int64)
+        pruned, n_spans, n_removed = _excise(bs, pos, k)
+        out_id.append(int(d))
+        out_ns.append(n_spans)
+        out_nr.append(n_removed)
+        out_tx.append(pruned.decode("utf-8"))
+    return pa.table({
+        "doc_id": pa.array(out_id, pa.int64()),
+        "n_spans": pa.array(out_ns, pa.int64()),
+        "n_removed": pa.array(out_nr, pa.int64()),
+        "pruned_text": pa.array(out_tx, pa.string()),
+    })

@@ -1,0 +1,209 @@
+"""Round-5 session operators: pairwise KS distance, chi-square
+association, and duplicate-span removal (Lee et al. 2022's delete step)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+from documentprocessor_ray.functions.agg import chi2_assoc, ks_pairs
+from documentprocessor_ray.functions.contamination import (
+    _excise, _window_hashes, substring_prune)
+
+
+def _docs_ds(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+class TestKsPairs:
+    def _ks_ref(self, a, b):
+        """Brute-force micro-quantized ECDF sup-distance."""
+        grid = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        best = 0
+        ca = cb = 0
+        sa, sb = sorted(a), sorted(b)
+        ia = ib = 0
+        for v in grid:
+            while ia < na and sa[ia] <= v:
+                ia += 1
+            while ib < nb and sb[ib] <= v:
+                ib += 1
+            fa = (1_000_000 * ia) // na
+            fb = (1_000_000 * ib) // nb
+            best = max(best, abs(fa - fb))
+        return best
+
+    def _run(self, groups):
+        rows_g, rows_v = [], []
+        for g, vals in groups.items():
+            rows_g += [g] * len(vals)
+            rows_v += list(vals)
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(rows_g, pa.string()),
+            "v": pa.array(rows_v, pa.int64())}))
+        out = {(r["g_a"], r["g_b"]): r
+               for r in ks_pairs(ds, "g", "v").take_all()}
+        return out
+
+    def test_matches_bruteforce(self, ray_session):
+        rng = np.random.default_rng(5)
+        groups = {
+            "a": rng.integers(0, 50, 300).tolist(),
+            "b": (rng.integers(0, 50, 200) + 10).tolist(),
+            "c": rng.integers(0, 100, 150).tolist(),
+        }
+        out = self._run(groups)
+        assert len(out) == 3
+        for (ga, gb), r in out.items():
+            assert r["d_micro"] == self._ks_ref(groups[ga], groups[gb])
+            assert r["n_a"] == len(groups[ga])
+            assert r["n_b"] == len(groups[gb])
+
+    def test_identical_distributions_zero(self, ray_session):
+        vals = list(range(40)) * 3
+        out = self._run({"x": vals, "y": list(vals)})
+        assert out[("x", "y")]["d_micro"] == 0
+
+    def test_disjoint_supports_full_distance(self, ray_session):
+        out = self._run({"lo": [1, 2, 3], "hi": [100, 200]})
+        assert out[("hi", "lo")]["d_micro"] == 1_000_000
+
+
+class TestChi2Assoc:
+    def _run(self, pairs):
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array([p[0] for p in pairs], pa.string()),
+            "b": pa.array([p[1] for p in pairs], pa.string())}))
+        return chi2_assoc(ds, "a", "b").take_all()[0]
+
+    def test_independent_is_zero(self, ray_session):
+        # perfectly proportional table -> every N*o - r*c == 0
+        pairs = [(a, b) for a in "xy" for b in "pq" for _ in range(10)]
+        r = self._run(pairs)
+        assert r["chi2_micro"] == 0
+        assert r["dof"] == 1
+        assert r["n"] == 40
+
+    def test_matches_direct_formula(self, ray_session):
+        rng = np.random.default_rng(9)
+        cats_a = ["a0", "a1", "a2"]
+        cats_b = ["b0", "b1"]
+        pairs = [(cats_a[rng.integers(0, 3)], cats_b[rng.integers(0, 2)])
+                 for _ in range(500)]
+        r = self._run(pairs)
+        from collections import Counter
+        obs = Counter(pairs)
+        ra = Counter(p[0] for p in pairs)
+        cb = Counter(p[1] for p in pairs)
+        n = len(pairs)
+        want = 0
+        for x in cats_a:
+            for y in cats_b:
+                num = n * obs.get((x, y), 0) - ra[x] * cb[y]
+                want += (1_000_000 * num * num) // (ra[x] * cb[y] * n)
+        assert r["chi2_micro"] == want
+        assert r["dof"] == 2
+        # sanity: micro-chi2 is within 1 micro/cell of scipy-free float calc
+        fl = sum((obs.get((x, y), 0) - ra[x] * cb[y] / n) ** 2
+                 / (ra[x] * cb[y] / n) for x in cats_a for y in cats_b)
+        assert abs(r["chi2_micro"] / 1e6 - fl) < 1e-4
+
+    def test_perfect_association(self, ray_session):
+        # a determines b: chi2 == n * min(R-1, C-1) exactly
+        pairs = [("a", "p")] * 30 + [("b", "q")] * 30
+        r = self._run(pairs)
+        assert r["chi2_micro"] == 60 * 1_000_000
+        assert r["dof"] == 1
+
+
+class TestExcise:
+    def test_merges_overlapping_windows(self):
+        bs = b"0123456789" * 10
+        pruned, n_spans, n_removed = _excise(bs, np.array([10, 15, 20]), 40)
+        assert n_spans == 1
+        assert n_removed == 50  # [10, 60)
+        assert pruned == bs[:10] + bs[60:]
+
+    def test_disjoint_spans(self):
+        bs = (b"abcdefghij" * 20)  # pure ASCII: no boundary widening
+        pruned, n_spans, n_removed = _excise(bs, np.array([0, 100]), 40)
+        assert n_spans == 2
+        assert n_removed == 80
+        assert pruned == bs[40:100] + bs[140:]
+
+    def test_utf8_boundary_widening(self):
+        # 3-byte chars; a window starting mid-character must widen left
+        text = "中" * 30  # 90 bytes
+        bs = text.encode("utf-8")
+        pruned, n_spans, n_removed = _excise(bs, np.array([4]), 40)
+        assert n_spans == 1
+        # [4, 44) widens to [3, 45): whole characters only
+        assert n_removed == 42
+        pruned.decode("utf-8")  # must not raise
+        assert pruned == bs[:3] + bs[45:]
+
+    def test_empty_positions_noop(self):
+        bs = b"hello world"
+        assert _excise(bs, np.empty(0, np.int64), 40) == (bs, 0, 0)
+
+
+class TestSubstringPrune:
+    def test_planted_duplicate_removed(self, ray_session):
+        shared = "S" * 25 + "HARED-DUPLICATE-PAYLOAD-" + "x" * 30
+        assert len(shared) >= 40
+        rows = [
+            (0, "alpha unique head " + shared + " alpha unique tail"),
+            (1, "beta opening words " + shared + " beta closing words"),
+            (2, "gamma document with no duplicated content at all here"),
+        ]
+        out = {r["doc_id"]: r
+               for r in substring_prune(_docs_ds(rows), k=40).take_all()}
+        assert len(out) == 3
+        # both carriers lose the shared span; the clean doc is untouched
+        for d in (0, 1):
+            assert out[d]["n_spans"] == 1
+            assert shared not in out[d]["pruned_text"]
+            assert out[d]["n_removed"] >= len(shared)
+        assert out[2]["n_removed"] == 0
+        assert out[2]["pruned_text"] == rows[2][1]
+        # unique prefixes survive (the removal is span-level, not doc-level)
+        assert out[0]["pruned_text"].startswith("alpha unique head")
+        assert out[1]["pruned_text"].endswith("beta closing words")
+
+    def test_matches_single_process_replay(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.pipelines.oracle_dump import (
+            substring_prune_expected)
+
+        rng = np.random.default_rng(11)
+        vocab = ["data", "pipeline", "token", "shard", "bucket", "merge"]
+        dup_block = " ".join(rng.choice(vocab, 12).tolist())
+        rows = []
+        for i in range(30):
+            body = " ".join(rng.choice(vocab, 20).tolist())
+            if i % 3 == 0:
+                body += " " + dup_block
+            rows.append((i, body))
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())}),
+            str(tmp_path / "documents.parquet"))
+        want = substring_prune_expected(str(tmp_path)).to_pylist()
+        got = substring_prune(_docs_ds(rows), k=40).take_all()
+        key = lambda r: r["doc_id"]  # noqa: E731
+        assert sorted(got, key=key) == sorted(want, key=key)
+
+    def test_short_and_empty_docs(self, ray_session):
+        rows = [(0, ""), (1, "tiny"), (2, "z" * 39)]
+        out = {r["doc_id"]: r
+               for r in substring_prune(_docs_ds(rows), k=40).take_all()}
+        assert len(out) == 3
+        for d, txt in rows:
+            assert out[d]["pruned_text"] == txt
+            assert out[d]["n_removed"] == 0
