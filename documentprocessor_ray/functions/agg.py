@@ -504,3 +504,81 @@ def chi2_assoc(
         .groupby("pkey").map_groups(merge_cells, batch_format="pyarrow") \
         .groupby("pkey").map_groups(
             lambda g: finalize(g), batch_format="pyarrow")
+
+
+def mannwhitney_pairs(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+) -> "ray.data.Dataset":
+    """Pairwise Mann-Whitney U (rank-sum) statistic between every pair of
+    groups' int64 value distributions — the location-shift companion to
+    ``ks_pairs``'s shape test. Ties use midranks, so the DOUBLED statistic
+    ``u2_a = 2*U_a = sum_v cnt_a(v) * (2*cum_b(v) - cnt_b(v))`` stays
+    integer-exact (cum_b inclusive of v; the identity
+    ``u2_a + u2_b == 2*n_a*n_b`` is asserted per pair). int64-safe while
+    ``2*n_a*n_b`` fits 63 bits, i.e. up to ~2e9 rows/group.
+
+    Same plan shape as ks_pairs: combiner-first (group, value) -> count
+    cells, ONE exchange on hash(value), merged cells (bounded by
+    |groups| x |distinct values|) gather to a single vectorized reducer.
+    """
+    nb = auto_buckets(None)
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, value_col]) \
+            .group_by([group_col, value_col]).aggregate([([], "count_all")])
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "pkey": pa.array(bucket_of_ints(v, nb), pa.int64()),
+            "g": t[group_col],
+            "v": pa.array(v, pa.int64()),
+            "cnt": pc.cast(t["count_all"], pa.int64()),
+        })
+
+    def merge_cells(g: pa.Table) -> pa.Table:
+        t = g.select(["g", "v", "cnt"]).group_by(["g", "v"]) \
+            .aggregate([("cnt", "sum")])
+        return pa.table({"pkey": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "g": t["g"], "v": t["v"],
+                         "cnt": pc.cast(t["cnt_sum"], pa.int64())})
+
+    def u_all_pairs(cells: pa.Table) -> pa.Table:
+        gs = cells["g"].combine_chunks().to_numpy(zero_copy_only=False)
+        vs = cells["v"].to_numpy(zero_copy_only=False)
+        cs = cells["cnt"].to_numpy(zero_copy_only=False)
+        grid = np.unique(vs)
+        groups = sorted(set(gs.tolist()))
+        cnt = {}
+        cum = {}
+        tot = {}
+        for gname in groups:
+            m = gs == gname
+            counts = np.zeros(len(grid), np.int64)
+            np.add.at(counts, np.searchsorted(grid, vs[m]), cs[m])
+            cnt[gname] = counts
+            cum[gname] = np.cumsum(counts)
+            tot[gname] = int(cum[gname][-1])
+        out = {"g_a": [], "g_b": [], "n_a": [], "n_b": [], "u2_a": []}
+        for i, a in enumerate(groups):
+            for b_ in groups[i + 1:]:
+                u2 = int(cnt[a] @ (2 * cum[b_] - cnt[b_]))
+                u2_b = int(cnt[b_] @ (2 * cum[a] - cnt[a]))
+                assert u2 + u2_b == 2 * tot[a] * tot[b_]
+                out["g_a"].append(a)
+                out["g_b"].append(b_)
+                out["n_a"].append(tot[a])
+                out["n_b"].append(tot[b_])
+                out["u2_a"].append(u2)
+        return pa.table({
+            "g_a": pa.array(out["g_a"], pa.string()),
+            "g_b": pa.array(out["g_b"], pa.string()),
+            "n_a": pa.array(out["n_a"], pa.int64()),
+            "n_b": pa.array(out["n_b"], pa.int64()),
+            "u2_a": pa.array(out["u2_a"], pa.int64()),
+        })
+
+    return ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(merge_cells, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(
+            lambda g: u_all_pairs(g), batch_format="pyarrow")

@@ -9232,3 +9232,36 @@ def q_substring_prune(sf_dir: str) -> "ray.data.Dataset":
 
 ORACLE_SQL["substring_prune"] = _OD.sql_for("substring_prune")
 QUERIES["substring_prune"] = q_substring_prune
+
+
+def q_mwu_lang_length(sf_dir: str) -> "ray.data.Dataset":
+    """Pairwise Mann-Whitney U (midrank ties, DOUBLED so integer-exact)
+    between every language pair's doc-length distribution
+    (agg.mannwhitney_pairs) — location-shift test next to
+    ks_lang_length's shape test. EXACT SQL twin: the identical
+    sum(cnt_a * (2*cum_b - cnt_b)) over the union grid."""
+    from ..functions.agg import mannwhitney_pairs
+
+    return mannwhitney_pairs(
+        _read(sf_dir, "documents", ["lang", "n_chars"]), "lang", "n_chars")
+
+
+ORACLE_SQL["mwu_lang_length"] = """
+    WITH cells AS (SELECT lang AS g, n_chars AS v,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT v FROM cells),
+    tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY g),
+    f AS (SELECT t.g, t.n, gr.v,
+                 CAST(COALESCE(c.c, 0) AS BIGINT) AS c,
+                 CAST(sum(COALESCE(c.c, 0))
+                      OVER (PARTITION BY t.g ORDER BY gr.v) AS BIGINT) AS cm
+          FROM tot t CROSS JOIN grid gr
+          LEFT JOIN cells c ON c.g = t.g AND c.v = gr.v)
+    SELECT a.g AS g_a, b.g AS g_b,
+           CAST(max(a.n) AS BIGINT) AS n_a,
+           CAST(max(b.n) AS BIGINT) AS n_b,
+           CAST(sum(a.c * (2 * b.cm - b.c)) AS BIGINT) AS u2_a
+    FROM f a JOIN f b ON a.v = b.v AND a.g < b.g
+    GROUP BY a.g, b.g"""
+QUERIES["mwu_lang_length"] = q_mwu_lang_length

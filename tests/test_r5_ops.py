@@ -207,3 +207,47 @@ class TestSubstringPrune:
         for d, txt in rows:
             assert out[d]["pruned_text"] == txt
             assert out[d]["n_removed"] == 0
+
+
+class TestMannWhitneyPairs:
+    def _run(self, groups):
+        from documentprocessor_ray.functions.agg import mannwhitney_pairs
+        rows_g, rows_v = [], []
+        for g, vals in groups.items():
+            rows_g += [g] * len(vals)
+            rows_v += list(vals)
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(rows_g, pa.string()),
+            "v": pa.array(rows_v, pa.int64())}))
+        return {(r["g_a"], r["g_b"]): r
+                for r in mannwhitney_pairs(ds, "g", "v").take_all()}
+
+    def _u2_ref(self, a, b):
+        """Brute-force doubled U with midrank ties."""
+        u2 = 0
+        for x in a:
+            for y in b:
+                u2 += 2 if x > y else (1 if x == y else 0)
+        return u2
+
+    def test_matches_bruteforce_with_ties(self, ray_session):
+        rng = np.random.default_rng(3)
+        groups = {"a": rng.integers(0, 12, 80).tolist(),
+                  "b": rng.integers(3, 15, 60).tolist(),
+                  "c": rng.integers(0, 5, 40).tolist()}
+        out = self._run(groups)
+        assert len(out) == 3
+        for (ga, gb), r in out.items():
+            assert r["u2_a"] == self._u2_ref(groups[ga], groups[gb])
+            # U_a + U_b == n_a * n_b
+            assert r["u2_a"] <= 2 * r["n_a"] * r["n_b"]
+
+    def test_identical_groups_symmetric(self, ray_session):
+        vals = list(range(50)) * 2
+        out = self._run({"x": vals, "y": list(vals)})
+        r = out[("x", "y")]
+        assert r["u2_a"] == r["n_a"] * r["n_b"]  # 2U = 2*(n^2/2)
+
+    def test_complete_shift(self, ray_session):
+        out = self._run({"lo": [1, 2, 3], "hi": [10, 11]})
+        assert out[("hi", "lo")]["u2_a"] == 2 * 3 * 2  # every hi > every lo
