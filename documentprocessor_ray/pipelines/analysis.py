@@ -9265,3 +9265,47 @@ ORACLE_SQL["mwu_lang_length"] = """
     FROM f a JOIN f b ON a.v = b.v AND a.g < b.g
     GROUP BY a.g, b.g"""
 QUERIES["mwu_lang_length"] = q_mwu_lang_length
+
+
+def q_knn_recall(sf_dir: str) -> "ray.data.Dataset":
+    """ANN index-quality audit: recall@10 of the partition-pruned IVF-flat
+    path against the exact brute-force neighbors, per query — the
+    operational health check a 100-TB ANN deployment runs after every
+    index build (is nprobe/n_lists still adequate as the corpus drifts?).
+    Both legs run their full distributed paths (pruned probe reads;
+    broadcast query matrix); the recall join touches only Q*k rows. Twin:
+    the knn_bruteforce EXACT SQL joined against the hash-gated knn_ivf
+    dump — so this gate also cross-checks the two ANN gates against each
+    other."""
+    bf = q_knn_bruteforce(sf_dir)
+    ivf = q_knn_ivf(sf_dir)
+    bf_rows = bf.to_pylist() if isinstance(bf, pa.Table) else bf.take_all()
+    ivf_rows = (ivf.to_pylist() if isinstance(ivf, pa.Table)
+                else ivf.take_all())
+    bf_sets: Dict[int, set] = {}
+    for r in bf_rows:
+        bf_sets.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    ivf_sets: Dict[int, set] = {}
+    for r in ivf_rows:
+        ivf_sets.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    k = 10
+    qids = sorted(bf_sets)
+    n_match = [len(bf_sets[q] & ivf_sets.get(q, set())) for q in qids]
+    return ray.data.from_arrow(pa.table({
+        "qid": pa.array(qids, pa.int64()),
+        "n_match": pa.array(n_match, pa.int64()),
+        "recall_micro": pa.array(
+            [(1_000_000 * m) // k for m in n_match], pa.int64()),
+    }))
+
+
+ORACLE_SQL["knn_recall"] = f"""
+    WITH bf AS ({ORACLE_SQL["knn_bruteforce"]}),
+    ivf AS (SELECT * FROM read_parquet('{_OD.dump_path("knn_ivf")}'))
+    SELECT bf.qid AS qid,
+           CAST(count(ivf.vec_id) AS BIGINT) AS n_match,
+           CAST((1000000 * count(ivf.vec_id)) // 10 AS BIGINT)
+               AS recall_micro
+    FROM bf LEFT JOIN ivf ON ivf.qid = bf.qid AND ivf.vec_id = bf.vec_id
+    GROUP BY bf.qid"""
+QUERIES["knn_recall"] = q_knn_recall

@@ -251,3 +251,21 @@ class TestMannWhitneyPairs:
     def test_complete_shift(self, ray_session):
         out = self._run({"lo": [1, 2, 3], "hi": [10, 11]})
         assert out[("hi", "lo")]["u2_a"] == 2 * 3 * 2  # every hi > every lo
+
+
+class TestKnnRecall:
+    def test_recall_bounds_and_composition(self, ray_session):
+        from documentprocessor_ray.pipelines.analysis import (
+            q_knn_bruteforce, q_knn_ivf, q_knn_recall)
+
+        sf = "/root/testdata/sf0.001"
+        rows = q_knn_recall(sf).take_all()
+        assert len(rows) == 4
+        bf = {r["qid"] for r in q_knn_bruteforce(sf).take_all()}
+        assert {r["qid"] for r in rows} == bf
+        for r in rows:
+            assert 0 <= r["n_match"] <= 10
+            assert r["recall_micro"] == (1_000_000 * r["n_match"]) // 10
+        # exhaustive-probe IVF == brute force is pytest-gated elsewhere;
+        # here: recall must be positive overall (the index finds SOMETHING)
+        assert sum(r["n_match"] for r in rows) > 0
