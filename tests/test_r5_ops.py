@@ -269,3 +269,30 @@ class TestKnnRecall:
         # exhaustive-probe IVF == brute force is pytest-gated elsewhere;
         # here: recall must be positive overall (the index finds SOMETHING)
         assert sum(r["n_match"] for r in rows) > 0
+
+
+class TestExciseProperties:
+    """Hypothesis fuzz over the pure span-removal kernel."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(min_size=0, max_size=300),
+           st.lists(st.integers(min_value=0, max_value=260), max_size=12))
+    @settings(max_examples=120)
+    def test_output_valid_and_accounted(self, text, raw_pos):
+        bs = text.encode("utf-8")
+        pos = np.array([p for p in raw_pos if p + 40 <= len(bs)],
+                       dtype=np.int64)
+        pruned, n_spans, n_removed = _excise(bs, pos, 40)
+        # byte accounting is exact
+        assert len(pruned) + n_removed == len(bs)
+        # output always decodes (char-boundary widening invariant)
+        pruned.decode("utf-8")
+        if len(pos) == 0:
+            assert (pruned, n_spans, n_removed) == (bs, 0, 0)
+        else:
+            assert n_spans >= 1
+            assert n_removed >= 40
+            # every removal span covers at least one requested window start
+            assert n_removed >= 40 * n_spans
