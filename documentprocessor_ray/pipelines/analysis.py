@@ -8710,14 +8710,19 @@ def q_jsonl_ingest(sf_dir: str) -> "ray.data.Dataset":
     Combiner-first: per-batch pyarrow group_by partials, ONE small shuffle
     on source. The DuckDB twin re-derives the aggregate logically from the
     parquet view (no JSONL on the oracle side)."""
-    import hashlib as _hl
-
     from ..sources.jsonl import read_jsonl, write_jsonl_shards
 
     shard_dir = write_jsonl_shards(
         os.path.join(sf_dir, "documents.parquet"),
         _jsonl_shard_dir(sf_dir), num_shards=8)
-    recs = read_jsonl(shard_dir)
+    return _jsonl_rollup(read_jsonl(shard_dir))
+
+
+def _jsonl_rollup(recs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-(source, lang) byte-exactness rollup shared by the plain and
+    gzip JSONL ingestion gates (count, n_chars sum, text-length sum, MIN
+    per-group text md5)."""
+    import hashlib as _hl
 
     def partial(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -9309,3 +9314,22 @@ ORACLE_SQL["knn_recall"] = f"""
     FROM bf LEFT JOIN ivf ON ivf.qid = bf.qid AND ivf.vec_id = bf.vec_id
     GROUP BY bf.qid"""
 QUERIES["knn_recall"] = q_knn_recall
+
+
+def q_jsonl_gz_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """Gzip-compressed JSONL ingestion (the Common Crawl / Dolma shard
+    reality): deterministic .jsonl.gz shards (gzip mtime=0 so bytes are
+    reproducible), read back via Arrow's gzip input stream INSIDE the read
+    tasks (sources/jsonl.py:read_jsonl — decompression never touches the
+    driver), same per-(source, lang) byte-exactness rollup and the same
+    logical DuckDB twin as jsonl_ingest."""
+    from ..sources.jsonl import read_jsonl, write_jsonl_shards
+
+    shard_dir = write_jsonl_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _jsonl_shard_dir(sf_dir) + "_gz", num_shards=8, compress="gzip")
+    return _jsonl_rollup(read_jsonl(shard_dir))
+
+
+ORACLE_SQL["jsonl_gz_ingest"] = ORACLE_SQL["jsonl_ingest"]
+QUERIES["jsonl_gz_ingest"] = q_jsonl_gz_ingest

@@ -29,8 +29,14 @@ import ray.data
 
 
 def write_jsonl_shards(documents_parquet: str, out_dir: str,
-                       num_shards: int = 8) -> str:
-    """Deterministic JSONL shards from a documents table. Returns out_dir."""
+                       num_shards: int = 8,
+                       compress: str | None = None) -> str:
+    """Deterministic JSONL shards from a documents table. Returns out_dir.
+
+    ``compress="gzip"`` writes ``.jsonl.gz`` shards (the Common Crawl /
+    Dolma interchange reality) with ``mtime=0`` and an empty embedded
+    filename so the compressed BYTES are deterministic too — the cache
+    marker and the hash gate both stay stable across rebuilds."""
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker) and \
             os.stat(marker).st_mtime_ns >= \
@@ -46,17 +52,38 @@ def write_jsonl_shards(documents_parquet: str, out_dir: str,
             json.dumps({c: r[c] for c in cols}, ensure_ascii=False,
                        separators=(",", ":")))
     for k, lines in enumerate(shards):
-        with open(os.path.join(out_dir, f"shard-{k:05d}.jsonl"), "w",
-                  encoding="utf-8") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
+        payload = ("\n".join(lines) + ("\n" if lines else "")) \
+            .encode("utf-8")
+        if compress == "gzip":
+            import gzip
+
+            path = os.path.join(out_dir, f"shard-{k:05d}.jsonl.gz")
+            with open(path, "wb") as f:
+                with gzip.GzipFile(filename="", mode="wb", fileobj=f,
+                                   mtime=0) as gz:
+                    gz.write(payload)
+        else:
+            with open(os.path.join(out_dir, f"shard-{k:05d}.jsonl"),
+                      "wb") as f:
+                f.write(payload)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
 
 
 def read_jsonl(shard_dir: str) -> "ray.data.Dataset":
-    """Read a directory of .jsonl shards; one read task per shard file."""
-    paths = sorted(
-        os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
-        if f.endswith(".jsonl"))
-    return ray.data.read_json(paths)
+    """Read a directory of .jsonl / .jsonl.gz shards; one read task per
+    shard file. Compressed shards stream through Arrow's gzip input
+    stream — decompression happens in the read tasks, never the driver."""
+    names = sorted(os.listdir(shard_dir))
+    gz = [os.path.join(shard_dir, f) for f in names
+          if f.endswith(".jsonl.gz")]
+    plain = [os.path.join(shard_dir, f) for f in names
+             if f.endswith(".jsonl")]
+    if gz and plain:
+        raise ValueError(
+            f"mixed .jsonl and .jsonl.gz shards in {shard_dir}")
+    if gz:
+        return ray.data.read_json(
+            gz, arrow_open_stream_args={"compression": "gzip"})
+    return ray.data.read_json(plain)

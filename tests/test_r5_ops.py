@@ -296,3 +296,59 @@ class TestExciseProperties:
             assert n_removed >= 40
             # every removal span covers at least one requested window start
             assert n_removed >= 40 * n_spans
+
+
+class TestJsonlGz:
+    def test_gz_roundtrip_matches_plain(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.sources.jsonl import (
+            read_jsonl, write_jsonl_shards)
+
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array([f"doc {i} body é中 {i*7}" for i in range(20)],
+                             pa.string()),
+            "lang": pa.array(["en", "de"] * 10, pa.string()),
+            "source": pa.array(["s0"] * 20, pa.string()),
+            "n_chars": pa.array([len(f"doc {i}") for i in range(20)],
+                                pa.int64())}), src)
+        plain = write_jsonl_shards(src, str(tmp_path / "plain"),
+                                   num_shards=3)
+        gz = write_jsonl_shards(src, str(tmp_path / "gz"), num_shards=3,
+                                compress="gzip")
+        import os
+        assert all(f.endswith(".gz") or f == "_COMPLETE"
+                   for f in os.listdir(gz))
+        a = sorted(read_jsonl(plain).take_all(), key=lambda r: r["doc_id"])
+        b = sorted(read_jsonl(gz).take_all(), key=lambda r: r["doc_id"])
+        assert a == b
+        assert len(a) == 20
+        assert a[3]["text"] == "doc 3 body é中 21"
+
+    def test_gz_bytes_deterministic(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.sources.jsonl import write_jsonl_shards
+
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(5)], pa.string())}),
+            src)
+        d1 = write_jsonl_shards(src, str(tmp_path / "a"), 2, "gzip")
+        d2 = write_jsonl_shards(src, str(tmp_path / "b"), 2, "gzip")
+        import os
+        for f in sorted(os.listdir(d1)):
+            if f.endswith(".gz"):
+                b1 = open(os.path.join(d1, f), "rb").read()
+                b2 = open(os.path.join(d2, f), "rb").read()
+                assert b1 == b2  # mtime=0 + empty name -> stable bytes
+
+    def test_mixed_dir_rejected(self, tmp_path):
+        (tmp_path / "x.jsonl").write_text("{}\n")
+        (tmp_path / "y.jsonl.gz").write_bytes(b"")
+        from documentprocessor_ray.sources.jsonl import read_jsonl
+        with pytest.raises(ValueError, match="mixed"):
+            read_jsonl(str(tmp_path))
