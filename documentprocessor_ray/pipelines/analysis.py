@@ -8781,14 +8781,18 @@ def q_csv_ingest(sf_dir: str) -> "ray.data.Dataset":
     up per lang with min/max per-group text md5 — the hash gate proves the
     CSV quoting round trip preserved every document byte-exactly. The
     DuckDB twin re-derives the aggregate logically from the parquet view."""
-    import hashlib as _hl
-
     from ..sources.csv_source import read_csv, write_csv_shards
 
     shard_dir = write_csv_shards(
         os.path.join(sf_dir, "documents.parquet"),
         _csv_shard_dir(sf_dir), num_shards=8)
-    recs = read_csv(shard_dir)
+    return _csv_rollup(read_csv(shard_dir))
+
+
+def _csv_rollup(recs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-lang byte-exactness rollup shared by the plain and gzip CSV
+    ingestion gates (count, text-length sum, min/max per-group text md5)."""
+    import hashlib as _hl
 
     def partial(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -9333,3 +9337,20 @@ def q_jsonl_gz_ingest(sf_dir: str) -> "ray.data.Dataset":
 
 ORACLE_SQL["jsonl_gz_ingest"] = ORACLE_SQL["jsonl_ingest"]
 QUERIES["jsonl_gz_ingest"] = q_jsonl_gz_ingest
+
+
+def q_csv_gz_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """Gzip-compressed CSV ingestion: deterministic .csv.gz shards (gzip
+    mtime=0), decompressed inside the pyarrow CSV read tasks
+    (sources/csv_source.py:read_csv), same per-lang byte-exactness rollup
+    and the same logical DuckDB twin as csv_ingest."""
+    from ..sources.csv_source import read_csv, write_csv_shards
+
+    shard_dir = write_csv_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _csv_shard_dir(sf_dir) + "_gz", num_shards=8, compress="gzip")
+    return _csv_rollup(read_csv(shard_dir))
+
+
+ORACLE_SQL["csv_gz_ingest"] = ORACLE_SQL["csv_ingest"]
+QUERIES["csv_gz_ingest"] = q_csv_gz_ingest

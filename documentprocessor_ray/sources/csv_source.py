@@ -24,7 +24,8 @@ import ray.data
 
 
 def write_csv_shards(documents_parquet: str, out_dir: str,
-                     num_shards: int = 8) -> str:
+                     num_shards: int = 8,
+                     compress: str | None = None) -> str:
     """Deterministic CSV shards (header + QUOTE_MINIMAL rows; shard k holds
     doc_id % num_shards == k ascending). Idempotent via _COMPLETE, stale
     when the source parquet is newer (sources/warc.py:53 discipline)."""
@@ -46,20 +47,39 @@ def write_csv_shards(documents_parquet: str, out_dir: str,
         writers[int(r["doc_id"]) % num_shards].writerow(
             [r[c] for c in cols])
     for k, b in enumerate(bufs):
-        with open(os.path.join(out_dir, f"shard-{k:05d}.csv"), "w",
-                  encoding="utf-8", newline="") as f:
-            f.write(b.getvalue())
+        payload = b.getvalue().encode("utf-8")
+        if compress == "gzip":
+            import gzip
+
+            path = os.path.join(out_dir, f"shard-{k:05d}.csv.gz")
+            with open(path, "wb") as f:
+                with gzip.GzipFile(filename="", mode="wb", fileobj=f,
+                                   mtime=0) as gz:  # deterministic bytes
+                    gz.write(payload)
+        else:
+            with open(os.path.join(out_dir, f"shard-{k:05d}.csv"),
+                      "wb") as f:
+                f.write(payload)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir
 
 
 def read_csv(shard_dir: str) -> "ray.data.Dataset":
-    """Read a directory of .csv shards; one read task per shard file.
-    Quoted embedded newlines are honored (newlines_in_values)."""
-    paths = sorted(
-        os.path.join(shard_dir, f) for f in os.listdir(shard_dir)
-        if f.endswith(".csv"))
-    return ray.data.read_csv(
-        paths,
-        parse_options=pacsv.ParseOptions(newlines_in_values=True))
+    """Read a directory of .csv / .csv.gz shards; one read task per shard
+    file. Quoted embedded newlines are honored (newlines_in_values);
+    compressed shards stream through Arrow's gzip input stream inside the
+    read tasks."""
+    names = sorted(os.listdir(shard_dir))
+    gz = [os.path.join(shard_dir, f) for f in names
+          if f.endswith(".csv.gz")]
+    plain = [os.path.join(shard_dir, f) for f in names
+             if f.endswith(".csv")]
+    if gz and plain:
+        raise ValueError(f"mixed .csv and .csv.gz shards in {shard_dir}")
+    opts = pacsv.ParseOptions(newlines_in_values=True)
+    if gz:
+        return ray.data.read_csv(
+            gz, parse_options=opts,
+            arrow_open_stream_args={"compression": "gzip"})
+    return ray.data.read_csv(plain, parse_options=opts)

@@ -352,3 +352,34 @@ class TestJsonlGz:
         from documentprocessor_ray.sources.jsonl import read_jsonl
         with pytest.raises(ValueError, match="mixed"):
             read_jsonl(str(tmp_path))
+
+
+class TestCsvGz:
+    def test_gz_roundtrip_matches_plain(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.sources.csv_source import (
+            read_csv, write_csv_shards)
+
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(12), pa.int64()),
+            "text": pa.array(
+                [f'line one\nline "two" {i}, with comma é' for i in
+                 range(12)], pa.string()),
+            "lang": pa.array(["en", "fr", "zh"] * 4, pa.string())}), src)
+        plain = write_csv_shards(src, str(tmp_path / "p"), num_shards=3)
+        gz = write_csv_shards(src, str(tmp_path / "g"), num_shards=3,
+                              compress="gzip")
+        a = sorted(read_csv(plain).take_all(), key=lambda r: r["doc_id"])
+        b = sorted(read_csv(gz).take_all(), key=lambda r: r["doc_id"])
+        assert a == b and len(a) == 12
+        # quoting round trip incl. embedded newline/quote/comma survives gz
+        assert a[5]["text"] == 'line one\nline "two" 5, with comma é'
+
+    def test_mixed_dir_rejected(self, tmp_path):
+        (tmp_path / "x.csv").write_text("a\n1\n")
+        (tmp_path / "y.csv.gz").write_bytes(b"")
+        from documentprocessor_ray.sources.csv_source import read_csv
+        with pytest.raises(ValueError, match="mixed"):
+            read_csv(str(tmp_path))
