@@ -9354,3 +9354,20 @@ def q_csv_gz_ingest(sf_dir: str) -> "ray.data.Dataset":
 
 ORACLE_SQL["csv_gz_ingest"] = ORACLE_SQL["csv_ingest"]
 QUERIES["csv_gz_ingest"] = q_csv_gz_ingest
+
+
+def q_jsonl_zst_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """Zstandard-compressed JSONL ingestion (the modern interchange
+    compression — RedPajama/Dolma ship .jsonl.zst): deterministic
+    one-shot-frame shards via Arrow's zstd codec, decompressed inside the
+    read tasks, same rollup and twin as jsonl_ingest."""
+    from ..sources.jsonl import read_jsonl, write_jsonl_shards
+
+    shard_dir = write_jsonl_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _jsonl_shard_dir(sf_dir) + "_zst", num_shards=8, compress="zstd")
+    return _jsonl_rollup(read_jsonl(shard_dir))
+
+
+ORACLE_SQL["jsonl_zst_ingest"] = ORACLE_SQL["jsonl_ingest"]
+QUERIES["jsonl_zst_ingest"] = q_jsonl_zst_ingest

@@ -62,6 +62,13 @@ def write_jsonl_shards(documents_parquet: str, out_dir: str,
                 with gzip.GzipFile(filename="", mode="wb", fileobj=f,
                                    mtime=0) as gz:
                     gz.write(payload)
+        elif compress == "zstd":
+            import pyarrow as pa
+
+            path = os.path.join(out_dir, f"shard-{k:05d}.jsonl.zst")
+            with open(path, "wb") as f:
+                f.write(pa.Codec("zstd").compress(
+                    payload, asbytes=True))
         else:
             with open(os.path.join(out_dir, f"shard-{k:05d}.jsonl"),
                       "wb") as f:
@@ -78,12 +85,17 @@ def read_jsonl(shard_dir: str) -> "ray.data.Dataset":
     names = sorted(os.listdir(shard_dir))
     gz = [os.path.join(shard_dir, f) for f in names
           if f.endswith(".jsonl.gz")]
+    zst = [os.path.join(shard_dir, f) for f in names
+           if f.endswith(".jsonl.zst")]
     plain = [os.path.join(shard_dir, f) for f in names
              if f.endswith(".jsonl")]
-    if gz and plain:
+    if sum(bool(x) for x in (gz, zst, plain)) > 1:
         raise ValueError(
-            f"mixed .jsonl and .jsonl.gz shards in {shard_dir}")
+            f"mixed jsonl compression flavors in {shard_dir}")
     if gz:
         return ray.data.read_json(
             gz, arrow_open_stream_args={"compression": "gzip"})
+    if zst:
+        return ray.data.read_json(
+            zst, arrow_open_stream_args={"compression": "zstd"})
     return ray.data.read_json(plain)

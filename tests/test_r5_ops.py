@@ -383,3 +383,32 @@ class TestCsvGz:
         from documentprocessor_ray.sources.csv_source import read_csv
         with pytest.raises(ValueError, match="mixed"):
             read_csv(str(tmp_path))
+
+
+class TestJsonlZst:
+    def test_zst_roundtrip_matches_plain(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.sources.jsonl import (
+            read_jsonl, write_jsonl_shards)
+
+        src = str(tmp_path / "documents.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(15), pa.int64()),
+            "text": pa.array([f"zdoc {i} ü中 body" for i in range(15)],
+                             pa.string())}), src)
+        plain = write_jsonl_shards(src, str(tmp_path / "p"), num_shards=2)
+        zst = write_jsonl_shards(src, str(tmp_path / "z"), num_shards=2,
+                                 compress="zstd")
+        import os
+        assert any(f.endswith(".jsonl.zst") for f in os.listdir(zst))
+        a = sorted(read_jsonl(plain).take_all(), key=lambda r: r["doc_id"])
+        b = sorted(read_jsonl(zst).take_all(), key=lambda r: r["doc_id"])
+        assert a == b and len(a) == 15
+
+    def test_mixed_flavors_rejected(self, tmp_path):
+        (tmp_path / "x.jsonl.gz").write_bytes(b"")
+        (tmp_path / "y.jsonl.zst").write_bytes(b"")
+        from documentprocessor_ray.sources.jsonl import read_jsonl
+        with pytest.raises(ValueError, match="mixed"):
+            read_jsonl(str(tmp_path))
