@@ -582,3 +582,55 @@ def mannwhitney_pairs(
         .groupby("pkey").map_groups(merge_cells, batch_format="pyarrow") \
         .groupby("pkey").map_groups(
             lambda g: u_all_pairs(g), batch_format="pyarrow")
+
+
+def skyline_2d(
+    ds: "ray.data.Dataset",
+    max_col: str,
+    min_col: str,
+    keep_cols: List[str],
+) -> "ray.data.Dataset":
+    """2D skyline (Pareto front): rows not dominated under (maximize
+    ``max_col``, minimize ``min_col``) — b dominates a iff b is >= / <= on
+    both axes and strictly better on at least one. Duplicate points on the
+    front are ALL kept (neither dominates the other).
+
+    Scale shape — the classic distributed-skyline composition: the front
+    of a union is the front of the locals' fronts (dominance is
+    transitive), so each batch reduces to its LOCAL front first (typically
+    O(log n) rows for non-degenerate data), one bounded gather of the
+    local fronts follows, and the final reducer re-runs the identical
+    kernel. No all-pairs comparison anywhere; the only data-dependent
+    bound is the true front size."""
+    def _front(t: pa.Table) -> pa.Table:
+        p = t[max_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[min_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) == 0:
+            return t
+        order = np.lexsort((d, -p))  # p desc, d asc within p
+        ps, ds_ = p[order], d[order]
+        starts = np.empty(len(ps), dtype=bool)
+        starts[0] = True
+        np.not_equal(ps[1:], ps[:-1], out=starts[1:])
+        dmin = ds_[starts]  # per-p-group min d (d asc within group)
+        before = np.empty(len(dmin), np.int64)
+        before[0] = np.iinfo(np.int64).max
+        if len(dmin) > 1:
+            np.minimum.accumulate(dmin[:-1], out=before[1:])
+        group_front = dmin < before
+        gid = np.cumsum(starts) - 1
+        keep_sorted = group_front[gid] & (ds_ == dmin[gid])
+        keep = np.zeros(len(p), dtype=bool)
+        keep[order[keep_sorted]] = True
+        return t.filter(pa.array(keep))
+
+    def local(b: pa.Table) -> pa.Table:
+        out = _front(b.select(keep_cols + [max_col, min_col]))
+        return out.append_column(
+            "pkey", pa.array(np.zeros(out.num_rows, np.int64)))
+
+    def final(g: pa.Table) -> pa.Table:
+        return _front(g.select(keep_cols + [max_col, min_col]))
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(final, batch_format="pyarrow")

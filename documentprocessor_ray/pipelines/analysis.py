@@ -9371,3 +9371,56 @@ def q_jsonl_zst_ingest(sf_dir: str) -> "ray.data.Dataset":
 
 ORACLE_SQL["jsonl_zst_ingest"] = ORACLE_SQL["jsonl_ingest"]
 QUERIES["jsonl_zst_ingest"] = q_jsonl_zst_ingest
+
+
+def q_skyline_lineitem(sf_dir: str) -> "ray.data.Dataset":
+    """2D skyline (Pareto front) over lineitem: line items not dominated
+    under (maximize price_cents, minimize disc_pct) — the multi-criteria
+    'best rows' operator (agg.skyline_2d). Distributed as
+    local-front-then-front-of-fronts (dominance transitivity), so the
+    gather is bounded by front sizes, never rows. EXACT SQL twin via the
+    per-price-group min-discount + reverse running-min formulation
+    (O(n log n), no NOT EXISTS all-pairs)."""
+    from ..functions.agg import skyline_2d
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+            "price_cents": pa.array(_cents(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+            "disc_pct": pa.array(_cents(
+                b["l_discount"].to_numpy(zero_copy_only=False)) // 1,
+                pa.int64()),
+        })
+
+    return skyline_2d(ds.map_batches(to_int, batch_format="pyarrow"),
+                      max_col="price_cents", min_col="disc_pct",
+                      keep_cols=["l_orderkey", "l_linenumber"])
+
+
+ORACLE_SQL["skyline_lineitem"] = """
+    WITH t AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+                          AS l_linenumber,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS price_cents,
+                      CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+               FROM lineitem),
+    cells AS (SELECT price_cents, min(disc_pct) AS dmin
+              FROM t GROUP BY price_cents),
+    f AS (SELECT price_cents, dmin,
+                 min(dmin) OVER (ORDER BY price_cents DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS best_higher
+          FROM cells),
+    front AS (SELECT price_cents, dmin FROM f
+              WHERE best_higher IS NULL OR dmin < best_higher)
+    SELECT t.l_orderkey, t.l_linenumber, t.price_cents, t.disc_pct
+    FROM t JOIN front ON t.price_cents = front.price_cents
+                     AND t.disc_pct = front.dmin"""
+QUERIES["skyline_lineitem"] = q_skyline_lineitem

@@ -412,3 +412,48 @@ class TestJsonlZst:
         from documentprocessor_ray.sources.jsonl import read_jsonl
         with pytest.raises(ValueError, match="mixed"):
             read_jsonl(str(tmp_path))
+
+
+class TestSkyline2d:
+    def _run(self, pts):
+        from documentprocessor_ray.functions.agg import skyline_2d
+        ds = ray.data.from_arrow(pa.table({
+            "rid": pa.array(range(len(pts)), pa.int64()),
+            "p": pa.array([x[0] for x in pts], pa.int64()),
+            "d": pa.array([x[1] for x in pts], pa.int64())}))
+        return sorted(r["rid"] for r in skyline_2d(
+            ds, "p", "d", ["rid"]).take_all())
+
+    def _ref(self, pts):
+        out = []
+        for i, (pa_, da) in enumerate(pts):
+            dominated = any(
+                (pb >= pa_ and db <= da and (pb > pa_ or db < da))
+                for j, (pb, db) in enumerate(pts) if j != i)
+            # identical duplicates never dominate each other
+            if any(j != i and pts[j] == (pa_, da) for j in range(len(pts))):
+                dominated = any(
+                    (pb >= pa_ and db <= da and (pb > pa_ or db < da))
+                    for j, (pb, db) in enumerate(pts)
+                    if j != i and pts[j] != (pa_, da))
+            if not dominated:
+                out.append(i)
+        return sorted(out)
+
+    def test_matches_bruteforce_with_ties_and_dups(self, ray_session):
+        rng = np.random.default_rng(17)
+        pts = [(int(a), int(b)) for a, b in
+               zip(rng.integers(0, 20, 120), rng.integers(0, 20, 120))]
+        pts += pts[:10]  # planted exact duplicates
+        assert self._run(pts) == self._ref(pts)
+
+    def test_single_dominator(self, ray_session):
+        pts = [(100, 0), (50, 5), (99, 1), (100, 1), (1, 0)]
+        # (100,0) dominates everything except... (1,0)? p=1<100,d=0<=0,
+        # strictly worse p -> dominated. Front = {(100,0)} only.
+        assert self._run(pts) == [0]
+
+    def test_diagonal_all_on_front(self, ray_session):
+        # strictly increasing p with strictly increasing d: none dominated
+        pts = [(i, i) for i in range(30)]
+        assert self._run(pts) == list(range(30))
