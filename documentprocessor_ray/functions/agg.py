@@ -430,10 +430,14 @@ def ks_pairs(
             "d_micro": pa.array(out_d, pa.int64()),
         })
 
-    return ds.map_batches(combine, batch_format="pyarrow") \
+    # final gather: merged cells are bounded (groups x distinct values);
+    # repartition(1) + map_batches avoids a second all-to-all Sort whose
+    # fixed per-block overhead dwarfs the tiny payload (measured 10x)
+    return ds.map_batches(combine, batch_format="pyarrow",
+                          batch_size=None) \
         .groupby("pkey").map_groups(merge_cells, batch_format="pyarrow") \
-        .groupby("pkey").map_groups(
-            lambda g: ks_all_pairs(g), batch_format="pyarrow")
+        .repartition(1).map_batches(ks_all_pairs, batch_format="pyarrow",
+                                    batch_size=None)
 
 
 def chi2_assoc(
@@ -500,10 +504,11 @@ def chi2_assoc(
             "n": pa.array([n], pa.int64()),
         })
 
-    return ds.map_batches(combine, batch_format="pyarrow") \
+    return ds.map_batches(combine, batch_format="pyarrow",
+                          batch_size=None) \
         .groupby("pkey").map_groups(merge_cells, batch_format="pyarrow") \
-        .groupby("pkey").map_groups(
-            lambda g: finalize(g), batch_format="pyarrow")
+        .repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                    batch_size=None)
 
 
 def mannwhitney_pairs(
@@ -578,10 +583,11 @@ def mannwhitney_pairs(
             "u2_a": pa.array(out["u2_a"], pa.int64()),
         })
 
-    return ds.map_batches(combine, batch_format="pyarrow") \
+    return ds.map_batches(combine, batch_format="pyarrow",
+                          batch_size=None) \
         .groupby("pkey").map_groups(merge_cells, batch_format="pyarrow") \
-        .groupby("pkey").map_groups(
-            lambda g: u_all_pairs(g), batch_format="pyarrow")
+        .repartition(1).map_batches(u_all_pairs, batch_format="pyarrow",
+                                    batch_size=None)
 
 
 def skyline_2d(
@@ -625,12 +631,12 @@ def skyline_2d(
         return t.filter(pa.array(keep))
 
     def local(b: pa.Table) -> pa.Table:
-        out = _front(b.select(keep_cols + [max_col, min_col]))
-        return out.append_column(
-            "pkey", pa.array(np.zeros(out.num_rows, np.int64)))
+        return _front(b.select(keep_cols + [max_col, min_col]))
 
-    def final(g: pa.Table) -> pa.Table:
-        return _front(g.select(keep_cols + [max_col, min_col]))
-
-    return ds.map_batches(local, batch_format="pyarrow") \
-        .groupby("pkey").map_groups(final, batch_format="pyarrow")
+    # the local fronts are tiny by construction: repartition(1) gathers
+    # them without an all-to-all Sort (whose fixed per-block overhead
+    # would dominate — measured 10x on 300+ input blocks)
+    return ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=None) \
+        .repartition(1).map_batches(_front, batch_format="pyarrow",
+                                    batch_size=None)

@@ -9399,7 +9399,8 @@ def q_skyline_lineitem(sf_dir: str) -> "ray.data.Dataset":
                 pa.int64()),
         })
 
-    return skyline_2d(ds.map_batches(to_int, batch_format="pyarrow"),
+    return skyline_2d(ds.map_batches(to_int, batch_format="pyarrow",
+                                      batch_size=None),
                       max_col="price_cents", min_col="disc_pct",
                       keep_cols=["l_orderkey", "l_linenumber"])
 
