@@ -9425,3 +9425,27 @@ ORACLE_SQL["skyline_lineitem"] = """
     FROM t JOIN front ON t.price_cents = front.price_cents
                      AND t.disc_pct = front.dmin"""
 QUERIES["skyline_lineitem"] = q_skyline_lineitem
+
+
+def q_snm_customer_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Sorted-neighborhood entity-resolution pairs over customer names
+    (functions/fuzzy.snm_pairs): distinct names ranked in sorted order
+    (sample-sort global_rank, no global sort), rank-range buckets with a
+    window-row overlap (each pair owned exactly once by its min rank),
+    banded-DP Levenshtein <= 3 inside windows of 3. The complementary
+    blocking to fuzzy_name_pairs' length blocks. EXACT SQL twin:
+    row_number + rank-distance self-join + levenshtein."""
+    from ..functions.fuzzy import snm_pairs
+
+    return snm_pairs(_read(sf_dir, "customer", ["c_name"]), "c_name",
+                     window=3, max_dist=3)
+
+
+ORACLE_SQL["snm_customer_pairs"] = """
+    WITH d AS (SELECT DISTINCT c_name FROM customer),
+    r AS (SELECT c_name, row_number() OVER (ORDER BY c_name) AS rk FROM d)
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+    WHERE levenshtein(a.c_name, b.c_name) <= 3"""
+QUERIES["snm_customer_pairs"] = q_snm_customer_pairs

@@ -457,3 +457,38 @@ class TestSkyline2d:
         # strictly increasing p with strictly increasing d: none dominated
         pts = [(i, i) for i in range(30)]
         assert self._run(pts) == list(range(30))
+
+
+class TestSnmPairs:
+    def _ref(self, vals, w, k):
+        from documentprocessor_ray.functions.fuzzy import _lev_banded
+        sv = sorted(set(vals))
+        out = set()
+        for i in range(len(sv)):
+            for j in range(i + 1, min(i + w + 1, len(sv))):
+                d = _lev_banded(sv[i], sv[j], k)
+                if d <= k:
+                    out.add((sv[i], sv[j], d))
+        return sorted(out)
+
+    def test_matches_bruteforce_serial_ids(self, ray_session):
+        from documentprocessor_ray.functions.fuzzy import snm_pairs
+        vals = [f"Item#{i:06d}" for i in range(0, 400, 3)]
+        vals += vals[:20]  # duplicates collapse in the distinct pass
+        ds = ray.data.from_arrow(pa.table({"n": pa.array(vals, pa.string())}))
+        got = sorted((r["name_a"], r["name_b"], r["dist"])
+                     for r in snm_pairs(ds, "n", window=4,
+                                        max_dist=3).take_all())
+        assert got == self._ref(vals, 4, 3)
+        assert len(got) > 0
+
+    def test_window_respected(self, ray_session):
+        from documentprocessor_ray.functions.fuzzy import snm_pairs
+        # aaa, aab sort adjacently (dist 1); zzz sorts far from both
+        ds = ray.data.from_arrow(pa.table({
+            "n": pa.array(["aaa", "aab", "zzz"], pa.string())}))
+        got = [(r["name_a"], r["name_b"], r["dist"])
+               for r in snm_pairs(ds, "n", window=1, max_dist=3).take_all()]
+        # window=1: only rank-adjacent pairs are candidates
+        assert ("aaa", "aab", 1) in got
+        assert all(p[:2] != ("aaa", "zzz") or p[2] <= 3 for p in got)
