@@ -91,7 +91,7 @@ BENCH_QUERIES = [
     "knn_pq", "knn_ivfpq", "pack_bfd", "kn_trigram", "tokbin_roundtrip", "blocklist_filter", "cdc_chunk_stats", "corpus_dolma", "trainready_shards", "source_divergence", "audio_fp_pairs", "video_clip_pairs", "text_tiling", "spatial_join", "match_pattern", "spatial_knn", "mixture_quota", "trigram_backoff", "link_communities", "ppl_buckets",
     "corpus_fineweb",
     "ks_lang_length", "chi2_lang_source", "substring_prune",
-    "mwu_lang_length", "knn_recall", "jsonl_gz_ingest", "csv_gz_ingest", "jsonl_zst_ingest", "skyline_lineitem", "snm_customer_pairs",
+    "mwu_lang_length", "knn_recall", "jsonl_gz_ingest", "csv_gz_ingest", "jsonl_zst_ingest", "skyline_lineitem", "snm_customer_pairs", "view_purchase_band",
 ]
 
 

@@ -281,3 +281,136 @@ def match_pattern(ds: "ray.data.Dataset", pattern: List[str],
 
     return ds.map_batches(add_pkey, batch_format="pyarrow") \
         .groupby("pkey").map_groups(scan, batch_format="pyarrow")
+
+
+def band_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    band: int,
+    left_id: str,
+    right_id: str,
+    num_buckets: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Big-BIG temporal band join: every (left, right) pair sharing ``key``
+    with ``|left.ts - right.ts| < band`` (integer units) — the co-bucketed
+    answer to range_join_broadcast's documented small-side assumption
+    (range_join_broadcast docstring: "a big-big interval join needs the
+    co-bucketed machinery"). Equivalently an interval OVERLAP join of
+    width-``band`` windows anchored at each event.
+
+    Scale shape (the 1D analog of spatial_join's grid): time quantizes to
+    ``band``-wide cells; LEFT rows ride to their home cell only, RIGHT
+    rows replicate to the home cell +-1 (constant 3x fan-out of 4-int64
+    rows), so each pair materializes exactly once — in the LEFT row's home
+    cell. ONE exchange on hash(key, cell); in-cell matching is a sorted
+    searchsorted band sweep, no all-pairs. Skew bound: a cell holds one
+    key's rows within one band width — pre-split hot keys upstream if a
+    single (key, band) exceeds a reducer.
+
+    Output: (key, left_id, right_id, dt) with dt = right.ts - left.ts,
+    |dt| < band."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = num_buckets or auto_buckets(None)
+    band_i = np.int64(band)
+
+    def emit_left(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b[ts].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b[left_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = np.floor_divide(t, band_i)
+        return pa.table({
+            "pkey": pa.array(bucket_of_ints(k * np.int64(1_000_003)
+                                            + cell, nb), pa.int64()),
+            "k": pa.array(k, pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
+            "t": pa.array(t, pa.int64()),
+            "rid": pa.array(i, pa.int64()),
+            "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+        })
+
+    def emit_right(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b[ts].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b[right_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = np.floor_divide(t, band_i)
+        k3 = np.repeat(k, 3)
+        t3 = np.repeat(t, 3)
+        i3 = np.repeat(i, 3)
+        c3 = np.repeat(cell, 3) + np.tile(
+            np.array([-1, 0, 1], np.int64), len(k))
+        return pa.table({
+            "pkey": pa.array(bucket_of_ints(k3 * np.int64(1_000_003)
+                                            + c3, nb), pa.int64()),
+            "k": pa.array(k3, pa.int64()),
+            "cell": pa.array(c3, pa.int64()),
+            "t": pa.array(t3, pa.int64()),
+            "rid": pa.array(i3, pa.int64()),
+            "side": pa.array(np.ones(len(k3), np.int8), pa.int8()),
+        })
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["cell"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        rid = g["rid"].to_numpy(zero_copy_only=False)
+        out_k, out_l, out_r, out_d = [], [], [], []
+        # left rows are in their HOME cell: group by (k, cell)
+        order = np.lexsort((t, c, k))
+        k, c, t, rid, side = (k[order], c[order], t[order], rid[order],
+                              side[order])
+        # within the bucket, process each (k, cell) slice
+        seg = np.empty(len(k), dtype=bool)
+        if len(k):
+            seg[0] = True
+            seg[1:] = (k[1:] != k[:-1]) | (c[1:] != c[:-1])
+        bounds = np.flatnonzero(seg).tolist() + [len(k)]
+        for si in range(len(bounds) - 1):
+            lo, hi = bounds[si], bounds[si + 1]
+            ls = slice(lo, hi)
+            l_mask = side[ls] == 0
+            if not l_mask.any():
+                continue
+            home = c[lo]  # left rows here have cell == home by construction
+            lt = t[ls][l_mask]
+            li = rid[ls][l_mask]
+            r_mask = ~l_mask
+            rt = t[ls][r_mask]
+            ri = rid[ls][r_mask]
+            if len(rt) == 0:
+                continue
+            ro = np.argsort(rt, kind="stable")
+            rt, ri = rt[ro], ri[ro]
+            a = np.searchsorted(rt, lt - band_i, side="right")
+            b2 = np.searchsorted(rt, lt + band_i, side="left")
+            cnt = np.maximum(b2 - a, 0)
+            l_idx = np.repeat(np.arange(len(lt)), cnt)
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            r_pos = (np.arange(tot)
+                     - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                     + np.repeat(a, cnt))
+            out_k.append(np.full(tot, k[lo], np.int64))
+            out_l.append(li[l_idx])
+            out_r.append(ri[r_pos])
+            out_d.append(rt[r_pos] - lt[l_idx])
+        if not out_k:
+            return pa.table({key: pa.array([], pa.int64()),
+                             left_id: pa.array([], pa.int64()),
+                             right_id: pa.array([], pa.int64()),
+                             "dt": pa.array([], pa.int64())})
+        return pa.table({
+            key: pa.array(np.concatenate(out_k), pa.int64()),
+            left_id: pa.array(np.concatenate(out_l), pa.int64()),
+            right_id: pa.array(np.concatenate(out_r), pa.int64()),
+            "dt": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    both = left.map_batches(emit_left, batch_format="pyarrow").union(
+        right.map_batches(emit_right, batch_format="pyarrow"))
+    return both.groupby("pkey").map_groups(cell_pairs,
+                                           batch_format="pyarrow")

@@ -9449,3 +9449,47 @@ ORACLE_SQL["snm_customer_pairs"] = """
     FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
     WHERE levenshtein(a.c_name, b.c_name) <= 3"""
 QUERIES["snm_customer_pairs"] = q_snm_customer_pairs
+
+
+def q_view_purchase_band(sf_dir: str) -> "ray.data.Dataset":
+    """Big-big temporal band join (temporal.band_join): every (view,
+    purchase) pair by the same user within 10 minutes of each other —
+    both sides are event-scale tables, so neither can broadcast
+    (range_join_broadcast's documented limit); time quantizes to
+    band-wide cells, right side replicates x3, pairs form exactly once in
+    the left row's home cell. EXACT SQL twin: equi-join on user + abs
+    time-difference band."""
+    from ..functions.temporal import band_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(kind: str, out_id: str):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["event_type"], kind)
+            t = b.filter(m)
+            return pa.table({
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                out_id: t["event_id"]})
+        return f
+
+    views = ev.map_batches(prep("view", "view_event"),
+                           batch_format="pyarrow")
+    purchases = ev.map_batches(prep("purchase", "purchase_event"),
+                               batch_format="pyarrow")
+    return band_join(views, purchases, key="user_id", ts="ts_us",
+                     band=600_000_000, left_id="view_event",
+                     right_id="purchase_event")
+
+
+ORACLE_SQL["view_purchase_band"] = """
+    SELECT v.user_id,
+           v.event_id AS view_event,
+           p.event_id AS purchase_event,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS dt
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND abs(epoch_us(p.ts) - epoch_us(v.ts)) < 600000000"""
+QUERIES["view_purchase_band"] = q_view_purchase_band

@@ -492,3 +492,50 @@ class TestSnmPairs:
         # window=1: only rank-adjacent pairs are candidates
         assert ("aaa", "aab", 1) in got
         assert all(p[:2] != ("aaa", "zzz") or p[2] <= 3 for p in got)
+
+
+class TestBandJoin:
+    def _run(self, lefts, rights, band):
+        from documentprocessor_ray.functions.temporal import band_join
+        lds = ray.data.from_arrow(pa.table({
+            "k": pa.array([x[0] for x in lefts], pa.int64()),
+            "t": pa.array([x[1] for x in lefts], pa.int64()),
+            "lid": pa.array([x[2] for x in lefts], pa.int64())}))
+        rds = ray.data.from_arrow(pa.table({
+            "k": pa.array([x[0] for x in rights], pa.int64()),
+            "t": pa.array([x[1] for x in rights], pa.int64()),
+            "rid": pa.array([x[2] for x in rights], pa.int64())}))
+        return sorted((r["lid"], r["rid"], r["dt"]) for r in band_join(
+            lds, rds, key="k", ts="t", band=band,
+            left_id="lid", right_id="rid").take_all())
+
+    def _ref(self, lefts, rights, band):
+        out = []
+        for k1, t1, i1 in lefts:
+            for k2, t2, i2 in rights:
+                if k1 == k2 and abs(t2 - t1) < band:
+                    out.append((i1, i2, t2 - t1))
+        return sorted(out)
+
+    def test_matches_bruteforce_cross_cell(self, ray_session):
+        rng = np.random.default_rng(23)
+        lefts = [(int(rng.integers(0, 5)), int(rng.integers(0, 10_000)), i)
+                 for i in range(200)]
+        rights = [(int(rng.integers(0, 5)), int(rng.integers(0, 10_000)),
+                   1000 + i) for i in range(200)]
+        band = 700  # cells of width 700: many pairs straddle boundaries
+        assert self._run(lefts, rights, band) == \
+            self._ref(lefts, rights, band)
+
+    def test_band_boundary_strict(self, ray_session):
+        lefts = [(1, 1000, 1)]
+        rights = [(1, 1000 + 500, 2), (1, 1000 - 500, 3),
+                  (1, 1000 + 499, 4), (1, 2, 5)]
+        got = self._run(lefts, rights, 500)
+        # |dt| < band strictly: +-500 excluded, +499 included, far excluded
+        assert got == [(1, 4, 499)]
+
+    def test_key_isolation(self, ray_session):
+        lefts = [(1, 100, 1)]
+        rights = [(2, 100, 2)]  # same time, different key
+        assert self._run(lefts, rights, 1000) == []
