@@ -173,9 +173,9 @@ def range_join_broadcast(
     ``searchsorted`` per interval boundary array turns every interval into
     a [start, end) slice of the sorted order — no per-point loop, no
     per-interval scan. Partitioning assumption: the interval table fits in
-    a worker's heap; a big-big interval join needs the co-bucketed asof
-    machinery instead (bucket by coarse value range, replicate intervals to
-    every range chunk they overlap).
+    a worker's heap; for two big sides use ``band_join`` below — the
+    co-bucketed variant (band-wide cells, bounded replication, exactly-once
+    pair ownership).
     """
     import ray as _ray
 
