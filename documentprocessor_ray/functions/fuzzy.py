@@ -177,9 +177,14 @@ def snm_pairs(
         vals = pc.unique(g["v"].combine_chunks())
         return pa.table({"v": vals})
 
+    # materialize ONCE: three consumers follow (count, split sample, rank
+    # assignment) and the handle is vocabulary-bounded by the same
+    # assumption the ranking itself rests on — without this the distinct
+    # exchange re-executes per consumer (measured 3x the op's cost)
     distinct = ds.map_batches(local_distinct, batch_format="pyarrow") \
         .map_batches(add_pkey, batch_format="pyarrow") \
-        .groupby("pkey").map_groups(bucket_distinct, batch_format="pyarrow")
+        .groupby("pkey").map_groups(bucket_distinct,
+                                    batch_format="pyarrow").materialize()
 
     import zlib
 
