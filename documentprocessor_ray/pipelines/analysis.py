@@ -9373,6 +9373,51 @@ ORACLE_SQL["jsonl_zst_ingest"] = ORACLE_SQL["jsonl_ingest"]
 QUERIES["jsonl_zst_ingest"] = q_jsonl_zst_ingest
 
 
+def _columnar_shard_dir(sf_dir: str, fmt: str) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+    sfname = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(f"/tmp/dpray_{fmt}",
+                        f"{sfname}_{_dir_key(src, version=fmt + '-v1')}")
+
+
+def q_orc_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """ORC ingestion round trip (the warehouse interchange format):
+    documents serialized once to ORC shards (pyarrow.orc), decoded back
+    DISTRIBUTED — one read_binary_files block per shard, ORC parse inside
+    the read task (sources/columnar.py) — and rolled up per lang with
+    min/max per-group text md5. The hash gate proves the ORC encode +
+    distributed-decode round trip preserved every document byte-exactly;
+    the DuckDB twin re-derives the rollup logically from the parquet
+    view (same twin as csv_ingest)."""
+    from ..sources.columnar import read_orc, write_orc_shards
+
+    shard_dir = write_orc_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _columnar_shard_dir(sf_dir, "orc"), num_shards=8)
+    return _csv_rollup(read_orc(shard_dir))
+
+
+ORACLE_SQL["orc_ingest"] = ORACLE_SQL["csv_ingest"]
+QUERIES["orc_ingest"] = q_orc_ingest
+
+
+def q_ipc_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """Arrow IPC / Feather V2 ingestion round trip (the Arrow-native
+    interchange format, zstd-compressed record batches): deterministic
+    .arrow shards decoded distributed via pa.ipc.open_file inside the
+    read tasks, same rollup and twin as orc_ingest/csv_ingest."""
+    from ..sources.columnar import read_ipc, write_ipc_shards
+
+    shard_dir = write_ipc_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _columnar_shard_dir(sf_dir, "ipc"), num_shards=8)
+    return _csv_rollup(read_ipc(shard_dir))
+
+
+ORACLE_SQL["ipc_ingest"] = ORACLE_SQL["csv_ingest"]
+QUERIES["ipc_ingest"] = q_ipc_ingest
+
+
 def q_skyline_lineitem(sf_dir: str) -> "ray.data.Dataset":
     """2D skyline (Pareto front) over lineitem: line items not dominated
     under (maximize price_cents, minimize disc_pct) — the multi-criteria
