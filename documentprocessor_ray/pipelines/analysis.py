@@ -9418,6 +9418,45 @@ ORACLE_SQL["ipc_ingest"] = ORACLE_SQL["csv_ingest"]
 QUERIES["ipc_ingest"] = q_ipc_ingest
 
 
+def q_copurchase_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """Market-basket frequent item pairs with lift (A-Priori k=2,
+    functions/itemsets.frequent_pairs): parts co-occurring in >= 2 orders,
+    support + floor(1e6*N*supp(a,b)/(supp(a)*supp(b))). One basket
+    exchange generates pairs with per-bucket pre-aggregation; item
+    supports and the basket count ride the same kernel as sentinel rows;
+    lift resolves via two hash_join exchanges (item vocabulary never
+    broadcast). EXACT SQL twin: distinct self-join + HUGEINT lift."""
+    from ..functions.itemsets import frequent_pairs
+
+    n_rows = _read(sf_dir, "lineitem", ["l_orderkey"]).count()  # metadata
+    return frequent_pairs(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey", item_col="l_partkey", min_support=2,
+        size_hint=n_rows)
+
+
+ORACLE_SQL["copurchase_pairs"] = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND b.l_partkey > a.l_partkey),
+    pcnt AS (SELECT part_a, part_b, count(*)::BIGINT AS support
+             FROM prs GROUP BY 1, 2),
+    icnt AS (SELECT l_partkey, count(*)::BIGINT AS cnt
+             FROM items GROUP BY 1),
+    nb AS (SELECT count(DISTINCT l_orderkey)::HUGEINT AS n FROM items)
+    SELECT p.part_a, p.part_b, p.support,
+           CAST((nb.n * p.support * 1000000)
+                // (ia.cnt::HUGEINT * ib.cnt::HUGEINT) AS BIGINT)
+               AS lift_micro
+    FROM pcnt p, nb
+    JOIN icnt ia ON ia.l_partkey = p.part_a
+    JOIN icnt ib ON ib.l_partkey = p.part_b
+    WHERE p.support >= 2"""
+QUERIES["copurchase_pairs"] = q_copurchase_pairs
+
+
 def q_skyline_lineitem(sf_dir: str) -> "ray.data.Dataset":
     """2D skyline (Pareto front) over lineitem: line items not dominated
     under (maximize price_cents, minimize disc_pct) — the multi-criteria

@@ -71,3 +71,88 @@ class TestColumnarSources:
 
         with pytest.raises(ValueError, match="fmt"):
             _write_shards("x", str(tmp_path), "avro")
+
+
+class TestFrequentPairs:
+    def _brute(self, baskets, min_support=2):
+        """Plain-Python reference: dict-count pairs over distinct baskets."""
+        from collections import defaultdict
+        from itertools import combinations
+
+        dist = defaultdict(set)
+        for g, i in baskets:
+            dist[g].add(i)
+        n = len(dist)
+        pc_, ic = defaultdict(int), defaultdict(int)
+        for items in dist.values():
+            for i in items:
+                ic[i] += 1
+            for a, b in combinations(sorted(items), 2):
+                pc_[(a, b)] += 1
+        return sorted(
+            (a, b, s, (n * s * 1_000_000) // (ic[a] * ic[b]))
+            for (a, b), s in pc_.items() if s >= min_support)
+
+    def test_matches_bruteforce(self, ray_session):
+        import random
+
+        import ray.data
+
+        from documentprocessor_ray.functions.itemsets import frequent_pairs
+
+        rng = random.Random(7)
+        rows = []
+        for g in range(120):
+            for i in rng.sample(range(25), rng.randint(1, 6)):
+                rows.append({"g": g, "i": i})
+                if rng.random() < 0.2:  # duplicate lineitem rows
+                    rows.append({"g": g, "i": i})
+        ds = ray.data.from_items(rows)
+        out = frequent_pairs(ds, "g", "i", min_support=2)
+        got = sorted((r["part_a"], r["part_b"], r["support"],
+                      r["lift_micro"]) for r in out.take_all())
+        assert got == self._brute([(r["g"], r["i"]) for r in rows])
+        assert len(got) > 20
+
+    def test_min_support_filters(self, ray_session):
+        import ray.data
+
+        from documentprocessor_ray.functions.itemsets import frequent_pairs
+
+        rows = [{"g": 0, "i": 1}, {"g": 0, "i": 2},
+                {"g": 1, "i": 1}, {"g": 1, "i": 2},
+                {"g": 2, "i": 1}, {"g": 2, "i": 3}]
+        got = frequent_pairs(ray.data.from_items(rows), "g", "i",
+                             min_support=2).take_all()
+        assert [(r["part_a"], r["part_b"], r["support"]) for r in got] == \
+            [(1, 2, 2)]
+        # lift = 3 baskets * 2 / (3 * 2) = 1.0
+        assert got[0]["lift_micro"] == 1_000_000
+
+    def test_negative_item_rejected(self, ray_session):
+        import ray.data
+
+        from documentprocessor_ray.functions.itemsets import frequent_pairs
+
+        ds = ray.data.from_items([{"g": 0, "i": -5}, {"g": 0, "i": 2}])
+        with pytest.raises(Exception, match="item ids must be >= 0"):
+            frequent_pairs(ds, "g", "i").materialize()
+
+    def test_kernel_offset_sweep_vs_combinations(self):
+        """The d-offset pair sweep == itertools.combinations on every
+        basket size up to 9, including single-item and duplicate rows."""
+        import numpy as np
+        from itertools import combinations
+
+        from documentprocessor_ray.functions.itemsets import (
+            _basket_pairs_kernel)
+
+        ok = np.array([0] * 9 + [1] + [2] * 3 + [2] * 3, np.int64)
+        it = np.array(list(range(9)) + [4] + [7, 8, 9] + [7, 8, 9],
+                      np.int64)
+        a, b, c, items, icnt, nb = _basket_pairs_kernel(ok, it)
+        exp = sorted(list(combinations(range(9), 2)) +
+                     list(combinations([7, 8, 9], 2)))
+        assert sorted(zip(a.tolist(), b.tolist())) == sorted(set(exp))
+        assert nb == 3
+        assert dict(zip(items.tolist(), icnt.tolist()))[7] == 2
