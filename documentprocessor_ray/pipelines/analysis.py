@@ -9435,6 +9435,138 @@ def q_copurchase_pairs(sf_dir: str) -> "ray.data.Dataset":
         size_hint=n_rows)
 
 
+def q_regr_price_qty(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped OLS regression (price ~ quantity per (l_returnflag,
+    l_linestatus)) as a CONSUMER of the distributed comoment sums
+    (q_grouped_comoments): slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) and
+    intercept = (Sy*D - N*Sx)/(n*D) evaluated in unbounded Python ints
+    over the tiny merged cell table (one row per group), quantized with
+    TRUNCATING division to match DuckDB's HUGEINT `//`. The heavy work —
+    one pass + one bounded-cell exchange — is the already-gated comoment
+    plan; regression adds zero additional shuffles."""
+    cm = q_grouped_comoments(sf_dir)
+
+    def tdiv(n: int, d: int) -> int:
+        s = -1 if (n < 0) != (d < 0) else 1
+        return s * (abs(n) // abs(d))
+
+    def fit(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = []
+        for r in rows:
+            n, sx, sy = r["n_rows"], r["sum_x"], r["sum_y"]
+            sxx, sxy = r["sum_xx"], r["sum_xy"]
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            out.append({
+                "l_returnflag": r["l_returnflag"],
+                "l_linestatus": r["l_linestatus"],
+                "n_rows": n,
+                "slope_micro": tdiv(1_000_000 * num, den),
+                "icept_micro": tdiv(1_000_000 * (sy * den - num * sx),
+                                    n * den)})
+        return pa.Table.from_pylist(out)
+
+    # repartition(1): the cell table is one row per group — the
+    # trivial-gather discipline (no groupby Sort for bounded payloads)
+    return cm.repartition(1).map_batches(fit, batch_format="pyarrow",
+                                         batch_size=None)
+
+
+ORACLE_SQL["regr_price_qty"] = """
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             count(*)::HUGEINT AS n,
+             sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sx,
+             sum(CAST(floor(l_extendedprice + 0.5) AS HUGEINT)) AS sy,
+             sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+                 * CAST(floor(l_quantity + 0.5) AS HUGEINT)) AS sxx,
+             sum(CAST(floor(l_quantity + 0.5) AS HUGEINT)
+                 * CAST(floor(l_extendedprice + 0.5) AS HUGEINT)) AS sxy
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+           CAST((1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) AS BIGINT)
+               AS slope_micro,
+           CAST((1000000 * (sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx))
+                // (n * (n*sxx - sx*sx)) AS BIGINT) AS icept_micro
+    FROM s"""
+QUERIES["regr_price_qty"] = q_regr_price_qty
+
+
+def q_acf_daily_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Autocorrelation of the daily revenue series at lags 1..7 (the
+    seasonality probe a forecasting user runs before picking a model).
+    The heavy pass is distributed: orders stream through a per-batch
+    (day, cents) partial then ONE bucketed exchange merges daily cells —
+    bounded by the calendar span, never by row count. The ACF itself is
+    bounded-payload math over those cells (trivial-gather discipline:
+    repartition(1), unbounded Python ints): with S = sum(x), n = days,
+    dev_t = n*x_t - S,  acf_micro(k) = trunc(1e6 * sum_t dev_t*dev_{t+k}
+    / sum_t dev_t^2) — integer-exact, no rational mean ever computed.
+    Lag alignment is over the ordered sequence of PRESENT days. EXACT
+    SQL twin via HUGEINT deviations + row_number self-join."""
+    from ..functions.agg import bucketed_group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (b["o_orderdate"].to_numpy(zero_copy_only=False)
+               .astype("datetime64[us]").astype(np.int64)
+               // 86_400_000_000)
+        t = pa.table({
+            "day": pa.array(day, pa.int64()),
+            "rev": pa.array(_cents(
+                b["o_totalprice"].to_numpy(zero_copy_only=False)),
+                pa.int64())})
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return pa.table({"day": g["day"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64())})
+
+    daily = bucketed_group_sum(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        key="day", cols=["rev"])
+
+    def acf(t: pa.Table) -> pa.Table:
+        rows = sorted(zip(t["day"].to_pylist(), t["rev"].to_pylist()))
+        x = [int(r) for _, r in rows]
+        n, s = len(x), sum(int(v) for v in x)
+        dev = [n * v - s for v in x]
+        den = sum(d * d for d in dev)
+        out = []
+        for k in range(1, 8):
+            num = sum(dev[i] * dev[i + k] for i in range(n - k))
+            sg = -1 if (num < 0) != (den < 0) else 1
+            out.append({"lag": k,
+                        "acf_micro": sg * (abs(1_000_000 * num)
+                                           // abs(den))})
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [("lag", pa.int64()), ("acf_micro", pa.int64())]))
+
+    return daily.repartition(1).map_batches(acf, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+ORACLE_SQL["acf_daily_revenue"] = """
+    WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+                      sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+                          AS rev
+               FROM orders GROUP BY 1),
+    p AS (SELECT count(*)::HUGEINT AS n, sum(rev) AS s FROM d),
+    r AS (SELECT row_number() OVER (ORDER BY day) AS rk,
+                 (SELECT n FROM p) * rev - (SELECT s FROM p) AS dev
+          FROM d),
+    den AS (SELECT sum(dev * dev) AS dd FROM r),
+    lags AS (SELECT l.lag, sum(a.dev * b.dev) AS num
+             FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) l(lag)
+             JOIN r a ON TRUE
+             JOIN r b ON b.rk = a.rk + l.lag
+             GROUP BY 1)
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST((1000000 * num) // (SELECT dd FROM den) AS BIGINT)
+               AS acf_micro
+    FROM lags"""
+QUERIES["acf_daily_revenue"] = q_acf_daily_revenue
+
+
 ORACLE_SQL["copurchase_pairs"] = """
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     prs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b

@@ -156,3 +156,86 @@ class TestFrequentPairs:
         assert sorted(zip(a.tolist(), b.tolist())) == sorted(set(exp))
         assert nb == 3
         assert dict(zip(items.tolist(), icnt.tolist()))[7] == 2
+
+
+class TestGroupedRegression:
+    def test_matches_numpy_polyfit(self, ray_session):
+        """slope/icept micro-ints vs np.polyfit on the same quantized data
+        (tolerance 1 micro-unit for the trunc)."""
+        import numpy as np
+
+        from documentprocessor_ray.pipelines.analysis import (
+            q_regr_price_qty)
+        import pyarrow.parquet as pq
+
+        got = {(r["l_returnflag"], r["l_linestatus"]):
+               (r["slope_micro"], r["icept_micro"], r["n_rows"])
+               for r in q_regr_price_qty("/root/testdata/sf0.001")
+               .take_all()}
+        t = pq.read_table("/root/testdata/sf0.001/lineitem.parquet",
+                          columns=["l_returnflag", "l_linestatus",
+                                   "l_quantity", "l_extendedprice"])
+        df = t.to_pandas()
+        df["x"] = np.floor(df.l_quantity + 0.5).astype(np.int64)
+        df["y"] = np.floor(df.l_extendedprice + 0.5).astype(np.int64)
+        for (rf, ls), g in df.groupby(["l_returnflag", "l_linestatus"]):
+            b, a = np.polyfit(g.x.to_numpy(np.float64),
+                              g.y.to_numpy(np.float64), 1)
+            sm, im, n = got[(rf, ls)]
+            assert n == len(g)
+            assert abs(sm - b * 1e6) <= max(2, abs(b) * 1e-3 * 1e6)
+            assert abs(im - a * 1e6) <= max(2, abs(a) * 1e-3 * 1e6)
+
+
+class TestAcfDailyRevenue:
+    def test_matches_numpy_on_series(self, ray_session):
+        """The integer ACF == numpy's mean-centered autocorrelation on the
+        daily series derived the same way."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from documentprocessor_ray.pipelines.analysis import (
+            q_acf_daily_revenue)
+
+        got = {r["lag"]: r["acf_micro"]
+               for r in q_acf_daily_revenue("/root/testdata/sf0.001")
+               .take_all()}
+        assert sorted(got) == list(range(1, 8))
+        t = pq.read_table("/root/testdata/sf0.001/orders.parquet",
+                          columns=["o_orderdate", "o_totalprice"])
+        day = (t["o_orderdate"].to_numpy().astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        rev = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        import collections
+        daily = collections.defaultdict(int)
+        for d, v in zip(day.tolist(), rev.tolist()):
+            daily[d] += v
+        x = np.array([v for _, v in sorted(daily.items())], np.float64)
+        xc = x - x.mean()
+        den = float((xc * xc).sum())
+        for k in range(1, 8):
+            ref = float((xc[:-k] * xc[k:]).sum()) / den
+            assert abs(got[k] - ref * 1e6) <= 2, (k, got[k], ref)
+
+    def test_acf_lag_detects_planted_period(self, ray_session):
+        """Sanity on semantics: a strongly weekly series must put its max
+        |acf| at lag 7 — guards against off-by-one lag alignment."""
+        import numpy as np
+
+        from documentprocessor_ray.pipelines import analysis as A
+
+        # reuse the driver path against a synthetic orders parquet
+        import pyarrow.parquet as pq
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        days = np.arange(200, dtype=np.int64)
+        price = 100.0 + 50.0 * (days % 7 == 0)
+        ts = (days * 86_400_000_000).astype("datetime64[us]")
+        pq.write_table(pa.table({
+            "o_orderdate": pa.array(ts),
+            "o_totalprice": pa.array(price, pa.float64())}),
+            os.path.join(d, "orders.parquet"))
+        got = {r["lag"]: r["acf_micro"]
+               for r in A.q_acf_daily_revenue(d).take_all()}
+        assert max(got, key=lambda k: abs(got[k])) == 7
+        assert got[7] > 500_000  # strong positive weekly correlation
