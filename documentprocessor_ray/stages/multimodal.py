@@ -1988,8 +1988,12 @@ def clamp_add_sub_half_13(L: int, T: int, TL: int) -> int:
 
 
 def _webp_decode(b: bytes) -> np.ndarray:
-    """WebP container -> RGB array. Lossless (VP8L) only; lossy VP8 needs
-    the full VP8 intra decoder and stays out of scope."""
+    """WebP container -> RGB array. Lossless (VP8L) decodes on the
+    from-scratch path below; lossy VP8 (the full RFC 6386 intra decoder)
+    routes through the system libwebp via the dlopen-guarded ctypes
+    adapter (stages/syscodecs.py) — same pattern as the import-guarded
+    OCR-engine adapters — and raises NotImplementedError only when that
+    shared library is absent."""
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
@@ -2001,8 +2005,8 @@ def _webp_decode(b: bytes) -> np.ndarray:
             payload = b[pos + 8:pos + 8 + size]
             break
         if cid == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) decode not supported in this build")
+            from . import syscodecs
+            return syscodecs.webp_decode_rgb(bytes(b))
         pos += 8 + size + (size & 1)
     if payload is None:
         raise ValueError("no VP8L chunk in WebP file")
@@ -2221,10 +2225,12 @@ class RealCodec(Codec):
     none/PackBits/Deflate, predictor, RGBA), GIF (LZW, interlaced) and
     lossless WebP (VP8L, incl. the short-distance neighbor map) decode
     FOR REAL (pure numpy + stdlib) — the reference's PIL image surface
-    (cli/utils.py:98-117); lossy-VP8 WebP is the one documented gap (see
-    README 'Known environment gaps'). mp3/mp4 still need soundfile /
-    pyav, absent in this container — wire them here and nothing else
-    changes."""
+    (cli/utils.py:98-117). Lossy-VP8 WebP decodes through the system
+    libwebp via the dlopen-guarded ctypes adapter in
+    stages/syscodecs.py (present in this container; validated on a real
+    libwebp-minted fixture), raising NotImplementedError only when that
+    library is absent. mp3/mp4 still need soundfile / pyav, absent in
+    this container — wire them here and nothing else changes."""
 
     def decode_image(self, payload, meta):
         head = bytes(payload[:8])
@@ -2239,8 +2245,8 @@ class RealCodec(Codec):
         if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
             return _webp_decode(bytes(payload))
         raise NotImplementedError(
-            "only PNG/JPEG-baseline/TIFF/GIF/WebP-lossless decode without "
-            "external image libraries in this build")
+            "only PNG/JPEG/TIFF/GIF/WebP decode in this build (WebP-lossy "
+            "additionally requires the system libwebp shared library)")
 
     def decode_audio(self, payload, meta):
         raise NotImplementedError("audio codec not available in this build")

@@ -269,22 +269,31 @@ class TestRealCodecRouting:
             encode_webp_lossless(img, subtract_green=True), {})
         assert (out == img).all()
 
-    def test_real_vp8x_container_routes_to_honest_error(self):
+    def test_real_vp8x_container_routes_to_lossy_path(self):
         """A REAL libwebp-encoded file (CPython's test corpus: VP8X
         extended container + ALPH chunk + lossy VP8 frame) must route
-        through the RIFF walker to the documented lossy-VP8 gap error,
-        not crash on the VP8X/ALPH chunks."""
-        import glob
+        through the RIFF walker to the lossy-VP8 path: the system
+        libwebp adapter when present (tests/test_syscodecs.py covers
+        the decode itself), the honest guard error otherwise."""
+        import os
 
-        hits = glob.glob("/root/.pyenv/versions/*/lib/python*/test/"
-                         "test_email/data/python.webp")
-        if not hits:
-            pytest.skip("no real webp fixture in this environment")
-        data = open(hits[0], "rb").read()
-        with pytest.raises(NotImplementedError, match="lossy"):
-            _webp_decode(data)
+        from documentprocessor_ray.stages import syscodecs as SC
 
-    def test_lossy_vp8_raises(self):
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "python_cpython_testdata.webp")
+        data = open(path, "rb").read()
+        if SC.libwebp_available():
+            out = _webp_decode(data)
+            assert out.shape == (16, 16, 3) and out.dtype == np.uint8
+        else:
+            with pytest.raises(NotImplementedError, match="libwebp"):
+                _webp_decode(data)
+
+    def test_lossy_vp8_guard_without_library(self, monkeypatch):
+        from documentprocessor_ray.stages import syscodecs as SC
+
+        monkeypatch.setattr(SC, "_webp_lib", None)
+        monkeypatch.setattr(SC, "_webp_tried", True)
         payload = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + \
             b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
         with pytest.raises(NotImplementedError):
