@@ -9709,3 +9709,57 @@ ORACLE_SQL["view_purchase_band"] = """
      AND v.event_type = 'view' AND p.event_type = 'purchase'
      AND abs(epoch_us(p.ts) - epoch_us(v.ts)) < 600000000"""
 QUERIES["view_purchase_band"] = q_view_purchase_band
+
+
+# ------------------------------------------- Avro and Delta-log ingestion
+
+def q_avro_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """Apache Avro object-container ingestion round trip (the Kafka /
+    Hadoop row-interchange format, from-scratch codec per the public
+    Avro 1.11 spec — sources/avro.py): documents serialized once to
+    deflate-coded .avro shards, decoded back DISTRIBUTED (one
+    read_binary_files block per shard, zigzag-varint parse inside the
+    read task) and rolled up per lang with min/max per-group text md5.
+    The hash gate proves the encode + distributed-decode round trip
+    byte-exact; same DuckDB twin as csv_ingest."""
+    from ..sources.avro import read_avro, write_avro_shards
+
+    shard_dir = write_avro_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _columnar_shard_dir(sf_dir, "avro"), num_shards=8)
+    return _csv_rollup(read_avro(shard_dir))
+
+
+ORACLE_SQL["avro_ingest"] = ORACLE_SQL["csv_ingest"]
+QUERIES["avro_ingest"] = q_avro_ingest
+
+
+def q_delta_ingest(sf_dir: str) -> "ray.data.Dataset":
+    """Delta-log snapshot ingestion (lakehouse hand-off,
+    sources/deltalog.py): a deterministic Delta table is built from the
+    documents parquet with real history — version 0 adds 8 part files,
+    version 1 REWRITES partition 3 keeping only n_chars >= 500 (a
+    delete-where compaction) — then the LATEST snapshot is resolved by
+    transaction-log replay and read as plain pruned parquet. The twin
+    re-derives the surviving row set logically, so the gate proves the
+    add/remove replay picked exactly the active files. Time travel
+    (version=0) is pytest-gated (tests/test_r5s3_sources.py)."""
+    from ..sources.deltalog import read_delta, write_delta_table
+
+    table_dir = write_delta_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        _columnar_shard_dir(sf_dir, "delta"),
+        num_files=8, prune_mod=3, prune_min_chars=500)
+    return _csv_rollup(read_delta(table_dir,
+                                  columns=["doc_id", "text", "lang"]))
+
+
+ORACLE_SQL["delta_ingest"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           min(md5(text)) AS min_text_md5,
+           max(md5(text)) AS max_text_md5
+    FROM documents
+    WHERE doc_id % 8 != 3 OR n_chars >= 500
+    GROUP BY lang"""
+QUERIES["delta_ingest"] = q_delta_ingest

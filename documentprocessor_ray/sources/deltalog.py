@@ -1,0 +1,159 @@
+"""Delta-Lake-style transaction-log table source (snapshot reads +
+time travel) — from scratch, from the public Delta transaction log
+protocol (delta.io PROTOCOL.md): a table is a directory of parquet data
+files plus ``_delta_log/<version>.json`` commit files, each holding one
+JSON action per line (``protocol`` / ``metaData`` / ``add`` /
+``remove`` / ``commitInfo``). The ACTIVE snapshot at version V is the
+set of ``add``ed paths not later ``remove``d, replaying commits
+0..V in order.
+
+Lakehouse hand-off is the third interchange family a user of the
+reference brings (after columnar files, sources/columnar.py, and
+row formats, sources/avro.py): an upstream job publishes a Delta
+table, this engine reads a consistent snapshot of it. The log replay
+is driver-side but TINY (one JSON line per file-level action — at
+100 TB that is thousands of lines, not rows); the data read is a plain
+``ray.data.read_parquet`` over the active file list, so column pruning
+and streaming apply unchanged. Checkpoint-parquet compaction of the
+log is out of scope (honest gap: tables with ``_last_checkpoint``
+still replay from the JSON commits, which every Delta writer also
+retains).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+_LOG_DIR = "_delta_log"
+
+
+# --------------------------------------------------------------- writer
+
+def write_delta_table(documents_parquet: str, out_dir: str,
+                      num_files: int = 8, prune_mod: int = 3,
+                      prune_min_chars: int = 500) -> str:
+    """Deterministic sandbox-side Delta table with real history:
+
+    - version 0: add ``num_files`` part files (doc_id % num_files);
+    - version 1: REWRITE partition ``prune_mod`` — remove its file and
+      add a replacement keeping only rows with
+      ``n_chars >= prune_min_chars`` (a delete-where compaction).
+
+    The final snapshot therefore equals
+    ``WHERE doc_id % num_files != prune_mod OR n_chars >= prune_min_chars``
+    — re-derivable logically by the paired DuckDB twin. Idempotent via
+    _COMPLETE, stale when the source parquet is newer."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker) and \
+            os.stat(marker).st_mtime_ns >= \
+            os.stat(documents_parquet).st_mtime_ns:
+        return out_dir
+    log_dir = os.path.join(out_dir, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    t = pq.read_table(documents_parquet).sort_by("doc_id")
+    t = t.replace_schema_metadata(None)
+    import pyarrow as pa
+
+    mod = pa.array(t["doc_id"].to_numpy() % num_files, pa.int64())
+    actions0: List[str] = [
+        json.dumps({"protocol": {"minReaderVersion": 1,
+                                 "minWriterVersion": 2}}),
+        json.dumps({"metaData": {
+            "id": "dpray-delta-0001", "format": {"provider": "parquet"},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [{"name": f.name, "type": "string",
+                            "nullable": True, "metadata": {}}
+                           for f in t.schema]}),
+            "partitionColumns": []}}),
+    ]
+    for k in range(num_files):
+        part = t.filter(pc.equal(mod, k))
+        rel = f"part-{k:05d}-v0.parquet"
+        pq.write_table(part, os.path.join(out_dir, rel))
+        actions0.append(json.dumps({"add": {
+            "path": rel, "size": os.path.getsize(
+                os.path.join(out_dir, rel)),
+            "partitionValues": {}, "dataChange": True,
+            "stats": json.dumps({"numRecords": part.num_rows})}}))
+    actions0.append(json.dumps(
+        {"commitInfo": {"operation": "WRITE", "version": 0}}))
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(actions0) + "\n")
+
+    # version 1: delete-where compaction of partition `prune_mod`
+    old_rel = f"part-{prune_mod:05d}-v0.parquet"
+    keep = t.filter(pc.and_(
+        pc.equal(mod, prune_mod),
+        pc.greater_equal(t["n_chars"], prune_min_chars)))
+    new_rel = f"part-{prune_mod:05d}-v1.parquet"
+    pq.write_table(keep, os.path.join(out_dir, new_rel))
+    actions1 = [
+        json.dumps({"remove": {"path": old_rel, "dataChange": True,
+                               "deletionTimestamp": 0}}),
+        json.dumps({"add": {
+            "path": new_rel,
+            "size": os.path.getsize(os.path.join(out_dir, new_rel)),
+            "partitionValues": {}, "dataChange": True,
+            "stats": json.dumps({"numRecords": keep.num_rows})}}),
+        json.dumps({"commitInfo": {"operation": "DELETE", "version": 1}}),
+    ]
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as f:
+        f.write("\n".join(actions1) + "\n")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+# --------------------------------------------------------------- reader
+
+def active_files(table_dir: str,
+                 version: Optional[int] = None) -> List[str]:
+    """Replay the transaction log up to ``version`` (inclusive; None =
+    latest) and return the ABSOLUTE paths of the active snapshot's data
+    files, in deterministic (path-sorted) order."""
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    commits = sorted(f for f in os.listdir(log_dir)
+                     if f.endswith(".json"))
+    if not commits:
+        raise ValueError(f"no commits in {log_dir}")
+    live: dict = {}
+    applied = -1
+    for name in commits:
+        v = int(name.split(".")[0])
+        if version is not None and v > version:
+            break
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = True
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+        applied = v
+    if version is not None and applied < version:
+        raise ValueError(
+            f"requested version {version} but log ends at {applied}")
+    return [os.path.join(table_dir, p) for p in sorted(live)]
+
+
+def read_delta(table_dir: str, version: Optional[int] = None,
+               columns: Optional[List[str]] = None) -> "ray.data.Dataset":
+    """Consistent snapshot read of a Delta-log table (optionally as of
+    an earlier ``version`` — time travel). The data path is a plain
+    ``read_parquet`` over the replayed active-file list: pruned columns,
+    streamed blocks, one read task per file."""
+    files = active_files(table_dir, version)
+    if not files:
+        raise ValueError(f"snapshot of {table_dir} is empty")
+    return ray.data.read_parquet(files, columns=columns)

@@ -1,0 +1,206 @@
+"""Round-5 session-3 sources: the from-scratch Avro object-container
+codec (sources/avro.py) and the Delta-log snapshot/time-travel reader
+(sources/deltalog.py). The distributed legs are hash-gated by the
+driver (`avro_ingest`, `delta_ingest`); these tests cover the pure
+codec/replay kernels, the schema surface the writer does NOT emit
+(unions, null codec, floats), and the failure modes."""
+
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from documentprocessor_ray.sources.avro import (
+    _read_long, _write_long, _write_str, parse_avro_file,
+    write_avro_shards, _MAGIC)
+from documentprocessor_ray.sources.deltalog import (
+    active_files, write_delta_table)
+
+
+def _mk_container(schema: dict, rows: list, codec: str = "null",
+                  sync: bytes = b"S" * 16) -> bytes:
+    """Hand-rolled container for schema shapes the sandbox writer does
+    not emit (mirrors the spec, not the writer — an independent check)."""
+    out = bytearray()
+    out += _MAGIC
+    _write_long(out, 2)
+    _write_str(out, "avro.schema")
+    _write_str(out, json.dumps(schema))
+    _write_str(out, "avro.codec")
+    _write_str(out, codec)
+    _write_long(out, 0)
+    out += sync
+    body = bytearray()
+    for row in rows:
+        body += row
+    payload = bytes(body)
+    if codec == "deflate":
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = co.compress(payload) + co.flush()
+    _write_long(out, len(rows))
+    _write_long(out, len(payload))
+    out += payload
+    out += sync
+    return bytes(out)
+
+
+class TestAvroCodec:
+    def test_zigzag_varint_roundtrip(self):
+        for n in (0, -1, 1, 63, -64, 64, 2**31, -2**31, 2**62,
+                  -(2**62), 2**63 - 1, -(2**63)):
+            buf = bytearray()
+            _write_long(buf, n)
+            got, pos = _read_long(memoryview(bytes(buf)), 0)
+            assert got == n and pos == len(buf), n
+
+    def test_shard_roundtrip_byte_exact(self, tmp_path):
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d = write_avro_shards(src, str(tmp_path / "avro"), num_shards=4)
+        parts = [parse_avro_file(open(os.path.join(d, f), "rb").read())
+                 for f in sorted(os.listdir(d)) if f.endswith(".avro")]
+        t = pa.concat_tables(parts).sort_by("doc_id")
+        ref = pq.read_table(src).sort_by("doc_id") \
+            .replace_schema_metadata(None)
+        assert t.select(ref.column_names).cast(ref.schema).equals(ref)
+
+    def test_writer_deterministic(self, tmp_path):
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d1 = write_avro_shards(src, str(tmp_path / "a"), num_shards=2)
+        d2 = write_avro_shards(src, str(tmp_path / "b"), num_shards=2)
+        for f in sorted(os.listdir(d1)):
+            if f.endswith(".avro"):
+                assert open(os.path.join(d1, f), "rb").read() == \
+                    open(os.path.join(d2, f), "rb").read()
+
+    def test_null_union_and_scalars(self):
+        schema = {"type": "record", "name": "r", "fields": [
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "f", "type": "float"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "i", "type": "int"}]}
+
+        def row(s, f, b, raw, i):
+            out = bytearray()
+            if s is None:
+                _write_long(out, 0)  # union branch 0 = null
+            else:
+                _write_long(out, 1)
+                _write_str(out, s)
+            out += struct.pack("<f", f)
+            out.append(1 if b else 0)
+            _write_long(out, len(raw))
+            out += raw
+            _write_long(out, i)
+            return bytes(out)
+
+        data = _mk_container(schema, [row("hi", 1.5, True, b"\x00\xff", -7),
+                                      row(None, -2.0, False, b"", 41)])
+        t = parse_avro_file(data)
+        assert t["s"].to_pylist() == ["hi", None]
+        assert t["f"].to_pylist() == [1.5, -2.0]
+        assert t["b"].to_pylist() == [True, False]
+        assert t["raw"].to_pylist() == [b"\x00\xff", b""]
+        assert t["i"].to_pylist() == [-7, 41]
+        assert t.schema.field("i").type == pa.int32()
+
+    def test_negative_map_count_with_size(self):
+        # spec: a negative map-block count prefixes the block byte size
+        out = bytearray()
+        out += _MAGIC
+        _write_long(out, -1)
+        inner = bytearray()
+        _write_str(inner, "avro.schema")
+        _write_str(inner, json.dumps({"type": "record", "name": "r",
+                                      "fields": [{"name": "x",
+                                                  "type": "long"}]}))
+        _write_long(out, len(inner))
+        out += inner
+        _write_long(out, 0)
+        out += b"Y" * 16
+        body = bytearray()
+        _write_long(body, 99)
+        _write_long(out, 1)
+        _write_long(out, len(body))
+        out += body + b"Y" * 16
+        t = parse_avro_file(bytes(out))
+        assert t["x"].to_pylist() == [99]
+
+    def test_corrupt_sync_raises(self):
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+        row = bytearray()
+        _write_long(row, 5)
+        data = bytearray(_mk_container(schema, [bytes(row)]))
+        data[-1] ^= 0xFF  # clobber trailing sync
+        with pytest.raises(ValueError, match="sync"):
+            parse_avro_file(bytes(data))
+
+    def test_bad_magic_and_unknown_codec(self):
+        with pytest.raises(ValueError, match="container"):
+            parse_avro_file(b"NOPE" + b"\x00" * 32)
+        schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+        data = _mk_container(schema, [], codec="snappy")
+        with pytest.raises(ValueError, match="codec"):
+            parse_avro_file(data)
+
+    def test_unsupported_schema_shapes(self):
+        for bad in ({"type": "record", "name": "r", "fields":
+                     [{"name": "x", "type": {"type": "array",
+                                             "items": "long"}}]},
+                    {"type": "record", "name": "r", "fields":
+                     [{"name": "x", "type": ["string", "long"]}]},
+                    {"type": "long"}):
+            data = _mk_container(bad, [])
+            with pytest.raises(ValueError):
+                parse_avro_file(data)
+
+
+class TestDeltaLog:
+    SRC = "/root/testdata/sf0.001/documents.parquet"
+
+    def _table(self, tmp_path):
+        return write_delta_table(self.SRC, str(tmp_path / "delta"),
+                                 num_files=8, prune_mod=3,
+                                 prune_min_chars=500)
+
+    def test_snapshot_resolution(self, tmp_path):
+        d = self._table(tmp_path)
+        ref = pq.read_table(self.SRC).replace_schema_metadata(None)
+        mod = ref["doc_id"].to_numpy() % 8
+        keep = (mod != 3) | (ref["n_chars"].to_numpy() >= 500)
+        latest = pa.concat_tables(
+            [pq.read_table(f) for f in active_files(d)]).sort_by("doc_id")
+        exp = ref.filter(pa.array(keep)).sort_by("doc_id")
+        assert latest.equals(exp)
+
+    def test_time_travel_version_zero(self, tmp_path):
+        d = self._table(tmp_path)
+        v0 = pa.concat_tables(
+            [pq.read_table(f) for f in active_files(d, version=0)]) \
+            .sort_by("doc_id")
+        assert v0.equals(pq.read_table(self.SRC)
+                         .replace_schema_metadata(None).sort_by("doc_id"))
+
+    def test_removed_file_not_in_snapshot(self, tmp_path):
+        d = self._table(tmp_path)
+        names = [os.path.basename(f) for f in active_files(d)]
+        assert "part-00003-v0.parquet" not in names
+        assert "part-00003-v1.parquet" in names
+        assert len(names) == 8
+
+    def test_future_version_raises(self, tmp_path):
+        d = self._table(tmp_path)
+        with pytest.raises(ValueError, match="version"):
+            active_files(d, version=7)
+
+    def test_empty_log_raises(self, tmp_path):
+        os.makedirs(tmp_path / "t" / "_delta_log")
+        with pytest.raises(ValueError, match="commits"):
+            active_files(str(tmp_path / "t"))
