@@ -9763,3 +9763,96 @@ ORACLE_SQL["delta_ingest"] = """
     WHERE doc_id % 8 != 3 OR n_chars >= 500
     GROUP BY lang"""
 QUERIES["delta_ingest"] = q_delta_ingest
+
+
+def q_scd2_priority(sf_dir: str) -> "ray.data.Dataset":
+    """Slowly-changing-dimension TYPE-2 history build (the classic
+    warehouse op: Kimball's SCD2): per customer, the history of
+    o_orderpriority over their orders ordered by (orderdate, orderkey),
+    with consecutive equal values collapsed into one interval row —
+    (o_custkey, priority, valid_from, valid_to, n_orders, is_current).
+    valid_to is the first timestamp of the NEXT interval (half-open
+    ranges; NULL while current). One hash(customer) shuffle; per bucket
+    one lexsort + vectorized run-collapse answers every customer at
+    once (no per-group tasks). EXACT SQL twin: LAG change flags ->
+    running SUM run ids -> per-run MIN/COUNT -> LEAD(valid_from)."""
+    from ..sharding import auto_buckets, bucket_of_ints
+
+    nb = auto_buckets(None)
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": b["o_custkey"],
+            "ts_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "o_orderkey": b["o_orderkey"],
+            "priority": b["o_orderpriority"]})
+        return t.append_column("pkey", pa.array(bucket_of_ints(
+            t["o_custkey"].to_numpy(zero_copy_only=False), nb)))
+
+    def intervals(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        da = pc.dictionary_encode(g["priority"].combine_chunks())
+        codes = da.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = da.dictionary.to_pylist()
+        order = np.lexsort((ok, ts, ck))
+        ck, ts, codes = ck[order], ts[order], codes[order]
+        n = len(ck)
+        start = np.ones(n, bool)
+        if n > 1:
+            start[1:] = (ck[1:] != ck[:-1]) | (codes[1:] != codes[:-1])
+        st = np.flatnonzero(start)
+        run_cust = ck[st]
+        run_from = ts[st]
+        run_len = np.diff(np.r_[st, n])
+        has_next = np.zeros(len(st), bool)
+        if len(st) > 1:
+            has_next[:-1] = run_cust[1:] == run_cust[:-1]
+        valid_to = np.zeros(len(st), np.int64)
+        if len(st) > 1:
+            valid_to[:-1] = run_from[1:]
+        return pa.table({
+            "o_custkey": pa.array(run_cust, pa.int64()),
+            "priority": pa.array([vocab[c] for c in codes[st]],
+                                 pa.string()),
+            "valid_from": pa.array(run_from, pa.int64()),
+            "valid_to": pa.array(valid_to, pa.int64(), mask=~has_next),
+            "n_orders": pa.array(run_len.astype(np.int64), pa.int64()),
+            "is_current": pa.array((~has_next).astype(np.int64),
+                                   pa.int64())})
+
+    return _read(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_orderkey",
+                  "o_orderpriority"]) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .groupby("pkey").map_groups(intervals, batch_format="pyarrow")
+
+
+ORACLE_SQL["scd2_priority"] = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority,
+             epoch_us(o_orderdate)::BIGINT AS ts_us, o_orderkey,
+             CASE WHEN LAG(o_orderpriority) OVER w
+                       IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY epoch_us(o_orderdate), o_orderkey)
+    ), runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY ts_us, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM seq
+    ), agg AS (
+      SELECT o_custkey, run_id, MIN(o_orderpriority) AS priority,
+             MIN(ts_us) AS valid_from, COUNT(*)::BIGINT AS n_orders
+      FROM runs GROUP BY o_custkey, run_id
+    )
+    SELECT o_custkey, priority, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to, n_orders,
+           (CASE WHEN LEAD(valid_from) OVER w2 IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS is_current
+    FROM agg WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)"""
+QUERIES["scd2_priority"] = q_scd2_priority

@@ -204,3 +204,48 @@ class TestDeltaLog:
         os.makedirs(tmp_path / "t" / "_delta_log")
         with pytest.raises(ValueError, match="commits"):
             active_files(str(tmp_path / "t"))
+
+
+class TestSCD2:
+    def test_interval_semantics(self, ray_session, tmp_path):
+        """Hand-built history: runs collapse, valid_to chains half-open,
+        re-appearing values open NEW intervals (type-2, not type-1)."""
+        import pyarrow as pa
+        import ray.data
+
+        from documentprocessor_ray.pipelines.analysis import (
+            q_scd2_priority)
+
+        day = 86_400_000_000
+        rows = {
+            # cust 1: A,A,B,A -> three intervals (A reappears)
+            "o_custkey": [1, 1, 1, 1, 2],
+            "o_orderdate": [0 * day, 1 * day, 2 * day, 3 * day, 5 * day],
+            "o_orderkey": [10, 11, 12, 13, 20],
+            "o_orderpriority": ["A", "A", "B", "A", "Z"],
+        }
+        t = pa.table({
+            "o_custkey": pa.array(rows["o_custkey"], pa.int64()),
+            "o_orderdate": pa.array(rows["o_orderdate"],
+                                    pa.timestamp("us")),
+            "o_orderkey": pa.array(rows["o_orderkey"], pa.int64()),
+            "o_orderpriority": pa.array(rows["o_orderpriority"],
+                                        pa.string()),
+            "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+            "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        import pyarrow.parquet as pq
+        pq.write_table(t, str(sf / "orders.parquet"))
+        out = q_scd2_priority(str(sf)).take_all()
+        got = sorted(
+            ((r["o_custkey"], r["priority"], r["valid_from"],
+              r["valid_to"], r["n_orders"], r["is_current"])
+             for r in out))
+        assert got == [
+            (1, "A", 0, 2 * day, 2, 0),
+            (1, "A", 3 * day, None, 1, 1),
+            (1, "B", 2 * day, 3 * day, 1, 0),
+            (2, "Z", 5 * day, None, 1, 1),
+        ]
