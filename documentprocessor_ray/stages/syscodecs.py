@@ -6,8 +6,9 @@ format whose from-scratch decode is out of scope in this build — lossy
 WebP (VP8, RFC 6386 intra frames; reference loads these via PIL,
 `cli/utils.py:98-117`) — and (b) spec-INTEROP oracles that validate the
 from-scratch codecs in `stages/multimodal.py` against real third-party
-implementations (libwebp for VP8L, libpng for PNG), upgrading those
-codecs' evidence from round-trip-only to cross-implementation equality.
+implementations (libwebp for VP8L, libpng for PNG, giflib for GIF),
+upgrading those codecs' evidence from round-trip-only to
+cross-implementation equality.
 
 No Python imaging package is required: the adapters bind the plain-C
 flat APIs (`WebPDecodeRGB`/`WebPEncodeRGB`, libpng's simplified
@@ -21,15 +22,16 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
-from typing import Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
 __all__ = [
-    "libwebp_available", "libpng_available",
+    "libwebp_available", "libpng_available", "libgif_available",
     "webp_decode_rgb", "webp_decode_rgba",
     "webp_encode_rgb", "webp_encode_lossless_rgb",
     "png_read_rgb", "png_write_rgb",
+    "gif_decode_rgb", "gif_encode_rgb",
 ]
 
 
@@ -292,3 +294,239 @@ def png_write_rgb(img_arr: np.ndarray) -> bytes:
         raise ValueError(
             f"libpng encode failed: {img.message.decode(errors='replace')}")
     return out.raw[:size.value]
+
+
+# ----------------------------------------------------------------- libgif
+# giflib 5.x (libgif.so.7): callback-driven open + DGifSlurp/EGifPut*.
+# Struct layouts are the public gif_lib.h ABI (stable across 5.1/5.2).
+
+_GIF_SONAMES = ("libgif.so.7", "libgif.so", "libgif.7.dylib",
+                "libgif.dylib")
+_gif_lib: Optional[ctypes.CDLL] = None
+_gif_tried = False
+
+_GifWord = ctypes.c_int
+
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                ("Blue", ctypes.c_ubyte)]
+
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [("ColorCount", ctypes.c_int),
+                ("BitsPerPixel", ctypes.c_int),
+                ("SortFlag", ctypes.c_bool),
+                ("Colors", ctypes.POINTER(_GifColorType))]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", _GifWord), ("Top", _GifWord),
+                ("Width", _GifWord), ("Height", _GifWord),
+                ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.POINTER(_ColorMapObject))]
+
+
+class _ExtensionBlock(ctypes.Structure):
+    _fields_ = [("ByteCount", ctypes.c_int),
+                ("Bytes", ctypes.POINTER(ctypes.c_ubyte)),
+                ("Function", ctypes.c_int)]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_ExtensionBlock))]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", _GifWord), ("SHeight", _GifWord),
+                ("SColorResolution", _GifWord),
+                ("SBackGroundColor", _GifWord),
+                ("AspectByte", ctypes.c_ubyte),
+                ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+                ("ImageCount", ctypes.c_int),
+                ("Image", _GifImageDesc),
+                ("SavedImages", ctypes.POINTER(_SavedImage)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.POINTER(_ExtensionBlock)),
+                ("Error", ctypes.c_int),
+                ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+_GIF_INFUNC = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(_GifFileType),
+                               ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int)
+_GIF_OUTFUNC = _GIF_INFUNC
+
+
+def _libgif() -> Optional[ctypes.CDLL]:
+    global _gif_lib, _gif_tried
+    if _gif_tried:
+        return _gif_lib
+    _gif_tried = True
+    names = list(_GIF_SONAMES)
+    found = ctypes.util.find_library("gif")
+    if found:
+        names.insert(0, found)
+    for name in names:
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        try:
+            lib.DGifOpen.restype = ctypes.POINTER(_GifFileType)
+            lib.DGifOpen.argtypes = [ctypes.c_void_p, _GIF_INFUNC,
+                                     ctypes.POINTER(ctypes.c_int)]
+            lib.DGifSlurp.restype = ctypes.c_int
+            lib.DGifSlurp.argtypes = [ctypes.POINTER(_GifFileType)]
+            lib.DGifCloseFile.restype = ctypes.c_int
+            lib.DGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                          ctypes.POINTER(ctypes.c_int)]
+            lib.EGifOpen.restype = ctypes.POINTER(_GifFileType)
+            lib.EGifOpen.argtypes = [ctypes.c_void_p, _GIF_OUTFUNC,
+                                     ctypes.POINTER(ctypes.c_int)]
+            lib.EGifCloseFile.restype = ctypes.c_int
+            lib.EGifCloseFile.argtypes = [ctypes.POINTER(_GifFileType),
+                                          ctypes.POINTER(ctypes.c_int)]
+            lib.EGifPutScreenDesc.restype = ctypes.c_int
+            lib.EGifPutScreenDesc.argtypes = [
+                ctypes.POINTER(_GifFileType), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(_ColorMapObject)]
+            lib.EGifPutImageDesc.restype = ctypes.c_int
+            lib.EGifPutImageDesc.argtypes = [
+                ctypes.POINTER(_GifFileType), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_bool,
+                ctypes.POINTER(_ColorMapObject)]
+            lib.EGifPutLine.restype = ctypes.c_int
+            lib.EGifPutLine.argtypes = [ctypes.POINTER(_GifFileType),
+                                        ctypes.POINTER(ctypes.c_ubyte),
+                                        ctypes.c_int]
+            lib.GifMakeMapObject.restype = ctypes.POINTER(_ColorMapObject)
+            lib.GifMakeMapObject.argtypes = [
+                ctypes.c_int, ctypes.POINTER(_GifColorType)]
+            lib.GifFreeMapObject.restype = None
+            lib.GifFreeMapObject.argtypes = [
+                ctypes.POINTER(_ColorMapObject)]
+        except AttributeError:
+            continue
+        _gif_lib = lib
+        break
+    return _gif_lib
+
+
+def libgif_available() -> bool:
+    return _libgif() is not None
+
+
+def gif_decode_rgb(data: bytes) -> np.ndarray:
+    """GIF bytes -> (H, W, 3) uint8 RGB of the FIRST frame via the real
+    giflib (DGifSlurp through a memory read callback) — the interop
+    oracle for the from-scratch GIF codec."""
+    lib = _libgif()
+    if lib is None:
+        raise NotImplementedError("system libgif not found")
+    data = bytes(data)
+    state = {"pos": 0}
+
+    def read_cb(_gf, buf, count):
+        p = state["pos"]
+        chunk = data[p:p + count]
+        ctypes.memmove(buf, chunk, len(chunk))
+        state["pos"] = p + len(chunk)
+        return len(chunk)
+
+    cb = _GIF_INFUNC(read_cb)
+    err = ctypes.c_int(0)
+    gf = lib.DGifOpen(None, cb, ctypes.byref(err))
+    if not gf:
+        raise ValueError(f"giflib open failed (err={err.value})")
+    if lib.DGifSlurp(gf) != 1:
+        e = gf.contents.Error
+        lib.DGifCloseFile(gf, ctypes.byref(err))
+        raise ValueError(f"giflib slurp failed (err={e})")
+    try:
+        g = gf.contents
+        if g.ImageCount < 1:
+            raise ValueError("gif has no images")
+        img = g.SavedImages[0]
+        d = img.ImageDesc
+        cm = d.ColorMap if d.ColorMap else g.SColorMap
+        if not cm:
+            raise ValueError("gif has no colormap")
+        ncol = cm.contents.ColorCount
+        pal = np.array(
+            [(cm.contents.Colors[i].Red, cm.contents.Colors[i].Green,
+              cm.contents.Colors[i].Blue) for i in range(ncol)],
+            np.uint8)
+        w, h = d.Width, d.Height
+        interlace = bool(d.Interlace)
+        idx = np.ctypeslib.as_array(img.RasterBits, shape=(w * h,)).copy()
+    finally:
+        lib.DGifCloseFile(gf, ctypes.byref(err))
+    idx = idx.reshape(h, w)
+    if interlace:
+        # giflib's slurp stores rows in FILE order; re-interleave the
+        # four GIF passes (8/8/4/2) back to display order
+        out_rows = np.empty(h, np.int64)
+        file_row = 0
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            for y in range(start, h, step):
+                out_rows[y] = file_row
+                file_row += 1
+        idx = idx[out_rows]
+    return pal[np.minimum(idx, ncol - 1)]
+
+
+def gif_encode_rgb(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB (<= 256 distinct colors) -> GIF bytes via the
+    real giflib — mints genuine third-party GIF files for the
+    from-scratch decoder tests."""
+    lib = _libgif()
+    if lib is None:
+        raise NotImplementedError("system libgif not found")
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("expected (H, W, 3) uint8 RGB")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("more than 256 distinct colors")
+    ncol = 2
+    while ncol < len(pal):
+        ncol *= 2
+    colors = (_GifColorType * ncol)()
+    for i, (r, g, b) in enumerate(pal):
+        colors[i] = _GifColorType(int(r), int(g), int(b))
+    cmap = lib.GifMakeMapObject(ncol, colors)
+    if not cmap:
+        raise ValueError("GifMakeMapObject failed")
+    chunks: List[bytes] = []
+
+    def write_cb(_gf, buf, count):
+        chunks.append(ctypes.string_at(buf, count))
+        return count
+
+    cb = _GIF_OUTFUNC(write_cb)
+    err = ctypes.c_int(0)
+    gf = lib.EGifOpen(None, cb, ctypes.byref(err))
+    if not gf:
+        lib.GifFreeMapObject(cmap)
+        raise ValueError(f"giflib EGifOpen failed (err={err.value})")
+    try:
+        if lib.EGifPutScreenDesc(gf, w, h, 8, 0, cmap) != 1 or \
+                lib.EGifPutImageDesc(gf, 0, 0, w, h, False, None) != 1:
+            raise ValueError("giflib header write failed")
+        rows = inv.astype(np.uint8).reshape(h, w)
+        for y in range(h):
+            row = np.ascontiguousarray(rows[y])
+            if lib.EGifPutLine(
+                    gf, row.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_ubyte)), w) != 1:
+                raise ValueError(f"giflib row write failed at y={y}")
+    finally:
+        lib.EGifCloseFile(gf, ctypes.byref(err))
+        lib.GifFreeMapObject(cmap)
+    return b"".join(chunks)

@@ -249,3 +249,45 @@ class TestSCD2:
             (1, "B", 2 * day, 3 * day, 1, 0),
             (2, "Z", 5 * day, None, 1, 1),
         ]
+
+
+class TestAvroFuzz:
+    def test_random_tables_roundtrip(self, tmp_path):
+        """Property fuzz: random documents-shaped tables survive the
+        write->parse round trip byte-exact (unicode text incl. astral
+        planes, negative ids, empty strings, single-row shards)."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.lists(
+            st.tuples(st.integers(-2**40, 2**40),
+                      st.text(max_size=80),
+                      st.sampled_from(["en", "de", "", "zh"]),
+                      st.integers(0, 10**6)),
+            min_size=1, max_size=50, unique_by=lambda r: r[0]))
+        def run(rows):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from documentprocessor_ray.sources.avro import (
+                parse_avro_file, write_avro_shards)
+
+            t = pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "n_chars": pa.array([r[3] for r in rows], pa.int64())})
+            import hashlib
+            key = hashlib.md5(repr(rows).encode()).hexdigest()[:10]
+            src = str(tmp_path / f"src_{key}.parquet")
+            pq.write_table(t, src)
+            d = write_avro_shards(src, str(tmp_path / f"avro_{key}"),
+                                  num_shards=3, rows_per_block=7)
+            parts = [parse_avro_file(open(os.path.join(d, f), "rb").read())
+                     for f in sorted(os.listdir(d))
+                     if f.endswith(".avro")]
+            got = pa.concat_tables([p for p in parts if p.num_rows]) \
+                .sort_by("doc_id")
+            assert got.cast(t.schema).equals(t.sort_by("doc_id"))
+
+        run()

@@ -146,3 +146,45 @@ class TestGuards:
         data = b"RIFF" + len(riff).to_bytes(4, "little") + riff
         with pytest.raises(NotImplementedError, match="libwebp"):
             _webp_decode(data)
+
+
+needs_gif = pytest.mark.skipif(not SC.libgif_available(),
+                               reason="system libgif not present")
+
+
+@needs_gif
+class TestGIFInterop:
+    def _pal_img(self, seed: int, h: int, w: int,
+                 ncolors: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+        return pal[rng.integers(0, ncolors, (h, w))]
+
+    def test_our_encoder_read_by_real_giflib(self):
+        from documentprocessor_ray.stages.multimodal import encode_gif
+
+        for seed, (h, w, nc) in ((1, (13, 17, 6)), (2, (40, 3, 250)),
+                                 (3, (1, 64, 2))):
+            img = self._pal_img(seed, h, w, nc)
+            assert (SC.gif_decode_rgb(encode_gif(img)) == img).all(), seed
+
+    def test_real_giflib_bytes_read_by_our_decoder(self):
+        from documentprocessor_ray.stages.multimodal import _gif_decode
+
+        for seed, (h, w, nc) in ((4, (21, 34, 16)), (5, (7, 7, 255)),
+                                 (6, (64, 2, 3))):
+            img = self._pal_img(seed, h, w, nc)
+            theirs = SC.gif_encode_rgb(img)
+            assert theirs[:6] in (b"GIF87a", b"GIF89a")
+            assert (_gif_decode(theirs) == img).all(), seed
+
+    def test_too_many_colors_rejected(self):
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)
+        assert len(np.unique(img.reshape(-1, 3), axis=0)) > 256
+        with pytest.raises(ValueError, match="256"):
+            SC.gif_encode_rgb(img)
+
+    def test_corrupt_gif_raises(self):
+        with pytest.raises(ValueError):
+            SC.gif_decode_rgb(b"GIF89a" + b"\x00" * 4)
