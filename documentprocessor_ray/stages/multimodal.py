@@ -1203,6 +1203,62 @@ _JPEG_SIG = b"\xff\xd8"
 
 # --- baseline TIFF (pure numpy + stdlib): TIFF 6.0 grayscale/RGB strips ---
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first codes starting at 9
+    bits, ClearCode 256 / EOI 257, and the TIFF "early change" — the
+    code width bumps one entry EARLIER than GIF's LZW (when the table
+    reaches 511/1023/2047 entries), which is why the GIF decoder above
+    cannot be reused. Interop-validated against real libtiff-minted
+    strips in tests/test_syscodecs.py."""
+    CLEAR, EOI = 256, 257
+    nbits = len(data) * 8
+    bitpos = 0
+    padded = data + b"\x00\x00\x00"
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return EOI
+        byte0 = bitpos >> 3
+        v = int.from_bytes(padded[byte0:byte0 + 4], "big")
+        v = (v >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        return v
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    prev = None
+    out = bytearray()
+    while True:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt TIFF LZW stream (bad first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream (code gap)")
+        out += entry
+        prev = entry
+        # early change: bump when the NEXT entry would hit 2^width
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
 def _tiff_decode(b: bytes) -> np.ndarray:
     """TIFF 6.0 baseline subset: II/MM byte order, first IFD, 8-bit
     grayscale, RGB or RGBA (ExtraSamples alpha dropped, matching the
@@ -1263,9 +1319,9 @@ def _tiff_decode(b: bytes) -> np.ndarray:
         raise ValueError(
             f"TIFF spp=4 with photometric {photometric} not supported "
             "(RGB + ExtraSamples alpha only)")
-    if comp not in (1, 8, 32773, 32946):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} not supported "
-                         "(none/PackBits/Deflate only)")
+                         "(none/LZW/PackBits/Deflate only)")
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} not supported")
@@ -1290,6 +1346,8 @@ def _tiff_decode(b: bytes) -> np.ndarray:
         chunk = b[off:off + cnt]
         if comp == 32773:
             pix += unpackbits(chunk)
+        elif comp == 5:
+            pix += _tiff_lzw_decode(bytes(chunk))
         elif comp in (8, 32946):  # Adobe/legacy Deflate
             import zlib
 
@@ -2222,7 +2280,7 @@ def encode_webp_lossless(img: np.ndarray, subtract_green: bool = False,
 class RealCodec(Codec):
     """Production codec seam. PNG (all spec depths 1-16, Adam7), JPEG
     (sequential AND progressive), TIFF (8-bit strips,
-    none/PackBits/Deflate, predictor, RGBA), GIF (LZW, interlaced) and
+    none/LZW/PackBits/Deflate, predictor, RGBA), GIF (LZW, interlaced) and
     lossless WebP (VP8L, incl. the short-distance neighbor map) decode
     FOR REAL (pure numpy + stdlib) — the reference's PIL image surface
     (cli/utils.py:98-117). Lossy-VP8 WebP decodes through the system

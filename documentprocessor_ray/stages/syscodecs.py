@@ -28,10 +28,12 @@ import numpy as np
 
 __all__ = [
     "libwebp_available", "libpng_available", "libgif_available",
+    "libtiff_available",
     "webp_decode_rgb", "webp_decode_rgba",
     "webp_encode_rgb", "webp_encode_lossless_rgb",
     "png_read_rgb", "png_write_rgb",
     "gif_decode_rgb", "gif_encode_rgb",
+    "tiff_decode_rgb", "tiff_encode_rgb", "TIFF_COMPRESSIONS",
 ]
 
 
@@ -530,3 +532,194 @@ def gif_encode_rgb(img: np.ndarray) -> bytes:
         lib.EGifCloseFile(gf, ctypes.byref(err))
         lib.GifFreeMapObject(cmap)
     return b"".join(chunks)
+
+
+# ---------------------------------------------------------------- libtiff
+# libtiff 4.x (libtiff.so.6): TIFFClientOpen over memory callbacks +
+# TIFFReadRGBAImageOriented / TIFFWriteEncodedStrip. Interop oracle for
+# the from-scratch TIFF decoder (incl. the TIFF-LZW early-change path
+# and predictor=2 horizontal differencing). NOTE: the encode side must
+# use TIFFWriteEncodedStrip — on this libtiff the scanline write path
+# records the PREDICTOR tag without applying the differencing.
+
+_TIFF_SONAMES = ("libtiff.so.6", "libtiff.so.5", "libtiff.so",
+                 "libtiff.6.dylib", "libtiff.dylib")
+_tiff_lib: Optional[ctypes.CDLL] = None
+_tiff_tried = False
+
+_T_READ = ctypes.CFUNCTYPE(ctypes.c_ssize_t, ctypes.c_void_p,
+                           ctypes.c_void_p, ctypes.c_ssize_t)
+_T_SEEK = ctypes.CFUNCTYPE(ctypes.c_uint64, ctypes.c_void_p,
+                           ctypes.c_uint64, ctypes.c_int)
+_T_CLOSE = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p)
+_T_SIZE = ctypes.CFUNCTYPE(ctypes.c_uint64, ctypes.c_void_p)
+_T_MAP = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
+                          ctypes.POINTER(ctypes.c_void_p),
+                          ctypes.POINTER(ctypes.c_uint64))
+_T_UNMAP = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_void_p,
+                            ctypes.c_uint64)
+
+TIFF_COMPRESSIONS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def _libtiff() -> Optional[ctypes.CDLL]:
+    global _tiff_lib, _tiff_tried
+    if _tiff_tried:
+        return _tiff_lib
+    _tiff_tried = True
+    names = list(_TIFF_SONAMES)
+    found = ctypes.util.find_library("tiff")
+    if found:
+        names.insert(0, found)
+    for name in names:
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        try:
+            lib.TIFFClientOpen.restype = ctypes.c_void_p
+            lib.TIFFClose.argtypes = [ctypes.c_void_p]
+            lib.TIFFClose.restype = None
+            lib.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
+            lib.TIFFWriteEncodedStrip.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p,
+                ctypes.c_ssize_t]
+            lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+            lib.TIFFReadRGBAImageOriented.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+                ctypes.c_int]
+            # TIFFSetField/TIFFGetField are varargs: leave argtypes
+            # unset and wrap every pointer in c_void_p at the call site
+            lib.TIFFSetField.restype = ctypes.c_int
+            lib.TIFFGetField.restype = ctypes.c_int
+        except AttributeError:
+            continue
+        _tiff_lib = lib
+        break
+    return _tiff_lib
+
+
+def libtiff_available() -> bool:
+    return _libtiff() is not None
+
+
+class _TiffMemFile:
+    """In-memory byte store exposed through TIFFClientOpen callbacks
+    (read/write/seek/size; mmap declined). Keeps the CFUNCTYPE objects
+    alive for the lifetime of the open file."""
+
+    def __init__(self, data: bytes = b""):
+        self.buf = bytearray(data)
+        self.pos = 0
+
+        def _read(_h, p, n):
+            chunk = bytes(self.buf[self.pos:self.pos + n])
+            ctypes.memmove(p, chunk, len(chunk))
+            self.pos += len(chunk)
+            return len(chunk)
+
+        def _write(_h, p, n):
+            data = ctypes.string_at(p, n)
+            end = self.pos + n
+            if end > len(self.buf):
+                self.buf.extend(b"\x00" * (end - len(self.buf)))
+            self.buf[self.pos:end] = data
+            self.pos = end
+            return n
+
+        def _seek(_h, off, whence):
+            if whence == 0:
+                self.pos = off
+            elif whence == 1:
+                self.pos += off
+            else:
+                self.pos = len(self.buf) + off
+            return self.pos
+
+        self.cbs = (_T_READ(_read), _T_READ(_write), _T_SEEK(_seek),
+                    _T_CLOSE(lambda _h: 0),
+                    _T_SIZE(lambda _h: len(self.buf)),
+                    _T_MAP(lambda _h, _p, _s: 0),
+                    _T_UNMAP(lambda _h, _p, _s: None))
+
+
+def tiff_encode_rgb(img: np.ndarray, compression: str = "lzw",
+                    predictor: int = 1,
+                    rows_per_strip: int = 16) -> bytes:
+    """(H, W, 3) uint8 RGB -> TIFF bytes via the REAL libtiff — mints
+    genuine third-party TIFF files (LZW / Deflate / PackBits / none,
+    optional horizontal-differencing predictor, multi-strip) for the
+    from-scratch decoder tests."""
+    lib = _libtiff()
+    if lib is None:
+        raise NotImplementedError("system libtiff not found")
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("expected (H, W, 3) uint8 RGB")
+    comp = TIFF_COMPRESSIONS.get(compression)
+    if comp is None:
+        raise ValueError(f"compression must be one of "
+                         f"{sorted(TIFF_COMPRESSIONS)}")
+    if predictor != 1 and compression not in ("lzw", "deflate"):
+        raise ValueError("TIFF predictor is an LZW/Deflate codec "
+                         "pseudo-tag; not valid for "
+                         f"{compression!r}")
+    h, w = img.shape[:2]
+    mf = _TiffMemFile()
+    tif = lib.TIFFClientOpen(b"mem", b"w", None, *mf.cbs)
+    if not tif:
+        raise ValueError("libtiff open-for-write failed")
+    try:
+        fields = [(256, ctypes.c_uint32(w)), (257, ctypes.c_uint32(h)),
+                  (258, ctypes.c_int(8)), (277, ctypes.c_int(3)),
+                  (262, ctypes.c_int(2)), (284, ctypes.c_int(1)),
+                  (259, ctypes.c_int(comp)),
+                  (278, ctypes.c_uint32(rows_per_strip))]
+        if predictor != 1:
+            fields.append((317, ctypes.c_int(predictor)))
+        for tag, val in fields:
+            if lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                                val) != 1:
+                raise ValueError(f"libtiff TIFFSetField({tag}) failed")
+        strip = 0
+        for y0 in range(0, h, rows_per_strip):
+            rows = np.ascontiguousarray(img[y0:y0 + rows_per_strip])
+            n = lib.TIFFWriteEncodedStrip(
+                tif, strip, rows.ctypes.data_as(ctypes.c_void_p),
+                rows.size)
+            if n <= 0:
+                raise ValueError(f"libtiff strip write failed at {strip}")
+            strip += 1
+    finally:
+        lib.TIFFClose(tif)
+    return bytes(mf.buf)
+
+
+def tiff_decode_rgb(data: bytes) -> np.ndarray:
+    """TIFF bytes -> (H, W, 3) uint8 RGB via the REAL libtiff
+    (TIFFReadRGBAImageOriented, top-left orientation) — the interop
+    oracle for the from-scratch TIFF encoder."""
+    lib = _libtiff()
+    if lib is None:
+        raise NotImplementedError("system libtiff not found")
+    mf = _TiffMemFile(bytes(data))
+    tif = lib.TIFFClientOpen(b"mem", b"r", None, *mf.cbs)
+    if not tif:
+        raise ValueError("libtiff failed to open TIFF payload")
+    try:
+        w = ctypes.c_uint32(0)
+        h = ctypes.c_uint32(0)
+        lib.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(256),
+                         ctypes.byref(w))
+        lib.TIFFGetField(ctypes.c_void_p(tif), ctypes.c_uint32(257),
+                         ctypes.byref(h))
+        if not w.value or not h.value:
+            raise ValueError("libtiff reported zero dimensions")
+        raster = (ctypes.c_uint32 * (w.value * h.value))()
+        if lib.TIFFReadRGBAImageOriented(tif, w, h, raster, 1, 0) != 1:
+            raise ValueError("libtiff RGBA decode failed")
+    finally:
+        lib.TIFFClose(tif)
+    a = np.ctypeslib.as_array(raster).reshape(h.value, w.value)
+    return np.stack([a & 0xFF, (a >> 8) & 0xFF, (a >> 16) & 0xFF],
+                    axis=2).astype(np.uint8)

@@ -188,3 +188,90 @@ class TestGIFInterop:
     def test_corrupt_gif_raises(self):
         with pytest.raises(ValueError):
             SC.gif_decode_rgb(b"GIF89a" + b"\x00" * 4)
+
+
+needs_tiff = pytest.mark.skipif(not SC.libtiff_available(),
+                                reason="system libtiff not present")
+
+
+@needs_tiff
+class TestTIFFInterop:
+    def test_real_libtiff_bytes_read_by_our_decoder(self):
+        """Every (compression, predictor) leg our decoder claims,
+        exercised on REAL libtiff-minted multi-strip files — incl. the
+        new TIFF-LZW early-change path and predictor=2 differencing."""
+        from documentprocessor_ray.stages.multimodal import _tiff_decode
+
+        rng = np.random.default_rng(50)
+        img = rng.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+        for comp, preds in (("none", (1,)), ("lzw", (1, 2)),
+                            ("deflate", (1, 2)), ("packbits", (1,))):
+            for pred in preds:
+                theirs = SC.tiff_encode_rgb(img, compression=comp,
+                                            predictor=pred,
+                                            rows_per_strip=16)
+                assert (_tiff_decode(theirs) == img).all(), (comp, pred)
+
+    def test_lzw_twelve_bit_codes(self):
+        """A big noisy image pushes the LZW table past 2047 entries —
+        the 12-bit width and the early-change boundaries all fire."""
+        from documentprocessor_ray.stages.multimodal import _tiff_decode
+
+        rng = np.random.default_rng(51)
+        img = rng.integers(0, 256, (220, 320, 3), dtype=np.uint8)
+        theirs = SC.tiff_encode_rgb(img, compression="lzw",
+                                    rows_per_strip=220)
+        assert (_tiff_decode(theirs) == img).all()
+
+    def test_our_encoder_read_by_real_libtiff(self):
+        from documentprocessor_ray.stages.multimodal import encode_tiff
+
+        rng = np.random.default_rng(52)
+        img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+        for pk in (False, True):
+            assert (SC.tiff_decode_rgb(encode_tiff(img, packbits=pk))
+                    == img).all(), pk
+
+    def test_guards(self):
+        rng = np.random.default_rng(53)
+        img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="compression"):
+            SC.tiff_encode_rgb(img, compression="jpeg")
+        with pytest.raises(ValueError, match="predictor"):
+            SC.tiff_encode_rgb(img, compression="packbits", predictor=2)
+        with pytest.raises(ValueError):
+            SC.tiff_decode_rgb(b"II*\x00" + b"\x00" * 8)
+
+
+class TestTiffLZWKernel:
+    """The pure TIFF-LZW kernel (multimodal._tiff_lzw_decode) without
+    libtiff: hand-built streams for clear/rebuild and the KwKwK case."""
+
+    def _emit(self, codes, widths):
+        bits = "".join(format(c, f"0{w}b") for c, w in zip(codes, widths))
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+    def test_simple_stream(self):
+        from documentprocessor_ray.stages.multimodal import \
+            _tiff_lzw_decode
+
+        # CLEAR, 'A', 'B', <258>='AB', EOI
+        data = self._emit([256, 65, 66, 258, 257], [9] * 5)
+        assert _tiff_lzw_decode(data) == b"ABAB"
+
+    def test_kwkwk_self_reference(self):
+        from documentprocessor_ray.stages.multimodal import \
+            _tiff_lzw_decode
+
+        # CLEAR, 'A', <258> (not yet in table -> prev+prev[0]), EOI
+        data = self._emit([256, 65, 258, 257], [9] * 4)
+        assert _tiff_lzw_decode(data) == b"AAA"
+
+    def test_corrupt_code_gap_raises(self):
+        from documentprocessor_ray.stages.multimodal import \
+            _tiff_lzw_decode
+
+        data = self._emit([256, 65, 300, 257], [9] * 4)
+        with pytest.raises(ValueError, match="corrupt"):
+            _tiff_lzw_decode(data)
