@@ -1368,15 +1368,78 @@ def _tiff_decode(b: bytes) -> np.ndarray:
     return arr.copy()
 
 
-def encode_tiff(img: np.ndarray, packbits: bool = False) -> bytes:
+def _tiff_lzw_encode(raw: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (mirror of _tiff_lzw_decode): MSB-first
+    codes, 9-bit start, early-change width bumps, CLEAR at table-full.
+    Greedy longest-match via a dict keyed on (prefix_code, next_byte).
+    Interop: output decodes through real libtiff
+    (tests/test_syscodecs.py)."""
+    CLEAR, EOI = 256, 257
+    bits: List[int] = []  # (value, width) flattened as pairs
+
+    def put(code: int, width: int) -> None:
+        bits.append((code, width))
+
+    table = {}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    prev = -1
+    for byte in raw:
+        key = (prev, byte)
+        cur = table.get(key) if prev >= 0 else byte
+        if prev < 0:
+            prev = byte
+            continue
+        if cur is not None:
+            prev = cur
+            continue
+        put(prev, width)
+        table[key] = next_code
+        next_code += 1
+        # width bump in LOCKSTEP with the decoder's early-change rule:
+        # the decoder (one learned entry behind) switches when its table
+        # hits 2^width - 1 entries, which is the moment the encoder's
+        # next_code reaches 2^width
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # table nearly full: reset (spec practice)
+            put(CLEAR, width)
+            table.clear()
+            next_code = 258
+            width = 9
+        prev = byte
+    if prev >= 0:
+        put(prev, width)
+    put(EOI, width)
+    out = bytearray()
+    acc = 0
+    nacc = 0
+    for code, w_ in bits:
+        acc = (acc << w_) | code
+        nacc += w_
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+            acc &= (1 << nacc) - 1  # keep acc small (bounded bigint)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def encode_tiff(img: np.ndarray, packbits: bool = False,
+                lzw: bool = False) -> bytes:
     """Minimal TIFF 6.0 encoder (round-trip counterpart of _tiff_decode):
     little-endian, one strip, 8-bit gray (2-D input) or RGB, optional
-    PackBits. Test scaffolding."""
+    PackBits or LZW. Test scaffolding."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
     raw = img.astype(np.uint8).tobytes()
-    if packbits:
+    if lzw:
+        data = _tiff_lzw_encode(raw)
+        comp = 5
+    elif packbits:
         out = bytearray()
         i = 0
         while i < len(raw):
@@ -2926,7 +2989,8 @@ def synth_media_table(n_assets: int = 30, seed: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
-CODEC_MATRIX_FORMATS = ("png", "png_f2", "bmp", "tiff", "tiff_pb", "gif",
+CODEC_MATRIX_FORMATS = ("png", "png_f2", "bmp", "tiff", "tiff_pb",
+                        "tiff_lzw", "gif",
                         "webp", "webp_sg", "jpeg", "jpeg_prog")
 
 
@@ -2972,6 +3036,7 @@ def synth_codec_matrix_table(n_assets: int = 32, seed: int = 9) -> pa.Table:
         "bmp": encode_bmp,
         "tiff": lambda im: encode_tiff(im, packbits=False),
         "tiff_pb": lambda im: encode_tiff(im, packbits=True),
+        "tiff_lzw": lambda im: encode_tiff(im, lzw=True),
         "gif": encode_gif,
         "webp": lambda im: encode_webp_lossless(im, subtract_green=False),
         "webp_sg": lambda im: encode_webp_lossless(im, subtract_green=True),
@@ -2980,7 +3045,8 @@ def synth_codec_matrix_table(n_assets: int = 32, seed: int = 9) -> pa.Table:
                                                         subsample=True),
     }
     container = {"png": "png", "png_f2": "png", "bmp": "bmp",
-                 "tiff": "tiff", "tiff_pb": "tiff", "gif": "gif",
+                 "tiff": "tiff", "tiff_pb": "tiff", "tiff_lzw": "tiff",
+                 "gif": "gif",
                  "webp": "webp", "webp_sg": "webp", "jpeg": "jpeg",
                  "jpeg_prog": "jpeg"}
     rows = []

@@ -275,3 +275,28 @@ class TestTiffLZWKernel:
         data = self._emit([256, 65, 300, 257], [9] * 4)
         with pytest.raises(ValueError, match="corrupt"):
             _tiff_lzw_decode(data)
+
+
+class TestTiffLZWEncoder:
+    def test_roundtrip_and_clear_boundary(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _tiff_lzw_decode, _tiff_lzw_encode)
+
+        rng = np.random.default_rng(60)
+        # random 64 KiB crosses the 4094-entry CLEAR reset repeatedly
+        raw = rng.integers(0, 256, 65536, dtype=np.uint8).tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(raw)) == raw
+        # highly repetitive data exercises long table-hit chains
+        rep = (b"abcabcabd" * 3000)[:20011]
+        enc = _tiff_lzw_encode(rep)
+        assert _tiff_lzw_decode(enc) == rep
+        assert len(enc) < len(rep) // 3  # actually compresses
+
+    @needs_tiff
+    def test_libtiff_reads_our_lzw(self):
+        from documentprocessor_ray.stages.multimodal import encode_tiff
+
+        rng = np.random.default_rng(61)
+        img = rng.integers(0, 256, (90, 130, 3), dtype=np.uint8)
+        assert (SC.tiff_decode_rgb(encode_tiff(img, lzw=True))
+                == img).all()
