@@ -9856,3 +9856,61 @@ ORACLE_SQL["scd2_priority"] = """
                  THEN 1 ELSE 0 END)::BIGINT AS is_current
     FROM agg WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id)"""
 QUERIES["scd2_priority"] = q_scd2_priority
+
+
+def q_benford_digits(sf_dir: str) -> "ray.data.Dataset":
+    """Benford first-significant-digit audit over order totals (the
+    classic fraud/data-quality screen; Benford 1938; Nigrini 2012):
+    per leading digit 1-9, the order count and the observed frequency
+    in exact ppm (floor(n*1e6/total) — integer arithmetic end-to-end,
+    no libm, so the twin hashes bit-equal). Combiner-first: each batch
+    reduces to <= 9 digit counts (leading digit by vectorized
+    divide-by-10 on cents, no string formatting); the 9-row merge uses
+    the trivial-gather shape (repartition(1), the session-2 lesson —
+    NOT a single-group groupby Sort)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = _cents(b["o_totalprice"].to_numpy(zero_copy_only=False))
+        d = np.abs(c)
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        t = pa.table({"digit": pa.array(d, pa.int64()),
+                      "n": pa.array(np.ones(len(d), np.int64))})
+        g = t.group_by("digit").aggregate([("n", "sum")])
+        return pa.table({"digit": g["digit"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = g.group_by("digit").aggregate([("n", "sum")])
+        dig = m["digit"].to_numpy(zero_copy_only=False)
+        n = m["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(dig)
+        dig, n = dig[order], n[order]
+        total = np.int64(n.sum())
+        return pa.table({
+            "digit": pa.array(dig, pa.int64()),
+            "n_orders": pa.array(n, pa.int64()),
+            "obs_ppm": pa.array(n * np.int64(1_000_000) // total,
+                                pa.int64())})
+
+    return _read(sf_dir, "orders", ["o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+ORACLE_SQL["benford_digits"] = """
+    WITH d AS (
+      SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS VARCHAR),
+                  1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), c AS (
+      SELECT digit, COUNT(*)::BIGINT AS n_orders FROM d GROUP BY digit
+    )
+    SELECT digit, n_orders,
+           CAST((n_orders * 1000000) // (SELECT SUM(n_orders) FROM c)
+                AS BIGINT) AS obs_ppm
+    FROM c"""
+QUERIES["benford_digits"] = q_benford_digits
