@@ -9914,3 +9914,56 @@ ORACLE_SQL["benford_digits"] = """
                 AS BIGINT) AS obs_ppm
     FROM c"""
 QUERIES["benford_digits"] = q_benford_digits
+
+
+def q_avro_quarantine(sf_dir: str) -> "ray.data.Dataset":
+    """Bad-records ingestion (the Spark badRecordsPath / permissive-mode
+    semantics): a COPY of the avro shards with shard 5's trailing sync
+    marker deliberately clobbered is read with
+    read_avro(on_error="quarantine") — the corrupt shard contributes
+    zero rows and a WARNING instead of killing the job; the seven good
+    shards roll up as usual. The twin re-derives the surviving row set
+    logically (doc_id % 8 != 5), so the gate proves quarantine dropped
+    EXACTLY the rotten file — no over- or under-drop."""
+    import shutil
+
+    import pyarrow as _pa
+
+    from ..sources.avro import read_avro, write_avro_shards
+
+    good_dir = write_avro_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _columnar_shard_dir(sf_dir, "avro"), num_shards=8)
+    bad_dir = _columnar_shard_dir(sf_dir, "avrobad")
+    marker = os.path.join(bad_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(bad_dir, exist_ok=True)
+        for f in sorted(os.listdir(good_dir)):
+            if f.endswith(".avro"):
+                shutil.copy(os.path.join(good_dir, f),
+                            os.path.join(bad_dir, f))
+        victim = os.path.join(bad_dir, "shard-00005.avro")
+        blob = bytearray(open(victim, "rb").read())
+        blob[-1] ^= 0xFF  # clobber the trailing sync marker
+        with open(victim, "wb") as fh:
+            fh.write(bytes(blob))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    schema = _pa.schema([("doc_id", _pa.int64()),
+                         ("text", _pa.string()),
+                         ("lang", _pa.string()),
+                         ("source", _pa.string()),
+                         ("n_chars", _pa.int64())])
+    return _csv_rollup(read_avro(bad_dir, on_error="quarantine",
+                                 schema=schema))
+
+
+ORACLE_SQL["avro_quarantine"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           min(md5(text)) AS min_text_md5,
+           max(md5(text)) AS max_text_md5
+    FROM documents
+    WHERE doc_id % 8 != 5
+    GROUP BY lang"""
+QUERIES["avro_quarantine"] = q_avro_quarantine

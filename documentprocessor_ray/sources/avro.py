@@ -282,17 +282,48 @@ def parse_avro_file(data: bytes) -> pa.Table:
                      for name, _, at in fields})
 
 
-def read_avro(shard_dir: str) -> "ray.data.Dataset":
+def read_avro(shard_dir: str, on_error: str = "raise",
+              schema: "pa.Schema" = None) -> "ray.data.Dataset":
     """Read a directory of .avro shards; one decode task per shard file
-    (the sources/warc.py:13 pattern — ray.data has no avro reader)."""
+    (the sources/warc.py:13 pattern — ray.data has no avro reader).
+
+    ``on_error="quarantine"`` gives the bad-records semantics every
+    production ingest needs (Spark's badRecordsPath, Delta's
+    permissive mode): a shard that fails to parse — corrupt sync,
+    truncated block, bad magic — contributes ZERO rows instead of
+    killing the job, logs a WARNING with the shard path, and the good
+    shards flow through untouched. ``schema`` (required for
+    quarantine) shapes the empty table a failed shard yields so the
+    stream's schema stays uniform. At 100 TB one rotten file out of
+    thousands must not abort a day-long run; the per-partition
+    manifests (state/checkpoint.py) record counts, so the shortfall
+    is visible downstream."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    if on_error == "quarantine" and schema is None:
+        raise ValueError("quarantine mode needs an explicit schema")
     paths = [os.path.join(shard_dir, f)
              for f in sorted(os.listdir(shard_dir)) if f.endswith(".avro")]
     if not paths:
         raise ValueError(f"no *.avro shards in {shard_dir}")
 
     def parse(batch: pa.Table) -> pa.Table:
-        parts = [parse_avro_file(b) for b in batch["bytes"].to_pylist()]
-        return pa.concat_tables(parts) if parts else pa.table({})
+        parts = []
+        for path, buf in zip(batch["path"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            try:
+                parts.append(parse_avro_file(buf))
+            except (ValueError, KeyError, IndexError) as e:
+                if on_error == "raise":
+                    raise
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "quarantined corrupt avro shard %s: %s", path, e)
+        if not parts:
+            return schema.empty_table() if schema is not None \
+                else pa.table({})
+        return pa.concat_tables(parts)
 
     return ray.data.read_binary_files(paths, include_paths=True) \
         .map_batches(parse, batch_format="pyarrow", batch_size=1)

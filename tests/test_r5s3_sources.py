@@ -291,3 +291,56 @@ class TestAvroFuzz:
             assert got.cast(t.schema).equals(t.sort_by("doc_id"))
 
         run()
+
+
+class TestAvroQuarantine:
+    def test_quarantine_drops_only_rotten_shard(self, ray_session,
+                                                tmp_path):
+        import ray.data  # noqa: F401
+
+        from documentprocessor_ray.sources.avro import (
+            read_avro, write_avro_shards)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d = write_avro_shards(src, str(tmp_path / "avro"), num_shards=4)
+        victim = os.path.join(d, "shard-00002.avro")
+        blob = bytearray(open(victim, "rb").read())
+        blob[-1] ^= 0xFF
+        open(victim, "wb").write(bytes(blob))
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("text", pa.string()),
+                            ("lang", pa.string()),
+                            ("source", pa.string()),
+                            ("n_chars", pa.int64())])
+        got = read_avro(d, on_error="quarantine", schema=schema) \
+            .to_arrow_refs()
+        import ray as _ray
+        t = pa.concat_tables([x for x in _ray.get(got)
+                              if x.num_rows]).sort_by("doc_id")
+        ref = pq.read_table(src).replace_schema_metadata(None)
+        keep = (ref["doc_id"].to_numpy() % 4) != 2
+        assert t.equals(ref.filter(pa.array(keep)).sort_by("doc_id"))
+
+    def test_raise_mode_propagates(self, ray_session, tmp_path):
+        import pytest as _pytest
+        import ray as _ray
+
+        from documentprocessor_ray.sources.avro import (
+            read_avro, write_avro_shards)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d = write_avro_shards(src, str(tmp_path / "avro"), num_shards=2)
+        victim = os.path.join(d, "shard-00001.avro")
+        blob = bytearray(open(victim, "rb").read())
+        blob[5] ^= 0xFF  # clobber the metadata map
+        open(victim, "wb").write(bytes(blob))
+        with _pytest.raises(Exception):
+            read_avro(d).take_all()
+
+    def test_quarantine_needs_schema(self, tmp_path):
+        import pytest as _pytest
+
+        from documentprocessor_ray.sources.avro import read_avro
+
+        with _pytest.raises(ValueError, match="schema"):
+            read_avro(str(tmp_path), on_error="quarantine")
