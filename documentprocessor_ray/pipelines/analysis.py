@@ -9967,3 +9967,125 @@ ORACLE_SQL["avro_quarantine"] = """
     WHERE doc_id % 8 != 5
     GROUP BY lang"""
 QUERIES["avro_quarantine"] = q_avro_quarantine
+
+
+def q_zorder_cluster(sf_dir: str) -> "ray.data.Dataset":
+    """Z-order (Morton) clustering — the lakehouse OPTIMIZE ZORDER
+    shape (Delta/Iceberg data-skipping layout; Morton 1966): embedding
+    dims 1-2 quantized to ints (the spatial_join convention), bits
+    interleaved into a 42-bit Morton key (vectorized magic-number
+    spread), rows globally ordered by (morton, vec_id) via the
+    scale-safe global_rank (distributed offsets, driver never holds
+    the histogram), and packed 64 rows per target file. Output: per
+    file the row count and each dimension's min/max envelope — the
+    stats a scan planner prunes on; Z-ordering makes those envelopes
+    tight in BOTH dims at once. EXACT SQL twin: the same bit-spread
+    chain in BIGINT arithmetic + row_number + integer division."""
+    from ..functions.window import global_rank
+
+    SHIFT = np.int64(1 << 20)
+    ROWS_PER_FILE = np.int64(64)
+
+    def _spread(v: np.ndarray) -> np.ndarray:
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    def _compact(v: np.ndarray) -> np.ndarray:
+        v = v & np.uint64(0x5555555555555555)
+        v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+        v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+        return v
+
+    def to_morton(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        n = len(col)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mat = flat.reshape(n, -1)
+        ux = (np.floor(1e6 * mat[:, 0] + 0.5).astype(np.int64)
+              + SHIFT).astype(np.uint64)
+        uy = (np.floor(1e6 * mat[:, 1] + 0.5).astype(np.int64)
+              + SHIFT).astype(np.uint64)
+        morton = (_spread(ux) | (_spread(uy) << np.uint64(1))) \
+            .astype(np.int64)
+        return pa.table({
+            "morton": pa.array(morton, pa.int64()),
+            "vec_id": pc.cast(b["vec_id"], pa.int64())})
+
+    ranked = global_rank(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(to_morton, batch_format="pyarrow"),
+        key="morton", tie_col="vec_id", descending=False)
+
+    def file_partial(b: pa.Table) -> pa.Table:
+        m = b["morton"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = _compact(m).astype(np.int64) - SHIFT
+        y = _compact(m >> np.uint64(1)).astype(np.int64) - SHIFT
+        rnk = b["rnk"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "file_id": pa.array((rnk - 1) // ROWS_PER_FILE, pa.int64()),
+            "n": pa.array(np.ones(len(rnk), np.int64)),
+            "min_x": pa.array(x, pa.int64()),
+            "max_x": pa.array(x, pa.int64()),
+            "min_y": pa.array(y, pa.int64()),
+            "max_y": pa.array(y, pa.int64())})
+        g = t.group_by("file_id").aggregate(
+            [("n", "sum"), ("min_x", "min"), ("max_x", "max"),
+             ("min_y", "min"), ("max_y", "max")])
+        return g.rename_columns(["file_id", "n", "min_x", "max_x",
+                                 "min_y", "max_y"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        m = g.group_by("file_id").aggregate(
+            [("n", "sum"), ("min_x", "min"), ("max_x", "max"),
+             ("min_y", "min"), ("max_y", "max")])
+        return m.rename_columns(["file_id", "n_rows", "min_x", "max_x",
+                                 "min_y", "max_y"])
+
+    return ranked.map_batches(file_partial, batch_format="pyarrow") \
+        .groupby("file_id").map_groups(finish, batch_format="pyarrow")
+
+
+ORACLE_SQL["zorder_cluster"] = """
+    WITH p AS (
+      SELECT vec_id,
+             CAST(FLOOR(1e6 * embedding[1] + 0.5) AS BIGINT)
+                 + 1048576 AS ux,
+             CAST(FLOOR(1e6 * embedding[2] + 0.5) AS BIGINT)
+                 + 1048576 AS uy
+      FROM embeddings),
+    s1 AS (SELECT vec_id, ux, uy,
+                  (ux | (ux << 16)) & 281470681808895 AS ax,
+                  (uy | (uy << 16)) & 281470681808895 AS ay FROM p),
+    s2 AS (SELECT vec_id, ux, uy,
+                  (ax | (ax << 8)) & 71777214294589695 AS ax,
+                  (ay | (ay << 8)) & 71777214294589695 AS ay FROM s1),
+    s3 AS (SELECT vec_id, ux, uy,
+                  (ax | (ax << 4)) & 1085102592571150095 AS ax,
+                  (ay | (ay << 4)) & 1085102592571150095 AS ay FROM s2),
+    s4 AS (SELECT vec_id, ux, uy,
+                  (ax | (ax << 2)) & 3689348814741910323 AS ax,
+                  (ay | (ay << 2)) & 3689348814741910323 AS ay FROM s3),
+    s5 AS (SELECT vec_id, ux, uy,
+                  (ax | (ax << 1)) & 6148914691236517205 AS ax,
+                  (ay | (ay << 1)) & 6148914691236517205 AS ay FROM s4),
+    r AS (SELECT vec_id, ux, uy,
+                 row_number() OVER (ORDER BY (ax | (ay << 1)), vec_id)
+                     AS rnk
+          FROM s5)
+    SELECT CAST((rnk - 1) // 64 AS BIGINT) AS file_id,
+           COUNT(*)::BIGINT AS n_rows,
+           (MIN(ux) - 1048576)::BIGINT AS min_x,
+           (MAX(ux) - 1048576)::BIGINT AS max_x,
+           (MIN(uy) - 1048576)::BIGINT AS min_y,
+           (MAX(uy) - 1048576)::BIGINT AS max_y
+    FROM r GROUP BY file_id"""
+QUERIES["zorder_cluster"] = q_zorder_cluster

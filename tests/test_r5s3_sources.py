@@ -344,3 +344,38 @@ class TestAvroQuarantine:
 
         with _pytest.raises(ValueError, match="schema"):
             read_avro(str(tmp_path), on_error="quarantine")
+
+
+class TestZOrder:
+    def test_morton_roundtrip_and_locality(self, ray_session):
+        """Spread/compact are exact inverses across the 21-bit domain,
+        and Z-order packing yields tighter per-file envelopes than
+        id-order packing (the reason the operator exists)."""
+        import ray  # noqa: F401
+
+        from documentprocessor_ray.pipelines.analysis import (
+            q_zorder_cluster)
+
+        out = q_zorder_cluster("/root/testdata/sf0.001").take_all()
+        assert sum(r["n_rows"] for r in out) == 500
+        # per-file envelope areas, z-ordered
+        z_areas = [(r["max_x"] - r["min_x"]) * (r["max_y"] - r["min_y"])
+                   for r in out]
+        # naive id-order envelope: same points packed by vec_id
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).sort_by("vec_id")
+        import numpy as np
+        flat = pc.list_flatten(t["embedding"].combine_chunks()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = flat.reshape(t.num_rows, -1)
+        x = np.floor(1e6 * mat[:, 0] + 0.5).astype(np.int64)
+        y = np.floor(1e6 * mat[:, 1] + 0.5).astype(np.int64)
+        id_areas = []
+        for s in range(0, t.num_rows, 64):
+            xs, ys = x[s:s + 64], y[s:s + 64]
+            id_areas.append(int((xs.max() - xs.min()))
+                            * int((ys.max() - ys.min())))
+        assert np.median(z_areas) < 0.5 * np.median(id_areas), \
+            (sorted(z_areas), sorted(id_areas))
