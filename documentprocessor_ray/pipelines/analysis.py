@@ -10089,3 +10089,29 @@ ORACLE_SQL["zorder_cluster"] = """
            (MAX(uy) - 1048576)::BIGINT AS max_y
     FROM r GROUP BY file_id"""
 QUERIES["zorder_cluster"] = q_zorder_cluster
+
+
+def q_avro_evolve(sf_dir: str) -> "ray.data.Dataset":
+    """Avro SCHEMA RESOLUTION in the read path (spec 'Schema
+    Resolution'; the evolution story every Kafka consumer relies on):
+    the same shards are read under a READER schema that drops two
+    writer fields (source, n_chars — decoded and discarded per the
+    wire format), reorders the rest, and adds a reader-only
+    ``quality: long`` with a default. The rollup twin is csv_ingest's;
+    the defaulted column and promotion legs are pytest-gated
+    (tests/test_r5s3_sources.py::TestAvroEvolution)."""
+    from ..sources.avro import read_avro, write_avro_shards
+
+    shard_dir = write_avro_shards(
+        os.path.join(sf_dir, "documents.parquet"),
+        _columnar_shard_dir(sf_dir, "avro"), num_shards=8)
+    reader = {"type": "record", "name": "doc", "fields": [
+        {"name": "lang", "type": "string"},
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "quality", "type": "long", "default": 0}]}
+    return _csv_rollup(read_avro(shard_dir, reader_schema=reader))
+
+
+ORACLE_SQL["avro_evolve"] = ORACLE_SQL["csv_ingest"]
+QUERIES["avro_evolve"] = q_avro_evolve

@@ -232,9 +232,82 @@ def _field_decoders(schema: Dict[str, Any]) -> List[tuple]:
     return out
 
 
-def parse_avro_file(data: bytes) -> pa.Table:
+_PROMOTIONS = {("int", "long"), ("int", "float"), ("int", "double"),
+               ("long", "float"), ("long", "double"),
+               ("float", "double"), ("string", "bytes"),
+               ("bytes", "string")}
+
+
+def _resolve_reader(writer: Dict[str, Any],
+                    reader: Dict[str, Any]) -> List[tuple]:
+    """Avro schema resolution (spec 'Schema Resolution'): match fields
+    by NAME; writer-only fields are decoded and discarded; reader-only
+    fields need a ``default``; numeric/string-bytes promotions allowed.
+    Returns [(reader_field_name, writer_name_or_None, default,
+    arrow_type, promote_to)] in READER field order."""
+    def base(ty):
+        if isinstance(ty, dict):
+            return base(ty.get("type"))
+        if isinstance(ty, list):
+            other = [t for t in ty if t != "null"]
+            return base(other[0]) if len(other) == 1 else None
+        return ty
+
+    arrow_of = {"null": pa.null(), "boolean": pa.bool_(),
+                "int": pa.int32(), "long": pa.int64(),
+                "float": pa.float32(), "double": pa.float64(),
+                "bytes": pa.binary(), "string": pa.string()}
+    wfields = {f["name"]: f for f in writer["fields"]}
+    plan = []
+    for rf in reader["fields"]:
+        rname = rf["name"]
+        rbase = base(rf["type"])
+        if rbase not in arrow_of:
+            raise ValueError(f"unsupported reader type {rf['type']!r}")
+        wf = wfields.get(rname)
+        if wf is None:
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rname!r} absent from writer schema "
+                    "and has no default")
+            plan.append((rname, None, rf["default"], arrow_of[rbase],
+                         None))
+            continue
+        wbase = base(wf["type"])
+        if wbase != rbase and (wbase, rbase) not in _PROMOTIONS:
+            raise ValueError(
+                f"cannot resolve writer type {wbase!r} to reader type "
+                f"{rbase!r} for field {rname!r}")
+        plan.append((rname, rname, None, arrow_of[rbase],
+                     rbase if wbase != rbase else None))
+    return plan
+
+
+def _apply_promote(vals: list, promote: str) -> list:
+    if promote in ("long", "int"):
+        return vals
+    if promote in ("float", "double"):
+        return [None if v is None else float(v) for v in vals]
+    if promote == "string":
+        return [None if v is None else
+                (v.decode("utf-8") if isinstance(v, bytes) else v)
+                for v in vals]
+    if promote == "bytes":
+        return [None if v is None else
+                (v.encode("utf-8") if isinstance(v, str) else v)
+                for v in vals]
+    return vals
+
+
+def parse_avro_file(data: bytes, reader_schema: Dict[str, Any] = None
+                    ) -> pa.Table:
     """One whole .avro container -> Arrow table (runs inside the read
-    task; pure stdlib)."""
+    task; pure stdlib). ``reader_schema`` activates Avro schema
+    resolution — subset/reorder projection, defaults for reader-only
+    fields, numeric and string<->bytes promotions — with writer-only
+    fields decoded-and-discarded (the wire format is not seekable
+    per-field, so a skip still walks the bytes; the saving of a true
+    projection is the Arrow materialization, which this does apply)."""
     if bytes(data[:4]) != _MAGIC:
         raise ValueError("not an avro object container file")
     buf = memoryview(data)
@@ -278,12 +351,24 @@ def parse_avro_file(data: bytes) -> pa.Table:
         if bytes(buf[pos:pos + 16]) != sync:
             raise ValueError("avro sync marker mismatch (corrupt block)")
         pos += 16
-    return pa.table({name: pa.array(cols[name], at)
-                     for name, _, at in fields})
+    if reader_schema is None:
+        return pa.table({name: pa.array(cols[name], at)
+                         for name, _, at in fields})
+    plan = _resolve_reader(schema, reader_schema)
+    n = len(next(iter(cols.values()))) if cols else 0
+    out = {}
+    for rname, wname, default, at, promote in plan:
+        if wname is None:
+            out[rname] = pa.array([default] * n, at)
+        else:
+            out[rname] = pa.array(_apply_promote(cols[wname], promote),
+                                  at)
+    return pa.table(out)
 
 
 def read_avro(shard_dir: str, on_error: str = "raise",
-              schema: "pa.Schema" = None) -> "ray.data.Dataset":
+              schema: "pa.Schema" = None,
+              reader_schema: Dict[str, Any] = None) -> "ray.data.Dataset":
     """Read a directory of .avro shards; one decode task per shard file
     (the sources/warc.py:13 pattern — ray.data has no avro reader).
 
@@ -312,7 +397,7 @@ def read_avro(shard_dir: str, on_error: str = "raise",
         for path, buf in zip(batch["path"].to_pylist(),
                              batch["bytes"].to_pylist()):
             try:
-                parts.append(parse_avro_file(buf))
+                parts.append(parse_avro_file(buf, reader_schema))
             except (ValueError, KeyError, IndexError) as e:
                 if on_error == "raise":
                     raise

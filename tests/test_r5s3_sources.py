@@ -379,3 +379,64 @@ class TestZOrder:
                             * int((ys.max() - ys.min())))
         assert np.median(z_areas) < 0.5 * np.median(id_areas), \
             (sorted(z_areas), sorted(id_areas))
+
+
+class TestAvroEvolution:
+    def _shards(self, tmp_path):
+        return write_avro_shards("/root/testdata/sf0.001/documents.parquet",
+                                 str(tmp_path / "avro"), num_shards=2)
+
+    def _one(self, d, reader):
+        f = sorted(x for x in os.listdir(d) if x.endswith(".avro"))[0]
+        return parse_avro_file(open(os.path.join(d, f), "rb").read(),
+                               reader)
+
+    def test_subset_reorder_default(self, tmp_path):
+        d = self._shards(tmp_path)
+        reader = {"type": "record", "name": "doc", "fields": [
+            {"name": "lang", "type": "string"},
+            {"name": "doc_id", "type": "long"},
+            {"name": "quality", "type": "long", "default": 7}]}
+        t = self._one(d, reader)
+        assert t.column_names == ["lang", "doc_id", "quality"]
+        assert set(t["quality"].to_pylist()) == {7}
+        full = self._one(d, None)
+        assert t["doc_id"].to_pylist() == full["doc_id"].to_pylist()
+        assert t["lang"].to_pylist() == full["lang"].to_pylist()
+
+    def test_promotions(self, tmp_path):
+        d = self._shards(tmp_path)
+        reader = {"type": "record", "name": "doc", "fields": [
+            {"name": "doc_id", "type": "double"},     # long -> double
+            {"name": "text", "type": "bytes"},        # string -> bytes
+            {"name": "n_chars", "type": "long"}]}
+        t = self._one(d, reader)
+        assert t.schema.field("doc_id").type == pa.float64()
+        assert t.schema.field("text").type == pa.binary()
+        full = self._one(d, None)
+        assert t["doc_id"].to_pylist() == \
+            [float(v) for v in full["doc_id"].to_pylist()]
+        assert t["text"].to_pylist() == \
+            [s.encode() for s in full["text"].to_pylist()]
+
+    def test_missing_without_default_raises(self, tmp_path):
+        d = self._shards(tmp_path)
+        reader = {"type": "record", "name": "doc", "fields": [
+            {"name": "nope", "type": "long"}]}
+        with pytest.raises(ValueError, match="default"):
+            self._one(d, reader)
+
+    def test_incompatible_type_raises(self, tmp_path):
+        d = self._shards(tmp_path)
+        reader = {"type": "record", "name": "doc", "fields": [
+            {"name": "text", "type": "long"}]}
+        with pytest.raises(ValueError, match="resolve"):
+            self._one(d, reader)
+
+    def test_demotion_rejected(self, tmp_path):
+        # double -> int is NOT a legal promotion direction
+        d = self._shards(tmp_path)
+        reader = {"type": "record", "name": "doc", "fields": [
+            {"name": "doc_id", "type": "int"}]}
+        with pytest.raises(ValueError, match="resolve"):
+            self._one(d, reader)
