@@ -10115,3 +10115,24 @@ def q_avro_evolve(sf_dir: str) -> "ray.data.Dataset":
 
 ORACLE_SQL["avro_evolve"] = ORACLE_SQL["csv_ingest"]
 QUERIES["avro_evolve"] = q_avro_evolve
+
+
+def q_delta_time_travel(sf_dir: str) -> "ray.data.Dataset":
+    """Delta-log TIME TRAVEL under a driver gate: the same table as
+    delta_ingest read AS OF version 0 — before the delete-where
+    compaction — so the snapshot must contain every document. The twin
+    is the plain full-table rollup; together with delta_ingest (latest
+    version) the pair proves the log replay resolves each version's
+    exact file set."""
+    from ..sources.deltalog import read_delta, write_delta_table
+
+    table_dir = write_delta_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        _columnar_shard_dir(sf_dir, "delta"),
+        num_files=8, prune_mod=3, prune_min_chars=500)
+    return _csv_rollup(read_delta(table_dir, version=0,
+                                  columns=["doc_id", "text", "lang"]))
+
+
+ORACLE_SQL["delta_time_travel"] = ORACLE_SQL["csv_ingest"]
+QUERIES["delta_time_travel"] = q_delta_time_travel
