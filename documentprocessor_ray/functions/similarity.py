@@ -367,9 +367,15 @@ def build_ivf_index(ds: "ray.data.Dataset", index_dir: str,
     sample = _hash_sample(ds, sample_size)
     cent = _kmeans_fit(sample, n_lists, iters, seed)
     cent_ref = ray.put(cent)
+    # autoscaling (1, 4), NOT a fixed 4: a fixed-size pool reserves
+    # every CPU of a 4-CPU session up front and the upstream read /
+    # downstream write starve — the documented actor-pool deadlock
+    # (hung the full suite at TestKnnRecall whenever the /tmp index
+    # cache was cold). min=1 leaves headroom; the pool still grows to
+    # 4 when CPUs are free.
     assigned = ds.map_batches(
         IvfAssigner, fn_constructor_kwargs={"centroids_ref": cent_ref},
-        batch_format="pyarrow", concurrency=concurrency or 4,
+        batch_format="pyarrow", concurrency=concurrency or (1, 4),
     )
 
     def dup_lid(batch: pa.Table) -> pa.Table:
@@ -615,7 +621,7 @@ def knn_pq(ds: "ray.data.Dataset", n_queries: int = 4, k: int = 10,
 
     codes_ds = ds.map_batches(
         PqEncoder, fn_constructor_kwargs={"books_ref": books_ref},
-        batch_format="pyarrow", concurrency=concurrency or 4).materialize()
+        batch_format="pyarrow", concurrency=concurrency or (1, 4)).materialize()
 
     shared = ray.put((qids, qm, books))
 
@@ -725,7 +731,7 @@ def build_ivfpq_index(ds: "ray.data.Dataset", index_dir: str,
     shared = ray.put((cent, books))
     ds.map_batches(
         IvfPqEncoder, fn_constructor_kwargs={"shared_ref": shared},
-        batch_format="pyarrow", concurrency=concurrency or 4,
+        batch_format="pyarrow", concurrency=concurrency or (1, 4),
     ).write_parquet(os.path.join(index_dir, "lists"),
                     partition_cols=["list_id"])
     np.save(cent_path, cent)
