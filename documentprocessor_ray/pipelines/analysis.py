@@ -10136,3 +10136,42 @@ def q_delta_time_travel(sf_dir: str) -> "ray.data.Dataset":
 
 ORACLE_SQL["delta_time_travel"] = ORACLE_SQL["csv_ingest"]
 QUERIES["delta_time_travel"] = q_delta_time_travel
+
+
+def q_delta_write_roundtrip(sf_dir: str) -> "ray.data.Dataset":
+    """Delta-log WRITE path (sources/deltalog.write_delta): documents
+    stream out as version 0 (append — parallel staged parquet + one
+    driver-side JSON commit), then an overwrite commits version 1
+    keeping only n_chars >= 500; the final snapshot is read back and
+    rolled up. The twin re-derives the overwrite's survivor set, so
+    the gate proves the sink's staging + commit + remove bookkeeping
+    end-to-end (and the append leg via version-0 time travel in the
+    sink pytests)."""
+    from ..sources.deltalog import read_delta, write_delta
+
+    table_dir = _columnar_shard_dir(sf_dir, "deltaw")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    have = sorted(os.listdir(log_dir)) if os.path.isdir(log_dir) else []
+    if len(have) != 2:
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        docs = _read(sf_dir, "documents",
+                     ["doc_id", "text", "lang", "n_chars"])
+        v0 = write_delta(docs, table_dir, mode="append")
+        survivors = docs.filter(expr="n_chars >= 500")
+        v1 = write_delta(survivors, table_dir, mode="overwrite")
+        assert (v0, v1) == (0, 1)
+    return _csv_rollup(read_delta(table_dir,
+                                  columns=["doc_id", "text", "lang"]))
+
+
+ORACLE_SQL["delta_write_roundtrip"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           min(md5(text)) AS min_text_md5,
+           max(md5(text)) AS max_text_md5
+    FROM documents
+    WHERE n_chars >= 500
+    GROUP BY lang"""
+QUERIES["delta_write_roundtrip"] = q_delta_write_roundtrip

@@ -157,3 +157,60 @@ def read_delta(table_dir: str, version: Optional[int] = None,
     if not files:
         raise ValueError(f"snapshot of {table_dir} is empty")
     return ray.data.read_parquet(files, columns=columns)
+
+
+def write_delta(ds: "ray.data.Dataset", table_dir: str,
+                mode: str = "append") -> int:
+    """Delta-log SINK: write a Dataset as a new table version — the
+    production counterpart of the sandbox table builder above.
+
+    The data files stream out via ``ds.write_parquet`` into a
+    uniquely-named staging prefix (one file per block, workers write
+    in parallel, nothing lands on the driver); the COMMIT is a single
+    driver-side JSON file listing exactly those staged files as
+    ``add`` actions (plus ``remove`` of the previous snapshot for
+    ``mode="overwrite"``). Readers replaying the log see either the
+    old snapshot or the whole new version — the transaction-log
+    atomicity Delta provides: a crash between staging and commit
+    leaves only unreferenced files that a vacuum can sweep, never a
+    torn table. Returns the committed version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError("mode must be 'append' or 'overwrite'")
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    os.makedirs(log_dir, exist_ok=True)
+    commits = sorted(int(f.split(".")[0])
+                     for f in os.listdir(log_dir) if f.endswith(".json"))
+    version = (commits[-1] + 1) if commits else 0
+    prev = active_files(table_dir) if (commits and mode == "overwrite") \
+        else []
+    stage = f"stage-{version:010d}"
+    stage_dir = os.path.join(table_dir, stage)
+    ds.write_parquet(stage_dir)
+    staged = sorted(f for f in os.listdir(stage_dir)
+                    if f.endswith(".parquet"))
+    if not staged:
+        raise ValueError("write_delta produced no data files")
+    actions = []
+    if version == 0:
+        actions.append(json.dumps(
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 2}}))
+        actions.append(json.dumps(
+            {"metaData": {"id": f"dpray-delta-{os.path.basename(table_dir)}",
+                          "format": {"provider": "parquet"},
+                          "partitionColumns": []}}))
+    for rel in prev:
+        actions.append(json.dumps({"remove": {
+            "path": os.path.relpath(rel, table_dir),
+            "dataChange": True, "deletionTimestamp": 0}}))
+    for f in staged:
+        rel = os.path.join(stage, f)
+        actions.append(json.dumps({"add": {
+            "path": rel,
+            "size": os.path.getsize(os.path.join(table_dir, rel)),
+            "partitionValues": {}, "dataChange": True}}))
+    actions.append(json.dumps({"commitInfo": {
+        "operation": "WRITE", "mode": mode, "version": version}}))
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        fh.write("\n".join(actions) + "\n")
+    return version

@@ -440,3 +440,57 @@ class TestAvroEvolution:
             {"name": "doc_id", "type": "int"}]}
         with pytest.raises(ValueError, match="resolve"):
             self._one(d, reader)
+
+
+class TestDeltaWrite:
+    def test_append_overwrite_and_time_travel(self, ray_session,
+                                              tmp_path):
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import (
+            active_files, read_delta, write_delta)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        docs = ray.data.read_parquet(src)
+        d = str(tmp_path / "t")
+        assert write_delta(docs, d, mode="append") == 0
+        assert write_delta(docs.filter(expr="n_chars >= 500"), d,
+                           mode="overwrite") == 1
+        ref = pq.read_table(src).replace_schema_metadata(None)
+        latest = pa.concat_tables(
+            [pq.read_table(f) for f in active_files(d)]).sort_by("doc_id")
+        exp = ref.filter(
+            pa.array(ref["n_chars"].to_numpy() >= 500)).sort_by("doc_id")
+        assert latest.select(exp.column_names).cast(exp.schema) \
+            .equals(exp)
+        # time travel to the pre-overwrite append
+        v0 = pa.concat_tables(
+            [pq.read_table(f) for f in active_files(d, version=0)]) \
+            .sort_by("doc_id")
+        assert v0.num_rows == ref.num_rows
+        # overwrite removed every v0 file from the live set
+        live = {os.path.basename(os.path.dirname(f)) for f in
+                active_files(d)}
+        assert live == {"stage-0000000001"}
+
+    def test_append_accumulates(self, ray_session, tmp_path):
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import (
+            read_delta, write_delta)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        docs = ray.data.read_parquet(src)
+        d = str(tmp_path / "t2")
+        write_delta(docs.filter(expr="n_chars < 500"), d)
+        write_delta(docs.filter(expr="n_chars >= 500"), d)
+        assert read_delta(d).count() == \
+            pq.read_table(src).num_rows
+
+    def test_bad_mode_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from documentprocessor_ray.sources.deltalog import write_delta
+
+        with _pytest.raises(ValueError, match="mode"):
+            write_delta(None, str(tmp_path), mode="merge")
