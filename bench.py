@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "mwu_lang_length", "knn_recall", "jsonl_gz_ingest", "csv_gz_ingest", "jsonl_zst_ingest", "skyline_lineitem", "snm_customer_pairs", "view_purchase_band",
     "orc_ingest", "ipc_ingest", "avro_ingest", "delta_ingest", "scd2_priority",
     "benford_digits", "avro_quarantine", "zorder_cluster", "avro_evolve",
-    "delta_time_travel", "delta_write_roundtrip",
+    "delta_time_travel", "delta_write_roundtrip", "delta_compact",
     "copurchase_pairs", "regr_price_qty",
     "acf_daily_revenue",
 ]

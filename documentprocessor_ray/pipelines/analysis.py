@@ -10175,3 +10175,41 @@ ORACLE_SQL["delta_write_roundtrip"] = """
     WHERE n_chars >= 500
     GROUP BY lang"""
 QUERIES["delta_write_roundtrip"] = q_delta_write_roundtrip
+
+
+def q_delta_compact(sf_dir: str) -> "ray.data.Dataset":
+    """OPTIMIZE-style compaction under a driver gate
+    (sources/deltalog.compact_delta): four fragmented appends (n_chars
+    bands) -> one bin-packed overwrite commit -> snapshot read-back.
+    Data must be untouched by the layout rewrite, so the twin is the
+    plain full-table rollup; the fragmented pre-compaction version
+    stays time-travelable (pytest-gated,
+    TestDeltaMaintenance.test_compact_preserves_data_and_shrinks_layout)."""
+    from ..sources.deltalog import compact_delta, read_delta, write_delta
+
+    table_dir = _columnar_shard_dir(sf_dir, "deltac")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    have = sorted(os.listdir(log_dir)) if os.path.isdir(log_dir) else []
+    compacted = False
+    if have:
+        with open(os.path.join(log_dir, have[-1])) as fh:
+            compacted = '"mode": "overwrite"' in fh.read()
+    if not compacted:
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        docs = _read(sf_dir, "documents",
+                     ["doc_id", "text", "lang", "n_chars"])
+        for lo, hi in ((0, 200), (200, 350), (350, 500),
+                       (500, 1 << 40)):
+            part = docs.filter(
+                expr=f"n_chars >= {lo} and n_chars < {hi}")
+            if part.count():  # empty bands have no files to commit
+                write_delta(part, table_dir, mode="append")
+        compact_delta(table_dir, target_files=4)
+    return _csv_rollup(read_delta(table_dir,
+                                  columns=["doc_id", "text", "lang"]))
+
+
+ORACLE_SQL["delta_compact"] = ORACLE_SQL["csv_ingest"]
+QUERIES["delta_compact"] = q_delta_compact

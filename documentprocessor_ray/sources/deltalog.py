@@ -214,3 +214,53 @@ def write_delta(ds: "ray.data.Dataset", table_dir: str,
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
         fh.write("\n".join(actions) + "\n")
     return version
+
+
+def vacuum_delta(table_dir: str) -> List[str]:
+    """Sweep data files referenced by NO version of the log — the
+    leftovers of a crash between staging and commit (write_delta's
+    atomicity note) or of an aborted compaction. Files referenced by
+    ANY commit (even later removed) are kept so every historical
+    version stays time-travelable; real Delta's retention-window
+    semantics reduce to this sandbox rule with an infinite window.
+    Returns the deleted relative paths."""
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    referenced = set()
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                for key in ("add", "remove"):
+                    if key in action:
+                        referenced.add(action[key]["path"])
+    deleted = []
+    for root, _dirs, files in os.walk(table_dir):
+        if os.path.basename(root) == _LOG_DIR:
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), table_dir)
+            if rel not in referenced:
+                os.remove(os.path.join(root, f))
+                deleted.append(rel)
+    return sorted(deleted)
+
+
+def compact_delta(table_dir: str, target_files: int = 4) -> int:
+    """OPTIMIZE-style bin-packing compaction: read the ACTIVE snapshot,
+    rewrite it as ``target_files`` right-sized files, and commit the
+    swap (remove every current file, add the compacted set) as one new
+    version. Data is unchanged — only the file layout — so any query
+    over the table reads identically before and after; history remains
+    time-travelable. Returns the committed version."""
+    files = active_files(table_dir)
+    if not files:
+        raise ValueError("nothing to compact")
+    ds = ray.data.read_parquet(files).repartition(target_files)
+    return write_delta(ds, table_dir, mode="overwrite")

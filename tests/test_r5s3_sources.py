@@ -494,3 +494,60 @@ class TestDeltaWrite:
 
         with _pytest.raises(ValueError, match="mode"):
             write_delta(None, str(tmp_path), mode="merge")
+
+
+class TestDeltaMaintenance:
+    def _seed(self, tmp_path):
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import write_delta
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d = str(tmp_path / "t")
+        write_delta(ray.data.read_parquet(src), d, mode="append")
+        return d, src
+
+    def test_vacuum_sweeps_only_uncommitted(self, ray_session, tmp_path):
+        from documentprocessor_ray.sources.deltalog import (
+            active_files, vacuum_delta)
+
+        d, src = self._seed(tmp_path)
+        # simulate a crash: stage a file that never got committed
+        orphan_dir = os.path.join(d, "stage-9999999999")
+        os.makedirs(orphan_dir)
+        import shutil
+        shutil.copy(src, os.path.join(orphan_dir, "orphan.parquet"))
+        before = active_files(d)
+        deleted = vacuum_delta(d)
+        assert deleted == ["stage-9999999999/orphan.parquet"]
+        assert active_files(d) == before
+        for f in before:
+            assert os.path.exists(f)
+
+    def test_compact_preserves_data_and_shrinks_layout(self, ray_session,
+                                                       tmp_path):
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import (
+            active_files, compact_delta, read_delta, write_delta)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d = str(tmp_path / "t2")
+        # many small appends -> fragmented layout
+        docs = ray.data.read_parquet(src)
+        for lo, hi in ((0, 200), (200, 350), (350, 500), (500, 10**9)):
+            part = docs.filter(expr=f"n_chars >= {lo} and n_chars < {hi}")
+            if part.count():
+                write_delta(part, d, mode="append")
+        n_before = len(active_files(d))
+        rows_before = read_delta(d).count()
+        v = compact_delta(d, target_files=2)
+        assert len(active_files(d)) <= 2 < n_before
+        after = pa.concat_tables(
+            [pq.read_table(f) for f in active_files(d)]).sort_by("doc_id")
+        ref = pq.read_table(src).replace_schema_metadata(None) \
+            .sort_by("doc_id")
+        assert after.select(ref.column_names).cast(ref.schema).equals(ref)
+        assert after.num_rows == rows_before
+        # pre-compaction snapshot still reachable
+        assert len(active_files(d, version=v - 1)) == n_before
