@@ -14,10 +14,11 @@ table, this engine reads a consistent snapshot of it. The log replay
 is driver-side but TINY (one JSON line per file-level action — at
 100 TB that is thousands of lines, not rows); the data read is a plain
 ``ray.data.read_parquet`` over the active file list, so column pruning
-and streaming apply unchanged. Checkpoint-parquet compaction of the
-log is out of scope (honest gap: tables with ``_last_checkpoint``
-still replay from the JSON commits, which every Delta writer also
-retains).
+and streaming apply unchanged. Checkpoint-parquet log compaction is
+implemented (checkpoint_delta writes the snapshot parquet +
+``_last_checkpoint``; active_files seeds from it and replays only the
+tail), alongside write_delta (staged atomic commits), vacuum_delta
+(unreferenced-file sweep) and compact_delta (OPTIMIZE bin-packing).
 """
 
 from __future__ import annotations
@@ -118,16 +119,37 @@ def active_files(table_dir: str,
                  version: Optional[int] = None) -> List[str]:
     """Replay the transaction log up to ``version`` (inclusive; None =
     latest) and return the ABSOLUTE paths of the active snapshot's data
-    files, in deterministic (path-sorted) order."""
+    files, in deterministic (path-sorted) order.
+
+    When a ``_last_checkpoint`` exists (checkpoint_delta) and the
+    requested version is at or past it, the live set seeds from the
+    checkpoint parquet and only commits AFTER it replay — O(tail)
+    instead of O(history). Requests for pre-checkpoint versions fall
+    back to full JSON replay (the commits are retained)."""
     log_dir = os.path.join(table_dir, _LOG_DIR)
     commits = sorted(f for f in os.listdir(log_dir)
-                     if f.endswith(".json"))
+                     if f.endswith(".json") and "." not in
+                     f.rsplit(".json", 1)[0])
     if not commits:
         raise ValueError(f"no commits in {log_dir}")
     live: dict = {}
-    applied = -1
+    start_after = -1
+    ckpt_ptr = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ckpt_ptr):
+        with open(ckpt_ptr) as f:
+            ckpt_v = json.load(f)["version"]
+        if version is None or version >= ckpt_v:
+            ckpt = pq.read_table(os.path.join(
+                log_dir, f"{ckpt_v:020d}.checkpoint.parquet"))
+            for p in ckpt["path"].to_pylist():
+                live[p] = True
+            start_after = ckpt_v
+    applied = start_after
     for name in commits:
         v = int(name.split(".")[0])
+        if v <= start_after:
+            applied = max(applied, v)
+            continue
         if version is not None and v > version:
             break
         with open(os.path.join(log_dir, name)) as f:
@@ -186,6 +208,7 @@ def write_delta(ds: "ray.data.Dataset", table_dir: str,
     stage = f"stage-{version:010d}"
     stage_dir = os.path.join(table_dir, stage)
     ds.write_parquet(stage_dir)
+    os.makedirs(stage_dir, exist_ok=True)  # empty ds writes no dir
     staged = sorted(f for f in os.listdir(stage_dir)
                     if f.endswith(".parquet"))
     if not staged:
@@ -264,3 +287,28 @@ def compact_delta(table_dir: str, target_files: int = 4) -> int:
         raise ValueError("nothing to compact")
     ds = ray.data.read_parquet(files).repartition(target_files)
     return write_delta(ds, table_dir, mode="overwrite")
+
+
+def checkpoint_delta(table_dir: str) -> int:
+    """Write a CHECKPOINT of the current snapshot: a parquet file of
+    the live ``add`` paths as of the latest version V plus the
+    ``_last_checkpoint`` pointer ({"version": V}) — the Delta protocol's
+    log-compaction mechanism. Readers then replay only commits AFTER V
+    (O(tail), not O(history)); the JSON commits stay on disk so full
+    history and pre-checkpoint time travel keep working. Returns V."""
+    log_dir = os.path.join(table_dir, _LOG_DIR)
+    commits = sorted(int(f.split(".")[0])
+                     for f in os.listdir(log_dir) if f.endswith(".json"))
+    if not commits:
+        raise ValueError(f"no commits in {log_dir}")
+    version = commits[-1]
+    live = [os.path.relpath(p, table_dir)
+            for p in active_files(table_dir, version)]
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table({"path": pa.array(live, pa.string())}),
+        os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(live)}, f)
+    return version

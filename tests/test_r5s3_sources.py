@@ -551,3 +551,54 @@ class TestDeltaMaintenance:
         assert after.num_rows == rows_before
         # pre-compaction snapshot still reachable
         assert len(active_files(d, version=v - 1)) == n_before
+
+
+class TestDeltaCheckpoint:
+    def test_checkpoint_equals_full_replay_and_prunes_tail(
+            self, ray_session, tmp_path):
+        import json as _json
+
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import (
+            active_files, checkpoint_delta, write_delta)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        docs = ray.data.read_parquet(src)
+        d = str(tmp_path / "t")
+        write_delta(docs.filter(expr="n_chars < 500"), d)
+        write_delta(docs.filter(expr="n_chars >= 500"), d)
+        full = active_files(d)
+        v = checkpoint_delta(d)
+        assert v == 1
+        # checkpointed replay matches the pre-checkpoint answer
+        assert active_files(d) == full
+        # commits after the checkpoint still apply on top of it
+        write_delta(docs.filter(expr="n_chars >= 400"), d,
+                    mode="overwrite")
+        after = active_files(d)
+        assert after != full and len(after) >= 1
+        # pre-checkpoint time travel still replays pure JSON
+        assert active_files(d, version=0) != full
+        assert set(active_files(d, version=1)) == set(full)
+        ptr = _json.load(open(os.path.join(d, "_delta_log",
+                                           "_last_checkpoint")))
+        assert ptr["version"] == 1
+
+    def test_checkpoint_survives_commit_corruption_before_it(
+            self, ray_session, tmp_path):
+        """Seeding from the checkpoint must NOT read pre-checkpoint
+        JSON — prove it by clobbering commit 0 after checkpointing."""
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import (
+            active_files, checkpoint_delta, write_delta)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d = str(tmp_path / "t2")
+        write_delta(ray.data.read_parquet(src), d)
+        full = active_files(d)
+        checkpoint_delta(d)
+        c0 = os.path.join(d, "_delta_log", f"{0:020d}.json")
+        open(c0, "w").write("{not json")
+        assert active_files(d) == full  # tail-only replay
