@@ -25,7 +25,8 @@ OUT_JSON = sys.argv[1] if len(sys.argv) > 1 else \
     "/root/repo/BENCH_r05_sf1.json"
 
 S3_OPS = ["avro_ingest", "avro_quarantine", "avro_evolve",
-          "delta_ingest", "scd2_priority", "benford_digits",
+          "delta_ingest", "delta_time_travel", "delta_write_roundtrip",
+          "delta_compact", "scd2_priority", "benford_digits",
           "zorder_cluster"]
 
 
