@@ -8094,7 +8094,8 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "winnow_fingerprint", "minhash_pairs", "simhash_pairs",
                    "embedding_neardup_lsh", "image_features",
                    "codec_matrix",
-                   "audio_features", "audio_spectral", "image_edges",
+                   "audio_features", "audio_spectral", "audio_mfcc",
+                   "image_edges",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
                    "price_quantiles_approx", "event_heavy_hitters",
@@ -10213,3 +10214,20 @@ def q_delta_compact(sf_dir: str) -> "ray.data.Dataset":
 
 ORACLE_SQL["delta_compact"] = ORACLE_SQL["csv_ingest"]
 QUERIES["delta_compact"] = q_delta_compact
+
+
+def q_audio_mfcc(sf_dir: str) -> "ray.data.Dataset":
+    """MFCC front end per audio asset (Davis & Mermelstein 1980): mel
+    filterbank + log + DCT-II over Hann-framed power spectra, mean
+    8-coefficient vector milli-quantized — the classic speech/audio-ML
+    feature. Actor pool; filterbank/DCT basis built once per actor.
+    Driver twin: single-process stage dump (same class, bit-equal);
+    pytest feeds pure tones through the REAL WAV codec and checks
+    tone separation and determinism."""
+    from ..stages.multimodal import build_media_pipeline
+
+    _dump_media_twin("audio_mfcc", sf_dir, "audio", "AudioMFCCStage")
+    return build_media_pipeline(_media_ds(sf_dir), "audio_mfcc")
+
+
+QUERIES["audio_mfcc"] = q_audio_mfcc

@@ -3095,17 +3095,106 @@ class ImageDecodeDigestStage:
         })
 
 
+class AudioMFCCStage:
+    """Decode -> Hann-framed rfft power -> MEL filterbank -> log ->
+    DCT-II -> mean MFCC vector per asset (the classic speech/audio-ML
+    front end: Davis & Mermelstein 1980). Pure vectorized numpy; the
+    mel filterbank and DCT basis build ONCE per (sample_rate) per actor
+    (stateful-stage rule). Output one row per asset:
+    (asset_id, n_frames, mfcc_0..mfcc_7 as milli-quantized ints) —
+    deterministic, so the single-process oracle-dump twin (same class)
+    hashes bit-equal."""
+
+    N_MELS = 20
+    N_CEPS = 8
+
+    def __init__(self, codec: Optional[Codec] = None, frame: int = 1024):
+        self.codec = codec or FakeCodec()
+        self.frame = frame
+        self.window = np.hanning(frame)
+        self._banks: Dict[int, np.ndarray] = {}
+        # DCT-II basis rows k=0..N_CEPS-1 over N_MELS mel energies
+        n = np.arange(self.N_MELS)
+        k = np.arange(self.N_CEPS)[:, None]
+        self.dct = np.cos(np.pi * k * (2 * n + 1) / (2 * self.N_MELS))
+
+    def _mel_bank(self, sr: int) -> np.ndarray:
+        bank = self._banks.get(sr)
+        if bank is not None:
+            return bank
+        n_bins = self.frame // 2 + 1
+        mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)
+        imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+        pts = imel(np.linspace(mel(0.0), mel(sr / 2.0), self.N_MELS + 2))
+        bins = np.floor((self.frame + 1) * pts / sr).astype(np.int64)
+        bank = np.zeros((self.N_MELS, n_bins))
+        for m in range(1, self.N_MELS + 1):
+            lo, ce, hi = bins[m - 1], bins[m], bins[m + 1]
+            for b in range(lo, ce):
+                if ce > lo:
+                    bank[m - 1, b] = (b - lo) / (ce - lo)
+            for b in range(ce, hi):
+                if hi > ce:
+                    bank[m - 1, b] = (hi - b) / (hi - ce)
+        self._banks[sr] = bank
+        return bank
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nf, errors = [], [], []
+        ceps_cols = [[] for _ in range(self.N_CEPS)]
+        metas = batch["meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for i in range(batch.num_rows):
+            ids.append(batch["asset_id"][i].as_py())
+            try:
+                meta = metas[i]
+                wav = np.asarray(
+                    self.codec.decode_audio(payloads[i], meta),
+                    dtype=np.float64)
+                sr = int(meta.get("sample_rate") or 16000)
+                frames = len(wav) // self.frame
+                if frames == 0:
+                    nf.append(0)
+                    for c in ceps_cols:
+                        c.append(0)
+                    errors.append(None)
+                    continue
+                m = wav[: frames * self.frame] \
+                    .reshape(frames, self.frame) * self.window
+                power = np.abs(np.fft.rfft(m, axis=1)) ** 2
+                mels = power @ self._mel_bank(sr).T  # (frames, N_MELS)
+                logm = np.log(np.maximum(mels, 1e-10))
+                mfcc = (self.dct @ logm.mean(axis=0))  # (N_CEPS,)
+                nf.append(frames)
+                for j, c in enumerate(ceps_cols):
+                    c.append(int(round(1000.0 * float(mfcc[j]))))
+                errors.append(None)
+            except Exception as e:  # in-band error channel (M31)
+                nf.append(0)
+                for c in ceps_cols:
+                    c.append(0)
+                errors.append(str(e))
+        cols = {"asset_id": pa.array(ids, pa.string()),
+                "n_frames": pa.array(nf, pa.int64())}
+        for j, c in enumerate(ceps_cols):
+            cols[f"mfcc_{j}"] = pa.array(c, pa.int64())
+        cols["error"] = pa.array(errors, pa.string())
+        return pa.table(cols)
+
+
 def build_media_pipeline(ds, kind: str, codec: Optional[Codec] = None,
                          batch_size: int = 8, concurrency=(1, 4)):
     """Route a media Dataset through the stage for ``kind``. Small batches:
     decoded frames dominate memory, not the encoded payload."""
     stage = {"image": ImageFeatureStage, "audio": AudioFeatureStage,
              "audio_spectral": AudioSpectralStage,
+             "audio_mfcc": AudioMFCCStage,
              "image_edges": ImageEdgeStage,
              "video_motion": VideoMotionStage,
              "video": VideoFrameSampleStage}[kind]
     kwargs = {"codec": codec} if codec is not None else {}
-    kind = {"audio_spectral": "audio", "image_edges": "image",
+    kind = {"audio_spectral": "audio", "audio_mfcc": "audio",
+            "image_edges": "image",
             "video_motion": "video"}.get(kind, kind)
     return ds.filter(expr=f"kind == '{kind}'").map_batches(
         stage, fn_constructor_kwargs=kwargs, batch_format="pyarrow",

@@ -602,3 +602,53 @@ class TestDeltaCheckpoint:
         c0 = os.path.join(d, "_delta_log", f"{0:020d}.json")
         open(c0, "w").write("{not json")
         assert active_files(d) == full  # tail-only replay
+
+
+class TestAudioMFCC:
+    def test_tone_separation_through_real_wav_codec(self):
+        import numpy as np
+
+        from documentprocessor_ray.stages.multimodal import (
+            AudioMFCCStage, RawCodec, encode_wav_pcm16)
+        import pyarrow as pa
+
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+
+        def asset(aid, freq):
+            wav = (0.6 * np.sin(2 * np.pi * freq * t))
+            pcm = (wav * 32767).astype(np.int16)
+            return {"asset_id": aid, "kind": "audio",
+                    "payload": encode_wav_pcm16(pcm, sample_rate=sr),
+                    "meta": {"format": "wav", "width": 0, "height": 0,
+                             "sample_rate": sr, "n_frames": 0}}
+
+        batch = pa.Table.from_pylist(
+            [asset("low", 200.0), asset("high", 3500.0),
+             asset("low2", 200.0)])
+        out = AudioMFCCStage(codec=RawCodec())(batch)
+        rows = {r["asset_id"]: r for r in out.to_pylist()}
+        assert all(r["error"] is None for r in rows.values())
+        assert rows["low"]["n_frames"] == (sr * 2) // 1024
+        # identical tones -> identical MFCCs; distinct tones differ
+        lo = [rows["low"][f"mfcc_{j}"] for j in range(8)]
+        lo2 = [rows["low2"][f"mfcc_{j}"] for j in range(8)]
+        hi = [rows["high"][f"mfcc_{j}"] for j in range(8)]
+        assert lo == lo2
+        assert lo != hi
+        # a pure low tone concentrates energy in few low mel bands ->
+        # slowly-varying log-mel -> large |mfcc_1| relative to high tone's
+        assert abs(lo[1]) != abs(hi[1])
+
+    def test_empty_and_error_paths(self):
+        import pyarrow as pa
+
+        from documentprocessor_ray.stages.multimodal import (
+            AudioMFCCStage, RawCodec)
+
+        batch = pa.Table.from_pylist([
+            {"asset_id": "bad", "kind": "audio", "payload": b"nope",
+             "meta": {"format": "wav", "width": 0, "height": 0,
+                      "sample_rate": 16000, "n_frames": 0}}])
+        out = AudioMFCCStage(codec=RawCodec())(batch).to_pylist()
+        assert out[0]["error"] is not None and out[0]["n_frames"] == 0
