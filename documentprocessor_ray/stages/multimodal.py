@@ -1612,31 +1612,20 @@ def _gif_decode(b: bytes) -> np.ndarray:
     raise ValueError("GIF has no image frame")
 
 
-def encode_gif(img: np.ndarray) -> bytes:
-    """Minimal GIF89a encoder (round-trip counterpart of _gif_decode):
-    single non-interlaced frame, global color table built from the image's
-    unique colors (must be <= 256), real LZW compression."""
-    h, w = img.shape[:2]
-    flat = img.astype(np.uint8).reshape(-1, 3)
-    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError("encode_gif supports <= 256 unique colors")
-    bits = max(1, int(len(colors) - 1).bit_length())
-    table_size = 1 << bits
-    pal = np.zeros((table_size, 3), np.uint8)
-    pal[:len(colors)] = colors
-    min_code = max(2, bits)
+def _gif_lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """GIF-flavor LZW compression of a palette-index stream (LSB-first
+    packing, clear/EOI codes, width grows AFTER next_code passes
+    2^width — one later than TIFF's early change). Shared by the still
+    and animated encoders."""
     clear = 1 << min_code
     eoi = clear + 1
-
-    # LZW compress the index stream
     codes: List[int] = [clear]
     table: Dict[bytes, int] = {bytes([i]): i for i in range(clear)}
     next_code = eoi + 1
     width = min_code + 1
     widths: List[int] = [width]
     cur = b""
-    for v in inverse.astype(np.uint8).tobytes():
+    for v in indices.astype(np.uint8).tobytes():
         nxt = cur + bytes([v])
         if nxt in table:
             cur = nxt
@@ -1671,6 +1660,190 @@ def encode_gif(img: np.ndarray) -> bytes:
             nbits -= 8
     if nbits:
         packed.append(acc & 0xFF)
+    return bytes(packed)
+
+
+def _gif_decode_frames(b: bytes) -> List[np.ndarray]:
+    """FULL animated-GIF decode (GIF89a animation model): every frame
+    composited onto the logical screen with graphics-control semantics —
+    transparency index (transparent pixels leave the canvas as-is),
+    disposal 0/1 (leave), 2 (restore region to background), 3 (restore
+    to previous canvas), sub-rectangle frames, per-frame local palettes
+    and per-frame interlace. Returns a list of (H, W, 3) uint8 RGB
+    canvases, one per frame. ``_gif_decode`` above stays the
+    still-image (first raster) path; this is the video-container path
+    RealCodec.decode_video_frames routes GIF payloads through."""
+    b = bytes(b)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    bg_index = b[11]
+    gct_size = 2 << (flags & 7) if flags & 0x80 else 0
+    pos = 13
+    gct = np.frombuffer(b[pos:pos + 3 * gct_size], np.uint8) \
+        .reshape(-1, 3) if gct_size else None
+    pos += 3 * gct_size
+    bg_rgb = gct[bg_index] if gct is not None and bg_index < len(gct) \
+        else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: List[np.ndarray] = []
+    disposal = 0
+    transparent = -1
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9 and b[pos] >= 4:  # graphics control
+                packed = b[pos + 1]
+                disposal = (packed >> 2) & 7
+                transparent = b[pos + 4] if packed & 1 else -1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:
+            fx = int.from_bytes(b[pos + 1:pos + 3], "little")
+            fy = int.from_bytes(b[pos + 3:pos + 5], "little")
+            w = int.from_bytes(b[pos + 5:pos + 7], "little")
+            h = int.from_bytes(b[pos + 7:pos + 9], "little")
+            iflags = b[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                lct_size = 2 << (iflags & 7)
+                pal = np.frombuffer(b[pos:pos + 3 * lct_size], np.uint8) \
+                    .reshape(-1, 3)
+                pos += 3 * lct_size
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                n = b[pos]
+                data += b[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), min_code, w * h), np.uint8)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            grid = idx[:w * h].astype(np.int64).reshape(h, w)
+            if iflags & 0x40:
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                deint = np.empty_like(grid)
+                deint[order] = grid
+                grid = deint
+            if fx + w > sw or fy + h > sh:
+                raise ValueError("GIF frame exceeds logical screen")
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[fy:fy + h, fx:fx + w]
+            if transparent >= 0:
+                opaque = grid != transparent
+                region[opaque] = pal[grid[opaque]]
+            else:
+                region[:] = pal[grid]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[fy:fy + h, fx:fx + w] = bg_rgb
+            elif disposal == 3:
+                canvas = prev
+            disposal = 0
+            transparent = -1
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF has no image frame")
+    return frames
+
+
+def encode_gif_anim(frames: List[np.ndarray],
+                    disposals: Optional[List[int]] = None,
+                    transparent_masks: Optional[List] = None,
+                    offsets: Optional[List] = None,
+                    screen: Optional[tuple] = None) -> bytes:
+    """Minimal ANIMATED GIF encoder (test scaffolding for the frame
+    decoder): one shared global palette built from every frame's colors
+    plus a reserved transparent slot; per-frame graphics-control
+    extension (disposal + transparency), sub-rectangle placement via
+    ``offsets``, full LZW coding. Frames may be smaller than the
+    logical ``screen``; masked-True pixels are written as the
+    transparent index."""
+    if not frames:
+        raise ValueError("no frames")
+    disposals = disposals or [1] * len(frames)
+    offsets = offsets or [(0, 0)] * len(frames)
+    sh, sw = screen or frames[0].shape[:2]
+    allpx = np.concatenate([f.reshape(-1, 3) for f in frames])
+    pal, _ = np.unique(allpx, axis=0, return_inverse=True)
+    if len(pal) > 255:
+        raise ValueError("more than 255 distinct colors (one slot is "
+                         "reserved for transparency)")
+    trans_idx = len(pal)
+    ncol = 2
+    while ncol < trans_idx + 1:
+        ncol *= 2
+    depth = max(1, (ncol - 1).bit_length())
+    out = bytearray()
+    out += b"GIF89a"
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    table = np.zeros((ncol, 3), np.uint8)
+    table[:len(pal)] = pal
+    out += table.tobytes()
+    lut = {tuple(c): i for i, c in enumerate(pal)}
+    for k, frame in enumerate(frames):
+        fh, fw = frame.shape[:2]
+        fy, fx = offsets[k]
+        mask = None if transparent_masks is None else transparent_masks[k]
+        packed = (disposals[k] & 7) << 2
+        if mask is not None:
+            packed |= 1
+        out += bytes([0x21, 0xF9, 4, packed, 0, 0,
+                      trans_idx if mask is not None else 0, 0])
+        out += bytes([0x2C])
+        out += fx.to_bytes(2, "little") + fy.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += bytes([0])  # no local table, not interlaced
+        idx = np.array([lut[tuple(p)] for p in frame.reshape(-1, 3)],
+                       np.int64)
+        if mask is not None:
+            idx[np.asarray(mask).reshape(-1)] = trans_idx
+        min_code = max(2, depth)
+        out += bytes([min_code])
+        lzw = _gif_lzw_encode(idx, min_code)
+        i = 0
+        while i < len(lzw):
+            n = min(255, len(lzw) - i)
+            out += bytes([n]) + lzw[i:i + n]
+            i += n
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder (round-trip counterpart of _gif_decode):
+    single non-interlaced frame, global color table built from the image's
+    unique colors (must be <= 256), real LZW compression."""
+    h, w = img.shape[:2]
+    flat = img.astype(np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif supports <= 256 unique colors")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    table_size = 1 << bits
+    pal = np.zeros((table_size, 3), np.uint8)
+    pal[:len(colors)] = colors
+    min_code = max(2, bits)
+    packed = bytearray(_gif_lzw_encode(inverse.astype(np.int64), min_code))
 
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
@@ -2373,7 +2546,16 @@ class RealCodec(Codec):
         raise NotImplementedError("audio codec not available in this build")
 
     def decode_video_frames(self, payload, meta, stride):
-        raise NotImplementedError("video codec not available in this build")
+        # animated GIF is a real video container this build decodes in
+        # full (frame compositing, disposal, transparency —
+        # _gif_decode_frames); mp4/webm still need pyav, absent here
+        head = bytes(payload[:6])
+        if head in (b"GIF87a", b"GIF89a"):
+            frames = _gif_decode_frames(bytes(payload))
+            return frames[::max(1, int(stride))]
+        raise NotImplementedError(
+            "only animated GIF video decode in this build (mp4/webm "
+            "need external codec libraries)")
 
 
 class RawCodec(Codec):

