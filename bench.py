@@ -55,7 +55,8 @@ BENCH_QUERIES = [
     "url_canonical_dedup", "quality_classifier", "span_merge", "kmeans_clusters",
     "semdedup", "bigram_surprisal", "dsir_logweight", "split_no_leakage",
     "link_triangles", "incremental_neardup", "pca_project",
-    "image_features", "audio_features", "audio_spectral", "audio_mfcc", "video_framesample",
+    "image_features", "audio_features", "audio_spectral", "audio_mfcc",
+    "gif_framesample", "video_framesample",
     "image_edges", "video_motion", "audio_mfcc",
     "image_phash_pairs",
     "pricing_summary", "top_customers", "order_revenue_join", "line_flag_share", "bloom_prefilter",

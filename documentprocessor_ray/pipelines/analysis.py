@@ -8095,6 +8095,7 @@ for _dump_name in ("langid", "bpe_merges", "bpe_encode",
                    "embedding_neardup_lsh", "image_features",
                    "codec_matrix",
                    "audio_features", "audio_spectral", "audio_mfcc",
+                   "gif_framesample",
                    "image_edges",
                    "video_motion", "video_framesample",
                    "compression_ratio", "event_users_hll",
@@ -10231,3 +10232,29 @@ def q_audio_mfcc(sf_dir: str) -> "ray.data.Dataset":
 
 
 QUERIES["audio_mfcc"] = q_audio_mfcc
+
+
+def q_gif_framesample(sf_dir: str) -> "ray.data.Dataset":
+    """Animated-GIF frame sampling as a DISTRIBUTED video stage: real
+    encode_gif_anim payloads (sub-rect frames, transparency, all three
+    disposal modes) flow through VideoFrameSampleStage on the RealCodec
+    — _gif_decode_frames composites each frame per the GIF89a animation
+    model — emitting per-sampled-frame luma rows. The oracle-dump twin
+    runs the SAME stage single-process on the same table, so a hash
+    match proves the distributed compositing bit-exact."""
+    from ..stages.multimodal import (
+        RealCodec, VideoFrameSampleStage, synth_gif_anim_table)
+    from . import oracle_dump as OD
+
+    n = max(24, int(2400 * _sf_of_dir(sf_dir)))
+    OD.dump("gif_framesample", f"gifanim:v1:n{n}:seed7",
+            lambda: VideoFrameSampleStage(codec=RealCodec(), stride=2)(
+                synth_gif_anim_table(n_assets=n, seed=7)))
+    ds = ray.data.from_arrow(synth_gif_anim_table(n_assets=n, seed=7))
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"codec": RealCodec(), "stride": 2},
+        batch_format="pyarrow", batch_size=8, concurrency=(1, 4))
+
+
+QUERIES["gif_framesample"] = q_gif_framesample

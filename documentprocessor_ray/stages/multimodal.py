@@ -3146,6 +3146,48 @@ class VideoFrameSampleStage:
         })
 
 
+def synth_gif_anim_table(n_assets: int = 24, seed: int = 7) -> pa.Table:
+    """Deterministic ANIMATED-GIF assets for the gif_framesample gate:
+    real encode_gif_anim payloads with varying frame counts, sizes,
+    sub-rectangle placement, transparency and disposal modes — the
+    decode side must composite identically distributed and
+    single-process."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_assets):
+        h = int(rng.integers(8, 17))
+        w = int(rng.integers(8, 17))
+        n_frames = int(rng.integers(2, 7))
+        base = (rng.integers(0, 4, (h, w, 3)) * 60).astype(np.uint8)
+        frames = [base]
+        disposals = [1]
+        masks = [None]
+        offsets = [(0, 0)]
+        for _ in range(n_frames - 1):
+            fh = int(rng.integers(2, h + 1))
+            fw = int(rng.integers(2, w + 1))
+            fy = int(rng.integers(0, h - fh + 1))
+            fx = int(rng.integers(0, w - fw + 1))
+            patch = (rng.integers(0, 4, (fh, fw, 3)) * 60).astype(np.uint8)
+            frames.append(patch)
+            disposals.append(int(rng.integers(1, 4)))
+            if rng.integers(0, 2):
+                m = rng.integers(0, 2, (fh, fw)).astype(bool)
+                masks.append(m)
+            else:
+                masks.append(None)
+            offsets.append((fy, fx))
+        payload = encode_gif_anim(frames, disposals=disposals,
+                                  transparent_masks=masks,
+                                  offsets=offsets, screen=(h, w))
+        rows.append({
+            "asset_id": f"gif-{i:04d}", "kind": "video",
+            "payload": payload,
+            "meta": {"format": "gif", "width": w, "height": h,
+                     "sample_rate": 0, "n_frames": n_frames}})
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 def synth_media_table(n_assets: int = 30, seed: int = 5) -> pa.Table:
     """Deterministic media table for tests/benchmarks (payload = seeded
     bytes; meta declares the decoded shape the FakeCodec will produce)."""
