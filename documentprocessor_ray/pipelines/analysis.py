@@ -3859,7 +3859,7 @@ def q_codec_matrix(sf_dir: str) -> "ray.data.Dataset":
     from . import oracle_dump as OD
 
     n = max(24, int(2400 * _sf_of_dir(sf_dir)))
-    OD.dump("codec_matrix", f"cmatrix:v3:n{n}:seed9",
+    OD.dump("codec_matrix", f"cmatrix:v4:n{n}:seed9",
             lambda: OD.codec_matrix_expected(n))
     ds = ray.data.from_arrow(synth_codec_matrix_table(n_assets=n, seed=9))
     return ds.map_batches(ImageDecodeDigestStage, batch_format="pyarrow",

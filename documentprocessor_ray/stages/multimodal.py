@@ -2538,8 +2538,13 @@ class RealCodec(Codec):
             return _gif_decode(payload)
         if head[:4] == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
             return _webp_decode(bytes(payload))
+        if head[:2] == b"P6":
+            return _ppm_decode(payload)
+        if head[:4] == _QOI_MAGIC:
+            return _qoi_decode(payload)
         raise NotImplementedError(
-            "only PNG/JPEG/TIFF/GIF/WebP decode in this build (WebP-lossy "
+            "only PNG/JPEG/TIFF/GIF/WebP/PPM/QOI decode in this build "
+            "(WebP-lossy "
             "additionally requires the system libwebp shared library)")
 
     def decode_audio(self, payload, meta):
@@ -3146,6 +3151,153 @@ class VideoFrameSampleStage:
         })
 
 
+def _ppm_decode(b: bytes) -> np.ndarray:
+    """Binary PPM (netpbm P6): ASCII header (magic, whitespace/comment
+    separated width height maxval) then raw RGB bytes. 8-bit maxval."""
+    b = bytes(b)
+    if b[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("PPM maxval != 255 not supported")
+    need = w * h * 3
+    if len(b) - pos < need:
+        raise ValueError("PPM pixel data truncated")
+    return np.frombuffer(b, np.uint8, need, pos).reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6) encoder."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(img.astype(np.uint8)).tobytes()
+
+
+_QOI_MAGIC = b"qoif"
+
+
+def _qoi_decode(b: bytes) -> np.ndarray:
+    """QOI decoder (qoiformat.org spec, public domain spec): RGB/RGBA
+    ops (INDEX/DIFF/LUMA/RUN/RGB/RGBA), 64-slot running index with the
+    (3r+5g+7b+11a) % 64 hash. Output (H, W, 3) uint8 (alpha dropped)."""
+    b = bytes(b)
+    if b[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI payload")
+    w = int.from_bytes(b[4:8], "big")
+    h = int.from_bytes(b[8:12], "big")
+    channels = b[12]
+    if channels not in (3, 4) or b[13] not in (0, 1):
+        raise ValueError("bad QOI header")
+    out = np.empty((h * w, 4), np.uint8)
+    index = np.zeros((64, 4), np.uint8)
+    r, g, bl, a = 0, 0, 0, 255
+    pos = 14
+    i = 0
+    n = h * w
+    while i < n:
+        byte = b[pos]
+        pos += 1
+        if byte == 0xFE:  # QOI_OP_RGB
+            r, g, bl = b[pos], b[pos + 1], b[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # QOI_OP_RGBA
+            r, g, bl, a = b[pos], b[pos + 1], b[pos + 2], b[pos + 3]
+            pos += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:  # INDEX
+                r, g, bl, a = index[byte & 0x3F]
+            elif tag == 1:  # DIFF
+                r = (r + ((byte >> 4) & 3) - 2) & 0xFF
+                g = (g + ((byte >> 2) & 3) - 2) & 0xFF
+                bl = (bl + (byte & 3) - 2) & 0xFF
+            elif tag == 2:  # LUMA
+                dg = (byte & 0x3F) - 32
+                b2 = b[pos]
+                pos += 1
+                r = (r + dg - 8 + ((b2 >> 4) & 0x0F)) & 0xFF
+                g = (g + dg) & 0xFF
+                bl = (bl + dg - 8 + (b2 & 0x0F)) & 0xFF
+            else:  # RUN
+                run = (byte & 0x3F) + 1
+                out[i:i + run] = (r, g, bl, a)
+                i += run
+                continue
+        index[(3 * r + 5 * g + 7 * bl + 11 * a) % 64] = (r, g, bl, a)
+        out[i] = (r, g, bl, a)
+        i += 1
+    if b[pos:pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("bad QOI end marker")
+    return out.reshape(h, w, 4)[:, :, :3].copy()
+
+
+def encode_qoi(img: np.ndarray) -> bytes:
+    """QOI encoder (RGB, full op set: RUN / INDEX / DIFF / LUMA / RGB) —
+    round-trip counterpart of _qoi_decode."""
+    h, w = img.shape[:2]
+    px = img.astype(np.int64).reshape(-1, 3)
+    out = bytearray()
+    out += _QOI_MAGIC
+    out += w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    out += bytes([3, 0])  # RGB, sRGB
+    index = np.zeros((64, 4), np.int64)
+    pr, pg, pb, pa_ = 0, 0, 0, 255
+    run = 0
+    for r, g, bl in px:
+        if (r, g, bl) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hidx = (3 * r + 5 * g + 7 * bl + 11 * 255) % 64
+        if tuple(index[hidx]) == (r, g, bl, 255):
+            out.append(int(hidx))
+        else:
+            index[hidx] = (r, g, bl, 255)
+            dr = (r - pr + 2) & 0xFF
+            dg = (g - pg + 2) & 0xFF
+            db = (bl - pb + 2) & 0xFF
+            if dr < 4 and dg < 4 and db < 4:
+                out.append(0x40 | (dr << 4) | (dg << 2) | db)
+            else:
+                vg = (g - pg) & 0xFF
+                vg_s = vg - 256 if vg > 127 else vg
+                vr = ((r - pr) & 0xFF)
+                vr_s = vr - 256 if vr > 127 else vr
+                vb = ((bl - pb) & 0xFF)
+                vb_s = vb - 256 if vb > 127 else vb
+                if -32 <= vg_s < 32 and -8 <= vr_s - vg_s < 8 and \
+                        -8 <= vb_s - vg_s < 8:
+                    out.append(0x80 | (vg_s + 32))
+                    out.append(((vr_s - vg_s + 8) << 4) |
+                               (vb_s - vg_s + 8))
+                else:
+                    out += bytes([0xFE, r, g, bl])
+        pr, pg, pb = int(r), int(g), int(bl)
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
 def synth_gif_anim_table(n_assets: int = 24, seed: int = 7) -> pa.Table:
     """Deterministic ANIMATED-GIF assets for the gif_framesample gate:
     real encode_gif_anim payloads with varying frame counts, sizes,
@@ -3214,7 +3366,7 @@ def synth_media_table(n_assets: int = 30, seed: int = 5) -> pa.Table:
 
 
 CODEC_MATRIX_FORMATS = ("png", "png_f2", "bmp", "tiff", "tiff_pb",
-                        "tiff_lzw", "gif",
+                        "tiff_lzw", "ppm", "qoi", "gif",
                         "webp", "webp_sg", "jpeg", "jpeg_prog")
 
 
@@ -3261,6 +3413,8 @@ def synth_codec_matrix_table(n_assets: int = 32, seed: int = 9) -> pa.Table:
         "tiff": lambda im: encode_tiff(im, packbits=False),
         "tiff_pb": lambda im: encode_tiff(im, packbits=True),
         "tiff_lzw": lambda im: encode_tiff(im, lzw=True),
+        "ppm": encode_ppm,
+        "qoi": encode_qoi,
         "gif": encode_gif,
         "webp": lambda im: encode_webp_lossless(im, subtract_green=False),
         "webp_sg": lambda im: encode_webp_lossless(im, subtract_green=True),
@@ -3270,6 +3424,7 @@ def synth_codec_matrix_table(n_assets: int = 32, seed: int = 9) -> pa.Table:
     }
     container = {"png": "png", "png_f2": "png", "bmp": "bmp",
                  "tiff": "tiff", "tiff_pb": "tiff", "tiff_lzw": "tiff",
+                 "ppm": "ppm", "qoi": "qoi",
                  "gif": "gif",
                  "webp": "webp", "webp_sg": "webp", "jpeg": "jpeg",
                  "jpeg_prog": "jpeg"}

@@ -746,3 +746,54 @@ class TestAnimatedGIF:
         data = encode_gif_anim(frames)
         ours = _gif_decode_frames(data)
         assert (SC.gif_decode_rgb(data) == ours[0]).all()
+
+
+class TestPpmQoi:
+    def test_roundtrips_and_realcodec_route(self):
+        from documentprocessor_ray.stages.multimodal import (
+            RealCodec, _ppm_decode, _qoi_decode, encode_ppm, encode_qoi)
+
+        rng = np.random.default_rng(70)
+        img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+        rc = RealCodec()
+        assert (rc.decode_image(encode_ppm(img), {}) == img).all()
+        assert (rc.decode_image(encode_qoi(img), {}) == img).all()
+
+    def test_ppm_comments_and_guards(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _ppm_decode, encode_ppm)
+
+        img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        data = encode_ppm(img)
+        # inject a header comment per the netpbm spec
+        commented = data.replace(b"P6\n", b"P6\n# made by a test\n", 1)
+        assert (_ppm_decode(commented) == img).all()
+        with pytest.raises(ValueError, match="PPM"):
+            _ppm_decode(b"P5\n1 1\n255\n\x00")
+        with pytest.raises(ValueError, match="truncated"):
+            _ppm_decode(data[:-2])
+
+    def test_qoi_op_coverage_and_guards(self):
+        from documentprocessor_ray.stages.multimodal import (
+            _qoi_decode, encode_qoi)
+
+        # flat runs (RUN), revisited colors (INDEX), small deltas
+        # (DIFF), medium deltas (LUMA), jumps (RGB) — all in one image
+        rng = np.random.default_rng(71)
+        img = np.zeros((16, 64, 3), np.uint8)
+        img[0:4] = 55
+        img[4:8] = np.cumsum(rng.integers(0, 2, (4, 64, 3)),
+                             axis=1).astype(np.uint8)
+        img[8:12] = np.cumsum(rng.integers(0, 12, (4, 64, 3)),
+                              axis=1).astype(np.uint8)
+        img[12:] = rng.integers(0, 256, (4, 64, 3), dtype=np.uint8)
+        img[15, ::2] = 55  # INDEX hits
+        data = encode_qoi(img)
+        assert (_qoi_decode(data) == img).all()
+        assert len(data) < img.size  # ops actually compress
+        with pytest.raises(ValueError, match="QOI"):
+            _qoi_decode(b"nope" + b"\x00" * 16)
+        bad = bytearray(data)
+        bad[-1] = 0  # clobber the end marker
+        with pytest.raises(ValueError, match="end marker"):
+            _qoi_decode(bytes(bad))
