@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "orc_ingest", "ipc_ingest", "avro_ingest", "delta_ingest", "scd2_priority",
     "benford_digits", "avro_quarantine", "zorder_cluster", "avro_evolve",
     "delta_time_travel", "delta_write_roundtrip", "delta_compact",
+    "delta_partition_prune",
     "copurchase_pairs", "regr_price_qty",
     "acf_daily_revenue",
 ]

@@ -10258,3 +10258,38 @@ def q_gif_framesample(sf_dir: str) -> "ray.data.Dataset":
 
 
 QUERIES["gif_framesample"] = q_gif_framesample
+
+
+def q_delta_partition_prune(sf_dir: str) -> "ray.data.Dataset":
+    """Partitioned Delta write + METADATA-pruned read: documents
+    committed with partition_by='lang' (one sub-prefix per language,
+    add actions stamped with partitionValues), then read back with
+    partition_filter={'lang': 'de'} — the prune happens on the LOG
+    metadata before any data file opens, so only the de partition's
+    bytes are ever read (file-level skip asserted in
+    TestDeltaPartitioned). The twin re-derives the de rollup
+    logically."""
+    from ..sources.deltalog import read_delta, write_delta
+
+    table_dir = _columnar_shard_dir(sf_dir, "deltap")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir) or not os.listdir(log_dir):
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        write_delta(docs, table_dir, mode="append", partition_by="lang")
+    return _csv_rollup(read_delta(table_dir,
+                                  partition_filter={"lang": "de"},
+                                  columns=["doc_id", "text", "lang"]))
+
+
+ORACLE_SQL["delta_partition_prune"] = """
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_text_chars,
+           min(md5(text)) AS min_text_md5,
+           max(md5(text)) AS max_text_md5
+    FROM documents
+    WHERE lang = 'de'
+    GROUP BY lang"""
+QUERIES["delta_partition_prune"] = q_delta_partition_prune

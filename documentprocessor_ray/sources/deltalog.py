@@ -115,11 +115,11 @@ def write_delta_table(documents_parquet: str, out_dir: str,
 
 # --------------------------------------------------------------- reader
 
-def active_files(table_dir: str,
-                 version: Optional[int] = None) -> List[str]:
+def active_adds(table_dir: str,
+                version: Optional[int] = None) -> List[dict]:
     """Replay the transaction log up to ``version`` (inclusive; None =
-    latest) and return the ABSOLUTE paths of the active snapshot's data
-    files, in deterministic (path-sorted) order.
+    latest) and return the active snapshot's add records — each
+    ``{"path": <relpath>, "partitionValues": {...}}`` — path-sorted.
 
     When a ``_last_checkpoint`` exists (checkpoint_delta) and the
     requested version is at or past it, the live set seeds from the
@@ -141,8 +141,11 @@ def active_files(table_dir: str,
         if version is None or version >= ckpt_v:
             ckpt = pq.read_table(os.path.join(
                 log_dir, f"{ckpt_v:020d}.checkpoint.parquet"))
-            for p in ckpt["path"].to_pylist():
-                live[p] = True
+            pvs = ckpt["partition_values"].to_pylist() \
+                if "partition_values" in ckpt.column_names \
+                else ["{}"] * ckpt.num_rows
+            for p, pv in zip(ckpt["path"].to_pylist(), pvs):
+                live[p] = json.loads(pv)
             start_after = ckpt_v
     applied = start_after
     for name in commits:
@@ -159,30 +162,56 @@ def active_files(table_dir: str,
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    live[action["add"]["path"]] = True
+                    live[action["add"]["path"]] = \
+                        action["add"].get("partitionValues", {})
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
         applied = v
     if version is not None and applied < version:
         raise ValueError(
             f"requested version {version} but log ends at {applied}")
-    return [os.path.join(table_dir, p) for p in sorted(live)]
+    return [{"path": p, "partitionValues": live[p]}
+            for p in sorted(live)]
+
+
+def active_files(table_dir: str,
+                 version: Optional[int] = None) -> List[str]:
+    """ABSOLUTE paths of the active snapshot's data files (see
+    active_adds), in deterministic (path-sorted) order."""
+    return [os.path.join(table_dir, a["path"])
+            for a in active_adds(table_dir, version)]
 
 
 def read_delta(table_dir: str, version: Optional[int] = None,
-               columns: Optional[List[str]] = None) -> "ray.data.Dataset":
+               columns: Optional[List[str]] = None,
+               partition_filter: Optional[dict] = None
+               ) -> "ray.data.Dataset":
     """Consistent snapshot read of a Delta-log table (optionally as of
     an earlier ``version`` — time travel). The data path is a plain
     ``read_parquet`` over the replayed active-file list: pruned columns,
-    streamed blocks, one read task per file."""
-    files = active_files(table_dir, version)
+    streamed blocks, one read task per file.
+
+    ``partition_filter`` ({col: value, ...}) prunes add records by
+    their logged ``partitionValues`` BEFORE any data file opens —
+    metadata-level data skipping: a filter on the partition column
+    reads only that partition's bytes."""
+    adds = active_adds(table_dir, version)
+    if partition_filter:
+        adds = [a for a in adds
+                if all(a["partitionValues"].get(k) == str(v)
+                       for k, v in partition_filter.items())]
+    files = [os.path.join(table_dir, a["path"]) for a in adds]
     if not files:
-        raise ValueError(f"snapshot of {table_dir} is empty")
+        raise ValueError(
+            f"snapshot of {table_dir} is empty"
+            + (f" under partition filter {partition_filter}"
+               if partition_filter else ""))
     return ray.data.read_parquet(files, columns=columns)
 
 
 def write_delta(ds: "ray.data.Dataset", table_dir: str,
-                mode: str = "append") -> int:
+                mode: str = "append",
+                partition_by: Optional[str] = None) -> int:
     """Delta-log SINK: write a Dataset as a new table version — the
     production counterpart of the sandbox table builder above.
 
@@ -195,7 +224,14 @@ def write_delta(ds: "ray.data.Dataset", table_dir: str,
     old snapshot or the whole new version — the transaction-log
     atomicity Delta provides: a crash between staging and commit
     leaves only unreferenced files that a vacuum can sweep, never a
-    torn table. Returns the committed version number."""
+    torn table. Returns the committed version number.
+
+    ``partition_by`` (a bounded-cardinality column) writes one
+    sub-prefix per distinct value and stamps each add action's
+    ``partitionValues`` — the log metadata ``read_delta``'s
+    ``partition_filter`` prunes on WITHOUT opening any data file. The
+    partition column stays IN the files (no hive stripping), so reads
+    need no re-inference."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     log_dir = os.path.join(table_dir, _LOG_DIR)
@@ -207,10 +243,25 @@ def write_delta(ds: "ray.data.Dataset", table_dir: str,
         else []
     stage = f"stage-{version:010d}"
     stage_dir = os.path.join(table_dir, stage)
-    ds.write_parquet(stage_dir)
-    os.makedirs(stage_dir, exist_ok=True)  # empty ds writes no dir
-    staged = sorted(f for f in os.listdir(stage_dir)
-                    if f.endswith(".parquet"))
+    staged = []  # (relpath, partitionValues)
+    if partition_by is None:
+        ds.write_parquet(stage_dir)
+        os.makedirs(stage_dir, exist_ok=True)  # empty ds writes no dir
+        staged = [(os.path.join(stage, f), {})
+                  for f in sorted(os.listdir(stage_dir))
+                  if f.endswith(".parquet")]
+    else:
+        values = sorted(str(v) for v in ds.unique(partition_by))
+        for v in values:
+            vdir = os.path.join(stage_dir, f"{partition_by}={v}")
+            ds.filter(expr=f"{partition_by} == {v!r}") \
+                .write_parquet(vdir)
+            os.makedirs(vdir, exist_ok=True)
+            staged.extend(
+                (os.path.join(stage, f"{partition_by}={v}", f),
+                 {partition_by: v})
+                for f in sorted(os.listdir(vdir))
+                if f.endswith(".parquet"))
     if not staged:
         raise ValueError("write_delta produced no data files")
     actions = []
@@ -221,17 +272,17 @@ def write_delta(ds: "ray.data.Dataset", table_dir: str,
         actions.append(json.dumps(
             {"metaData": {"id": f"dpray-delta-{os.path.basename(table_dir)}",
                           "format": {"provider": "parquet"},
-                          "partitionColumns": []}}))
+                          "partitionColumns":
+                              [partition_by] if partition_by else []}}))
     for rel in prev:
         actions.append(json.dumps({"remove": {
             "path": os.path.relpath(rel, table_dir),
             "dataChange": True, "deletionTimestamp": 0}}))
-    for f in staged:
-        rel = os.path.join(stage, f)
+    for rel, pvals in staged:
         actions.append(json.dumps({"add": {
             "path": rel,
             "size": os.path.getsize(os.path.join(table_dir, rel)),
-            "partitionValues": {}, "dataChange": True}}))
+            "partitionValues": pvals, "dataChange": True}}))
     actions.append(json.dumps({"commitInfo": {
         "operation": "WRITE", "mode": mode, "version": version}}))
     with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
@@ -302,12 +353,16 @@ def checkpoint_delta(table_dir: str) -> int:
     if not commits:
         raise ValueError(f"no commits in {log_dir}")
     version = commits[-1]
-    live = [os.path.relpath(p, table_dir)
-            for p in active_files(table_dir, version)]
+    adds = active_adds(table_dir, version)
+    live = [a["path"] for a in adds]
     import pyarrow as pa
 
     pq.write_table(
-        pa.table({"path": pa.array(live, pa.string())}),
+        pa.table({
+            "path": pa.array(live, pa.string()),
+            "partition_values": pa.array(
+                [json.dumps(a["partitionValues"]) for a in adds],
+                pa.string())}),
         os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(live)}, f)

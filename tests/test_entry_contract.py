@@ -28,9 +28,9 @@ class TestEntryContract:
         # (round 4: 187 queries, 187 gated — exact SQL twins + oracle-dump
         # twins; the line-filter family gopher_rules/c4_rules/line_dedup
         # joined with exact SQL twins)
-        assert len(sqls) >= 238
+        assert len(sqls) >= 239
         assert len(sqls) == len(qs)
-        assert len(qs) >= 238
+        assert len(qs) >= 239
 
     def test_no_ray_init_in_entry_module(self):
         """The driver owns the Ray session; the module must never init it."""

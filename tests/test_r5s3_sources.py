@@ -797,3 +797,46 @@ class TestPpmQoi:
         bad[-1] = 0  # clobber the end marker
         with pytest.raises(ValueError, match="end marker"):
             _qoi_decode(bytes(bad))
+
+
+class TestDeltaPartitioned:
+    def test_partitioned_write_and_pruned_read(self, ray_session,
+                                               tmp_path):
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import (
+            active_adds, checkpoint_delta, read_delta, write_delta)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        docs = ray.data.read_parquet(src)
+        d = str(tmp_path / "t")
+        write_delta(docs, d, mode="append", partition_by="lang")
+        adds = active_adds(d)
+        langs = {a["partitionValues"]["lang"] for a in adds}
+        ref = pq.read_table(src).replace_schema_metadata(None)
+        assert langs == set(ref["lang"].to_pylist())
+        # pruned read touches ONLY that partition's files and rows
+        lang = sorted(langs)[0]
+        pruned = read_delta(d, partition_filter={"lang": lang})
+        exp_rows = sum(1 for v in ref["lang"].to_pylist() if v == lang)
+        assert pruned.count() == exp_rows
+        pruned_files = [a for a in adds
+                        if a["partitionValues"]["lang"] == lang]
+        assert 0 < len(pruned_files) < len(adds)
+        # partition column survives IN the data (no hive stripping)
+        assert set(pruned.unique("lang")) == {lang}
+        # checkpoint round-trips partitionValues
+        checkpoint_delta(d)
+        assert active_adds(d) == adds
+
+    def test_empty_partition_filter_raises(self, ray_session, tmp_path):
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import (
+            read_delta, write_delta)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        d = str(tmp_path / "t2")
+        write_delta(ray.data.read_parquet(src), d, partition_by="lang")
+        with pytest.raises(ValueError, match="partition filter"):
+            read_delta(d, partition_filter={"lang": "xx-nope"})
