@@ -26,8 +26,9 @@ OUT_JSON = sys.argv[1] if len(sys.argv) > 1 else \
 
 S3_OPS = ["avro_ingest", "avro_quarantine", "avro_evolve",
           "delta_ingest", "delta_time_travel", "delta_write_roundtrip",
-          "delta_compact", "scd2_priority", "benford_digits",
-          "zorder_cluster"]
+          "delta_compact", "delta_partition_prune", "scd2_priority",
+          "benford_digits", "zorder_cluster", "audio_mfcc",
+          "gif_framesample"]
 
 
 def main():
