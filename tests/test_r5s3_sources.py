@@ -840,3 +840,57 @@ class TestDeltaPartitioned:
         write_delta(ray.data.read_parquet(src), d, partition_by="lang")
         with pytest.raises(ValueError, match="partition filter"):
             read_delta(d, partition_filter={"lang": "xx-nope"})
+
+
+class TestCodecFuzz:
+    def test_tiff_lzw_kernel_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        from documentprocessor_ray.stages.multimodal import (
+            _tiff_lzw_decode, _tiff_lzw_encode)
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.binary(max_size=4096))
+        def run(raw):
+            assert _tiff_lzw_decode(_tiff_lzw_encode(raw)) == raw
+
+        run()
+
+    def test_qoi_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        from documentprocessor_ray.stages.multimodal import (
+            _qoi_decode, encode_qoi)
+
+        @settings(max_examples=25, deadline=None)
+        @given(st.integers(1, 12), st.integers(1, 12),
+               st.integers(0, 2**32 - 1))
+        def run(h, w, seed):
+            rng = np.random.default_rng(seed)
+            # mixed content: flat patches + small deltas + jumps
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            if h > 2:
+                img[:2] = img[0, 0]
+            assert (_qoi_decode(encode_qoi(img)) == img).all()
+
+        run()
+
+    def test_gif_anim_fuzz(self):
+        from hypothesis import given, settings, strategies as st
+
+        from documentprocessor_ray.stages.multimodal import (
+            _gif_decode_frames, encode_gif_anim)
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.integers(0, 2**32 - 1), st.integers(1, 4))
+        def run(seed, n_frames):
+            rng = np.random.default_rng(seed)
+            h, w = int(rng.integers(4, 12)), int(rng.integers(4, 12))
+            frames = [(rng.integers(0, 3, (h, w, 3)) * 80).astype(np.uint8)
+                      for _ in range(n_frames)]
+            out = _gif_decode_frames(encode_gif_anim(frames))
+            assert len(out) == n_frames
+            for a, b in zip(out, frames):
+                assert (a == b).all()
+
+        run()
