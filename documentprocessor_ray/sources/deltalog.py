@@ -285,7 +285,20 @@ def write_delta(ds: "ray.data.Dataset", table_dir: str,
             "partitionValues": pvals, "dataChange": True}}))
     actions.append(json.dumps({"commitInfo": {
         "operation": "WRITE", "mode": mode, "version": version}}))
-    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+    # optimistic concurrency (the Delta commit rule): the version file
+    # is created EXCLUSIVELY — a racing writer that lost the version
+    # gets FileExistsError instead of silently clobbering the commit,
+    # and its staged files remain unreferenced for vacuum_delta
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        fd = os.open(commit_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"concurrent write detected: version {version} of "
+            f"{table_dir} was committed by another writer (retry to "
+            "commit against the new snapshot; staged files are "
+            "vacuumable)") from None
+    with os.fdopen(fd, "w") as fh:
         fh.write("\n".join(actions) + "\n")
     return version
 

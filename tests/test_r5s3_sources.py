@@ -894,3 +894,40 @@ class TestCodecFuzz:
                 assert (a == b).all()
 
         run()
+
+
+class TestDeltaConcurrency:
+    def test_losing_writer_gets_conflict_not_clobber(self, ray_session,
+                                                     tmp_path, monkeypatch):
+        import ray.data
+
+        from documentprocessor_ray.sources.deltalog import (
+            active_files, vacuum_delta, write_delta)
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        docs = ray.data.read_parquet(src)
+        d = str(tmp_path / "t")
+        write_delta(docs, d)
+        # simulate a racing writer that commits version 1 AFTER our
+        # writer computed its version but BEFORE it commits: inject the
+        # race during the staging write
+        racing = os.path.join(d, "_delta_log", f"{1:020d}.json")
+        orig = ray.data.Dataset.write_parquet
+
+        def racy(self, path, *a, **k):
+            open(racing, "w").write('{"commitInfo": {"version": 1}}\n')
+            return orig(self, path, *a, **k)
+
+        monkeypatch.setattr(ray.data.Dataset, "write_parquet", racy)
+        before = active_files(d)
+        with pytest.raises(ValueError, match="concurrent write"):
+            write_delta(docs.filter(expr="n_chars >= 500"), d,
+                        mode="append")
+        monkeypatch.setattr(ray.data.Dataset, "write_parquet", orig)
+        # the racing commit was NOT clobbered, snapshot unchanged,
+        # and the loser's staged files are vacuumable
+        assert open(racing).read().startswith('{"commitInfo"')
+        assert active_files(d) == before
+        swept = vacuum_delta(d)
+        assert swept and all(p.startswith("stage-0000000001/")
+                             for p in swept)
